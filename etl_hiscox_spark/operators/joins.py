@@ -1,0 +1,116 @@
+"""Join operators (SURVEY.md §2.3 J1-J7).
+
+J1-J5 are plain DataFrame joins (Catalyst picks broadcast vs shuffle; we add
+explicit ``F.broadcast`` hints for known-small dimensions). J6 (range/interval
+join) and J7 (as-of join) are the two the reference's gold layer needs that
+Spark has no single operator for — both are expressed as compositions that
+keep the heavy lifting in one equi-shuffle plus a window, never a cartesian
+product.
+
+Scale notes:
+- ``range_join``: equality keys first (equi-shuffle), range predicate as a
+  post-join filter — Catalyst evaluates it inside the SortMergeJoin, so no
+  blow-up beyond the key match.
+- ``asof_join``: union + window instead of the naive inequality join
+  (which would be O(n*m) per key). One shuffle on the key, one sort —
+  the same trick Flink/QuestDB use for ASOF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_join(
+    fact: DataFrame, dim: DataFrame, on: str | Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """J3: explicit broadcast hint for a small dimension table.
+
+    At 100 TB the fact side never moves: each executor gets a copy of the
+    dim (must fit in driver+executor memory, ~<1 GB). Mirrors the
+    agents/adjusters dims of the reference (4 rows each,
+    ``data/raw/sample_policies.csv``).
+    """
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    range_cond: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """J6: equi-key join with an additional range/interval predicate.
+
+    The reference shape: claim joined to its policy where ``claim_date``
+    within ``[start_date, end_date]`` (policy-validity join,
+    ``tests/data_quality/test_insurance_data_quality.py:173-178``). Keeping
+    the equality keys in ``on`` ensures a hash/sort-merge join; the range
+    condition is applied as part of the join condition (no cartesian).
+    """
+    cond = None
+    for k in keys:
+        c = left[k] == right[k]
+        cond = c if cond is None else cond & c
+    cond = range_cond if cond is None else cond & range_cond
+    return left.join(right, on=cond, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """J7: as-of join — for each left row, the latest right row with
+    ``right_ts <= left_ts`` on the same key.
+
+    Implementation: tag and union both sides, sort within key by (ts,
+    side) with a window carrying ``last(right_value, ignorenulls)`` —
+    one shuffle on ``key``, one sort, no inequality join. This is the
+    SCD-2 "policy version in force at claim time" lookup
+    (``dbt/dbt_project.yml:49-53`` snapshot strategy).
+
+    Rows from ``left`` are all preserved (left outer semantics); right
+    columns are null when no prior right row exists.
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__v_{v}") for v in right_values],
+    )
+    tagged_right = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(v).alias(f"__v_{v}") for v in right_values],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    # Right rows sort before left rows at equal ts (side 0 < 1) => ties are
+    # inclusive: a right row at exactly left_ts is visible to that left row.
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__v_{v}"), ignorenulls=True).over(w).alias(f"{v}{suffix}")
+            for v in right_values
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        *lcols, *[f"{v}{suffix}" for v in right_values]
+    )

@@ -1,0 +1,194 @@
+"""Table registry: named tables -> paths + explicit schemas + layers.
+
+Replaces the reference's two table-naming mechanisms:
+- ``scripts/utils/config.py:83-85`` ``get_table_name(layer, table)`` —
+  layered ``{db}_{layer}.{table}`` naming;
+- ``dbt/models/sources.yml:3-77`` — YAML source declarations with per-column
+  tests (the tests live in :mod:`etl_hiscox_spark.quality.rules`).
+
+Explicit ``StructType`` schemas instead of ``inferSchema`` (SURVEY.md §1.4):
+inference is kept as a fallback for ad-hoc reads, but registered tables pin
+their schema so oracle comparisons and schema-validation checks are stable.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+LAYERS = ("bronze", "silver", "gold")
+
+# ---------------------------------------------------------------------------
+# Testdata tables (TPC-H-ish star schema + events/documents/embeddings).
+# Schemas match the driver parquet exactly (FIXTURES.md §5); timestamps are
+# read as Spark microsecond timestamps.
+# ---------------------------------------------------------------------------
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+_RUNTIME_CONFS = {
+    # The driver may hand us ITS OWN SparkSession — pin the confs our
+    # queries depend on at read time (all are runtime-settable SQLConfs).
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this deployment; reads may still work
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Parquet scan of one testdata table (SURVEY.md §2.1 S2/S4).
+
+    A plain ``spark.read.parquet`` — Catalyst handles column pruning and
+    predicate pushdown into the scan, so callers should filter/select on the
+    returned DataFrame rather than materializing it.
+    """
+    ensure_session_confs(spark)
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long ns
+    # (spark.sql.legacy.parquet.nanosAsLong). Truncate to µs — identical to
+    # DuckDB's ns→µs cast — so downstream code sees a normal timestamp.
+    for f in df.schema.fields:
+        if name == "events" and f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    return {t: load_table(spark, t, sf_dir) for t in TESTDATA_TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Expose every testdata table as a temp view for ``spark.sql`` entry."""
+    for t in TESTDATA_TABLES:
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# Insurance-domain schemas (the reference's own data model, FIXTURES.md §1-2).
+# Money uses DecimalType(18,2) per SURVEY.md §7 (float-hash pitfalls).
+# ---------------------------------------------------------------------------
+
+CLAIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("claim_id", T.StringType(), False),
+        T.StructField("policy_id", T.StringType(), False),
+        T.StructField("customer_id", T.StringType(), False),
+        T.StructField("claim_amount", T.DecimalType(18, 2), True),
+        T.StructField("claim_date", T.DateType(), True),
+        T.StructField("claim_type", T.StringType(), True),
+        T.StructField("claim_status", T.StringType(), True),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("adjuster_id", T.StringType(), True),
+        T.StructField("settlement_amount", T.DecimalType(18, 2), True),
+        T.StructField("settlement_date", T.DateType(), True),
+        T.StructField("created_at", T.TimestampType(), True),
+        T.StructField("updated_at", T.TimestampType(), True),
+    ]
+)
+
+POLICIES_SCHEMA = T.StructType(
+    [
+        T.StructField("policy_id", T.StringType(), False),
+        T.StructField("customer_id", T.StringType(), False),
+        T.StructField("policy_number", T.StringType(), True),
+        T.StructField("policy_type", T.StringType(), True),
+        T.StructField("premium_amount", T.DecimalType(18, 2), True),
+        T.StructField("deductible_amount", T.DecimalType(18, 2), True),
+        T.StructField("coverage_limit", T.DecimalType(18, 2), True),
+        T.StructField("start_date", T.DateType(), True),
+        T.StructField("end_date", T.DateType(), True),
+        T.StructField("policy_status", T.StringType(), True),
+        T.StructField("agent_id", T.StringType(), True),
+        T.StructField("created_at", T.TimestampType(), True),
+        T.StructField("updated_at", T.TimestampType(), True),
+    ]
+)
+
+SCHEMAS: dict[str, T.StructType] = {
+    "claims": CLAIMS_SCHEMA,
+    "policies": POLICIES_SCHEMA,
+}
+
+
+@dataclass
+class TableRef:
+    """A registered table: layer-qualified name + storage path + schema."""
+
+    name: str
+    layer: str  # bronze | silver | gold | raw
+    path: str
+    schema: T.StructType | None = None
+    partition_by: tuple[str, ...] = field(default_factory=tuple)
+
+    @property
+    def qualified_name(self) -> str:
+        # Mirrors reference get_table_name: f"{db}_{layer}.{table}"
+        return f"{self.layer}.{self.name}"
+
+
+class TableRegistry:
+    """In-process catalog: register tables, read/write by name.
+
+    The warehouse root holds one directory per layer; tables are parquet
+    directories (Delta in the reference — parquet fallback per SURVEY.md
+    §2.1 S3). Partition columns give partition pruning for free at scale.
+    """
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        self.tables: dict[str, TableRef] = {}
+
+    def register(
+        self,
+        name: str,
+        layer: str,
+        schema: T.StructType | None = None,
+        partition_by: tuple[str, ...] = (),
+    ) -> TableRef:
+        path = os.path.join(self.warehouse_dir, layer, name)
+        ref = TableRef(name=name, layer=layer, path=path, schema=schema, partition_by=partition_by)
+        self.tables[ref.qualified_name] = ref
+        return ref
+
+    def ref(self, qualified_name: str) -> TableRef:
+        return self.tables[qualified_name]
+
+    def read(self, qualified_name: str) -> DataFrame:
+        ref = self.ref(qualified_name)
+        reader = self.spark.read
+        if ref.schema is not None:
+            reader = reader.schema(ref.schema)
+        return reader.parquet(ref.path)
+
+    def exists(self, qualified_name: str) -> bool:
+        ref = self.tables.get(qualified_name)
+        return ref is not None and os.path.exists(ref.path)

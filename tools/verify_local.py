@@ -1,0 +1,139 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every declared query through Spark AND its DuckDB oracle on the same
+parquet tables, then compares row count, sorted column names, and the full
+multiset of values (order-insensitive, exact after canonicalization). Exact
+match here implies the driver's value-hash comparison passes.
+
+Usage:
+    python tools/verify_local.py [--sf /root/testdata/sf0.01] [--only q1,q2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def canon(v):
+    """Canonicalize one cell for multiset comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(canon(x) for x in v)
+    try:  # Decimal -> str keeps exactness
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return str(v)
+    except ImportError:
+        pass
+    return str(v)
+
+
+def rows_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = {}
+    for r in rows:
+        key = tuple(canon(r[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--skip-spark", action="store_true")
+    args = ap.parse_args()
+
+    from etl_hiscox_spark.queries import all_queries
+    from etl_hiscox_spark.session import get_spark
+
+    queries = all_queries()
+    if args.only:
+        keep = set(args.only.split(","))
+        queries = {k: v for k, v in queries.items() if k in keep}
+
+    spark = get_spark("verify_local", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for name, q in sorted(queries.items()):
+        t0 = time.time()
+        try:
+            df = q.fn(spark, args.sf)
+            s_cols = df.columns
+            s_rows = df.collect()
+        except Exception:
+            print(f"FAIL  {name}: spark error")
+            traceback.print_exc()
+            n_fail += 1
+            failures.append(name)
+            continue
+        if q.oracle is None:
+            print(f"rows  {name}: {len(s_rows)} rows (no oracle, rows-only) [{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(q.oracle)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        if not problems:
+            ms = rows_to_multiset(s_cols, [[r[c] for c in s_cols] for r in s_rows])
+            md = rows_to_multiset(d_cols, d_rows)
+            if ms != md:
+                diff_s = {k: v for k, v in ms.items() if md.get(k) != v}
+                diff_d = {k: v for k, v in md.items() if ms.get(k) != v}
+                ex_s = list(diff_s.items())[:2]
+                ex_d = list(diff_d.items())[:2]
+                problems.append(f"values differ: {len(diff_s)}/{len(ms)} spark-only keys; e.g. spark={ex_s} duckdb={ex_d}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            n_fail += 1
+            failures.append(name)
+        else:
+            print(f"PASS  {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
+    if failures:
+        print("failed:", ",".join(failures))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
