@@ -1,0 +1,170 @@
+"""Text-analysis functions for LLM-scale data pipelines (SURVEY.md §2.11).
+
+All built from JVM-side expressions (split/regexp/transform/aggregate) so
+they stay inside whole-stage codegen at 100 TB — no Python in the hot path.
+
+- tokenization: whitespace + BPE-ish regex variants
+- language ID: stopword-hit n-gram heuristic (top-5 langs of the corpus)
+- quality scoring: length / punctuation / stopword-ratio features
+- fingerprinting: 64-bit rolling/polynomial hash over normalized text
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenization (L5)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Lowercase + collapse whitespace — canonical form for dedup keys."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokens of normalized text -> array<string>."""
+    return F.split(normalize_text(c), " ")
+
+
+def word_count(c: Column | str) -> Column:
+    return F.size(tokens(c))
+
+
+BPE_SPLIT_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def regex_tokens(c: Column | str) -> Column:
+    """BPE-ish tokenizer: letter-runs, digit-runs, or single punctuation —
+    the common pre-tokenization split of GPT-style BPE vocabularies."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_SPLIT_PATTERN), 0)
+
+
+def token_count_regex(c: Column | str) -> Column:
+    """Count of BPE-ish tokens (see :func:`regex_tokens`)."""
+    return F.size(regex_tokens(c))
+
+
+# ---------------------------------------------------------------------------
+# Language identification (heuristic n-gram / stopword voting)
+# ---------------------------------------------------------------------------
+
+# Tiny built-in stopword profiles. Real deployments plug in fastText/CLD3 via
+# a pandas_udf; the heuristic keeps language-ID expression-only (and the
+# testdata corpus is synthetic English-ish tokens regardless of its `lang`
+# tag, so the heuristic is exercised structurally, verified on real phrases
+# in tests/).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un", "por", "con"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de": ("der", "die", "und", "das", "ist", "von", "den", "mit", "für", "auf"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "这", "他"),
+}
+
+
+def lang_scores(c: Column | str) -> Column:
+    """Map of lang -> stopword-hit count over the token array."""
+    toks = tokens(c)
+    pairs = [
+        F.struct(
+            F.lit(lang).alias("lang"),
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias("hits"),
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    ]
+    return F.array(*pairs)
+
+
+def detect_language(c: Column | str, default: str = "und") -> Column:
+    """argmax over stopword-hit counts; 'und' when no stopword hits at all.
+
+    Struct fields ordered (hits, lang) so array_max compares hit count
+    first, language code as deterministic tiebreak.
+    """
+    toks = tokens(c)
+    pairs = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    ]
+    best = F.array_max(F.array(*pairs))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (heuristic features used by pretraining filters)
+# ---------------------------------------------------------------------------
+
+
+def quality_features(col_name: str) -> list[Column]:
+    """Length / punctuation-ratio / mean-word-length / stopword-ratio
+    features, each expression-only. Combine downstream into a score."""
+    c = F.col(col_name)
+    n_chars = F.length(c)
+    toks = tokens(c)
+    n_words = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(toks, en_stop))
+    return [
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        ((n_chars - F.size(toks) + 1).cast("double") / F.greatest(n_words, F.lit(1))).alias(
+            "mean_word_len"
+        ),
+        (n_stop.cast("double") / F.greatest(n_words, F.lit(1))).alias("stopword_ratio"),
+    ]
+
+
+def quality_score(col_name: str) -> Column:
+    """Score in [0,1]: word-count band + low punctuation + stopword presence.
+
+    A deterministic, explainable filter in the spirit of C4/Gopher rules —
+    not a trained classifier.
+    """
+    c = F.col(col_name)
+    n_chars = F.length(c)
+    n_words = F.size(tokens(c))
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    len_ok = F.when((n_words >= 10) & (n_words <= 100000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.0)
+    nonempty = F.when(n_chars > 0, 1.0).otherwise(0.0)
+    return (len_ok + punct_ok + nonempty) / F.lit(3.0)
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting (rolling/polynomial 64-bit hash) + shingles
+# ---------------------------------------------------------------------------
+
+
+def fingerprint64(c: Column | str) -> Column:
+    """64-bit fingerprint of normalized text (xxhash64 — stable across
+    Spark versions and partitionings)."""
+    return F.xxhash64(normalize_text(c))
+
+
+def content_hash(c: Column | str) -> Column:
+    """SHA-256 hex of normalized text — the exact-dedup key (L1)."""
+    return F.sha2(normalize_text(c), 256)
+
+
+def shingles(c: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct) — MinHash input."""
+    toks = tokens(c)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )

@@ -1,0 +1,290 @@
+"""Deduplication operators for LLM-scale corpora (SURVEY.md §2.11 L1-L2).
+
+Four tiers, all shuffle-conscious:
+
+- **exact** (L1): hash-groupBy on a normalized content hash. One shuffle on
+  a uniformly-distributed 256-bit key — no skew by construction.
+- **MinHash + LSH** (L2): shingle → minhash signature (expression-only
+  permutation hashing) → band → bucket self-join. Candidate pairs only ever
+  meet inside a band-bucket, so the join is an equi-join on (band, bucket)
+  — never O(n²).
+- **SimHash**: 64-bit near-dup signature via per-token xxhash bit voting;
+  Hamming-adjacent buckets found by splitting the signature into 4 16-bit
+  blocks (pigeonhole: any pair within Hamming distance 3 shares a block).
+- **n-gram Jaccard**: exact verify step applied to LSH candidate pairs
+  (array_intersect/array_union on shingle arrays).
+
+Everything is built-in expressions — no Python UDFs — so the hot path stays
+in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_hiscox_spark.functions.text import content_hash, normalize_text, shingles
+
+# ---------------------------------------------------------------------------
+# L1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id document per normalized-content hash.
+
+    groupBy on sha256(normalized text): one shuffle, uniform keys. The
+    deterministic keeper (min id) makes the result oracle-comparable —
+    same rule as the reference's deterministic dedup requirement (W1).
+    """
+    return (
+        df.withColumn("__h", content_hash(F.col(text_col)))
+        .withColumn(
+            "__keep",
+            F.row_number().over(
+                Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+            ),
+        )
+        .filter(F.col("__keep") == 1)
+        .drop("__h", "__keep")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Duplicate-group report: one row per content hash with >1 doc."""
+    return (
+        df.select(content_hash(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2: MinHash + banded LSH
+# ---------------------------------------------------------------------------
+# Permutation hashing: h_i(s) = xxhash64(shingle, seed=i). The minhash
+# signature is [min_i over shingles] — computed with array exprs, no UDF.
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """array<long> minhash signature of a shingle array (expression-only)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_bands(sig_col: Column, num_bands: int, rows_per_band: int) -> list[Column]:
+    """One 64-bit bucket key per band: xxhash64 over the band's slice."""
+    return [
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at(sig_col, b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"band_{b}")
+        for b in range(num_bands)
+    ]
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
+
+    Plan shape: project signature (narrow) → explode to (band, bucket, id)
+    — num_bands rows per doc → self equi-join on (band, bucket) → distinct
+    pairs. The only shuffles are the bucket join and the distinct; bucket
+    keys are hashes, so skew appears only for genuinely massive duplicate
+    clusters (AQE skew-join splits those).
+    """
+    rows_per_band = num_hashes // num_bands
+    sig = minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes)
+    banded = df.select(F.col(id_col).alias("doc"), sig.alias("sig")).select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast(
+                                        "string"
+                                    )
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    ``pairs`` has (id_a, id_b); shingle arrays are joined in (two broadcast-
+    able or shuffle joins on doc id) and compared with
+    array_intersect/array_union — still expression-only.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_k).alias("__sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full near-dedup: LSH candidates → Jaccard verify → drop the higher
+    id of each confirmed pair (greedy single-link by min id).
+
+    Returns the surviving rows of ``df``. The drop set is computed as
+    "appears as id_b in a confirmed pair" — a left-anti join, no driver
+    collect.
+    """
+    cands = minhash_candidates(df, text_col, id_col, num_hashes, num_bands, shingle_k)
+    confirmed = jaccard_pairs(df, cands, text_col, id_col, shingle_k, threshold)
+    drops = confirmed.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text_col: Column | str) -> Column:
+    """64-bit SimHash of the token multiset (expression-only bit voting).
+
+    For each bit position b: sum over tokens of +1/-1 by token-hash bit b;
+    bit set iff the vote is positive. Implemented with
+    transform + aggregate over the token array, then a bit-OR fold.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def _voter(mask: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask).cast("long")) != 0, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for b in range(64):
+        # Signed-64 bit mask as a Python literal (bit 63 is the sign bit).
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        votes = F.aggregate(hashes, F.lit(0), _voter(mask))
+        bit_cols.append(
+            F.when(votes > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
+def simhash_blocks(sim_col: Column, n_blocks: int = 4) -> list[Column]:
+    """Split a 64-bit simhash into 16-bit blocks for pigeonhole bucketing:
+    any pair within Hamming distance n_blocks-1 shares >=1 identical block."""
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    return [
+        F.shiftrightunsigned(sim_col, i * width)
+        .bitwiseAND(F.lit(mask).cast("long"))
+        .alias(f"blk_{i}")
+        for i in range(n_blocks)
+    ]
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block-bucket join then exact Hamming
+    filter. 4 blocks guarantee recall for distance <= 3 (pigeonhole)."""
+    with_sim = df.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sim"))
+    blocks = with_sim.select(
+        "doc", "sim", *simhash_blocks(F.col("sim"), 4)
+    )
+    exploded = blocks.select(
+        "doc",
+        "sim",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("blk_id"), F.col(f"blk_{i}").alias("blk")) for i in range(4)])
+        ).alias("b"),
+    ).select("doc", "sim", F.col("b.blk_id").alias("blk_id"), F.col("b.blk").alias("blk"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk_id") == F.col("b.blk_id"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,341 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.11): dedup, similarity search,
+text analysis, JSON extraction — over documents/embeddings/events.
+
+Oracle notes: Spark and DuckDB lambda/list function dialects differ but both
+can express every deterministic operator here; xxhash64-based operators
+(minhash/simhash/fingerprint) have no DuckDB twin and are declared
+rows-only (the driver records the weaker check; exact semantics are locked
+by unit tests instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_hiscox_spark.functions.text import (
+    LANG_STOPWORDS,
+    content_hash,
+    detect_language,
+    fingerprint64,
+    normalize_text,
+    quality_score,
+    tokens,
+)
+from etl_hiscox_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_candidates,
+    near_dedup_minhash,
+    simhash_candidates,
+)
+from etl_hiscox_spark.operators.similarity import cosine, cosine_topk
+from etl_hiscox_spark.queries import register
+from etl_hiscox_spark.registry import load_table
+
+# ---------------------------------------------------------------------------
+# L1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "l1_exact_dedup",
+    oracle=r"""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+               ORDER BY doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L1: hash-groupBy exact dedup, deterministic keeper = min doc_id.
+    docs = load_table(spark, "documents", sf_dir)
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "lang", "source", "n_chars")
+
+
+@register("l2_minhash_near_dup")  # rows-only: xxhash64 minhash has no DuckDB twin
+def l2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L2: MinHash(32)+LSH(8 bands) candidates -> exact Jaccard>=0.8 verify
+    # -> survivors. Unit-tested on synthetic near-dups in tests/.
+    docs = load_table(spark, "documents", sf_dir)
+    return near_dedup_minhash(docs, "text", "doc_id", threshold=0.8).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "l2_ngram_jaccard_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                                    i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS s
+      FROM toks
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 25
+    """,
+)
+def l2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n-gram Jaccard on a deterministic blocked candidate set (same source,
+    # nearby ids) — the exact-verify stage of near-dedup, oracle-checked.
+    docs = load_table(spark, "documents", sf_dir)
+    ids = docs.select("doc_id", "source")
+    a, b = ids.alias("a"), ids.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("b.doc_id") - F.col("a.doc_id") <= 25),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    return jaccard_pairs(docs, pairs, "text", "doc_id", shingle_k=3)
+
+
+@register("l2_simhash_candidates")  # rows-only: xxhash64-based
+def l2_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash near-dup candidates within Hamming distance 3 (pigeonhole
+    # 4-block bucketing). Unit-tested on perturbed texts in tests/.
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_candidates(docs, "text", "doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# L3: similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_ORACLE = """
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id = 0
+    ), e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), scored AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * q.qe[i]))
+               / (sqrt(list_sum(list_transform(emb, x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.qe, x -> x * x)))) AS sim
+      FROM e, q
+    )
+    SELECT vec_id, ROUND(sim, 6) AS cosine_sim,
+           ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+    FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+@register("l3_cosine_topk", oracle=_COSINE_ORACLE)
+def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L3 baseline: exact brute-force cosine top-k for one query vector
+    # (vec_id 0). Plan: scan -> project -> TakeOrderedAndProject; no shuffle.
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    out = cosine_topk(emb, "embedding", "vec_id", qvec, k=10)
+    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+
+
+@register(
+    "l3_embedding_near_pairs",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+           ROUND(list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * b.emb[i]))
+             / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.emb, x -> x * x)))), 6) AS cosine_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * b.emb[i]))
+            / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+               * sqrt(list_sum(list_transform(b.emb, x -> x * x)))) > 0.3
+    """,
+)
+def l3_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-cosine near-dup pairs with a blocking key (label) — the
+    # scale pattern: pairs only form inside a block/bucket, never globally.
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = cosine(F.col("a.emb"), F.col("b.emb"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(sim > 0.3)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.label").alias("label"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4/L5: text stats, tokenization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "l4_text_stats",
+    oracle=r"""
+    SELECT doc_id, lang,
+           length(text) AS text_len,
+           len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_words
+    FROM documents
+    """,
+)
+def l4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("text_len"),
+        F.size(tokens("text")).alias("n_words"),
+    )
+
+
+_EN_STOP_SQL = "['" + "', '".join(LANG_STOPWORDS["en"]) + "']"
+
+
+@register(
+    "l5_token_stats",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_distinct_tokens,
+           len(list_filter(t, x -> NOT list_contains({_EN_STOP_SQL}, x))) AS n_content_tokens
+    FROM toks
+    """,
+)
+def l5_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L5: tokenize + stopword removal, expression-only.
+    stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    docs = load_table(spark, "documents", sf_dir)
+    t = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.size(F.filter(t, lambda x: ~F.array_contains(stop, x))).alias("n_content_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6: JSON prop extraction (events.props)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "l6_json_extraction",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def l6_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language ID, quality score, fingerprint
+# ---------------------------------------------------------------------------
+
+_LANGID_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+             len(list_intersect(t, ['the','and','of','to','is','in','that','it','for','with'])) AS h_en,
+             len(list_intersect(t, ['el','la','de','que','y','los','en','un','por','con'])) AS h_es,
+             len(list_intersect(t, ['le','la','de','et','les','des','en','un','du','que'])) AS h_fr,
+             len(list_intersect(t, ['der','die','und','das','ist','von','den','mit','für','auf'])) AS h_de,
+             len(list_intersect(t, ['的','是','了','在','和','有','我','不','这','他'])) AS h_zh
+      FROM toks
+    )
+    SELECT lang, detected_lang, COUNT(*) AS n_docs FROM (
+      SELECT lang,
+             CASE WHEN greatest(h_en, h_es, h_fr, h_de, h_zh) = 0 THEN 'und'
+                  WHEN h_zh = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'zh'
+                  WHEN h_fr = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'fr'
+                  WHEN h_es = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'es'
+                  WHEN h_en = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'en'
+                  ELSE 'de' END AS detected_lang
+      FROM hits
+    ) GROUP BY lang, detected_lang
+"""
+
+
+@register("t1_language_id", oracle=_LANGID_ORACLE)
+def t1_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Language-ID confusion matrix: corpus tag vs stopword-heuristic result.
+    # Tiebreak = lang code DESC (struct array_max), mirrored in the oracle's
+    # CASE order (zh > fr > es > en > de).
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("lang", detect_language("text").alias("detected_lang"))
+        .groupBy("lang", "detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "t2_quality_score",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_words,
+             length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           ((CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN n_chars > 0 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality
+    FROM feats
+    """,
+)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+@register("t3_fingerprint")  # rows-only: xxhash64 has no DuckDB equivalent
+def t3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 64-bit document fingerprints + exact-dedup content hash.
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        fingerprint64("text").alias("fp64"),
+        content_hash("text").alias("sha256_hash"),
+    )
