@@ -40,7 +40,9 @@ def null_if_blank(c: Column | str) -> Column:
 
 def parse_money(c: Column | str) -> Column:
     c = F.col(c) if isinstance(c, str) else c
-    return F.regexp_replace(F.trim(c), ",", "").cast("decimal(18,2)")
+    # try_cast: unparseable -> NULL (ANSI-mode cast would abort the job;
+    # invalid values are a quarantine concern, not a crash - F5/Q4)
+    return F.regexp_replace(F.trim(c), ",", "").try_cast("decimal(18,2)")
 
 
 # F4+F5: multi-format date standardization; unparseable -> NULL (quarantine

@@ -96,6 +96,36 @@ def minhash_bands(sig_col: Column, num_bands: int, rows_per_band: int) -> list[C
     ]
 
 
+def exploded_shingles(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3) -> DataFrame:
+    """(doc, shingle) rows — one per DISTINCT shingle per doc.
+
+    The explode representation keeps all downstream work in plain
+    projections/joins/groupBys (whole-stage codegen); Spark's higher-order
+    array functions are interpreted per-element and were ~50× slower for
+    the signature computation.
+    """
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle")
+    )
+
+
+def minhash_signature_table(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, shingle_k: int = 3
+) -> DataFrame:
+    """(doc, h0..h{n-1}) minhash signature table.
+
+    Plan: explode shingles → project num_hashes codegen'd xxhash64 columns
+    (seed mixed in as an extra hashed column) → groupBy(doc) min() per
+    column. One shuffle on doc id; partial min() runs map-side so shuffle
+    volume is |docs| × num_hashes longs regardless of corpus size.
+    """
+    sh = exploded_shingles(df, text_col, id_col, shingle_k)
+    hashed = sh.select(
+        "doc", *[F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return hashed.groupBy("doc").agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str,
@@ -106,15 +136,14 @@ def minhash_candidates(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
 
-    Plan shape: project signature (narrow) → explode to (band, bucket, id)
-    — num_bands rows per doc → self equi-join on (band, bucket) → distinct
-    pairs. The only shuffles are the bucket join and the distinct; bucket
-    keys are hashes, so skew appears only for genuinely massive duplicate
-    clusters (AQE skew-join splits those).
+    Plan shape: signature table (one shuffle) → explode to (band, bucket,
+    doc) — num_bands rows per doc → self equi-join on (band, bucket) →
+    distinct pairs. Bucket keys are hashes, so skew appears only for
+    genuinely massive duplicate clusters (AQE skew-join splits those).
     """
     rows_per_band = num_hashes // num_bands
-    sig = minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes)
-    banded = df.select(F.col(id_col).alias("doc"), sig.alias("sig")).select(
+    sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sig.select(
         "doc",
         F.explode(
             F.array(
@@ -125,9 +154,7 @@ def minhash_candidates(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast(
-                                        "string"
-                                    )
+                                    F.col(f"h{b * rows_per_band + r}").cast("string")
                                     for r in range(rows_per_band)
                                 ],
                             )
@@ -162,22 +189,33 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
-    ``pairs`` has (id_a, id_b); shingle arrays are joined in (two broadcast-
-    able or shuffle joins on doc id) and compared with
-    array_intersect/array_union — still expression-only.
+    Relational formulation: |A∩B| = count of matching (pair, shingle) join
+    rows; |A∪B| = |A| + |B| - |A∩B|. All equi-joins + groupBys — codegen'd
+    end-to-end, and intersection work is proportional to actual shingle
+    matches, not |pairs| × |shingles|.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_k).alias("__sh")
+    sh = exploded_shingles(df, text_col, id_col, shingle_k)
+    counts = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("__n"))
+    a_sh = sh.select(F.col("doc").alias("id_a"), F.col("shingle").alias("__s"))
+    b_sh = sh.select(F.col("doc").alias("id_b"), F.col("shingle").alias("__s"))
+    inter = (
+        pairs.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "__s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__int"))
     )
+    na = counts.select(F.col("doc").alias("id_a"), F.col("__n").alias("__na"))
+    nb = counts.select(F.col("doc").alias("id_b"), F.col("__n").alias("__nb"))
     out = (
-        pairs.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
         .select(
             "id_a",
             "id_b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b"))
+                F.coalesce(F.col("__int"), F.lit(0)).cast("double")
+                / (F.col("__na") + F.col("__nb") - F.coalesce(F.col("__int"), F.lit(0)))
             ).alias("jaccard"),
         )
     )
@@ -256,12 +294,41 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, sim) SimHash table via explode + 64 conditional-sum aggregates.
+
+    Same semantics as :func:`simhash64` (multiset bit voting over token
+    hashes) but fully codegen'd: one projection per token, one groupBy(doc)
+    with 64 partial sums — map-side combine keeps shuffle at |docs| rows.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    )
+    hashed = toks.select("doc", F.xxhash64(F.col("tok")).alias("h"))
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    votes = hashed.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(m).cast("long")) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b, m in enumerate(masks)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b, m in enumerate(masks):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.lit(m).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("doc", sim.alias("sim"))
+
+
 def simhash_candidates(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block-bucket join then exact Hamming
     filter. 4 blocks guarantee recall for distance <= 3 (pigeonhole)."""
-    with_sim = df.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sim"))
+    with_sim = simhash_table(df, text_col, id_col)
     blocks = with_sim.select(
         "doc", "sim", *simhash_blocks(F.col("sim"), 4)
     )

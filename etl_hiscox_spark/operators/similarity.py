@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -141,7 +142,6 @@ def batch_cosine_topk_pandas(
 
     Returns (query_idx, id, cosine_sim, rank) for each query row.
     """
-    import pandas as pd
     from pyspark.sql.types import ArrayType, DoubleType
 
     qm = np.asarray(query_matrix, dtype=np.float64)
@@ -151,7 +151,7 @@ def batch_cosine_topk_pandas(
     bc = spark.sparkContext.broadcast(qm_norm)
 
     @F.pandas_udf(ArrayType(DoubleType()))
-    def sims(embs: "pd.Series") -> "pd.Series":
+    def sims(embs: pd.Series) -> pd.Series:
         mat = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         scores = mat @ bc.value.T  # (batch, n_queries)

@@ -1,0 +1,127 @@
+"""In-process pipeline runner — orchestrator parity (SURVEY.md §3.1).
+
+The reference chains OS subprocesses with exit-code-only IR
+(``scripts/orchestrator.py:32-42``) and downgrades quality-test failures to
+warnings (``:84-85``). This runner keeps the same step/report/exit semantics
+but passes DataFrames in-session: no process hops, no triple recomputation.
+
+A model is a named step with dependencies (the dbt ref()/source() DAG,
+SURVEY.md §3.3) that returns a DataFrame; the runner topo-sorts, executes,
+materializes, and collects per-step metrics.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+ModelFn = Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
+
+
+@dataclass
+class Model:
+    """One named transformation (dbt model equivalent)."""
+
+    name: str  # layer-qualified, e.g. "silver.claims"
+    fn: ModelFn
+    deps: tuple[str, ...] = ()
+    materialize_path: str | None = None
+    partition_by: tuple[str, ...] = ()
+
+
+@dataclass
+class StepResult:
+    name: str
+    status: str  # success | failed | warned
+    seconds: float
+    rows: int | None = None
+    error: str | None = None
+
+
+@dataclass
+class PipelineReport:
+    steps: list[StepResult] = field(default_factory=list)
+
+    @property
+    def success(self) -> bool:
+        return all(s.status != "failed" for s in self.steps)
+
+    def summary(self) -> dict:
+        return {
+            "status": "success" if self.success else "failed",
+            "steps": {
+                s.name: {"status": s.status, "seconds": round(s.seconds, 2), "rows": s.rows}
+                for s in self.steps
+            },
+        }
+
+
+class Pipeline:
+    """Register models, run them DAG-ordered, report.
+
+    ``quality_steps``: step names whose failure warns instead of aborting
+    (the reference's "dbt test failures don't stop the pipeline",
+    orchestrator.py:84-85).
+    """
+
+    def __init__(self, spark: SparkSession, quality_steps: Sequence[str] = ()):
+        self.spark = spark
+        self.models: dict[str, Model] = {}
+        self.quality_steps = set(quality_steps)
+
+    def add(self, model: Model) -> "Pipeline":
+        self.models[model.name] = model
+        return self
+
+    def _topo_order(self) -> list[str]:
+        order: list[str] = []
+        seen: dict[str, int] = {}  # 0=visiting, 1=done
+
+        def visit(n: str) -> None:
+            if seen.get(n) == 1:
+                return
+            if seen.get(n) == 0:
+                raise ValueError(f"dependency cycle at {n}")
+            seen[n] = 0
+            for d in self.models[n].deps:
+                if d in self.models:
+                    visit(d)
+            seen[n] = 1
+            order.append(n)
+
+        for n in self.models:
+            visit(n)
+        return order
+
+    def run(self) -> PipelineReport:
+        report = PipelineReport()
+        outputs: dict[str, DataFrame] = {}
+        for name in self._topo_order():
+            m = self.models[name]
+            t0 = time.time()
+            try:
+                df = m.fn(self.spark, outputs)
+                rows = None
+                if m.materialize_path:
+                    w = df.write.mode("overwrite")
+                    if m.partition_by:
+                        w = w.partitionBy(*m.partition_by)
+                    w.parquet(m.materialize_path)
+                    df = self.spark.read.parquet(m.materialize_path)
+                outputs[name] = df
+                report.steps.append(
+                    StepResult(name=name, status="success", seconds=time.time() - t0, rows=rows)
+                )
+            except Exception as e:  # noqa: BLE001 - step isolation is the point
+                status = "warned" if name in self.quality_steps else "failed"
+                report.steps.append(
+                    StepResult(
+                        name=name, status=status, seconds=time.time() - t0, error=str(e)[:500]
+                    )
+                )
+                if status == "failed":
+                    break
+        return report

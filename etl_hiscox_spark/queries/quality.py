@@ -1,0 +1,225 @@
+"""Data-quality engine queries (Q1-Q6) + scalar cleaning functions (F1-F15)
+demonstrated on the testdata tables with DuckDB oracles.
+
+The insurance-domain rulesets (``quality.rules.insurance_rulesets``) are
+exercised on reference-shaped fixtures in tests/; here the same engine runs
+over testdata so the driver's oracle can check the arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_hiscox_spark.quality.rules import AcceptedValues, CrossColumn, NotNull, Range, RuleSet
+from etl_hiscox_spark.queries import register
+from etl_hiscox_spark.registry import load_table
+
+
+def lineitem_ruleset() -> RuleSet:
+    """A deliberately-tight ruleset over lineitem so some rows fail
+    (exercises quarantine): quantity <= 45, discount <= 0.08, flags enum."""
+    return RuleSet(
+        "lineitem",
+        (
+            NotNull("l_orderkey", treat_blank_as_null=False),
+            Range("l_quantity", lo=1.0, hi=45.0),
+            Range("l_discount", lo=0.0, hi=0.08),
+            AcceptedValues("l_returnflag", values=("A", "N")),
+            CrossColumn("price_consistency", expr_sql="l_extendedprice > l_quantity * 900"),
+        ),
+    )
+
+
+@register(
+    "q2_rule_profile",
+    oracle="""
+    SELECT COUNT(*) AS row_count,
+           SUM(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS pass_notnull_orderkey,
+           SUM(CASE WHEN l_quantity IS NULL OR (l_quantity >= 1.0 AND l_quantity <= 45.0)
+                    THEN 1 ELSE 0 END) AS pass_range_quantity,
+           SUM(CASE WHEN l_discount IS NULL OR (l_discount >= 0.0 AND l_discount <= 0.08)
+                    THEN 1 ELSE 0 END) AS pass_range_discount,
+           SUM(CASE WHEN l_returnflag IS NULL OR l_returnflag IN ('A', 'N')
+                    THEN 1 ELSE 0 END) AS pass_accepted_returnflag,
+           SUM(CASE WHEN COALESCE(l_extendedprice > l_quantity * 900, TRUE)
+                    THEN 1 ELSE 0 END) AS pass_price_consistency
+    FROM lineitem
+    """,
+)
+def q2_rule_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q2: every rule's pass count in ONE aggregation pass (vs. the
+    # reference's scan-per-rule). Counts (not rates) keep the oracle integral.
+    rs = lineitem_ruleset()
+    li = load_table(spark, "lineitem", sf_dir)
+    names = {
+        "notnull_l_orderkey": "pass_notnull_orderkey",
+        "range_l_quantity": "pass_range_quantity",
+        "range_l_discount": "pass_range_discount",
+        "acceptedvalues_l_returnflag": "pass_accepted_returnflag",
+        "crosscolumn_price_consistency": "pass_price_consistency",
+    }
+    return li.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        *[
+            F.sum(F.when(r.predicate(), 1).otherwise(0)).alias(names[r.name])
+            for r in rs.row_rules
+        ],
+    )
+
+
+@register(
+    "q4_quarantine_split",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+    FROM lineitem
+    WHERE NOT (l_orderkey IS NOT NULL
+           AND (l_quantity IS NULL OR (l_quantity >= 1.0 AND l_quantity <= 45.0))
+           AND (l_discount IS NULL OR (l_discount >= 0.0 AND l_discount <= 0.08))
+           AND (l_returnflag IS NULL OR l_returnflag IN ('A', 'N'))
+           AND COALESCE(l_extendedprice > l_quantity * 900, TRUE))
+    """,
+)
+def q4_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q4: quarantined rows (the invalid side of the split) — anti-filter,
+    # no exceptAll shuffle (quarantine_record action parity).
+    from etl_hiscox_spark.quality.engine import QualityEngine
+
+    li = load_table(spark, "lineitem", sf_dir)
+    _, bad = QualityEngine().split(li, lineitem_ruleset())
+    return bad.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+
+
+@register(
+    "q4_failure_tagging",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, n_failed FROM (
+      SELECT l_orderkey, l_linenumber,
+             (CASE WHEN l_quantity IS NULL OR (l_quantity >= 1.0 AND l_quantity <= 45.0)
+                   THEN 0 ELSE 1 END)
+             + (CASE WHEN l_discount IS NULL OR (l_discount >= 0.0 AND l_discount <= 0.08)
+                     THEN 0 ELSE 1 END)
+             + (CASE WHEN l_returnflag IS NULL OR l_returnflag IN ('A', 'N')
+                     THEN 0 ELSE 1 END)
+             + (CASE WHEN COALESCE(l_extendedprice > l_quantity * 900, TRUE)
+                     THEN 0 ELSE 1 END) AS n_failed
+      FROM lineitem
+    ) WHERE n_failed > 0
+    """,
+)
+def q4_failure_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q5 shape: per-row failed-rule count (array of names in the engine;
+    # the count keeps the oracle portable).
+    from etl_hiscox_spark.quality.engine import QualityEngine
+
+    rs = lineitem_ruleset()
+    li = load_table(spark, "lineitem", sf_dir)
+    tagged = QualityEngine().tag_failures(li, rs)
+    # NotNull(l_orderkey) never fails (PK); exclude to keep parity with the
+    # 4-rule oracle above.
+    return tagged.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size(
+            F.filter(F.col("failed_rules"), lambda x: x != F.lit("notnull_l_orderkey"))
+        ).alias("n_failed"),
+    ).filter(F.col("n_failed") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function queries (F1-F15)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_string_cleaning",
+    oracle="""
+    SELECT p_partkey,
+           upper(trim(p_name)) AS name_clean,
+           NULLIF(trim(p_type), '') AS type_or_null,
+           length(p_name) AS name_len,
+           CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1)), 2)
+                AS DOUBLE) AS discounted_price
+    FROM part
+    """,
+)
+def f_string_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F1 trim, F2 upper, F15 blank-as-null, F10 round.
+    from etl_hiscox_spark.functions.cleaning import clean_identifier, null_if_blank
+
+    return load_table(spark, "part", sf_dir).select(
+        "p_partkey",
+        clean_identifier("p_name").alias("name_clean"),
+        null_if_blank("p_type").alias("type_or_null"),
+        F.length("p_name").alias("name_len"),
+        # Rounding happens in exact decimal: double-rounding diverges across
+        # engines at .xx5 boundaries (SURVEY.md §7).
+        F.round(F.col("p_retailprice").cast("decimal(18,2)") * F.lit(0.9).cast("decimal(2,1)"), 2)
+        .cast("double")
+        .alias("discounted_price"),
+    )
+
+
+@register(
+    "f4_multiformat_dates",
+    oracle="""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 3
+               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+               WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+               ELSE strftime(o_orderdate, '%Y/%m/%d') END AS date_str
+      FROM orders
+    )
+    SELECT o_orderkey, date_str,
+           CAST(COALESCE(try_strptime(date_str, '%Y-%m-%d'),
+                         try_strptime(date_str, '%m/%d/%Y'),
+                         try_strptime(date_str, '%Y/%m/%d')) AS DATE) AS parsed_date
+    FROM raw
+    """,
+)
+def f4_multiformat_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F4/F5: multi-format date standardization round-trip — formats pinned
+    # by test_ingestion.py:236-253.
+    from etl_hiscox_spark.functions.cleaning import standardize_date
+
+    raw = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .otherwise(F.date_format("o_orderdate", "yyyy/MM/dd"))
+        .alias("date_str"),
+    )
+    return raw.select(
+        "o_orderkey", "date_str", standardize_date("date_str").alias("parsed_date")
+    )
+
+
+@register(
+    "f6_f9_date_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           datediff('day', o_orderdate, l_shipdate) AS days_to_ship,
+           strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(12,6)), 2) AS DOUBLE) AS discount_value
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def f6_f9_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F6 datediff, F8 date formatting, F9 arithmetic, F10 round.
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("days_to_ship"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        F.round(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(12,6)"),
+            2,
+        )
+        .cast("double")
+        .alias("discount_value"),
+    )

@@ -1,0 +1,145 @@
+"""Streaming-operator queries (X3-X7) — batch twins with DuckDB oracles.
+
+Each declared query runs the SAME expression tree the streaming path uses
+(``streaming/ops.py``); the streaming execution itself (readStream →
+availableNow → memory sink, watermarks, dropDuplicatesWithinWatermark) is
+asserted batch-equal in ``tests/test_streaming.py``. Money-style sums use
+the decimal-exact pattern; ``value`` has 2-decimal money shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_hiscox_spark.operators.windows import dedup_rank
+from etl_hiscox_spark.queries import register
+from etl_hiscox_spark.registry import load_table
+from etl_hiscox_spark.streaming.ops import session_agg, sliding_agg, tumbling_agg
+
+
+@register(
+    "x3_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def x3_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # X3: 5-minute tumbling windows per event type (epoch-aligned — same
+    # alignment as DuckDB time_bucket).
+    ev = load_table(spark, "events", sf_dir)
+    out = tumbling_agg(
+        ev,
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        ],
+        ts_col="ts",
+        window="5 minutes",
+        extra_keys=["event_type"],
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n_events", "sum_value"
+    )
+
+
+@register(
+    "x4_sliding_window",
+    oracle="""
+    WITH slid AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL (s.i * 5) MINUTE AS window_start,
+             value
+      FROM events, (SELECT UNNEST(range(2)) AS i) s
+    )
+    SELECT window_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM slid GROUP BY window_start
+    """,
+)
+def x4_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # X4: 10-minute windows sliding by 5 — every event lands in exactly 2
+    # windows (the oracle materializes both memberships explicitly).
+    ev = load_table(spark, "events", sf_dir)
+    out = sliding_agg(
+        ev,
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        ],
+        ts_col="ts",
+        window="10 minutes",
+        slide="5 minutes",
+    )
+    return out.select(F.col("window.start").alias("window_start"), "n_events", "sum_value")
+
+
+@register(
+    "x5_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_last, COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def x5_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # X5: 30-minute-gap sessionization. The oracle is the classic
+    # gaps-and-islands SQL; Spark's session_window merges while gap < 30m
+    # (half-open), which '>= INTERVAL 30' reproduces exactly.
+    ev = load_table(spark, "events", sf_dir)
+    out = session_agg(
+        ev,
+        aggs=[
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            F.count(F.lit(1)).alias("n_events"),
+        ],
+        ts_col="ts",
+        gap="30 minutes",
+        keys=["user_id"],
+    )
+    return out.select("user_id", "session_start", "session_last", "n_events")
+
+
+@register(
+    "x6_stateful_dedup_batch_twin",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value FROM (
+      SELECT event_id, user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type, time_bucket(INTERVAL '5 minutes', ts)
+               ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def x6_stateful_dedup_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # X6 batch twin: first event per (user, type, 5-min bucket) — the
+    # deterministic form of dropDuplicatesWithinWatermark (streaming path
+    # asserted batch-equal in tests/test_streaming.py).
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    bucketed = ev.withColumn("__w", F.window("ts", "5 minutes"))
+    out = dedup_rank(
+        bucketed,
+        keys=["user_id", "event_type", "__w"],
+        order_by=["ts", "event_id"],
+        descending=False,
+    )
+    return out.drop("__w")

@@ -1,0 +1,125 @@
+"""Readers (SURVEY.md §2.1): CSV, Parquet, JSON, Excel, binary/multimodal,
+object-store listing.
+
+The reference ingests CSV with header+inferSchema
+(``scripts/ingestion.py:71-74``) from blob storage and declares JSON/Excel
+support (``README.md:9``, ``tests/unit/test_ingestion.py:118-129``). Policy
+here: explicit schema wins when the registry knows the table; inference is
+the ad-hoc fallback. Every reader returns a plain DataFrame and adds
+nothing — metadata stamping is a separate operator (P2) so reads stay
+cacheable/pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    infer: bool = True,
+) -> DataFrame:
+    """S1: CSV scan (ingestion.py:71-74 parity; explicit schema preferred)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", str(infer).lower())
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S2: columnar scan; pushdown/pruning handled by Catalyst."""
+    return spark.read.parquet(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None, multiline: bool = False
+) -> DataFrame:
+    """S6: JSON scan (README.md:9 'Raw Insurance Data CSV/JSON')."""
+    reader = spark.read.option("multiLine", str(multiline).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
+    """S5: Excel scan (test_ingestion.py:118-129). Driver-side pandas →
+    createDataFrame — correct for the reference's small .xlsx inputs; NOT a
+    distributed path (large Excel is not a thing worth distributing).
+
+    Requires openpyxl; raises ImportError with guidance when absent.
+    """
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet)
+    except ImportError as e:  # openpyxl missing in this environment
+        raise ImportError(
+            "read_excel needs openpyxl; install it or convert the file to CSV"
+        ) from e
+    return spark.createDataFrame(pdf)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """L7: multimodal ingestion — opaque binary column + typed metadata
+    (path, modificationTime, length, content). Partitioning: Spark splits
+    by file; pair with maxPartitionBytes for many-small-files corpora."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+@dataclass
+class BlobInfo:
+    path: str
+    size: int
+    last_modified: float
+
+
+def list_objects(spark: SparkSession, root: str, suffix: str = "") -> list[BlobInfo]:
+    """S7: object-store listing via the Hadoop FS API — works for any
+    deployed scheme (file://, s3a://, abfss://). The reference's blob
+    listing + freshness check (health_check.py:333-347)."""
+    sc = spark.sparkContext
+    hadoop_conf = sc._jsc.hadoopConfiguration()
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(root)
+    fs = jpath.getFileSystem(hadoop_conf)
+    out: list[BlobInfo] = []
+    if not fs.exists(jpath):
+        return out
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        if suffix and not p.endswith(suffix):
+            continue
+        out.append(BlobInfo(path=p, size=st.getLen(), last_modified=st.getModificationTime() / 1000.0))
+    return out
+
+
+def latest_object(spark: SparkSession, root: str, suffix: str = "") -> BlobInfo | None:
+    """R3 over the listing: most-recent blob (health_check.py:347)."""
+    blobs = list_objects(spark, root, suffix)
+    return max(blobs, key=lambda b: b.last_modified) if blobs else None
+
+
+def with_ingest_metadata(df: DataFrame, source_file: str | None = None, batch_id: str | None = None) -> DataFrame:
+    """P2: ingestion_timestamp / source_file / batch_id stamping
+    (ingestion.py:77-80). input_file_name() when reading many files."""
+    out = df.withColumn("ingestion_timestamp", F.current_timestamp())
+    out = out.withColumn(
+        "source_file", F.lit(source_file) if source_file else F.input_file_name()
+    )
+    if batch_id is not None:
+        out = out.withColumn("ingestion_batch_id", F.lit(batch_id))
+    return out

@@ -1,0 +1,109 @@
+"""Sinks (SURVEY.md §2.1 S3, S8-S10): append with schema evolution,
+CTAS-style materialization, SCD-2 snapshots.
+
+The reference writes Delta with ``mode("append") + mergeSchema``
+(``scripts/ingestion.py:94-98``). Plain-parquet deployments emulate
+mergeSchema with an explicit unionByName against the existing table —
+decided once here, documented, used everywhere (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def append_with_schema_merge(
+    spark: SparkSession, df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+) -> None:
+    """S3: append + schema evolution (mergeSchema parity for parquet).
+
+    If the target exists with a different column set, the union of columns
+    is applied to BOTH sides (missing columns null-filled) and the table is
+    rewritten once; otherwise a plain append. At scale prefer Delta/Iceberg
+    where evolution is a metadata operation — this fallback keeps the same
+    API surface.
+    """
+    if os.path.exists(path):
+        current = spark.read.parquet(path)
+        if set(current.columns) != set(df.columns):
+            merged = current.unionByName(df, allowMissingColumns=True)
+            tmp = path.rstrip("/") + "__rewrite"
+            w = merged.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(tmp)
+            import shutil
+
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+            return
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def materialize(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = (), mode: str = "overwrite"
+) -> None:
+    """S8: CTAS / dbt ``materialized='table'`` full refresh
+    (bronze_claims.sql:1-5). Partition columns give partition pruning to
+    every downstream reader — date-grain for facts (SURVEY.md §4)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def scd2_snapshot(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    key: str,
+    updated_at: str = "updated_at",
+) -> DataFrame:
+    """S9: timestamp-strategy SCD-2 snapshot (dbt snapshots,
+    dbt_project.yml:49-53).
+
+    First run: all rows open (valid_to = NULL). Subsequent runs: rows whose
+    ``updated_at`` advanced close the previous version (valid_to = new
+    valid_from) and open a new one. Pure DataFrame ops: union + window —
+    one shuffle on ``key``. Returns the new snapshot state (also written).
+    """
+    src = source.withColumn("__valid_from", F.col(updated_at))
+    if os.path.exists(path):
+        prev = spark.read.parquet(path)
+        hist = prev.unionByName(
+            src.withColumn("__valid_to", F.lit(None).cast("timestamp")),
+            allowMissingColumns=True,
+        )
+        # Re-derive validity chain per key from scratch — idempotent under
+        # replay (same input => same snapshot), the property the reference's
+        # append-only pipeline lacks.
+        hist = hist.dropDuplicates([key, "__valid_from"])
+    else:
+        hist = src.withColumn("__valid_to", F.lit(None).cast("timestamp"))
+    w = Window.partitionBy(key).orderBy(F.col("__valid_from").asc())
+    out = hist.withColumn("__valid_to", F.lead("__valid_from").over(w))
+    # Write-to-tmp + swap: the plan lazily reads the files at ``path``, so a
+    # direct overwrite would delete its own input mid-job.
+    tmp = path.rstrip("/") + "__tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return spark.read.parquet(path)
+
+
+def seed_load(spark: SparkSession, csv_path: str, target_path: str) -> DataFrame:
+    """S10: dbt seed — small CSV → table (dbt_project.yml:56-58)."""
+    from etl_hiscox_spark.sources.readers import read_csv
+
+    df = read_csv(spark, csv_path)
+    materialize(df, target_path)
+    return df

@@ -1,0 +1,127 @@
+"""Dedup + similarity operators on synthetic near-duplicates — behavioral
+checks the DuckDB oracle can't express (xxhash-based signatures)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from etl_hiscox_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_candidates,
+    near_dedup_minhash,
+    simhash64,
+    simhash_candidates,
+)
+from etl_hiscox_spark.operators.similarity import (
+    ann_topk_lsh,
+    batch_cosine_topk_pandas,
+    cosine_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the window and the birds sing in the morning light over the hills"
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("morning", "evening")),  # near dup of 0
+        (3, "completely different content about database query engines and "
+            "distributed systems with shuffle joins and columnar storage formats"),
+        (4, "  " + BASE.upper() + "  "),  # normalization dup of 0
+        (5, BASE.replace("fox", "wolf").replace("dog", "hound")),  # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalization(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id")
+    kept = {r["doc_id"] for r in out.collect()}
+    # 0,1,4 collapse to keeper 0; 2,3,5 distinct
+    assert kept == {0, 2, 3, 5}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    cands = minhash_candidates(_docs(spark), "text", "doc_id", num_hashes=32, num_bands=16)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (0, 1) in pairs  # exact dup must be a candidate
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup found
+    assert (0, 3) not in pairs  # unrelated not a candidate
+
+
+def test_jaccard_verify_scores(spark):
+    docs = _docs(spark)
+    cands = minhash_candidates(docs, "text", "doc_id", num_hashes=32, num_bands=16)
+    scored = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, cands, "text", "doc_id").collect()
+    }
+    assert scored[(0, 1)] == 1.0
+    if (0, 2) in scored:
+        assert 0.5 < scored[(0, 2)] < 1.0
+
+
+def test_near_dedup_end_to_end(spark):
+    out = near_dedup_minhash(
+        _docs(spark), "text", "doc_id", threshold=0.5, num_hashes=32, num_bands=16
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 3 in kept  # unrelated doc survives
+    assert 0 in kept  # cluster keeper survives
+    assert 1 not in kept  # exact dup dropped
+    assert 2 not in kept  # near dup dropped
+
+
+def test_simhash_hamming_locality(spark):
+    docs = _docs(spark)
+    sims = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", simhash64(F.col("text")).alias("s")).collect()
+    }
+    assert sims[0] == sims[1] == sims[4]  # normalization-identical
+    ham_near = bin((sims[0] ^ sims[2]) & (2**64 - 1)).count("1")
+    ham_far = bin((sims[0] ^ sims[3]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far  # near-dup closer in Hamming space
+    cands = simhash_candidates(docs, "text", "doc_id", max_hamming=3)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (0, 1) in pairs and (0, 4) in pairs
+
+
+def _emb_df(spark, n=50, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    vecs[1] = vecs[0] + 0.01 * rng.standard_normal(dim).astype(np.float32)  # near nbr
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def test_cosine_topk_exact(spark):
+    df, vecs = _emb_df(spark)
+    out = cosine_topk(df, "embedding", "vec_id", [float(x) for x in vecs[0]], k=3).collect()
+    assert out[0]["vec_id"] == 0 and abs(out[0]["cosine_sim"] - 1.0) < 1e-9
+    assert out[1]["vec_id"] == 1  # the planted near neighbor
+    assert [r["rank"] for r in out] == [1, 2, 3]
+
+
+def test_ann_lsh_recalls_planted_neighbor(spark):
+    df, vecs = _emb_df(spark)
+    out = ann_topk_lsh(
+        df, "embedding", "vec_id", [float(x) for x in vecs[0]], k=3, n_planes=8, multiprobe=2
+    ).collect()
+    ids = [r["vec_id"] for r in out]
+    assert 0 in ids and 1 in ids  # query and planted neighbor in same bucket region
+
+
+def test_batch_pandas_topk(spark):
+    df, vecs = _emb_df(spark)
+    qm = np.stack([vecs[0], vecs[3]])
+    out = batch_cosine_topk_pandas(df, "embedding", "vec_id", qm, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_idx"], []).append(r["vec_id"])
+    assert by_q[0][0] == 0 and by_q[1][0] == 3

@@ -1,0 +1,154 @@
+"""End-to-end medallion pipeline on reference-shaped raw CSVs
+(orchestrator parity, SURVEY.md §3.1-3.2) + sources/sinks + as-of join +
+multimodal plumbing."""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+
+from pyspark.sql import functions as F
+
+from etl_hiscox_spark.operators.joins import asof_join, range_join
+from etl_hiscox_spark.plans.models import build_insurance_pipeline
+from etl_hiscox_spark.sources.readers import list_objects, read_binary_files, read_csv
+from etl_hiscox_spark.sources.writers import append_with_schema_merge, scd2_snapshot
+
+
+def test_insurance_pipeline_end_to_end(spark, raw_csv_dir, tmp_warehouse):
+    p = build_insurance_pipeline(
+        spark, raw_csv_dir["claims"], raw_csv_dir["policies"], warehouse=tmp_warehouse
+    )
+    report = p.run()
+    assert report.success, report.summary()
+
+    gold = spark.read.parquet(f"{tmp_warehouse}/gold/claims_summary")
+    rows = {(r["claim_type"], r["claim_status"]): r for r in gold.collect()}
+    # dedup kept latest CLM001 (updated 2024-02-16, settlement 14500)
+    auto_closed = rows[("AUTO", "CLOSED")]
+    assert auto_closed["n_claims"] == 1
+    assert auto_closed["avg_settlement_amount"] == 14500.0
+    # silver cleaning normalized 'clm003'/'pol003' and parsed '25,000.00'
+    life = rows[("LIFE", "PENDING")]
+    assert life["total_claim_amount"] == 25000.0
+
+    metrics = spark.read.parquet(f"{tmp_warehouse}/gold/policy_metrics")
+    by_id = {r["policy_id"]: r for r in metrics.collect()}
+    # bronze dedup kept latest POL001 (premium 1250), silver kept it (valid)
+    assert by_id["POL001"]["n_claims"] == 2  # CLM001 + CLM004
+    # POL005 (bad enum, negative premium) and blank/null keys quarantined
+    assert "POL005" not in by_id
+    # policies without claims survive the left join with zeros (J2)
+    assert by_id["POL004"]["n_claims"] == 0
+
+
+def test_bronze_dedup_is_deterministic(spark, raw_csv_dir):
+    from etl_hiscox_spark.plans.models import bronze_model
+
+    m = bronze_model("claims", raw_csv_dir["claims"], key="claim_id")
+    out1 = m.fn(spark, {}).select("claim_id", "settlement_amount").collect()
+    out2 = m.fn(spark, {}).select("claim_id", "settlement_amount").collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    kept = {r["claim_id"]: r["settlement_amount"] for r in out1}
+    assert kept["CLM001"] == 14500.0  # latest updated_at wins, always
+
+
+def test_schema_merge_append(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    df2 = spark.createDataFrame([(2, "b", 9.5)], "id int, v string, extra double")
+    append_with_schema_merge(spark, df1, p)
+    append_with_schema_merge(spark, df2, p)
+    out = spark.read.parquet(p)
+    assert set(out.columns) == {"id", "v", "extra"}
+    got = {r["id"]: r["extra"] for r in out.collect()}
+    assert got == {1: None, 2: 9.5}
+
+
+def test_scd2_snapshot_versions(spark, tmp_path):
+    p = str(tmp_path / "snap")
+    v1 = spark.createDataFrame(
+        [("POL001", 1200.0, datetime(2024, 1, 1))], "policy_id string, premium double, updated_at timestamp"
+    )
+    scd2_snapshot(spark, v1, p, key="policy_id")
+    v2 = spark.createDataFrame(
+        [("POL001", 1300.0, datetime(2024, 3, 1))], "policy_id string, premium double, updated_at timestamp"
+    )
+    out = scd2_snapshot(spark, v2, p, key="policy_id").orderBy("__valid_from").collect()
+    assert len(out) == 2
+    assert out[0]["__valid_to"] == out[1]["__valid_from"]  # chain closed
+    assert out[1]["__valid_to"] is None  # current version open
+
+
+def test_asof_join_semantics(spark):
+    quotes = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10), 100.0), (1, datetime(2024, 1, 1, 12), 105.0)],
+        "k long, ts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 9)),   # before any quote -> null
+            (1, datetime(2024, 1, 1, 11)),  # after first -> 100
+            (1, datetime(2024, 1, 1, 12)),  # tie -> inclusive -> 105
+        ],
+        "k long, ts timestamp",
+    )
+    out = asof_join(trades, quotes, key="k", left_ts="ts", right_ts="ts", right_values=["px"])
+    got = sorted((r["ts"], r["px_asof"]) for r in out.collect())
+    assert got == [
+        (datetime(2024, 1, 1, 9), None),
+        (datetime(2024, 1, 1, 11), 100.0),
+        (datetime(2024, 1, 1, 12), 105.0),
+    ]
+
+
+def test_range_join_validity_window(spark):
+    policies = spark.createDataFrame(
+        [("POL001", date(2024, 1, 1), date(2024, 12, 31))],
+        "policy_id string, start_date date, end_date date",
+    )
+    claims = spark.createDataFrame(
+        [("CLM001", "POL001", date(2024, 6, 1)), ("CLM002", "POL001", date(2025, 6, 1))],
+        "claim_id string, policy_id string, claim_date date",
+    )
+    out = range_join(
+        claims,
+        policies,
+        keys=["policy_id"],
+        range_cond=F.col("claim_date").between(F.col("start_date"), F.col("end_date")),
+    )
+    assert [r["claim_id"] for r in out.collect()] == ["CLM001"]
+
+
+def test_object_listing_and_binary_read(spark, tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"hello world")
+    (tmp_path / "b.bin").write_bytes(b"spark")
+    blobs = list_objects(spark, str(tmp_path), suffix=".bin")
+    assert {b.path.split("/")[-1] for b in blobs} == {"a.bin", "b.bin"}
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    assert df.count() == 2
+    assert {"path", "content", "length", "modificationTime"} <= set(df.columns)
+
+
+def test_multimodal_stub_plumbing(spark, tmp_path):
+    from etl_hiscox_spark.operators.multimodal import image_features, resize_images
+
+    (tmp_path / "img1.bin").write_bytes(b"fake-image-bytes-1")
+    (tmp_path / "img2.bin").write_bytes(b"fake-image-bytes-22")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    feats = image_features(df).collect()
+    assert len(feats) == 2
+    assert all(f["width"] >= 16 and f["n_channels"] == 3 for f in feats)
+    # deterministic across runs (crc32-seeded stub)
+    feats2 = image_features(df).collect()
+    assert {f["path"]: f["mean_intensity"] for f in feats} == {
+        f["path"]: f["mean_intensity"] for f in feats2
+    }
+    thumbs = resize_images(df, target=(8, 8)).collect()
+    assert all(len(t["thumbnail"]) == 8 * 8 * 3 for t in thumbs)
+
+
+def test_csv_reader_with_explicit_schema(spark, raw_csv_dir):
+    from etl_hiscox_spark.registry import POLICIES_SCHEMA
+
+    df = read_csv(spark, raw_csv_dir["policies"], schema=POLICIES_SCHEMA)
+    assert df.schema["premium_amount"].dataType.simpleString() == "decimal(18,2)"

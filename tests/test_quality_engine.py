@@ -1,0 +1,101 @@
+"""DQ rule engine semantics (SURVEY.md §2.9): one-pass profile, severity
+tiers, quarantine split — alert thresholds per
+test_insurance_data_quality.py:337-369 of the reference."""
+
+from __future__ import annotations
+
+from etl_hiscox_spark.quality.engine import QualityEngine
+from etl_hiscox_spark.quality.rules import (
+    AcceptedValues,
+    CrossColumn,
+    NotNull,
+    Range,
+    Regex,
+    RuleSet,
+    Unique,
+    insurance_rulesets,
+)
+
+
+def _policies_df(spark):
+    rows = [
+        ("POL001", "CUST001", "AUTO", 1200.0, 500.0, 50000.0, "ACTIVE"),
+        ("POL002", "CUST002", "HOME", 2400.0, 1000.0, 120000.0, "ACTIVE"),
+        ("", "CUST003", "LIFE", 3000.0, 0.0, 200000.0, "ACTIVE"),       # blank key
+        ("POL004", None, "AUTO", 900.0, 250.0, 45000.0, "PENDING"),     # null customer
+        ("POL005", "CUST005", "UNKNOWN", -500.0, 100.0, 30000.0, "ACTIVE"),  # bad enum+range
+        ("POL001", "CUST001", "AUTO", 1250.0, 500.0, 50000.0, "ACTIVE"),     # dup key
+    ]
+    return spark.createDataFrame(
+        rows,
+        "policy_id string, customer_id string, policy_type string, premium_amount double,"
+        " deductible_amount double, coverage_limit double, policy_status string",
+    )
+
+
+def _ruleset():
+    return RuleSet(
+        "policies",
+        (
+            NotNull("policy_id"),
+            NotNull("customer_id"),
+            Unique("policy_id"),
+            Range("premium_amount", lo=100.0, hi=100000.0),
+            AcceptedValues("policy_type", values=("AUTO", "HOME", "LIFE", "HEALTH", "BUSINESS")),
+            CrossColumn("ded_vs_cov", expr_sql="deductible_amount <= coverage_limit * 0.5"),
+        ),
+    )
+
+
+def test_profile_one_pass_scores(spark):
+    report = QualityEngine().profile(_policies_df(spark), _ruleset())
+    assert report.row_count == 6
+    assert report.scores["notnull_policy_id"] == 5 / 6
+    assert report.scores["notnull_customer_id"] == 5 / 6
+    assert report.scores["range_premium_amount"] == 5 / 6
+    assert report.scores["acceptedvalues_policy_type"] == 5 / 6
+    assert report.scores["crosscolumn_ded_vs_cov"] == 1.0
+    # uniqueness: 5 distinct / 6 rows ('' counts as a value for distinct)
+    assert abs(report.uniqueness["policy_id"] - 5 / 6) < 1e-9
+    assert report.completeness["customer_id"] == 5 / 6
+
+
+def test_threshold_severity_tiers(spark):
+    # score < threshold -> alert; critical if < 0.9*threshold
+    report = QualityEngine(default_threshold=0.95).profile(_policies_df(spark), _ruleset())
+    report = QualityEngine(default_threshold=0.95).check(report)
+    sevs = {a.rule: a.severity for a in report.alerts}
+    # 5/6 = 0.833 < 0.95*0.9=0.855 -> critical
+    assert sevs["notnull_policy_id"] == "critical"
+    assert "crosscolumn_ded_vs_cov" not in sevs  # 1.0 passes
+
+
+def test_quarantine_split_counts(spark):
+    df = _policies_df(spark)
+    valid, bad = QualityEngine().split(df, _ruleset())
+    # failing rows: blank key, null customer, bad enum+range => 3 bad
+    assert bad.count() == 3
+    assert valid.count() == 3
+    tagged = QualityEngine().tag_failures(df, _ruleset())
+    by_rule = {r["policy_id"]: set(r["failed_rules"]) for r in tagged.collect()}
+    assert by_rule["POL005"] == {"range_premium_amount", "acceptedvalues_policy_type"}
+    assert by_rule[""] == {"notnull_policy_id"}
+
+
+def test_insurance_rulesets_compile(spark):
+    # The reference's full declared rule surface compiles and evaluates.
+    rs = insurance_rulesets()
+    assert set(rs) == {"claims", "policies"}
+    df = _policies_df(spark).withColumnRenamed("premium", "premium_amount")
+    # evaluate row predicates only for columns present; smoke: all_pass builds
+    import pyspark.sql.functions as F
+
+    present = [
+        r for r in rs["policies"].row_rules if all(
+            c in df.columns for c in [r.column]
+        ) and type(r).__name__ != "CrossColumn"
+    ]
+    pred = F.lit(True)
+    for r in present:
+        pred = pred & r.predicate()
+    assert df.filter(pred).count() >= 1

@@ -1,0 +1,86 @@
+"""Structured Streaming ops: real readStream execution (availableNow) with
+batch parity as the correctness oracle (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_hiscox_spark.registry import load_table
+from etl_hiscox_spark.streaming.ops import (
+    foreach_batch_upsert,
+    run_available_now_to_memory,
+    session_agg,
+    stateful_dedup,
+    stream_from_parquet,
+    tumbling_agg,
+    with_watermark,
+)
+
+
+def _events_parquet(spark, sf_dir, tmp_path) -> str:
+    """Events re-written with µs timestamps (streaming file source can't
+    read the ns-typed original)."""
+    p = str(tmp_path / "events_us")
+    load_table(spark, "events", sf_dir).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, tmp_path):
+    path = _events_parquet(spark, sf_dir, tmp_path)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sv"),
+    ]
+    stream = with_watermark(stream_from_parquet(spark, path), "ts", "10 minutes")
+    run_available_now_to_memory(
+        tumbling_agg(stream, aggs, window="5 minutes", extra_keys=["event_type"]),
+        "t_stream",
+        output_mode="complete",
+    )
+    got = {
+        (r["window"]["start"], r["event_type"]): (r["n"], r["sv"])
+        for r in spark.table("t_stream").collect()
+    }
+    batch = tumbling_agg(
+        spark.read.parquet(path), aggs, window="5 minutes", extra_keys=["event_type"]
+    )
+    want = {
+        (r["window"]["start"], r["event_type"]): (r["n"], r["sv"]) for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_stateful_dedup(spark, sf_dir, tmp_path):
+    path = _events_parquet(spark, sf_dir, tmp_path)
+    # duplicate the input: every event twice -> stateful dedup must halve it
+    doubled = str(tmp_path / "doubled")
+    df = spark.read.parquet(path)
+    df.unionByName(df).write.mode("overwrite").parquet(doubled)
+    stream = stream_from_parquet(spark, doubled)
+    deduped = stateful_dedup(stream, keys=["event_id"], ts_col="ts", delay="1 hour")
+    run_available_now_to_memory(deduped, "t_dedup", output_mode="append")
+    assert spark.table("t_dedup").count() == df.count()
+
+
+def test_session_window_batch(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    out = session_agg(
+        ev, aggs=[F.count(F.lit(1)).alias("n")], gap="30 minutes", keys=["user_id"]
+    )
+    row = out.select(F.sum("n").alias("total")).first()
+    assert row["total"] == ev.count()  # sessions partition the events
+
+
+def test_foreach_batch_idempotent_upsert(spark, tmp_path):
+    target = str(tmp_path / "upsert_target")
+    upsert = foreach_batch_upsert(target, ["k"], spark)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    b1 = spark.createDataFrame([(2, "b2"), (3, "c")], "k int, v string")
+    upsert(b0, 0)
+    upsert(b1, 1)
+    upsert(b1, 1)  # replay of batch 1 must be a no-op (idempotent)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+    assert os.path.exists(target)
