@@ -23,6 +23,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # broadcast + asof), windows, set ops, dedup/text/similarity when present.
 HEADLINE = [
     "a6_grouped_pricing_summary",
+    "g1_star_join_revenue",
+    "g2_top_unshipped_orders",
     "j1_inner_equijoin",
     "j3_broadcast_dim_join",
     "j6_range_interval_join",

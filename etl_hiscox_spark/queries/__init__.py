@@ -43,6 +43,10 @@ def all_queries() -> dict[str, Q]:
     from etl_hiscox_spark.queries import relational  # noqa: F401
 
     try:
+        from etl_hiscox_spark.queries import analytics  # noqa: F401
+    except ImportError:
+        pass
+    try:
         from etl_hiscox_spark.queries import llm  # noqa: F401
     except ImportError:
         pass

@@ -1,0 +1,182 @@
+"""Multi-join analytical queries (the gold/BI tier at benchmark scale) +
+remaining operator-inventory rows (F7 freshness, W4 rank-with-ties,
+BPE token counts).
+
+These are the queries that exercise Catalyst's join planning across the
+full star schema — the shape the 100 TB deployment runs all day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_hiscox_spark.functions.text import token_count_regex
+from etl_hiscox_spark.operators.aggregates import money_sum
+from etl_hiscox_spark.queries import register
+from etl_hiscox_spark.registry import load_table
+
+
+@register(
+    "g1_star_join_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def g1_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5 shape: 5-way star join. The fact table shuffles once (on
+    # l_orderkey for the orders join); customer/nation/region broadcast —
+    # at 100 TB only the fact⋈orders join moves data.
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(12,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "g2_top_unshipped_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,6))) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'O' AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def g2_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 shape: filtered join → group → top-k. Both filters push to
+    # the scans; the limit runs as TakeOrderedAndProject after the agg.
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "O")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(12,6)")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "g3_supplier_part_matrix",
+    oracle="""
+    SELECT s_name, p_brand,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part     ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+    GROUP BY s_name, p_brand
+    """,
+)
+def g3_supplier_part_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two broadcast dims on one fact — dim filter (p_type) prunes before
+    # the join, so the broadcast ships only PROMO parts.
+    li = load_table(spark, "lineitem", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("s_name", "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            money_sum("l_quantity", "total_qty"),
+        )
+    )
+
+
+@register(
+    "f7_freshness_tiers",
+    oracle="""
+    SELECT CASE WHEN (epoch(TIMESTAMP '2024-01-31 00:00:00') - epoch(ts)) / 3600.0 < 12
+                THEN 'fresh'
+                WHEN (epoch(TIMESTAMP '2024-01-31 00:00:00') - epoch(ts)) / 3600.0 < 24
+                THEN 'aging'
+                ELSE 'stale' END AS freshness,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def f7_freshness_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F7: timestamp age in hours + 12/24h freshness tiers
+    # (health_check.py:348-361) — 'now' passed as a literal so the query is
+    # reproducible (SURVEY.md §7: no current_timestamp in declared outputs).
+    from etl_hiscox_spark.functions.cleaning import freshness_tier
+
+    now = F.lit("2024-01-31 00:00:00").cast("timestamp")
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select(freshness_tier("ts", now).alias("freshness"))
+        .groupBy("freshness")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "w4_rank_with_ties",
+    oracle="""
+    SELECT p_brand, p_partkey, p_size, rnk FROM (
+      SELECT p_brand, p_partkey, p_size,
+             RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS rnk
+      FROM part
+    ) WHERE rnk <= 2
+    """,
+)
+def w4_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W4 variant: RANK() keeps ties (vs row_number's exact-k) — rank value
+    # is a function of the order key alone, so it is deterministic even
+    # with duplicate sizes.
+    part = load_table(spark, "part", sf_dir)
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+    return (
+        part.select("p_brand", "p_partkey", "p_size", F.rank().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 2)
+    )
+
+
+@register(
+    "l5_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def l5_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L5/BPE-ish pre-tokenization count (letter runs | digit runs | single
+    # punctuation) — the standard GPT-style split, shared regex subset.
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", token_count_regex(F.col("text")).alias("n_bpe_tokens"))
