@@ -51,8 +51,13 @@ def main() -> None:
     queries = all_queries()
 
     # Warm the JVM + parquet footers once so per-query times measure the
-    # query, not session startup.
+    # query, not session startup / codegen compilation.
     sf = SF_DIR
+    from etl_hiscox_spark.registry import TESTDATA_TABLES, load_table
+
+    for t in TESTDATA_TABLES:
+        load_table(spark, t, sf).count()
+
     t_total0 = time.time()
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -110,7 +110,12 @@ def exploded_shingles(df: DataFrame, text_col: str, id_col: str, shingle_k: int 
 
 
 def minhash_signature_table(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, shingle_k: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, h0..h{n-1}) minhash signature table.
 
@@ -119,7 +124,7 @@ def minhash_signature_table(
     column. One shuffle on doc id; partial min() runs map-side so shuffle
     volume is |docs| × num_hashes longs regardless of corpus size.
     """
-    sh = exploded_shingles(df, text_col, id_col, shingle_k)
+    sh = _shingles if _shingles is not None else exploded_shingles(df, text_col, id_col, shingle_k)
     hashed = sh.select(
         "doc", *[F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
     )
@@ -133,6 +138,7 @@ def minhash_candidates(
     num_hashes: int = 32,
     num_bands: int = 8,
     shingle_k: int = 3,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
 
@@ -142,7 +148,7 @@ def minhash_candidates(
     genuinely massive duplicate clusters (AQE skew-join splits those).
     """
     rows_per_band = num_hashes // num_bands
-    sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_k)
+    sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_k, _shingles)
     banded = sig.select(
         "doc",
         F.explode(
@@ -186,6 +192,7 @@ def jaccard_pairs(
     id_col: str,
     shingle_k: int = 3,
     threshold: float = 0.0,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
@@ -194,7 +201,7 @@ def jaccard_pairs(
     end-to-end, and intersection work is proportional to actual shingle
     matches, not |pairs| × |shingles|.
     """
-    sh = exploded_shingles(df, text_col, id_col, shingle_k)
+    sh = _shingles if _shingles is not None else exploded_shingles(df, text_col, id_col, shingle_k)
     counts = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("__n"))
     a_sh = sh.select(F.col("doc").alias("id_a"), F.col("shingle").alias("__s"))
     b_sh = sh.select(F.col("doc").alias("id_b"), F.col("shingle").alias("__s"))
@@ -236,10 +243,16 @@ def near_dedup_minhash(
 
     Returns the surviving rows of ``df``. The drop set is computed as
     "appears as id_b in a confirmed pair" — a left-anti join, no driver
-    collect.
+    collect. The exploded shingle table feeds three plan branches
+    (signature, |A∩B| twice), so it is persisted for the duration of the
+    computation — at cluster scale this is the "write the shingle/signature
+    table once, reuse across stages" pattern.
     """
-    cands = minhash_candidates(df, text_col, id_col, num_hashes, num_bands, shingle_k)
-    confirmed = jaccard_pairs(df, cands, text_col, id_col, shingle_k, threshold)
+    sh = exploded_shingles(df, text_col, id_col, shingle_k).persist()
+    cands = minhash_candidates(
+        df, text_col, id_col, num_hashes, num_bands, shingle_k, _shingles=sh
+    )
+    confirmed = jaccard_pairs(df, cands, text_col, id_col, shingle_k, threshold, _shingles=sh)
     drops = confirmed.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drops, on=id_col, how="left_anti")
 

@@ -129,6 +129,57 @@ def ann_topk_lsh(
     return cosine_topk(candidates, embedding_col, id_col, query_vec, k)
 
 
+def ivf_index(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF (inverted-file) index: k-means centroids + cluster assignment.
+
+    Returns (assigned_df with __cluster column, centroid matrix). At scale
+    the assigned table is written ``partitionBy("__cluster")`` so a probe
+    reads only n_probe/n_clusters of the data — partition pruning does the
+    work, no custom index structure. Training samples can be capped
+    upstream; assignment is a single broadcast-scored pass.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vdf = df.withColumn(
+        "__vec", array_to_vector(F.transform(F.col(embedding_col), lambda x: x.cast("double")))
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__vec", predictionCol="__cluster").fit(
+        vdf
+    )
+    assigned = model.transform(vdf).drop("__vec")
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: score only the n_probe clusters whose
+    centroids are nearest the query (cosine). Recall grows with n_probe;
+    n_probe = n_clusters degrades gracefully to exact search."""
+    assigned, centroids = ivf_index(df, embedding_col, id_col, n_clusters, seed)
+    q = np.asarray(query_vec, dtype=float)
+    qn = q / np.linalg.norm(q)
+    cn = centroids / np.clip(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12, None)
+    probe = np.argsort(-(cn @ qn))[:n_probe].tolist()
+    candidates = assigned.filter(F.col("__cluster").isin([int(p) for p in probe]))
+    return cosine_topk(candidates, embedding_col, id_col, query_vec, k)
+
+
 def batch_cosine_topk_pandas(
     df: DataFrame,
     embedding_col: str,

@@ -32,6 +32,38 @@ class Model:
     partition_by: tuple[str, ...] = ()
 
 
+def sql_model(
+    name: str,
+    sql: str,
+    deps: tuple[str, ...] = (),
+    materialize_path: str | None = None,
+    partition_by: tuple[str, ...] = (),
+) -> Model:
+    """SQL-text model — the dbt ``{{ ref(...) }}`` flow on Catalyst
+    directly (SURVEY.md §3.3: our SQL entry point is ``spark.sql``).
+
+    Each dependency's output DataFrame is registered as a temp view named
+    by the last path segment (``silver.claims`` -> view ``claims``), then
+    the model SQL runs against those views. No cross-process hop, no
+    warehouse round-trip — the compiled-SQL-over-HTTP architecture of the
+    reference collapses to one Catalyst plan.
+    """
+
+    def fn(spark: SparkSession, outputs: dict[str, DataFrame]) -> DataFrame:
+        for dep in deps:
+            view = dep.split(".")[-1]
+            outputs[dep].createOrReplaceTempView(view)
+        return spark.sql(sql)
+
+    return Model(
+        name=name,
+        fn=fn,
+        deps=deps,
+        materialize_path=materialize_path,
+        partition_by=partition_by,
+    )
+
+
 @dataclass
 class StepResult:
     name: str

@@ -14,6 +14,7 @@ their schema so oracle comparisons and schema-validation checks are stable.
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -192,3 +193,66 @@ class TableRegistry:
     def exists(self, qualified_name: str) -> bool:
         ref = self.tables.get(qualified_name)
         return ref is not None and os.path.exists(ref.path)
+
+
+# ---------------------------------------------------------------------------
+# Catalog tables: statistics (A11) + bucketing for co-located joins (§4)
+# ---------------------------------------------------------------------------
+
+
+def save_as_catalog_table(
+    df: DataFrame,
+    name: str,
+    bucket_by: tuple[int, tuple[str, ...]] | None = None,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Register a DataFrame as a managed catalog table.
+
+    ``bucket_by=(n, cols)`` pre-shuffles data into n buckets on ``cols`` —
+    two tables bucketed the same way join WITHOUT a shuffle (the co-located
+    join strategy for repeated fact⋈fact joins at scale). Bucketing requires
+    the catalog (saveAsTable), not path-based parquet.
+    """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # A previous session may have left the managed location behind while
+        # the (in-memory) catalog forgot the table — clear both.
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        loc = os.path.join(warehouse.removeprefix("file:"), name.split(".")[-1].lower())
+        if loc and os.path.exists(loc):
+            import shutil
+
+            shutil.rmtree(loc)
+    w = df.write.mode(mode).format("parquet")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if bucket_by is not None:
+        n, cols = bucket_by
+        w = w.bucketBy(n, *cols).sortBy(*cols)
+    w.saveAsTable(name)
+
+
+def analyze_table(
+    spark: SparkSession, name: str, columns: Sequence[str] | None = None
+) -> None:
+    """A11: ANALYZE TABLE ... COMPUTE STATISTICS (dbt on-run-end hook,
+    ``dbt/dbt_project.yml:95-97``). Column-level stats feed the cost-based
+    optimizer's join reordering + broadcast decisions."""
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    if columns:
+        spark.sql(
+            f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {', '.join(columns)}"
+        )
+
+
+def table_stats(spark: SparkSession, name: str) -> dict[str, str]:
+    """Read back computed statistics (rowCount/sizeInBytes) from the
+    catalog — the reference surfaces these in monitoring."""
+    rows = spark.sql(f"DESCRIBE EXTENDED {name}").collect()
+    out: dict[str, str] = {}
+    for r in rows:
+        if r["col_name"] == "Statistics":
+            out["statistics"] = r["data_type"]
+    return out
