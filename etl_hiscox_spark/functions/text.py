@@ -157,6 +157,33 @@ def content_hash(c: Column | str) -> Column:
     return F.sha2(normalize_text(c), 256)
 
 
+PII_PATTERNS: dict[str, str] = {
+    # C4/CCNet-style scrubbing targets; Java-regex/RE2 common subset
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d\-\s]{7,}\d",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def scrub_pii(c: Column | str, replacement: str = "<PII>") -> Column:
+    """Mask PII-shaped spans (emails, phones, IPv4, SSNs) — the standard
+    pretraining-corpus scrub, expression-only so it runs inside codegen."""
+    out = F.col(c) if isinstance(c, str) else c
+    for pattern in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pattern, replacement)
+    return out
+
+
+def pii_counts(c: Column | str) -> list[Column]:
+    """Per-kind PII match counts (audit/reporting companion to scrub)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return [
+        F.size(F.regexp_extract_all(col, F.lit(p), 0)).alias(f"n_{kind}")
+        for kind, p in PII_PATTERNS.items()
+    ]
+
+
 def shingles(c: Column | str, k: int = 3) -> Column:
     """Word k-gram shingle array (distinct) — MinHash input."""
     toks = tokens(c)

@@ -257,6 +257,96 @@ def near_dedup_minhash(
     return df.join(drops, on=id_col, how="left_anti")
 
 
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 10
+) -> DataFrame:
+    """Connected components of an undirected pair graph (id_a, id_b) →
+    (node, component) with component = min node id in the component.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(graph diameter) rounds (duplicate clusters are near-cliques, so 2-3
+    rounds in practice). Each round is two equi-joins + a groupBy — no
+    driver-side graph state, checkpoint-friendly. This is the transitive
+    version of near-dup clustering: A~B and B~C place A,B,C in one cluster
+    even when A~C was never a candidate pair.
+    """
+    edges = (
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            # Truncate lineage every round: without this, iteration N
+            # re-executes all N-1 previous rounds for every action
+            # (exponential replay — the classic iterative-algorithm trap).
+            # On a cluster with an HDFS checkpoint dir, swap for
+            # ``checkpoint()`` to also tolerate executor loss.
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dedup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Transitive near-dedup: confirmed pairs → connected components →
+    keep the minimum id of each component. Returns surviving rows.
+
+    Stricter than :func:`near_dedup_minhash`'s greedy drop (which keeps
+    every local minimum of the pair graph); this keeps exactly one doc per
+    transitive duplicate cluster.
+    """
+    sh = exploded_shingles(df, text_col, id_col, shingle_k).persist()
+    cands = minhash_candidates(
+        df, text_col, id_col, num_hashes, num_bands, shingle_k, _shingles=sh
+    )
+    confirmed = jaccard_pairs(
+        df, cands, text_col, id_col, shingle_k, threshold, _shingles=sh
+    ).select("id_a", "id_b")
+    comp = connected_components(confirmed)
+    drops = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drops, on=id_col, how="left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -330,6 +330,61 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
+@register(
+    "t4_vocabulary",
+    oracle=r"""
+    SELECT tok, COUNT(*) AS n_occurrences FROM (
+      SELECT UNNEST(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents
+    ) GROUP BY tok ORDER BY n_occurrences DESC, tok ASC LIMIT 100
+    """,
+)
+def t4_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Vocabulary building (the BPE-training first pass): token -> corpus
+    # frequency, top-k. explode -> groupBy with map-side combine; shuffle
+    # volume is |vocab|, not |tokens|.
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("tok").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "t5_bigram_frequency",
+    oracle=r"""
+    SELECT bigram, COUNT(*) AS n_occurrences FROM (
+      SELECT UNNEST(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM (SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+            FROM documents)
+      WHERE len(t) >= 2
+    ) GROUP BY bigram ORDER BY n_occurrences DESC, bigram ASC LIMIT 50
+    """,
+)
+def t5_bigram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Word-bigram frequency (language-model n-gram stats). All occurrences
+    # (not per-doc distinct), matching the oracle's list_transform walk.
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens("text")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        docs.filter(n >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
+        .limit(50)
+    )
+
+
 @register("t3_fingerprint")  # rows-only: xxhash64 has no DuckDB equivalent
 def t3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64-bit document fingerprints + exact-dedup content hash.

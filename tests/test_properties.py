@@ -1,0 +1,159 @@
+"""Property-based tests (hypothesis) — the testing layer the reference
+lacks entirely (SURVEY.md §5 'Not present'). Each property is checked
+against a plain-Python reference implementation on randomized inputs.
+
+Hypothesis drives data generation; each example runs through one shared
+SparkSession (deadline disabled — JVM latency is not a property failure).
+"""
+
+from __future__ import annotations
+
+from datetime import date, timedelta
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_hiscox_spark.functions.cleaning import parse_money, standardize_date
+from etl_hiscox_spark.operators.windows import dedup_rank
+
+SETTINGS = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def date_and_format(draw):
+    d = draw(
+        st.dates(min_value=date(1990, 1, 1), max_value=date(2035, 12, 31))
+    )
+    fmt = draw(st.sampled_from(["%Y-%m-%d", "%m/%d/%Y", "%Y/%m/%d"]))
+    return d, d.strftime(fmt)
+
+
+@given(st.lists(date_and_format(), min_size=1, max_size=20))
+@SETTINGS
+def test_standardize_date_roundtrip(spark, pairs):
+    df = spark.createDataFrame([(s,) for _, s in pairs], ["s"])
+    got = [r["d"] for r in df.select(standardize_date("s").alias("d")).collect()]
+    want = [d for d, _ in pairs]
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.decimals(
+            min_value=Decimal("-99999999.99"),
+            max_value=Decimal("99999999.99"),
+            places=2,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_parse_money_with_separators(spark, values):
+    # format with thousands separators, parse back exactly
+    strings = [f"{v:,.2f}" for v in values]
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    got = [r["m"] for r in df.select(parse_money("s").alias("m")).collect()]
+    assert got == list(values)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # key
+            st.integers(min_value=0, max_value=100),  # version
+            st.integers(min_value=0, max_value=10**6),  # unique-ish payload
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_dedup_rank_keeps_exact_winner(spark, rows):
+    # unique tiebreaker: (version, payload, idx)
+    data = [(k, v, p, i) for i, (k, v, p) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, v long, p long, idx long")
+    out = dedup_rank(df, keys=["k"], order_by=["v", "p", "idx"], descending=True)
+    got = {(r["k"], r["v"], r["p"], r["idx"]) for r in out.collect()}
+    # reference implementation: max by (v, p, idx) per key
+    want = set()
+    by_key: dict[int, list] = {}
+    for row in data:
+        by_key.setdefault(row[0], []).append(row)
+    for k, grp in by_key.items():
+        want.add(max(grp, key=lambda r: (r[1], r[2], r[3])))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # key
+            st.integers(min_value=0, max_value=1000), # left ts
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=1000),
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@SETTINGS
+def test_asof_join_matches_reference(spark, lefts, rights):
+    from datetime import datetime
+
+    from etl_hiscox_spark.operators.joins import asof_join
+
+    base = datetime(2024, 1, 1)
+    # deduplicate right (k, ts) pairs so 'latest at ts' is unambiguous
+    rmap = {}
+    for k, ts, v in rights:
+        rmap[(k, ts)] = v
+    rights_u = [(k, ts, v) for (k, ts), v in rmap.items()]
+    ldf = spark.createDataFrame(
+        [(i, k, base + timedelta(seconds=ts)) for i, (k, ts) in enumerate(lefts)],
+        "i long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, base + timedelta(seconds=ts), float(v)) for k, ts, v in rights_u],
+        "k long, ts timestamp, v double",
+    )
+    out = {
+        r["i"]: r["v_asof"]
+        for r in asof_join(ldf, rdf, key="k", left_ts="ts", right_ts="ts", right_values=["v"]).collect()
+    }
+    for i, (k, lts) in enumerate(lefts):
+        eligible = [(ts, v) for (kk, ts, v) in rights_u if kk == k and ts <= lts]
+        want = max(eligible)[1] if eligible else None
+        got = out[i]
+        assert got == (float(want) if want is not None else None), (i, k, lts)
+
+
+@given(st.lists(st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=15))
+@SETTINGS
+def test_exact_dedup_partitions_by_normalized_text(spark, texts):
+    from etl_hiscox_spark.functions.text import normalize_text
+    from etl_hiscox_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    out = exact_dedup(df, "text", "doc_id")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # reference: keep min id per normalized form
+    norm = {}
+    for i, t in enumerate(texts):
+        key = " ".join(t.lower().strip().split())
+        norm.setdefault(key, i)
+    assert kept == sorted(norm.values())

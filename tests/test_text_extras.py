@@ -1,0 +1,72 @@
+"""PII scrubbing, connected-component near-dedup, language ID on real
+phrases (the stopword heuristic on genuinely multilingual text)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_hiscox_spark.functions.text import detect_language, pii_counts, scrub_pii
+from etl_hiscox_spark.operators.dedup import connected_components, near_dedup_clusters
+
+
+def test_scrub_pii_masks_all_kinds(spark):
+    text = (
+        "contact john.doe@example.com or +1 555-123-4567, "
+        "server at 192.168.0.1, ssn 123-45-6789"
+    )
+    df = spark.createDataFrame([(text,)], ["t"])
+    out = df.select(scrub_pii("t").alias("s"), *pii_counts("t")).first()
+    assert "example.com" not in out["s"]
+    assert "192.168.0.1" not in out["s"]
+    assert "123-45-6789" not in out["s"]
+    assert out["s"].count("<PII>") >= 4
+    assert out["n_email"] == 1 and out["n_ipv4"] == 1 and out["n_ssn"] == 1
+
+
+def test_scrub_pii_leaves_clean_text(spark):
+    df = spark.createDataFrame([("just a normal sentence with words",)], ["t"])
+    assert df.select(scrub_pii("t").alias("s")).first()["s"] == (
+        "just a normal sentence with words"
+    )
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3, island pair 10-11, singleton edges absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_near_dedup_clusters_transitive(spark):
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two three"
+    )
+    rows = [
+        (0, base),
+        (1, base.replace("omega", "ultima")),          # ~0
+        (2, base.replace("alpha", "first")),           # ~0 (and ~1 transitively)
+        (3, "totally different text about spark sql catalyst optimizer rules "
+            "and adaptive query execution with shuffle partition coalescing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = near_dedup_clusters(df, "text", "doc_id", threshold=0.5, num_bands=16)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [0, 3]  # one keeper per transitive cluster + the island
+
+
+def test_detect_language_real_phrases(spark):
+    rows = [
+        ("the cat is in the house and it is warm", "en"),
+        ("el gato está en la casa y es de madrid", "es"),
+        ("le chat est dans la maison et les oiseaux", "fr"),
+        ("die katze ist in dem haus und das ist gut", "de"),
+        ("这 是 一个 测试 的 句子 和 他 的 朋友", "zh"),
+        ("zzz qqq xxx", "und"),
+    ]
+    df = spark.createDataFrame(rows, "t string, expected string")
+    out = df.select("expected", detect_language("t").alias("got")).collect()
+    for r in out:
+        assert r["got"] == r["expected"], r
