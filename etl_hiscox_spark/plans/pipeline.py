@@ -138,10 +138,15 @@ class Pipeline:
                 df = m.fn(self.spark, outputs)
                 rows = None
                 if m.materialize_path:
-                    w = df.write.mode("overwrite")
-                    if m.partition_by:
-                        w = w.partitionBy(*m.partition_by)
-                    w.parquet(m.materialize_path)
+                    from etl_hiscox_spark.observability import write_with_metrics
+
+                    metrics = write_with_metrics(
+                        df,
+                        m.materialize_path,
+                        step=name,
+                        partition_by=m.partition_by,
+                    )
+                    rows = metrics.records_processed
                     df = self.spark.read.parquet(m.materialize_path)
                 outputs[name] = df
                 report.steps.append(

@@ -74,6 +74,29 @@ def a6_grouped_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s4_sql_entry_point",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def s4_sql_entry_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S4 + §3.3: the SQL entry path — named table scan via temp view +
+    # spark.sql text (the dbt-compiled-SQL flow without the warehouse hop).
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM orders_v GROUP BY o_orderstatus
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Projections / filters (P1-P9)
 # ---------------------------------------------------------------------------
