@@ -119,6 +119,44 @@ def g3_supplier_part_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g4_promo_revenue_share",
+    oracle="""
+    SELECT CAST(100.0 AS DOUBLE)
+             * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * CAST(1 - l_discount AS DECIMAL(12,6))
+                             ELSE CAST(0 AS DECIMAL(31,8)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(12,6))) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def g4_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q14 shape: conditional aggregate over a broadcast join with a
+    # pushed-down date range. Both numerator and denominator are exact
+    # decimal sums -> the ratio divides two bit-identical doubles.
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, "part", sf_dir)
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(12,6)")
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+        F.lit(0).cast("decimal(31,8)")
+    )
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        (
+            F.lit(100.0).cast("double")
+            * F.sum(promo).cast("double")
+            / F.sum(revenue).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
     "f7_freshness_tiers",
     oracle="""
     SELECT CASE WHEN (epoch(TIMESTAMP '2024-01-31 00:00:00') - epoch(ts)) / 3600.0 < 12
