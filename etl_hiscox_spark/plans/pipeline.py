@@ -30,6 +30,10 @@ class Model:
     deps: tuple[str, ...] = ()
     materialize_path: str | None = None
     partition_by: tuple[str, ...] = ()
+    # Q4 error actions (test_ingestion.py:255-295 semantics):
+    on_missing_source: str = "fail"  # "fail" | "skip" (skip_and_continue)
+    retries: int = 0  # retry_with_backoff for transient step errors
+    retry_delay_seconds: float = 1.0
 
 
 def sql_model(
@@ -131,11 +135,45 @@ class Pipeline:
     def run(self) -> PipelineReport:
         report = PipelineReport()
         outputs: dict[str, DataFrame] = {}
+        skipped: set[str] = set()
         for name in self._topo_order():
             m = self.models[name]
             t0 = time.time()
+            if any(d in skipped for d in m.deps):
+                skipped.add(name)
+                report.steps.append(
+                    StepResult(name=name, status="skipped", seconds=0.0, error="upstream skipped")
+                )
+                continue
             try:
-                df = m.fn(self.spark, outputs)
+                from etl_hiscox_spark.plans.errors import (
+                    is_missing_source_error,
+                    retry_with_backoff,
+                )
+
+                def run_step(m=m):
+                    return m.fn(self.spark, outputs)
+
+                try:
+                    if m.retries > 0:
+                        df = retry_with_backoff(
+                            run_step, max_retries=m.retries, delay_seconds=m.retry_delay_seconds
+                        )
+                    else:
+                        df = run_step()
+                except Exception as e:
+                    if m.on_missing_source == "skip" and is_missing_source_error(e):
+                        skipped.add(name)
+                        report.steps.append(
+                            StepResult(
+                                name=name,
+                                status="skipped",
+                                seconds=time.time() - t0,
+                                error=str(e)[:200],
+                            )
+                        )
+                        continue
+                    raise
                 rows = None
                 if m.materialize_path:
                     from etl_hiscox_spark.observability import write_with_metrics
