@@ -34,12 +34,17 @@ HEADLINE = [
     "w5_running_total",
     "u2_except_difference",
     "r3_topk_orders",
-    # extension tier (registered in later groups; skipped if absent)
+    "g4_promo_revenue_share",
+    # extension tier
     "l1_exact_dedup",
     "l2_minhash_near_dup",
+    "l2_ngram_jaccard_pairs",
     "l3_cosine_topk",
+    "l3_embedding_near_pairs",
     "l4_text_stats",
+    "t4_vocabulary",
     "x3_tumbling_window",
+    "x5_session_window",
 ]
 
 

@@ -62,18 +62,36 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
-    ap.add_argument("--skip-spark", action="store_true")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="driver rehearsal: bare SparkSession + the __spark_entry__ surface",
+    )
     args = ap.parse_args()
 
-    from etl_hiscox_spark.queries import all_queries
-    from etl_hiscox_spark.session import get_spark
+    if args.vanilla:
+        # Exactly the driver's view: its own session, the entry-module dicts.
+        from pyspark.sql import SparkSession
 
-    queries = all_queries()
+        import __spark_entry__ as entry_mod
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+        from etl_hiscox_spark.queries import Q
+
+        fns = entry_mod.queries()
+        oracles = entry_mod.oracle_sql()
+        queries = {name: Q(fn, oracles.get(name)) for name, fn in fns.items()}
+        n = entry_mod.entry(spark).count()
+        print(f"entry(): {n} rows")
+    else:
+        from etl_hiscox_spark.queries import all_queries
+        from etl_hiscox_spark.session import get_spark
+
+        queries = all_queries()
+        spark = get_spark("verify_local", shuffle_partitions=8)
     if args.only:
         keep = set(args.only.split(","))
         queries = {k: v for k, v in queries.items() if k in keep}
-
-    spark = get_spark("verify_local", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
