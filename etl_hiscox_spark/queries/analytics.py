@@ -157,6 +157,88 @@ def g4_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g5_exists_late_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_late_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def g5_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q4 shape: EXISTS with a correlated range condition — planned as
+    # a left-semi join with the range predicate inside the join (no
+    # cartesian, no subquery re-execution).
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, on=cond, how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+    )
+
+
+@register(
+    "g6_having_large_customers",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 2000000
+    """,
+)
+def g6_having_large_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q18 shape: post-aggregation HAVING filter. Catalyst evaluates
+    # the predicate after partial+final agg — no second pass over the fact.
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__spend"),
+        )
+        .filter(F.col("__spend") > 2_000_000)
+        .select("o_custkey", "n_orders", F.col("__spend").cast("double").alias("total_spend"))
+    )
+
+
+@register(
+    "g7_scalar_subquery_share",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS brand_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2)))
+           > (SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) * 0.04 FROM lineitem)
+    """,
+)
+def g7_scalar_subquery_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q11 shape: scalar subquery threshold — expressed through the
+    # SQL entry so Catalyst plans the subquery as a broadcast scalar
+    # (computed once, reused across the HAVING evaluation).
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem_v")
+    load_table(spark, "part", sf_dir).createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS brand_qty
+        FROM lineitem_v JOIN part_v ON l_partkey = p_partkey
+        GROUP BY p_brand
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2)))
+               > (SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) * 0.04 FROM lineitem_v)
+        """
+    )
+
+
+@register(
     "f7_freshness_tiers",
     oracle="""
     SELECT CASE WHEN (epoch(TIMESTAMP '2024-01-31 00:00:00') - epoch(ts)) / 3600.0 < 12

@@ -64,6 +64,49 @@ def test_stream_stateful_dedup(spark, sf_dir, tmp_path):
     assert spark.table("t_dedup").count() == df.count()
 
 
+def test_stream_sliding_equals_batch(spark, sf_dir, tmp_path):
+    path = _events_parquet(spark, sf_dir, tmp_path)
+    from etl_hiscox_spark.streaming.ops import sliding_agg
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    stream = with_watermark(stream_from_parquet(spark, path), "ts", "10 minutes")
+    run_available_now_to_memory(
+        sliding_agg(stream, aggs, window="10 minutes", slide="5 minutes"),
+        "t_slide",
+        output_mode="complete",
+    )
+    got = {r["window"]["start"]: r["n"] for r in spark.table("t_slide").collect()}
+    want = {
+        r["window"]["start"]: r["n"]
+        for r in sliding_agg(
+            spark.read.parquet(path), aggs, window="10 minutes", slide="5 minutes"
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_session_window_equals_batch(spark, sf_dir, tmp_path):
+    path = _events_parquet(spark, sf_dir, tmp_path)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    stream = with_watermark(stream_from_parquet(spark, path), "ts", "1 hour")
+    run_available_now_to_memory(
+        session_agg(stream, aggs, gap="30 minutes", keys=["user_id"]),
+        "t_sess",
+        output_mode="complete",
+    )
+    got = {
+        (r["user_id"], r["session_window"]["start"]): r["n"]
+        for r in spark.table("t_sess").collect()
+    }
+    want = {
+        (r["user_id"], r["session_window"]["start"]): r["n"]
+        for r in session_agg(
+            spark.read.parquet(path), aggs, gap="30 minutes", keys=["user_id"]
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_session_window_batch(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
     out = session_agg(
