@@ -70,32 +70,6 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # signature is [min_i over shingles] — computed with array exprs, no UDF.
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """array<long> minhash signature of a shingle array (expression-only)."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
-
-
-def minhash_bands(sig_col: Column, num_bands: int, rows_per_band: int) -> list[Column]:
-    """One 64-bit bucket key per band: xxhash64 over the band's slice."""
-    return [
-        F.xxhash64(
-            F.concat_ws(
-                ",",
-                *[
-                    F.element_at(sig_col, b * rows_per_band + r + 1).cast("string")
-                    for r in range(rows_per_band)
-                ],
-            )
-        ).alias(f"band_{b}")
-        for b in range(num_bands)
-    ]
-
-
 def exploded_shingles(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3) -> DataFrame:
     """(doc, shingle) rows — one per DISTINCT word-k-gram per doc.
 

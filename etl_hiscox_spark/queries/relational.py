@@ -540,6 +540,32 @@ def a10_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a10_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def a10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A10 (SQL form): explicit GROUPING SETS through the SQL entry —
+    # Catalyst expands to a single Expand+Aggregate (one scan, one shuffle),
+    # not one job per grouping.
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windows (W1-W5)
 # ---------------------------------------------------------------------------

@@ -108,6 +108,19 @@ def test_ivf_topk_matches_exact_on_probed_all(spark):
     assert 5 in approx
 
 
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    # A5 scale variant: HLL approx distinct within its rsd bound — the
+    # 100 TB substitute for exact countDistinct on high-cardinality keys.
+    from etl_hiscox_spark.registry import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
 def test_salted_join_equals_plain_join(spark):
     # heavily skewed left side: 90% of rows share one key
     left = spark.range(1000).withColumn(
