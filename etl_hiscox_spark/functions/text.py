@@ -67,19 +67,6 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
-def lang_scores(c: Column | str) -> Column:
-    """Map of lang -> stopword-hit count over the token array."""
-    toks = tokens(c)
-    pairs = [
-        F.struct(
-            F.lit(lang).alias("lang"),
-            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias("hits"),
-        )
-        for lang, words in LANG_STOPWORDS.items()
-    ]
-    return F.array(*pairs)
-
-
 def detect_language(c: Column | str, default: str = "und") -> Column:
     """argmax over stopword-hit counts; 'und' when no stopword hits at all.
 
