@@ -52,6 +52,49 @@ def freshness_tier_of(age_hours: float) -> str:
     return "stale"
 
 
+@dataclass
+class AlertThresholds:
+    """AlertManager ceilings (pipeline_monitor.py:281-284 of the reference)."""
+
+    max_pipeline_minutes: float = 60.0
+    max_error_rate: float = 0.05
+    max_memory_mb: float = 4096.0
+
+
+def check_pipeline_alerts(
+    metrics: "list",
+    thresholds: AlertThresholds | None = None,
+) -> list[CheckResult]:
+    """Evaluate PipelineMetrics records against the alert ceilings.
+
+    Duration > ceiling or error rate > 5% → fail-severity alerts; the
+    caller decides whether alerts abort (the reference treats them as
+    observations — orchestrator.py:84-85)."""
+    thresholds = thresholds or AlertThresholds()
+    out: list[CheckResult] = []
+    total_seconds = sum(m.duration_seconds for m in metrics)
+    if total_seconds > thresholds.max_pipeline_minutes * 60:
+        out.append(
+            CheckResult(
+                name="pipeline_duration",
+                status="fail",
+                detail=f"{total_seconds / 60:.1f} min > {thresholds.max_pipeline_minutes} min",
+            )
+        )
+    for m in metrics:
+        if m.records_processed > 0:
+            err = m.records_invalid / m.records_processed
+            if err > thresholds.max_error_rate:
+                out.append(
+                    CheckResult(
+                        name=f"error_rate:{m.step}",
+                        status="fail",
+                        detail=f"{err:.1%} > {thresholds.max_error_rate:.0%}",
+                    )
+                )
+    return out
+
+
 class HealthChecker:
     def __init__(self, spark: SparkSession, config: EngineConfig | None = None):
         self.spark = spark

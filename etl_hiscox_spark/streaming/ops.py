@@ -155,21 +155,30 @@ def foreach_batch_upsert(
     """
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.withColumn("__batch_id", F.lit(batch_id))
+        # __src tiebreak: a RESTARTED stream resets batch ids to 0, so the
+        # incoming batch must beat a stored row with an equal batch id.
+        # A same-run replay of the same batch id carries identical content,
+        # so idempotency is preserved either way.
+        batch = batch_df.withColumn("__batch_id", F.lit(batch_id)).withColumn(
+            "__src", F.lit(1)
+        )
         if os.path.exists(target_path):
             current = spark.read.parquet(target_path)
             if "__batch_id" not in current.columns:
                 current = current.withColumn("__batch_id", F.lit(-1))
+            current = current.withColumn("__src", F.lit(0))
             merged = current.unionByName(batch, allowMissingColumns=True)
         else:
             merged = batch
         from pyspark.sql import Window
 
-        w = Window.partitionBy(*key_cols).orderBy(F.col("__batch_id").desc())
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col("__batch_id").desc(), F.col("__src").desc()
+        )
         deduped = (
             merged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .drop("__rn", "__src")
         )
         deduped.write.mode("overwrite").parquet(target_path + "_tmp")
         # atomic-ish swap (parquet fallback; Delta MERGE avoids this dance)

@@ -91,6 +91,72 @@ def test_freshness_tiers_boundaries():
     assert freshness_tier_of(36.0) == "stale"
 
 
+def test_pipeline_alert_thresholds():
+    from etl_hiscox_spark.monitoring import AlertThresholds, check_pipeline_alerts
+    from etl_hiscox_spark.observability import PipelineMetrics
+
+    slow = PipelineMetrics(step="ingest", records_processed=100, records_valid=98,
+                           records_invalid=2, started_at=0.0)
+    slow.finished_at = 3700.0  # 61.7 min
+    dirty = PipelineMetrics(step="clean", records_processed=100, records_valid=90,
+                            records_invalid=10, started_at=0.0)
+    dirty.finished_at = 10.0
+    alerts = check_pipeline_alerts([slow, dirty], AlertThresholds())
+    names = {a.name for a in alerts}
+    assert "pipeline_duration" in names       # > 60 min ceiling
+    assert "error_rate:clean" in names        # 10% > 5%
+    assert "error_rate:ingest" not in names   # 2% ok
+
+
+def test_incremental_gold_via_stream(spark, tmp_path):
+    # X7 + gold: new bronze files arrive -> streaming availableNow pass
+    # upserts the gold per-key aggregate idempotently (the incremental
+    # materialized-view pattern over the batch-id append of the reference).
+    import pyspark.sql.functions as SF
+
+    from etl_hiscox_spark.streaming.ops import (
+        foreach_batch_upsert,
+        stream_from_parquet,
+    )
+    from pyspark.sql import types as T
+
+    bronze = str(tmp_path / "bronze")
+    gold = str(tmp_path / "gold")
+    schema = T.StructType(
+        [
+            T.StructField("claim_type", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    spark.createDataFrame([("AUTO", 100.0), ("HOME", 50.0)], schema).write.mode(
+        "append"
+    ).parquet(bronze)
+
+    def run_refresh(checkpoint_suffix: str):
+        agg = (
+            stream_from_parquet(spark, bronze, schema)
+            .groupBy("claim_type")
+            .agg(SF.sum("amount").alias("total"), SF.count(SF.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(foreach_batch_upsert(gold, ["claim_type"], spark))
+            .option("checkpointLocation", str(tmp_path / f"ckpt{checkpoint_suffix}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_refresh("1")
+    got = {r["claim_type"]: (r["total"], r["n"]) for r in spark.read.parquet(gold).collect()}
+    assert got == {"AUTO": (100.0, 1), "HOME": (50.0, 1)}
+    # second batch of bronze data arrives
+    spark.createDataFrame([("AUTO", 25.0)], schema).write.mode("append").parquet(bronze)
+    run_refresh("2")
+    got = {r["claim_type"]: (r["total"], r["n"]) for r in spark.read.parquet(gold).collect()}
+    assert got == {"AUTO": (125.0, 2), "HOME": (50.0, 1)}
+
+
 def test_health_checker(spark, tmp_path):
     good = str(tmp_path / "good")
     spark.range(500).write.parquet(good)
