@@ -95,6 +95,9 @@ def quality_features(col_name: str) -> list[Column]:
     features, each expression-only. Combine downstream into a score."""
     c = F.col(col_name)
     n_chars = F.length(c)
+    # word-length math must use the NORMALIZED length — raw length counts
+    # leading/repeated whitespace as word characters and inflates it.
+    n_chars_norm = F.length(normalize_text(c))
     toks = tokens(c)
     n_words = F.size(toks)
     n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
@@ -104,9 +107,9 @@ def quality_features(col_name: str) -> list[Column]:
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
         (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
-        ((n_chars - F.size(toks) + 1).cast("double") / F.greatest(n_words, F.lit(1))).alias(
-            "mean_word_len"
-        ),
+        (
+            (n_chars_norm - n_words + 1).cast("double") / F.greatest(n_words, F.lit(1))
+        ).alias("mean_word_len"),
         (n_stop.cast("double") / F.greatest(n_words, F.lit(1))).alias("stopword_ratio"),
     ]
 

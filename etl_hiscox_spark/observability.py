@@ -87,8 +87,10 @@ def write_with_metrics(
         w = w.partitionBy(*partition_by)
     w.parquet(path)
     got = obs.get
-    n = int(got.get("n_rows", 0))
-    v = int(got.get("n_valid", n))
+    n = int(got.get("n_rows") or 0)
+    # F.sum over zero rows observes None — an empty frame has 0 valid rows.
+    raw_valid = got.get("n_valid", n)
+    v = int(raw_valid) if raw_valid is not None else 0
     m = PipelineMetrics(
         step=step,
         records_processed=n,

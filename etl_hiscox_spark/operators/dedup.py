@@ -143,6 +143,11 @@ def minhash_candidates(
     distinct pairs. Bucket keys are hashes, so skew appears only for
     genuinely massive duplicate clusters (AQE skew-join splits those).
     """
+    if num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by num_bands "
+            f"({num_bands}) — trailing hashes would be computed but never banded"
+        )
     rows_per_band = num_hashes // num_bands
     sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_k, _shingles)
     banded = sig.select(
@@ -254,7 +259,7 @@ def near_dedup_minhash(
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 10
+    pairs: DataFrame, max_iterations: int = 20, strict: bool = True
 ) -> DataFrame:
     """Connected components of an undirected pair graph (id_a, id_b) →
     (node, component) with component = min node id in the component.
@@ -310,6 +315,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Loop exhausted without a zero-change round: labels on long chains
+        # (diameter > max_iterations) are still mid-propagation — silently
+        # returning them would split one duplicate cluster into several.
+        if strict:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                "iterations; raise max_iterations (graph diameter exceeds it)"
+            )
     return labels
 
 

@@ -79,6 +79,15 @@ def salted_join(
     value on the skewed side is arbitrary — any distribution is correct —
     so a seeded uniform draw is fine.
     """
+    # The replicated side would emit one null-padded copy PER SALT for its
+    # unmatched rows under right/full outer joins — only join types that
+    # never emit unmatched rows of the replicated side are allowed.
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; {how!r} would duplicate "
+            "unmatched rows of the replicated side n_salts times"
+        )
     salted_left = skewed.withColumn("__salt", (F.rand(seed) * n_salts).cast("int"))
     salted_right = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -94,6 +103,7 @@ def asof_join(
     right_ts: str,
     right_values: Sequence[str],
     suffix: str = "_asof",
+    right_tiebreakers: Sequence[str] = (),
 ) -> DataFrame:
     """J7: as-of join — for each left row, the latest right row with
     ``right_ts <= left_ts`` on the same key.
@@ -106,12 +116,19 @@ def asof_join(
 
     Rows from ``left`` are all preserved (left outer semantics); right
     columns are null when no prior right row exists.
+
+    ``right_tiebreakers``: columns of ``right`` that make (key, ts,
+    tiebreakers) a total order. When two right rows share (key, ts), the
+    one sorting LAST by the tiebreakers wins. Omit only when (key, ts) is
+    already unique on the right — otherwise the carried value is
+    partitioning-dependent.
     """
     lcols = left.columns
     tagged_left = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[t].dataType).alias(f"__tb_{t}") for t in right_tiebreakers],
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[v].dataType).alias(f"__v_{v}") for v in right_values],
     )
@@ -119,15 +136,23 @@ def asof_join(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
+        *[F.col(t).alias(f"__tb_{t}") for t in right_tiebreakers],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(v).alias(f"__v_{v}") for v in right_values],
     )
     unioned = tagged_left.unionByName(tagged_right)
     # Right rows sort before left rows at equal ts (side 0 < 1) => ties are
     # inclusive: a right row at exactly left_ts is visible to that left row.
+    # Among right rows at equal (key, ts), tiebreakers asc => last() picks
+    # the highest tiebreaker (NULLs from the left side sort first in asc,
+    # keeping left rows after all right rows at the same ts regardless).
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__side").asc(),
+            *[F.col(f"__tb_{t}").asc_nulls_last() for t in right_tiebreakers],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

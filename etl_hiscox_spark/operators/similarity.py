@@ -39,7 +39,9 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: zero-norm vectors yield NULL (ANSI mode would raise on
+    # 0/0); callers filter NULLs rather than letting them win rankings.
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def _as_double_literal_array(vec: Sequence[float]) -> Column:
@@ -66,6 +68,10 @@ def cosine_topk(
         F.col(id_col),
         cosine(emb, q).alias("cosine_sim"),
     )
+    # Zero-norm/empty embeddings make cosine NaN, and Spark sorts NaN above
+    # every double in descending order — drop them instead of letting a
+    # garbage row win rank 1.
+    scored = scored.filter(F.col("cosine_sim").isNotNull() & ~F.isnan("cosine_sim"))
     # limit(k) first => TakeOrderedAndProject on the scan; the rank window
     # then runs over k rows only (single tiny task).
     topk = scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
@@ -204,7 +210,9 @@ def batch_cosine_topk_pandas(
     @F.pandas_udf(ArrayType(DoubleType()))
     def sims(embs: pd.Series) -> pd.Series:
         mat = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mat = np.where(norms > 0, mat / norms, 0.0)  # zero-norm -> all-0 sims
         scores = mat @ bc.value.T  # (batch, n_queries)
         return pd.Series(list(scores))
 

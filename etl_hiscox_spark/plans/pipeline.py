@@ -54,9 +54,15 @@ def sql_model(
     """
 
     def fn(spark: SparkSession, outputs: dict[str, DataFrame]) -> DataFrame:
+        # Qualified view name always (bronze.claims -> bronze_claims); the
+        # bare last segment only when unambiguous — two deps named
+        # *.claims would otherwise silently shadow each other.
+        last_segments = [d.split(".")[-1] for d in deps]
         for dep in deps:
-            view = dep.split(".")[-1]
-            outputs[dep].createOrReplaceTempView(view)
+            outputs[dep].createOrReplaceTempView(dep.replace(".", "_"))
+            short = dep.split(".")[-1]
+            if last_segments.count(short) == 1:
+                outputs[dep].createOrReplaceTempView(short)
         return spark.sql(sql)
 
     return Model(

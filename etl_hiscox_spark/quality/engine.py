@@ -82,13 +82,16 @@ class QualityEngine:
         # completeness per column (A8)
         for c in df.columns:
             aggs.append((F.count(F.col(c)).cast("double") / total).alias(f"comp__{c}"))
-        # uniqueness for Unique rules (A9): count_distinct/count
+        # uniqueness for Unique rules (A9): distinct non-null / non-null —
+        # dbt's unique test ignores NULLs, so the denominator must too
+        # (count(*) would fail nullable columns in proportion to null rate).
         for r in ruleset.set_rules:
             if isinstance(r, Unique):
                 aggs.append(
-                    (F.count_distinct(F.col(r.column)).cast("double") / total).alias(
-                        f"uniq__{r.column}"
-                    )
+                    (
+                        F.count_distinct(F.col(r.column)).cast("double")
+                        / F.count(F.col(r.column))
+                    ).alias(f"uniq__{r.column}")
                 )
         row = df.agg(*aggs).collect()[0].asDict()
         n = int(row.pop("__total"))

@@ -424,7 +424,9 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (SCD-2 "version in force at claim time" analog, dbt snapshots).
     ev = load_table(spark, "events", sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"), "user_id", "ts", "value"
+    )
     return asof_join(
         clicks,
         purchases,
@@ -432,6 +434,9 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="ts",
         right_values=["value"],
+        # (user_id, ts) duplicates among purchases resolve to the highest
+        # event_id — the exact tiebreak the oracle's ORDER BY pins.
+        right_tiebreakers=["purchase_event_id"],
     ).select("event_id", "user_id", "ts", "value_asof")
 
 

@@ -155,30 +155,32 @@ def foreach_batch_upsert(
     """
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        # __src tiebreak: a RESTARTED stream resets batch ids to 0, so the
-        # incoming batch must beat a stored row with an equal batch id.
-        # A same-run replay of the same batch id carries identical content,
-        # so idempotency is preserved either way.
-        batch = batch_df.withColumn("__batch_id", F.lit(batch_id)).withColumn(
-            "__src", F.lit(1)
-        )
+        # Ordering key is a per-target write sequence (__seq), NOT the
+        # stream's batch id: a restarted stream resets batch ids to 0, so
+        # ordering by batch id would let stale stored rows outrank fresh
+        # data. __seq = max stored seq + 1 is monotone across restarts;
+        # a same-run replay writes identical content under a new seq, so
+        # the result is unchanged (idempotent). __batch_id is kept for audit.
+        batch = batch_df.withColumn("__batch_id", F.lit(batch_id))
         if os.path.exists(target_path):
             current = spark.read.parquet(target_path)
             if "__batch_id" not in current.columns:
                 current = current.withColumn("__batch_id", F.lit(-1))
-            current = current.withColumn("__src", F.lit(0))
+            if "__seq" not in current.columns:
+                current = current.withColumn("__seq", F.lit(0).cast("long"))
+            max_seq = current.agg(F.max("__seq")).first()[0] or 0
+            batch = batch.withColumn("__seq", F.lit(int(max_seq) + 1).cast("long"))
             merged = current.unionByName(batch, allowMissingColumns=True)
         else:
+            batch = batch.withColumn("__seq", F.lit(1).cast("long"))
             merged = batch
         from pyspark.sql import Window
 
-        w = Window.partitionBy(*key_cols).orderBy(
-            F.col("__batch_id").desc(), F.col("__src").desc()
-        )
+        w = Window.partitionBy(*key_cols).orderBy(F.col("__seq").desc())
         deduped = (
             merged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn", "__src")
+            .drop("__rn")
         )
         deduped.write.mode("overwrite").parquet(target_path + "_tmp")
         # atomic-ish swap (parquet fallback; Delta MERGE avoids this dance)
