@@ -117,6 +117,36 @@ def x5_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x8_threshold_crossing",
+    oracle="""
+    WITH cum AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_value,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS crossed_at_n
+      FROM events
+    )
+    SELECT user_id,
+           arg_min(cumulative_value, crossed_at_n) AS cumulative_value,
+           MIN(crossed_at_n) AS crossed_at_n
+    FROM cum WHERE cumulative_value >= 500.0
+    GROUP BY user_id
+    """,
+)
+def x8_threshold_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Custom stateful operator (applyInPandasWithState in streaming mode):
+    # one alert per user at the FIRST cumulative-value crossing. This is
+    # the batch twin; the cross-micro-batch state machine is asserted in
+    # tests/test_stateful.py.
+    from etl_hiscox_spark.streaming.stateful import threshold_alert_stream
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_id", "value")
+    return threshold_alert_stream(ev, threshold=500.0)
+
+
+@register(
     "x6_stateful_dedup_batch_twin",
     oracle="""
     SELECT event_id, user_id, event_type, ts, value FROM (
