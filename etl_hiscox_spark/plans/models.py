@@ -96,11 +96,34 @@ def gold_policy_metrics() -> Model:
     return Model(name="gold.policy_metrics", fn=fn, deps=("silver.policies", "silver.claims"))
 
 
+def quality_model(entity: str, threshold: float = 0.95) -> Model:
+    """Orchestrator step-3 parity: profile the silver table against the
+    declared ruleset; raise (-> 'warned' status, never an abort) when any
+    rule scores below threshold. Returns the scores as a one-row frame."""
+
+    def fn(spark: SparkSession, outputs: dict[str, DataFrame]) -> DataFrame:
+        df = outputs[f"silver.{entity}"]
+        rs = insurance_rulesets()[entity]
+        engine = QualityEngine(default_threshold=threshold)
+        report = engine.check(engine.profile(df, rs))
+        row = report.to_row()
+        out = spark.createDataFrame([tuple(row.values())], list(row.keys()))
+        if any(a.severity == "critical" for a in report.alerts):
+            raise RuntimeError(
+                f"critical quality alerts on {entity}: "
+                + ", ".join(f"{a.rule}={a.score:.3f}" for a in report.alerts)
+            )
+        return out
+
+    return Model(name=f"quality.{entity}", fn=fn, deps=(f"silver.{entity}",))
+
+
 def build_insurance_pipeline(
     spark: SparkSession, claims_csv: str, policies_csv: str, warehouse: str | None = None
 ) -> Pipeline:
     """Full medallion DAG for the insurance domain (orchestrator parity:
-    ingestion → transform → quality, quality failures warn not abort)."""
+    ingestion → transform → quality, quality failures warn not abort —
+    scripts/orchestrator.py:84-85)."""
     p = Pipeline(spark, quality_steps=("quality.claims", "quality.policies"))
     p.add(bronze_model("claims", claims_csv, key="claim_id"))
     p.add(bronze_model("policies", policies_csv, key="policy_id"))
@@ -108,6 +131,8 @@ def build_insurance_pipeline(
     p.add(silver_model("policies", clean_policies))
     p.add(gold_claims_summary())
     p.add(gold_policy_metrics())
+    p.add(quality_model("claims"))
+    p.add(quality_model("policies"))
     if warehouse:
         for name, model in list(p.models.items()):
             layer, table = name.split(".", 1)
