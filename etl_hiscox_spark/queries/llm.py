@@ -385,6 +385,31 @@ def t5_bigram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t6_train_test_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CASE WHEN substring(sha256(CAST(doc_id AS VARCHAR)), 1, 5) < 'ccccc' THEN 'train'
+                  WHEN substring(sha256(CAST(doc_id AS VARCHAR)), 1, 5) < 'e6666' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def t6_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic leakage-safe train/val/test split: assignment is a pure
+    # function of sha256(doc_id) — reproducible across engines, re-runs,
+    # and re-shards (unlike randomSplit).
+    from etl_hiscox_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = hash_split(docs, key="doc_id", weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 @register("t3_fingerprint")  # rows-only: xxhash64 has no DuckDB equivalent
 def t3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64-bit document fingerprints + exact-dedup content hash.

@@ -4,6 +4,7 @@ streaming parquet sink, registry conveniences, dup-group report."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_hiscox_spark.functions.text import quality_features, quality_score, word_count
@@ -93,6 +94,38 @@ def test_write_stream_parquet_sink(spark, sf_dir, tmp_path):
     )
     q.awaitTermination()
     assert spark.read.parquet(str(tmp_path / "out")).count() == 1000
+
+
+def test_hash_split_deterministic_and_weighted(spark):
+    from etl_hiscox_spark.operators.sampling import hash_split
+
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(df, "doc_id", w).groupBy("split").count().collect()
+    b = hash_split(df.repartition(13), "doc_id", w).groupBy("split").count().collect()
+    # deterministic under re-partitioning
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    counts = {r["split"]: r["count"] for r in a}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.03
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        hash_split(df, "doc_id", {"train": 0.5})
+
+
+def test_stratified_sample_and_reservoir(spark):
+    from etl_hiscox_spark.operators.sampling import reservoir_per_key, stratified_sample
+
+    df = spark.range(4000).withColumn("lang", F.when(F.col("id") % 4 == 0, "en").otherwise("de"))
+    sampled = stratified_sample(df, "lang", {"en": 1.0, "de": 0.1}, seed=7)
+    counts = {r["lang"]: r["count"] for r in sampled.groupBy("lang").count().collect()}
+    assert counts["en"] == 1000  # fraction 1.0 keeps every row
+    assert 150 < counts["de"] < 450  # ~10% of 3000
+    res = reservoir_per_key(df, keys=["lang"], k=5, order_key="id")
+    got = {r["lang"]: r["count"] for r in res.groupBy("lang").count().collect()}
+    assert got == {"en": 5, "de": 5}
+    # deterministic
+    res2 = reservoir_per_key(df.repartition(7), keys=["lang"], k=5, order_key="id")
+    assert sorted(r["id"] for r in res.collect()) == sorted(r["id"] for r in res2.collect())
 
 
 def test_registry_conveniences(spark, sf_dir):
