@@ -288,6 +288,53 @@ def w4_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a12_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact interpolated percentiles (Spark `percentile` == SQL
+    # quantile_cont semantics). At 100 TB swap for approx_percentile —
+    # tested within rsd alongside approx_count_distinct.
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("median_price"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.9)).alias("p90_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "a13_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY 1
+    """,
+)
+def a13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-width histogram: floor-divide bucketing is engine-portable
+    # (width_bucket is not), one groupBy pass.
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.withColumn("bucket", F.floor(F.col("o_totalprice") / 50000.0).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@register(
     "l5_bpe_token_count",
     oracle=r"""
     SELECT doc_id,
