@@ -52,7 +52,7 @@ def completeness_profile(df: DataFrame, cols: Sequence[str] | None = None) -> Da
     return df.agg(
         total.alias("row_count"),
         *[
-            (F.count(F.col(c)).cast("double") / total).alias(f"{c}_completeness")
+            F.try_divide(F.count(F.col(c)).cast("double"), total).alias(f"{c}_completeness")
             for c in cols
         ],
     )
@@ -66,7 +66,7 @@ def duplicate_stats(df: DataFrame, keys: Sequence[str]) -> DataFrame:
         total.alias("row_count"),
         distinct.alias("distinct_count"),
         (total - distinct).alias("duplicate_count"),
-        ((total - distinct).cast("double") / total).alias("duplicate_ratio"),
+        F.try_divide((total - distinct).cast("double"), total).alias("duplicate_ratio"),
     )
 
 

@@ -75,22 +75,22 @@ class QualityEngine:
         # per-rule pass rates (row-level rules)
         for r in ruleset.row_rules:
             aggs.append(
-                (F.sum(F.when(r.predicate(), 1).otherwise(0)).cast("double") / total).alias(
-                    f"rule__{r.name}"
-                )
+                F.try_divide(
+                    F.sum(F.when(r.predicate(), 1).otherwise(0)).cast("double"), total
+                ).alias(f"rule__{r.name}")
             )
         # completeness per column (A8)
         for c in df.columns:
-            aggs.append((F.count(F.col(c)).cast("double") / total).alias(f"comp__{c}"))
+            aggs.append(F.try_divide(F.count(F.col(c)).cast("double"), total).alias(f"comp__{c}"))
         # uniqueness for Unique rules (A9): distinct non-null / non-null —
         # dbt's unique test ignores NULLs, so the denominator must too
         # (count(*) would fail nullable columns in proportion to null rate).
         for r in ruleset.set_rules:
             if isinstance(r, Unique):
                 aggs.append(
-                    (
-                        F.count_distinct(F.col(r.column)).cast("double")
-                        / F.count(F.col(r.column))
+                    F.try_divide(
+                        F.count_distinct(F.col(r.column)).cast("double"),
+                        F.count(F.col(r.column)),
                     ).alias(f"uniq__{r.column}")
                 )
         row = df.agg(*aggs).collect()[0].asDict()
