@@ -124,7 +124,9 @@ class HealthChecker:
         now = now if now is not None else time.time()
         age_h = (now - blob.last_modified) / 3600.0
         tier = freshness_tier_of(age_h)
-        status = "pass" if tier == "fresh" else ("warn" if tier == "aging" else "warn")
+        # stale ⇒ warn (degraded), not fail: the reference treats staleness
+        # as an observation, not an outage (health_check.py:352-361).
+        status = "pass" if tier == "fresh" else "warn"
         return CheckResult(name=name, status=status, detail=f"{tier} ({age_h:.1f}h old)")
 
     def run(self, tables: dict[str, str], sources: dict[str, str] | None = None) -> HealthReport:

@@ -56,6 +56,7 @@ def hash_split(
     key: str,
     weights: Mapping[str, float],
     split_col: str = "split",
+    on_null: str = "error",
 ) -> DataFrame:
     """Assign each row to a named split with probability ≈ its weight,
     deterministically by key hash.
@@ -64,7 +65,13 @@ def hash_split(
     1.0 ± ε). Every row with the same key lands in the same split — safe
     for leakage-sensitive splits keyed by document/user id, and portable:
     the assignment is a string comparison on a sha256 hex prefix.
+
+    NULL keys hash to NULL and would otherwise all fall into the final
+    split (a systematic skew): ``on_null='error'`` (default) fails the job
+    with a clear message; ``'last'`` opts into the final-split routing.
     """
+    if on_null not in ("error", "last"):
+        raise ValueError("on_null must be 'error' or 'last'")
     prefix = F.substring(F.sha2(F.col(key).cast("string"), 256), 1, HEX_PREFIX_LEN)
     expr = None
     bounds = hex_bounds(weights)
@@ -72,6 +79,11 @@ def hash_split(
         cond = prefix < F.lit(bound)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = expr.otherwise(F.lit(bounds[-1][0]))
+    if on_null == "error":
+        expr = F.when(
+            F.col(key).isNull(),
+            F.raise_error(F.lit(f"hash_split: NULL {key} cannot be split deterministically")),
+        ).otherwise(expr)
     return df.withColumn(split_col, expr)
 
 

@@ -22,11 +22,15 @@ from typing import TypeVar
 
 T = TypeVar("T")
 
-# Error types that indicate a missing/unreadable source: skip, don't crash.
-_SKIPPABLE_MESSAGES = ("PATH_NOT_FOUND", "FileNotFoundException", "does not exist")
+# Markers that indicate a missing/unreadable SOURCE specifically — anchored
+# error classes, not loose phrases ('does not exist' appears in partition/
+# database/JDBC errors that are real bugs, not absent files).
+_SKIPPABLE_MESSAGES = ("[PATH_NOT_FOUND]", "FileNotFoundException")
 
 
 def is_missing_source_error(e: Exception) -> bool:
+    if isinstance(e, FileNotFoundError):
+        return True
     msg = str(e)
     return any(tag in msg for tag in _SKIPPABLE_MESSAGES)
 
@@ -37,18 +41,23 @@ def retry_with_backoff(
     delay_seconds: float = 1.0,
     backoff: float = 2.0,
     retry_on: tuple[type[Exception], ...] = (Exception,),
+    should_retry: Callable[[Exception], bool] | None = None,
 ) -> T:
     """Call ``fn``, retrying transient failures with exponential backoff.
 
     Raises the last error after ``max_retries`` attempts (the reference's
     3-retries/60s default lives in :class:`...config.EngineConfig`).
+    ``should_retry``: predicate to exclude deterministic errors (e.g. a
+    missing source) from the retry loop — they re-raise immediately.
     """
     attempt = 0
     delay = delay_seconds
     while True:
         try:
             return fn()
-        except retry_on:
+        except retry_on as e:
+            if should_retry is not None and not should_retry(e):
+                raise
             attempt += 1
             if attempt > max_retries:
                 raise

@@ -56,13 +56,18 @@ def sql_model(
     def fn(spark: SparkSession, outputs: dict[str, DataFrame]) -> DataFrame:
         # Qualified view name always (bronze.claims -> bronze_claims); the
         # bare last segment only when unambiguous — two deps named
-        # *.claims would otherwise silently shadow each other.
+        # *.claims would otherwise silently shadow each other. When the
+        # bare name IS ambiguous, any leftover bare view from an earlier
+        # step is dropped so the SQL errors instead of silently reading
+        # stale data.
         last_segments = [d.split(".")[-1] for d in deps]
         for dep in deps:
             outputs[dep].createOrReplaceTempView(dep.replace(".", "_"))
             short = dep.split(".")[-1]
             if last_segments.count(short) == 1:
                 outputs[dep].createOrReplaceTempView(short)
+            else:
+                spark.catalog.dropTempView(short)
         return spark.sql(sql)
 
     return Model(
@@ -129,8 +134,12 @@ class Pipeline:
                 raise ValueError(f"dependency cycle at {n}")
             seen[n] = 0
             for d in self.models[n].deps:
-                if d in self.models:
-                    visit(d)
+                if d not in self.models:
+                    raise ValueError(
+                        f"model {n!r} depends on unregistered model {d!r} "
+                        f"(registered: {sorted(self.models)})"
+                    )
+                visit(d)
             seen[n] = 1
             order.append(n)
 
@@ -163,7 +172,13 @@ class Pipeline:
                 try:
                     if m.retries > 0:
                         df = retry_with_backoff(
-                            run_step, max_retries=m.retries, delay_seconds=m.retry_delay_seconds
+                            run_step,
+                            max_retries=m.retries,
+                            delay_seconds=m.retry_delay_seconds,
+                            # A missing source is deterministic — retrying
+                            # it just burns max_retries × delay before the
+                            # skip classification below.
+                            should_retry=lambda e: not is_missing_source_error(e),
                         )
                     else:
                         df = run_step()
@@ -205,4 +220,7 @@ class Pipeline:
                 )
                 if status == "failed":
                     break
+                # Warned steps produced no output — dependents must skip,
+                # not crash on a missing outputs[name].
+                skipped.add(name)
         return report

@@ -50,13 +50,16 @@ def _update_user_stats(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+    # total/mx are None until the first non-null value — matching the batch
+    # twin where F.sum/F.max over all-null input return NULL (not 0/-inf).
+    n, total, mx = state.get if state.exists else (0, None, None)
     for pdf in pdfs:
-        vals = pdf["value"].astype(float)
-        n += int(len(vals))
-        total += float(vals.sum())
+        n += int(len(pdf))  # rows counted like F.count(lit(1)) — nulls included
+        vals = pdf["value"].dropna().astype(float)
         if len(vals):
-            mx = max(mx, float(vals.max()))
+            total = (total or 0.0) + float(vals.sum())
+            vmax = float(vals.max())
+            mx = vmax if mx is None else max(mx, vmax)
     state.update((n, total, mx))
     yield pd.DataFrame(
         [{"user_id": user_id, "n_events": n, "total_value": total, "max_value": mx}]
@@ -94,7 +97,7 @@ ALERT_SCHEMA = T.StructType(
 
 _ALERT_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("total", T.DoubleType()),
+        T.StructField("total_cents", T.LongType()),
         T.StructField("n", T.LongType()),
         T.StructField("fired", T.BooleanType()),
     ]
@@ -102,26 +105,39 @@ _ALERT_STATE_SCHEMA = T.StructType(
 
 
 def make_threshold_updater(threshold: float):
+    from decimal import ROUND_HALF_UP, Decimal
+
     def _update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        total, n, fired = state.get if state.exists else (0.0, 0, False)
+        total_cents, n, fired = state.get if state.exists else (0, 0, False)
         out = []
-        for pdf in pdfs:
-            # Rows arrive unordered within a micro-batch — the crossing
-            # point is only well-defined under the (ts, event_id) order.
-            if "ts" in pdf.columns and "event_id" in pdf.columns:
-                pdf = pdf.sort_values(["ts", "event_id"])
-            for v in pdf["value"].astype(float):
-                total += float(v)
+        # Concatenate ALL Arrow chunks of this group's micro-batch before
+        # sorting — per-chunk sorting would make the crossing point depend
+        # on chunk boundaries (maxRecordsPerBatch) for large groups.
+        batch = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(batch):
+            if "ts" in batch.columns and "event_id" in batch.columns:
+                batch = batch.sort_values(["ts", "event_id"])
+            for v in batch["value"].dropna():
+                # Money semantics, matching the batch twin's DECIMAL(18,2)
+                # cast: accumulate exact integer cents (HALF_UP like SQL).
+                cents = int(
+                    Decimal(str(float(v))).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100
+                )
+                total_cents += cents
                 n += 1
-                if not fired and total >= threshold:
+                if not fired and total_cents >= int(round(threshold * 100)):
                     fired = True
                     out.append(
-                        {"user_id": user_id, "cumulative_value": total, "crossed_at_n": n}
+                        {
+                            "user_id": user_id,
+                            "cumulative_value": total_cents / 100.0,
+                            "crossed_at_n": n,
+                        }
                     )
-        state.update((total, n, fired))
+        state.update((total_cents, n, fired))
         yield pd.DataFrame(out, columns=[f.name for f in ALERT_SCHEMA.fields])
 
     return _update
@@ -150,8 +166,13 @@ def threshold_alert_stream(events: DataFrame, threshold: float) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Null values are ignored entirely (not counted, not summed) — same
+    # contract as the streaming updater's dropna.
+    events = events.filter(F.col("value").isNotNull())
     # Decimal-exact prefix sums: engines disagree on float window-sum
-    # association (DuckDB uses segment trees), exact decimals don't.
+    # association (DuckDB uses segment trees), exact decimals don't. The
+    # DECIMAL(18,2) cast is the money contract both twins share (the
+    # streaming path accumulates exact integer cents).
     cum = events.select(
         "user_id",
         "ts",

@@ -140,6 +140,80 @@ def test_mean_word_len_whitespace_insensitive(spark):
     assert a["mean_word_len"] == b["mean_word_len"] == 1.0
 
 
+def test_hash_split_null_keys_error_and_opt_in(spark):
+    from etl_hiscox_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id int")
+    w = {"train": 0.8, "test": 0.2}
+    with pytest.raises(Exception, match="NULL doc_id"):
+        hash_split(df, "doc_id", w).collect()
+    rows = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", w, on_null="last").collect()}
+    assert rows[None] == "test"
+
+
+def test_missing_source_matcher_not_overbroad():
+    from etl_hiscox_spark.plans.errors import is_missing_source_error
+
+    assert is_missing_source_error(FileNotFoundError("x"))
+    assert is_missing_source_error(RuntimeError("[PATH_NOT_FOUND] /a/b"))
+    # real bugs whose messages merely contain 'does not exist' must NOT skip
+    assert not is_missing_source_error(RuntimeError("Partition spec does not exist"))
+    assert not is_missing_source_error(RuntimeError('relation "x" does not exist'))
+
+
+def test_retry_skips_deterministic_errors_immediately():
+    from etl_hiscox_spark.plans.errors import is_missing_source_error, retry_with_backoff
+
+    calls = {"n": 0}
+
+    def missing():
+        calls["n"] += 1
+        raise FileNotFoundError("[PATH_NOT_FOUND] gone")
+
+    with pytest.raises(FileNotFoundError):
+        retry_with_backoff(
+            missing,
+            max_retries=5,
+            delay_seconds=0.5,
+            should_retry=lambda e: not is_missing_source_error(e),
+        )
+    assert calls["n"] == 1  # no retries, no sleeps
+
+
+def test_pipeline_unknown_dep_raises(spark):
+    p = Pipeline(spark)
+    p.add(Model(name="gold.x", fn=lambda s, o: s.range(1), deps=("silver.typo",)))
+    with pytest.raises(ValueError, match="unregistered model"):
+        p.run()
+
+
+def test_warned_quality_step_skips_dependents(spark):
+    def boom(s, o):
+        raise RuntimeError("critical quality alerts")
+
+    p = Pipeline(spark, quality_steps=("quality.claims",))
+    p.add(Model(name="quality.claims", fn=boom))
+    p.add(Model(name="gold.report", fn=lambda s, o: o["quality.claims"], deps=("quality.claims",)))
+    report = p.run()
+    by = {s.name: s.status for s in report.steps}
+    assert by["quality.claims"] == "warned"
+    assert by["gold.report"] == "skipped"  # not a KeyError crash
+    assert report.success
+
+
+def test_stateful_threshold_money_semantics(spark):
+    # streaming and batch twins share the DECIMAL(18,2)/integer-cents
+    # contract: sub-cent values quantize identically on both paths
+    from datetime import datetime
+
+    from etl_hiscox_spark.streaming.stateful import threshold_alert_stream
+
+    rows = [(1, datetime(2024, 1, 1, 10, i % 60, i // 60), i, 0.004) for i in range(1000)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    out = threshold_alert_stream(df, threshold=1.0).collect()
+    assert out == []  # 0.004 rounds to 0.00 cents in the money contract
+
+
 def test_minhash_rejects_indivisible_bands(spark):
     df = spark.createDataFrame([(1, "some text here")], "doc_id long, text string")
     with pytest.raises(ValueError, match="divisible"):
