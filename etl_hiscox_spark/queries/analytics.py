@@ -335,6 +335,69 @@ def a13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a14_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a14_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pivot/crosstab: rows -> columns per category. Conditional aggregates
+    # instead of DataFrame.pivot keep the output schema static (a pivot
+    # with inferred values needs an extra distinct pass and breaks
+    # column-name determinism against an oracle).
+    li = load_table(spark, "lineitem", sf_dir)
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias("n_f"),
+        F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0)).alias("n_o"),
+        F.sum(F.when(F.col("l_linestatus") == "F", qty).otherwise(zero))
+        .cast("double")
+        .alias("qty_f"),
+        F.sum(F.when(F.col("l_linestatus") == "O", qty).otherwise(zero))
+        .cast("double")
+        .alias("qty_o"),
+    )
+
+
+@register(
+    "l6_from_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def l6_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L6 typed variant: from_json with an explicit schema (vs the string
+    # path of l6_json_extraction) — the right form when many fields are
+    # extracted, since the JSON parses once per row, not once per field.
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, "events", sf_dir)
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = ev.withColumn("__p", F.from_json("props", schema))
+    return (
+        parsed.filter(F.col("__p.k").isNotNull())
+        .select(
+            "event_id",
+            F.col("__p.k").alias("k_value"),
+            (F.col("__p.k") % 10).alias("k_bucket"),
+        )
+    )
+
+
+@register(
     "l5_bpe_token_count",
     oracle=r"""
     SELECT doc_id,
