@@ -105,30 +105,70 @@ def exploded_shingles(df: DataFrame, text_col: str, id_col: str, shingle_k: int 
     return long_docs.unionByName(short_docs).distinct()
 
 
+def exploded_shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """(doc, h) rows — one per DISTINCT 64-bit-hashed word-k-gram per doc.
+
+    Same shingle rule as :func:`exploded_shingles`, but the variable-length
+    shingle string is xxhash64'd to a long BEFORE the distinct, so every
+    downstream shuffle, join, and aggregation moves fixed 8-byte keys
+    instead of text. MinHash signatures are unchanged (they always started
+    from this hash); Jaccard counts are exact up to 64-bit hash collisions
+    (~2^-64 per shingle pair — immaterial next to MinHash's own error).
+    """
+    norm = normalize_text(F.col(text_col))
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(norm, " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, shingle_k)]
+    grams = toks.select(
+        "doc",
+        F.concat_ws(" ", *parts).alias("shingle"),
+        parts[-1].isNotNull().alias("__full"),
+    )
+    long_docs = grams.filter(F.col("__full")).select(
+        "doc", F.xxhash64("shingle").alias("h")
+    )
+    short_docs = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            norm.alias("shingle"),
+            F.size(F.split(norm, " ")).alias("__n"),
+        )
+        .filter(F.col("__n") < shingle_k)
+        .select("doc", F.xxhash64("shingle").alias("h"))
+    )
+    return long_docs.unionByName(short_docs).distinct()
+
+
 def minhash_signature_table(
     df: DataFrame,
     text_col: str,
     id_col: str,
     num_hashes: int = 32,
     shingle_k: int = 3,
-    _shingles: DataFrame | None = None,
+    _shingle_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, h0..h{n-1}) minhash signature table.
 
-    Plan: explode shingles → project num_hashes codegen'd xxhash64 columns
-    (seed mixed in as an extra hashed column) → groupBy(doc) min() per
-    column. One shuffle on doc id; partial min() runs map-side so shuffle
-    volume is |docs| × num_hashes longs regardless of corpus size.
+    Plan: explode shingle hashes → project num_hashes codegen'd xxhash64
+    columns (per-permutation seed mixed in as an extra hashed column) →
+    groupBy(doc) min() per column. One shuffle on doc id; partial min()
+    runs map-side so shuffle volume is |docs| × num_hashes longs regardless
+    of corpus size. The num_hashes "permutations" re-hash the fixed-width
+    shingle hash with per-function seeds (xxhash64 of a long is a handful
+    of multiplies — the string pass happened once, upstream).
     """
-    sh = _shingles if _shingles is not None else exploded_shingles(df, text_col, id_col, shingle_k)
-    # The variable-length string is hashed ONCE per shingle; the num_hashes
-    # "permutations" re-hash that fixed-width long with per-function seeds
-    # (xxhash64 of a long is a handful of multiplies — the string pass was
-    # the expensive part). Equivalent hash-family quality, ~2-3× faster
-    # signatures on word-shingle corpora.
-    base = sh.select("doc", F.xxhash64(F.col("shingle")).alias("__h"))
-    hashed = base.select(
-        "doc", *[F.xxhash64(F.col("__h"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    sh = (
+        _shingle_hashes
+        if _shingle_hashes is not None
+        else exploded_shingle_hashes(df, text_col, id_col, shingle_k)
+    )
+    hashed = sh.select(
+        "doc", *[F.xxhash64(F.col("h"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
     )
     return hashed.groupBy("doc").agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
 
@@ -140,7 +180,7 @@ def minhash_candidates(
     num_hashes: int = 32,
     num_bands: int = 8,
     shingle_k: int = 3,
-    _shingles: DataFrame | None = None,
+    _shingle_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
 
@@ -155,7 +195,10 @@ def minhash_candidates(
             f"({num_bands}) — trailing hashes would be computed but never banded"
         )
     rows_per_band = num_hashes // num_bands
-    sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_k, _shingles)
+    sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_k, _shingle_hashes)
+    # Bucket = variadic xxhash64 over the band's signature longs + band id —
+    # no string concat (the cast-to-string + concat_ws form costs an order
+    # of magnitude more codegen and byte traffic for identical recall).
     banded = sig.select(
         "doc",
         F.explode(
@@ -164,13 +207,8 @@ def minhash_candidates(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"h{b * rows_per_band + r}").cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                            F.lit(b),
                         ).alias("bucket"),
                     )
                     for b in range(num_bands)
@@ -199,19 +237,26 @@ def jaccard_pairs(
     id_col: str,
     shingle_k: int = 3,
     threshold: float = 0.0,
-    _shingles: DataFrame | None = None,
+    _shingle_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
-    Relational formulation: |A∩B| = count of matching (pair, shingle) join
-    rows; |A∪B| = |A| + |B| - |A∩B|. All equi-joins + groupBys — codegen'd
-    end-to-end, and intersection work is proportional to actual shingle
-    matches, not |pairs| × |shingles|.
+    Relational formulation: |A∩B| = count of matching (pair, shingle-hash)
+    join rows; |A∪B| = |A| + |B| - |A∩B|. All equi-joins + groupBys —
+    codegen'd end-to-end, and intersection work is proportional to actual
+    shingle matches, not |pairs| × |shingles|. Joining on the 64-bit
+    shingle hash instead of the string keeps the shuffled payload at
+    8 bytes/row (collision error ~2^-64 — see
+    :func:`exploded_shingle_hashes`).
     """
-    sh = _shingles if _shingles is not None else exploded_shingles(df, text_col, id_col, shingle_k)
+    sh = (
+        _shingle_hashes
+        if _shingle_hashes is not None
+        else exploded_shingle_hashes(df, text_col, id_col, shingle_k)
+    )
     counts = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("__n"))
-    a_sh = sh.select(F.col("doc").alias("id_a"), F.col("shingle").alias("__s"))
-    b_sh = sh.select(F.col("doc").alias("id_b"), F.col("shingle").alias("__s"))
+    a_sh = sh.select(F.col("doc").alias("id_a"), F.col("h").alias("__s"))
+    b_sh = sh.select(F.col("doc").alias("id_b"), F.col("h").alias("__s"))
     inter = (
         pairs.join(a_sh, "id_a")
         .join(b_sh, ["id_b", "__s"])
@@ -250,16 +295,22 @@ def near_dedup_minhash(
 
     Returns the surviving rows of ``df``. The drop set is computed as
     "appears as id_b in a confirmed pair" — a left-anti join, no driver
-    collect. The exploded shingle table feeds three plan branches
-    (signature, |A∩B| twice), so it is persisted for the duration of the
-    computation — at cluster scale this is the "write the shingle/signature
-    table once, reuse across stages" pattern.
+    collect. The exploded shingle-hash table feeds three plan branches
+    (signature, |A∩B| twice), so it is materialized once with an eager
+    ``localCheckpoint`` — downstream branches then plan against a short
+    LogicalRDD instead of re-analyzing (and re-codegening) the shingle
+    subtree three times. At cluster scale this is the "write the
+    shingle/signature table once, reuse across stages" pattern; swap for
+    ``checkpoint()`` to a reliable store when executor loss must be
+    tolerated.
     """
-    sh = exploded_shingles(df, text_col, id_col, shingle_k).persist()
+    sh = exploded_shingle_hashes(df, text_col, id_col, shingle_k).localCheckpoint(eager=True)
     cands = minhash_candidates(
-        df, text_col, id_col, num_hashes, num_bands, shingle_k, _shingles=sh
+        df, text_col, id_col, num_hashes, num_bands, shingle_k, _shingle_hashes=sh
+    ).localCheckpoint(eager=True)
+    confirmed = jaccard_pairs(
+        df, cands, text_col, id_col, shingle_k, threshold, _shingle_hashes=sh
     )
-    confirmed = jaccard_pairs(df, cands, text_col, id_col, shingle_k, threshold, _shingles=sh)
     drops = confirmed.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drops, on=id_col, how="left_anti")
 
@@ -349,12 +400,12 @@ def near_dedup_clusters(
     every local minimum of the pair graph); this keeps exactly one doc per
     transitive duplicate cluster.
     """
-    sh = exploded_shingles(df, text_col, id_col, shingle_k).persist()
+    sh = exploded_shingle_hashes(df, text_col, id_col, shingle_k).localCheckpoint(eager=True)
     cands = minhash_candidates(
-        df, text_col, id_col, num_hashes, num_bands, shingle_k, _shingles=sh
-    )
+        df, text_col, id_col, num_hashes, num_bands, shingle_k, _shingle_hashes=sh
+    ).localCheckpoint(eager=True)
     confirmed = jaccard_pairs(
-        df, cands, text_col, id_col, shingle_k, threshold, _shingles=sh
+        df, cands, text_col, id_col, shingle_k, threshold, _shingle_hashes=sh
     ).select("id_a", "id_b")
     comp = connected_components(confirmed)
     drops = comp.filter(F.col("node") != F.col("component")).select(

@@ -186,6 +186,77 @@ def ivf_topk(
     return cosine_topk(candidates, embedding_col, id_col, query_vec, k)
 
 
+def blocked_cosine_pairs_pandas(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """All within-block pairs (id_a < id_b) with cosine above ``threshold``,
+    computed per block as ONE BLAS matrix product (``applyInPandas``).
+
+    This is the scale form of blocked near-pair search: the per-pair cost
+    of an expression-level dot product is O(dim) *interpreted* array work
+    × O(block²) pairs; here each block becomes a single ``mat @ mat.T``
+    (Arrow in, numpy/BLAS inside, pairs-above-threshold out — the n²×dim
+    intermediate never crosses the JVM↔Python boundary). Rows are sorted
+    by id inside each block so output is deterministic. Blocks must fit a
+    worker's memory (n_block² doubles) — for the 100 TB deployment keep
+    blocks ≤ ~50k vectors and split hot blocks upstream (salt + merge, or
+    IVF-subcluster them).
+    """
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    blk_field = df.schema[block_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_field.dataType),
+            T.StructField("id_b", id_field.dataType),
+            T.StructField(block_col, blk_field.dataType),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def emit_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], block_col: [], "cosine_sim": []}
+        )
+        if n < 2:
+            return empty
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[embedding_col]])
+        norms = np.linalg.norm(mat, axis=1)
+        denom = np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom > 0, (mat @ mat.T) / denom, np.nan)
+        ia, ib = np.triu_indices(n, k=1)
+        vals = sims[ia, ib]
+        keep = vals > threshold  # NaN (zero-norm) never passes
+        if not keep.any():
+            return empty
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                block_col: pdf[block_col].iloc[0],
+                "cosine_sim": vals[keep],
+            }
+        )
+
+    emb_double = F.transform(F.col(embedding_col), lambda x: x.cast("double"))
+    # A null block key would still form an applyInPandas group, but the
+    # self-equi-join this operator replaces never matches nulls — keep the
+    # two formulations interchangeable.
+    prepared = df.filter(F.col(block_col).isNotNull()).select(
+        F.col(id_col), F.col(block_col), emb_double.alias(embedding_col)
+    )
+    return prepared.groupBy(block_col).applyInPandas(emit_pairs, schema=out_schema)
+
+
 def batch_cosine_topk_pandas(
     df: DataFrame,
     embedding_col: str,

@@ -165,28 +165,15 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l3_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Embedding-cosine near-dup pairs with a blocking key (label) — the
     # scale pattern: pairs only form inside a block/bucket, never globally.
-    # Norms are computed ONCE per vector (not per pair): same left-fold as
-    # the inline form, so the oracle math is bit-identical, but the
-    # per-pair work drops from 3 array traversals to 1 (the dot product).
-    from etl_hiscox_spark.operators.similarity import dot, l2_norm
+    # Each block is scored as ONE Arrow-batched BLAS matrix product
+    # (blocked_cosine_pairs_pandas) instead of an interpreted per-pair
+    # array fold — the n²·dim flops never cross the JVM↔Python boundary.
+    from etl_hiscox_spark.operators.similarity import blocked_cosine_pairs_pandas
 
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
-    )
-    emb = emb.withColumn("norm", l2_norm(F.col("emb")))
-    a, b = emb.alias("a"), emb.alias("b")
-    sim = F.try_divide(dot(F.col("a.emb"), F.col("b.emb")), F.col("a.norm") * F.col("b.norm"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter(sim > 0.3)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.col("a.label").alias("label"),
-            F.round(sim, 6).alias("cosine_sim"),
-        )
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = blocked_cosine_pairs_pandas(emb, "embedding", "vec_id", "label", threshold=0.3)
+    return pairs.select(
+        "id_a", "id_b", "label", F.round(F.col("cosine_sim"), 6).alias("cosine_sim")
     )
 
 
