@@ -410,3 +410,51 @@ def l5_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # punctuation) — the standard GPT-style split, shared regex subset.
     docs = load_table(spark, "documents", sf_dir)
     return docs.select("doc_id", token_count_regex(F.col("text")).alias("n_bpe_tokens"))
+
+
+@register(
+    "a15_distinct_rollup",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate)
+    """,
+)
+def a15_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact distinct-per-month — the oracle-checked twin of the HLL rollup
+    # below. COUNT(DISTINCT) expands to two-phase aggregation (partial
+    # distinct per partition, then exchange) — fine per month, but every new
+    # rollup grain re-scans the fact table; that's what a16 fixes at scale.
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy(F.trunc(F.col("o_orderdate"), "month").alias("order_month"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register("a16_hll_distinct_rollup")  # rows-only: HLL estimates have no DuckDB twin
+def a16_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mergeable-summary rollup (operators/sketches.py): one pass builds
+    # per-DAY sketches; the month answer merges sketches, never re-reading
+    # orders. At 100 TB the partials table is the thing you materialize —
+    # every coarser question (quarter, region, all-time) is a sketch merge.
+    # Tests pin each month's estimate within HLL tolerance of a15's exact.
+    from etl_hiscox_spark.operators.sketches import hll_partials, hll_rollup
+
+    orders = load_table(spark, "orders", sf_dir)
+    daily = hll_partials(
+        orders.withColumn("order_day", F.date_trunc("day", F.col("o_orderdate"))),
+        ["order_day"],
+        "o_custkey",
+    )
+    monthly = hll_rollup(
+        daily.withColumn("order_month", F.trunc(F.col("order_day"), "month")),
+        ["order_month"],
+        alias="approx_customers",
+    )
+    return monthly.select("order_month", F.col("approx_customers").cast("bigint").alias("approx_customers"))

@@ -121,3 +121,63 @@ def seed_load(spark: SparkSession, csv_path: str, target_path: str) -> DataFrame
     df = read_csv(spark, csv_path)
     materialize(df, target_path)
     return df
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_by: tuple[str, ...]
+) -> None:
+    """Overwrite ONLY the partitions present in ``df`` (dynamic mode).
+
+    The daily-reprocess primitive at scale: re-running one day's pipeline
+    replaces that day's directory and leaves every other partition's files
+    untouched — no read-modify-write of the whole table, no window where
+    unrelated data is missing. Static overwrite (Spark's default) would
+    truncate the entire table first.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    sort_by: tuple[str, ...] = (),
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_mb``-sized files.
+
+    Streaming sinks and fine-grained partitioned appends accumulate
+    thousands of KB-scale files; at 100 TB that's a scan-planning and
+    NameNode/S3-LIST tax on every reader. Sizing from the actual on-disk
+    bytes (not row counts) keeps the result stable across schema width.
+    Returns the output file count. Write-to-tmp + swap because the plan
+    lazily reads ``path`` — overwriting in place would delete its own
+    input mid-job. At scale this is table-format ``OPTIMIZE``; same
+    semantics here for plain parquet.
+    """
+    import shutil
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_by:
+        cols = [F.col(c) for c in sort_by]
+        out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    else:
+        out = df.repartition(n_files)
+    tmp = path.rstrip("/") + "__compact"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return sum(
+        1 for root, _, files in os.walk(path) for f in files if f.endswith(".parquet")
+    )
