@@ -109,3 +109,113 @@ def reservoir_per_key(
         descending=False,
         rank_col="__rank",
     ).drop("__r", "__rank")
+
+
+def mixture_sample(
+    sources: Mapping[str, DataFrame],
+    weights: Mapping[str, float],
+    key: str,
+    seed: int = 0,
+    source_col: str = "source",
+) -> DataFrame:
+    """Draw the largest corpus that follows a target source mixture.
+
+    ``weights`` is the desired composition (e.g. {"web": 0.7, "code": 0.3});
+    the achievable total is capped by the scarcest source
+    (T = min(n_i / w_i)), every other source is downsampled to w_i·T rows
+    in expectation. Selection is a pure function of (key, seed) —
+    xxhash64-uniform per row under a fraction threshold — so re-runs and
+    re-partitions reproduce the same corpus exactly (unlike ``sample``,
+    whose output depends on partition layout). Source sizes come from
+    ``count()`` — at scale that's parquet footer metadata, not a scan.
+
+    Returns the union with a ``source`` tag column; schemas must match.
+    """
+    if set(sources) != set(weights):
+        raise ValueError(f"sources {sorted(sources)} != weights {sorted(weights)}")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    norm = {k: w / total_w for k, w in weights.items()}
+    counts = {k: df.count() for k, df in sources.items()}
+    for k, n in counts.items():
+        if n == 0:
+            raise ValueError(f"source {k!r} is empty — mixture unachievable")
+    t_max = min(counts[k] / w for k, w in norm.items() if w > 0)
+    out = None
+    for name, df in sources.items():
+        frac = min(1.0, norm[name] * t_max / counts[name])
+        # xxhash64 → uniform in [0, 1): shift to non-negative 63-bit space.
+        u = (F.shiftrightunsigned(F.xxhash64(F.col(key), F.lit(seed)), 1)) / F.lit(float(2**63))
+        picked = df.filter(u < F.lit(frac)).withColumn(source_col, F.lit(name))
+        out = picked if out is None else out.unionByName(picked)
+    return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_groups: int = 256,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Assign documents to training shards ("packs") of ≤ ``budget`` tokens.
+
+    The pre-tokenization step of sequence packing: greedy first-fit-
+    decreasing runs independently inside ``n_groups`` hash groups
+    (``applyInPandas`` — one shuffle, each group packs locally, pack ids
+    are globally unique via the group prefix). FFD within a group wastes
+    <~22% of OPT in the worst case and far less in practice; running it
+    per hash group instead of globally costs at most one underfull pack
+    per group — negligible when groups hold thousands of documents, and
+    it's what makes the algorithm distribute. Documents longer than the
+    budget get a singleton pack (callers truncate/split downstream).
+    Deterministic: group = xxhash64(id), ties broken by id.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField(token_col, T.LongType()),
+            T.StructField(pack_col, T.StringType()),
+        ]
+    )
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = int(pdf["__grp"].iloc[0])
+        pdf = pdf.sort_values([token_col, id_col], ascending=[False, True])
+        bins: list[int] = []  # remaining capacity per open pack
+        assign: list[str] = []
+        order = []
+        for _, row in pdf.iterrows():
+            tok = int(row[token_col])
+            placed = None
+            for i, rem in enumerate(bins):
+                if tok <= rem:
+                    bins[i] = rem - tok
+                    placed = i
+                    break
+            if placed is None:
+                bins.append(max(0, budget - tok))
+                placed = len(bins) - 1
+            assign.append(f"{grp}-{placed}")
+            order.append(row[id_col])
+        return pd.DataFrame(
+            {
+                id_col: order,
+                token_col: pdf[token_col].astype("int64").values,
+                pack_col: assign,
+            }
+        )
+
+    prepared = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias(token_col),
+        (F.shiftrightunsigned(F.xxhash64(F.col(id_col)), 1) % n_groups).alias("__grp"),
+    )
+    return prepared.groupBy("__grp").applyInPandas(pack_group, schema=out_schema)

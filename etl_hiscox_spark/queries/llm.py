@@ -412,3 +412,41 @@ def t3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint64("text").alias("fp64"),
         content_hash("text").alias("sha256_hash"),
     )
+
+
+@register("t7_mixture_sample")  # rows-only: xxhash64 selection has no DuckDB twin
+def t7_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus composition: draw the largest corpus with a 60/40 en/non-en
+    # mix (operators/sampling.mixture_sample). Selection is a pure function
+    # of (doc_id, seed), so the drawn corpus is identical across re-runs
+    # and re-partitions; the scarcer source caps the total and survives
+    # whole. Output: per-source doc counts + token mass.
+    from etl_hiscox_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    en = docs.filter(F.col("lang") == "en")
+    rest = docs.filter(F.col("lang") != "en")
+    mixed = mixture_sample({"en": en, "other": rest}, {"en": 0.6, "other": 0.4}, key="doc_id")
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+
+
+@register("t8_pack_sequences")  # rows-only: greedy FFD packing is not SQL-expressible
+def t8_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token-budget shard packing (operators/sampling.pack_sequences): FFD
+    # inside hash groups, globally-unique pack ids, ≤2048 tokens per pack
+    # (oversized docs → singleton packs). Output: per-pack doc count and
+    # fill — the shape a training-shard writer consumes.
+    from etl_hiscox_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=2048, n_groups=16)
+    return (
+        packed.groupBy("pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .orderBy("pack_id")
+    )

@@ -1,0 +1,96 @@
+"""Tests for corpus-composition operators: mixture_sample (target source
+mix, deterministic by key hash) and pack_sequences (token-budget shard
+packing via per-group FFD)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_hiscox_spark.operators.sampling import mixture_sample, pack_sequences
+
+
+def _corpus(spark, name, n):
+    return spark.range(n).select(
+        F.concat(F.lit(name + "-"), F.col("id")).alias("doc_id"),
+        F.lit(name).alias("origin"),
+    )
+
+
+def test_mixture_sample_hits_target_proportions(spark):
+    # web is abundant, code is scarce: code caps the total (T = n_code/0.3),
+    # so ~all code survives and web is downsampled to 0.7/0.3 × n_code.
+    web, code = _corpus(spark, "web", 20000), _corpus(spark, "code", 3000)
+    out = mixture_sample(
+        {"web": web, "code": code}, {"web": 0.7, "code": 0.3}, key="doc_id"
+    )
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["code"] == 3000  # scarcest source kept whole (frac == 1)
+    expected_web = 0.7 / 0.3 * 3000
+    assert abs(counts["web"] - expected_web) / expected_web < 0.05
+
+
+def test_mixture_sample_deterministic_across_partitioning(spark):
+    web, code = _corpus(spark, "web", 5000), _corpus(spark, "code", 1000)
+    a = mixture_sample({"web": web, "code": code}, {"web": 0.5, "code": 0.5}, key="doc_id")
+    b = mixture_sample(
+        {"web": web.repartition(13), "code": code.repartition(7)},
+        {"web": 0.5, "code": 0.5},
+        key="doc_id",
+    )
+    assert {r.doc_id for r in a.collect()} == {r.doc_id for r in b.collect()}
+    # A different seed draws a different corpus.
+    c = mixture_sample({"web": web, "code": code}, {"web": 0.5, "code": 0.5}, key="doc_id", seed=1)
+    assert {r.doc_id for r in a.collect()} != {r.doc_id for r in c.collect()}
+
+
+def test_mixture_sample_rejects_mismatch_and_empty(spark):
+    web = _corpus(spark, "web", 10)
+    with pytest.raises(ValueError, match="!= weights"):
+        mixture_sample({"web": web}, {"web": 0.5, "code": 0.5}, key="doc_id")
+    empty = web.filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        mixture_sample({"web": web, "code": empty}, {"web": 0.5, "code": 0.5}, key="doc_id")
+
+
+def test_pack_sequences_respects_budget(spark):
+    df = spark.range(2000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        (F.shiftrightunsigned(F.xxhash64("id"), 1) % 900 + 50).alias("n_tokens"),
+    )
+    packed = pack_sequences(df, "doc_id", "n_tokens", budget=2048, n_groups=8)
+    # Every doc exactly once.
+    assert packed.count() == 2000
+    assert packed.select("doc_id").distinct().count() == 2000
+    # Every pack within budget (max token here is 949 < budget, so no
+    # singleton-overflow exception applies).
+    sums = packed.groupBy("pack_id").agg(F.sum("n_tokens").alias("s")).collect()
+    assert all(r.s <= 2048 for r in sums)
+    # FFD should land well above half-full on average (not one doc per pack).
+    import statistics
+
+    fills = [r.s / 2048 for r in sums]
+    assert statistics.mean(fills) > 0.5
+
+
+def test_pack_sequences_oversized_doc_gets_singleton(spark):
+    df = spark.createDataFrame(
+        [("big", 5000), ("a", 100), ("b", 200)], ["doc_id", "n_tokens"]
+    )
+    packed = pack_sequences(df, "doc_id", "n_tokens", budget=1024, n_groups=2)
+    rows = {r.doc_id: r.pack_id for r in packed.collect()}
+    mates = [d for d, p in rows.items() if p == rows["big"] and d != "big"]
+    assert mates == []  # nothing shares the oversized doc's pack
+
+
+def test_pack_sequences_deterministic(spark):
+    df = spark.range(500).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        (F.col("id") % 300 + 1).alias("n_tokens"),
+    )
+    a = {(r.doc_id, r.pack_id) for r in pack_sequences(df, "doc_id", "n_tokens", 1024).collect()}
+    b = {
+        (r.doc_id, r.pack_id)
+        for r in pack_sequences(df.repartition(11), "doc_id", "n_tokens", 1024).collect()
+    }
+    assert a == b
