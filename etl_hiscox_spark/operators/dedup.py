@@ -70,39 +70,44 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # signature is [min_i over shingles] — computed with array exprs, no UDF.
 
 
-def exploded_shingles(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3) -> DataFrame:
-    """(doc, shingle) rows — one per DISTINCT word-k-gram per doc.
+def _shingle_grams(df: DataFrame, text_col: str, id_col: str, shingle_k: int) -> DataFrame:
+    """(doc, shingle-string) rows, duplicates included — shared plan stem.
 
-    Formulation: posexplode tokens → window ``lead`` per doc to assemble
-    k-grams → distinct. Entirely codegen'd; both the array-lambda
-    (``F.transform`` + slice) and explode-of-array-expression versions run
-    interpreted per element and measured ~6× slower on the sf0.1 corpus.
+    Formulation: split once → explode a ``sequence`` of k-gram start
+    positions → assemble each k-gram with ``element_at`` (all codegen'd
+    expressions). ZERO shuffles: unlike the window-``lead`` form (which
+    shuffles and sorts the whole token table by (doc, pos) — the entire
+    corpus at 100 TB), the generate and projection stay in the scan stage.
+    Array-lambda forms (``F.transform`` + slice) run interpreted per
+    element in Spark 4 and measured ~6× slower on the sf0.1 corpus.
     Docs shorter than k tokens contribute their whole normalized text as a
     single shingle (same rule as :func:`...functions.text.shingles`).
     """
     norm = normalize_text(F.col(text_col))
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(F.split(norm, " ")).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, shingle_k)]
-    grams = toks.select(
-        "doc",
-        F.concat_ws(" ", *parts).alias("shingle"),
-        parts[-1].isNotNull().alias("__full"),
-    )
-    long_docs = grams.filter(F.col("__full")).select("doc", "shingle")
-    short_docs = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            norm.alias("shingle"),
-            F.size(F.split(norm, " ")).alias("__n"),
+    base = df.select(F.col(id_col).alias("doc"), F.split(norm, " ").alias("__t"))
+    long_docs = (
+        base.filter(F.size("__t") >= shingle_k)
+        .select(
+            "doc",
+            "__t",
+            F.explode(F.sequence(F.lit(1), F.size("__t") - (shingle_k - 1))).alias("__i"),
         )
-        .filter(F.col("__n") < shingle_k)
-        .select("doc", "shingle")
+        .select(
+            "doc",
+            F.concat_ws(
+                " ", *[F.element_at("__t", F.col("__i") + j) for j in range(shingle_k)]
+            ).alias("shingle"),
+        )
     )
-    return long_docs.unionByName(short_docs).distinct()
+    short_docs = base.filter(F.size("__t") < shingle_k).select(
+        "doc", F.concat_ws(" ", "__t").alias("shingle")
+    )
+    return long_docs.unionByName(short_docs)
+
+
+def exploded_shingles(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3) -> DataFrame:
+    """(doc, shingle) rows — one per DISTINCT word-k-gram per doc."""
+    return _shingle_grams(df, text_col, id_col, shingle_k).distinct()
 
 
 def exploded_shingle_hashes(
@@ -113,35 +118,16 @@ def exploded_shingle_hashes(
     Same shingle rule as :func:`exploded_shingles`, but the variable-length
     shingle string is xxhash64'd to a long BEFORE the distinct, so every
     downstream shuffle, join, and aggregation moves fixed 8-byte keys
-    instead of text. MinHash signatures are unchanged (they always started
-    from this hash); Jaccard counts are exact up to 64-bit hash collisions
-    (~2^-64 per shingle pair — immaterial next to MinHash's own error).
+    instead of text (the only shuffle here is the distinct itself).
+    MinHash signatures are unchanged (they always started from this hash);
+    Jaccard counts are exact up to 64-bit hash collisions (~2^-64 per
+    shingle pair — immaterial next to MinHash's own error).
     """
-    norm = normalize_text(F.col(text_col))
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(F.split(norm, " ")).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, shingle_k)]
-    grams = toks.select(
-        "doc",
-        F.concat_ws(" ", *parts).alias("shingle"),
-        parts[-1].isNotNull().alias("__full"),
-    )
-    long_docs = grams.filter(F.col("__full")).select(
-        "doc", F.xxhash64("shingle").alias("h")
-    )
-    short_docs = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            norm.alias("shingle"),
-            F.size(F.split(norm, " ")).alias("__n"),
-        )
-        .filter(F.col("__n") < shingle_k)
+    return (
+        _shingle_grams(df, text_col, id_col, shingle_k)
         .select("doc", F.xxhash64("shingle").alias("h"))
+        .distinct()
     )
-    return long_docs.unionByName(short_docs).distinct()
 
 
 def minhash_signature_table(
