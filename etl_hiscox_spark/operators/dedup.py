@@ -235,10 +235,12 @@ def jaccard_pairs(
     8 bytes/row (collision error ~2^-64 — see
     :func:`exploded_shingle_hashes`).
     """
+    # The shingle table feeds three plan branches (a-side, b-side, counts);
+    # materialize it once instead of re-deriving the subtree per branch.
     sh = (
         _shingle_hashes
         if _shingle_hashes is not None
-        else exploded_shingle_hashes(df, text_col, id_col, shingle_k)
+        else exploded_shingle_hashes(df, text_col, id_col, shingle_k).localCheckpoint(eager=True)
     )
     counts = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("__n"))
     a_sh = sh.select(F.col("doc").alias("id_a"), F.col("h").alias("__s"))
