@@ -433,6 +433,34 @@ def t7_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t9_chunk_documents",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+    ), starts AS (
+      SELECT doc_id, tk,
+             unnest(range(1, greatest(len(tk) - 16, 1) + 1, 48)) AS s
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+           len(tk[s:least(s + 63, len(tk))]) AS n_tokens,
+           array_to_string(tk[s:least(s + 63, len(tk))], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def t9_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Overlapping token-window chunking (operators/chunking): 64-token
+    # chunks, 16-token overlap (stride 48). Zero-shuffle — the explode and
+    # slice stay in the scan stage; the oracle materializes the identical
+    # start-position arithmetic in DuckDB list SQL.
+    from etl_hiscox_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_documents(docs, "text", "doc_id", chunk_size=64, overlap=16)
+
+
 @register("t8_pack_sequences")  # rows-only: greedy FFD packing is not SQL-expressible
 def t8_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Token-budget shard packing (operators/sampling.pack_sequences): FFD
