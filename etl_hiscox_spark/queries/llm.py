@@ -177,6 +177,132 @@ def l3_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "v1_embedding_norms",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e
+    )
+    SELECT vec_id, label, len(v) AS dim,
+           ROUND(nrm, 6) AS norm,
+           ROUND(CASE WHEN nrm = 0 THEN v[1] ELSE v[1] / nrm END, 6) AS first_unit
+    FROM n
+    """,
+)
+def v1_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Vector ops (operators/vectors): L2 norm + normalization, expression
+    # tier. first_unit pins the normalized content, not just the norm.
+    from etl_hiscox_spark.operators.similarity import l2_norm
+    from etl_hiscox_spark.operators.vectors import l2_normalize
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size(v).alias("dim"),
+        F.round(l2_norm(v), 6).alias("norm"),
+        F.round(F.element_at(l2_normalize(v), 1), 6).alias("first_unit"),
+    )
+
+
+@register(
+    "v2_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e
+    ), q AS (
+      SELECT vec_id, scale, v,
+             CASE WHEN scale = 0
+                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) END AS codes
+      FROM s
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           list_max(list_transform(range(1, len(v) + 1),
+                                   i -> abs(codes[i] * scale - v[i]))) AS max_err
+    FROM q
+    """,
+)
+def v2_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Symmetric int8 quantization (operators/vectors.quantize_int8):
+    # scale = max|x|/127 and per-component values are arithmetic only (no
+    # float summation), so scale and max_err hash bit-exact vs DuckDB;
+    # code_sum is integer-exact.
+    from etl_hiscox_spark.operators.vectors import dequantize_int8, quantize_int8
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    codes, scale = quantize_int8(v)
+    base = emb.select("vec_id", v.alias("v"), codes.alias("codes"), scale.alias("scale"))
+    err = F.zip_with(
+        dequantize_int8(F.col("codes"), F.col("scale")),
+        F.col("v"),
+        lambda d, x: F.abs(d - x),
+    )
+    return base.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda acc, q: acc + q.cast("long")
+        ).alias("code_sum"),
+        F.aggregate(err, F.lit(0.0), lambda m, x: F.greatest(m, x)).alias("max_err"),
+    )
+
+
+_RP_DIM_OUT = 4
+
+
+def _rp_matrix():
+    from etl_hiscox_spark.operators.vectors import random_projection_matrix
+
+    return random_projection_matrix(dim_in=64, dim_out=_RP_DIM_OUT, seed=7)
+
+
+def _rp_oracle() -> str:
+    rows = _rp_matrix()
+    outs = ", ".join(
+        f"ROUND(list_dot_product(v, [{', '.join(repr(float(x)) for x in row)}]), 6) AS p{i}"
+        for i, row in enumerate(rows)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT vec_id, {outs} FROM e
+    """
+
+
+@register("v3_random_projection", oracle=_rp_oracle())
+def v3_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Johnson–Lindenstrauss random projection 64→4, seeded matrix shipped
+    # as literals to BOTH engines (the oracle SQL embeds the same numpy
+    # matrix). Expression tier for parity; transform_vectors_pandas is the
+    # BLAS path for real dim_out (tests pin they agree).
+    from etl_hiscox_spark.operators.vectors import project_expr
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    proj = project_expr(v, _rp_matrix())
+    return emb.select(
+        "vec_id",
+        *[
+            F.round(F.element_at(proj, i + 1), 6).alias(f"p{i}")
+            for i in range(_RP_DIM_OUT)
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # L4/L5: text stats, tokenization
 # ---------------------------------------------------------------------------
