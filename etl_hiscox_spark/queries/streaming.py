@@ -173,3 +173,59 @@ def x6_stateful_dedup_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         descending=False,
     )
     return out.drop("__w")
+
+
+@register(
+    "x9_stream_static_enrich",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def x9_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # X8 batch twin: stream enriched by a static dim (J3's streaming form —
+    # the dim broadcasts per micro-batch; real readStream execution is
+    # asserted batch-equal in tests/test_streaming.py).
+    from etl_hiscox_spark.streaming.ops import stream_static_join
+
+    ev = load_table(spark, "events", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    joined = stream_static_join(ev, cust, ev.user_id == cust.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "x10_click_purchase_join",
+    oracle="""
+    SELECT l.user_id AS user_id,
+           COUNT(*) AS n_pairs,
+           MIN(r.ts) AS first_purchase_ts
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') l
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    GROUP BY l.user_id
+    """,
+)
+def x10_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # X9 batch twin: watermarked stream-stream join — purchases within 30
+    # minutes after a click, per user. The time bound is what makes state
+    # evictable in the streaming run (tests assert stream==batch).
+    from etl_hiscox_spark.streaming.ops import stream_stream_join
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = stream_stream_join(
+        clicks, purchases, key="user_id", watermark="10 minutes", max_delay="30 minutes"
+    )
+    return joined.groupBy(F.col("l.user_id").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.col("r.ts")).alias("first_purchase_ts"),
+    )

@@ -126,6 +126,62 @@ def session_agg(
     return df.groupBy(F.session_window(F.col(ts_col), gap), *keys).agg(*aggs)
 
 
+# -- X8/X9: streaming joins --------------------------------------------------
+
+
+def stream_static_join(
+    stream: DataFrame, static: DataFrame, on: Sequence[str] | Column, how: str = "inner"
+) -> DataFrame:
+    """Enrich a stream with a static dimension table.
+
+    Stateless: each micro-batch joins against the (snapshot of the) static
+    side, so a small dim broadcasts per batch — the streaming twin of J3.
+    The static side is re-read per batch for file sources, which is what
+    makes slowly-changing dims pick up updates without restart. Identical
+    call works in batch mode (the batch twin IS the same join).
+    """
+    return stream.join(static, on, how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    max_delay: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a bounded time condition:
+    right event within [left_ts, left_ts + max_delay].
+
+    Both sides buffer in the state store; the watermark + time bound is
+    what lets Spark evict matched/expired rows — without the time bound
+    state grows forever. State size ≈ input rate × (watermark + max_delay)
+    per side: size the state store (RocksDB at scale) for that product.
+    Column names must be disjoint apart from the join key(s); timestamps
+    keep their side's name. Works identically in batch mode (watermarks
+    are no-ops there), which is the correctness twin the tests use.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    l, r = left.alias("l"), right.alias("r")
+    cond = None
+    for k in keys:
+        eq = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, how)
+
+
 # -- X6: stateful dedup ------------------------------------------------------
 
 

@@ -127,3 +127,48 @@ def test_foreach_batch_idempotent_upsert(spark, tmp_path):
     got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
     assert got == {1: "a", 2: "b2", 3: "c"}
     assert os.path.exists(target)
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir, tmp_path):
+    from etl_hiscox_spark.streaming.ops import stream_static_join
+
+    path = _events_parquet(spark, sf_dir, tmp_path)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    stream = stream_from_parquet(spark, path)
+    enriched = stream_static_join(stream, cust, stream.user_id == cust.c_custkey).groupBy(
+        "c_mktsegment"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    run_available_now_to_memory(enriched, "ss_join", output_mode="complete")
+    got = {r.c_mktsegment: r.n for r in spark.table("ss_join").collect()}
+    batch = spark.read.parquet(path)
+    want = {
+        r.c_mktsegment: r.n
+        for r in stream_static_join(batch, cust, batch.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
+    from etl_hiscox_spark.streaming.ops import stream_stream_join
+
+    path = _events_parquet(spark, sf_dir, tmp_path)
+
+    def pairs(src):
+        clicks = src.filter(F.col("event_type") == "click").select("user_id", "ts")
+        buys = src.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+        return stream_stream_join(
+            clicks, buys, key="user_id", watermark="10 minutes", max_delay="30 minutes"
+        ).select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.ts").alias("click_ts"),
+            F.col("r.ts").alias("purchase_ts"),
+        )
+
+    stream_out = pairs(stream_from_parquet(spark, path))
+    run_available_now_to_memory(stream_out, "s2s_join", output_mode="append")
+    got = sorted(map(tuple, spark.table("s2s_join").collect()))
+    want = sorted(map(tuple, pairs(spark.read.parquet(path)).collect()))
+    assert got == want and len(want) > 0
