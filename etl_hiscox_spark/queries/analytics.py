@@ -464,3 +464,104 @@ def a16_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         alias="approx_customers",
     )
     return monthly.select("order_month", F.col("approx_customers").cast("bigint").alias("approx_customers"))
+
+
+@register(
+    "g8_large_order_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(tq AS DOUBLE) AS total_qty
+    FROM big JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+    ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20
+    """,
+)
+def g8_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q18 shape: HAVING on a grouped sum, then join out to the
+    # customer. Spark-first plan: the HAVING filter runs on the pre-agg
+    # BEFORE any join (the big table collapses to qualifying orderkeys —
+    # at 100 TB the join input is the handful of jumbo orders, not
+    # lineitem), then orders join + broadcast-size customer lookup, then
+    # TakeOrderedAndProject for the top-k.
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("tq"))
+        .filter(F.col("tq") > 200)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("tq").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "g9_exclusive_late_supplier",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+    ), late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM l JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 100 DAY
+    )
+    SELECT s_name, s.l_suppkey AS suppkey,
+           COUNT(DISTINCT s.l_orderkey) AS n_orders
+    FROM late s JOIN supplier ON s.l_suppkey = s_suppkey
+    WHERE EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = s.l_orderkey
+                    AND l2.l_suppkey <> s.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = s.l_orderkey
+                        AND l3.l_suppkey <> s.l_suppkey)
+    GROUP BY s_name, s.l_suppkey
+    """,
+)
+def g9_exclusive_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    # multi-supplier order ("late" = shipped >100 days after order date —
+    # this dataset has no commitdate). The oracle states it with the
+    # classic correlated EXISTS / NOT EXISTS; the Spark plan rewrites both
+    # subqueries into ONE aggregation over the joined fact: per order,
+    # count distinct suppliers, count distinct late suppliers, and keep
+    # the lone late supplier via max(). Two shuffles total (orderkey agg,
+    # suppkey agg) instead of two correlated self-joins over lineitem —
+    # the rewrite that matters at 100 TB.
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 100 DAY")).alias(
+            "is_late"
+        ),
+    )
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    exclusive = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    return (
+        exclusive.groupBy(F.col("late_supp").alias("suppkey"))
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .join(F.broadcast(supplier), F.col("suppkey") == supplier.s_suppkey)
+        .select("s_name", "suppkey", "n_orders")
+    )
