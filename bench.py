@@ -45,6 +45,12 @@ HEADLINE = [
     "t4_vocabulary",
     "x3_tumbling_window",
     "x5_session_window",
+    "x10_click_purchase_join",
+    "g8_large_order_customers",
+    "g9_exclusive_late_supplier",
+    "t9_chunk_documents",
+    "v2_quantize_int8",
+    "t8_pack_sequences",
 ]
 
 

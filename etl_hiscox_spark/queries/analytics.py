@@ -553,15 +553,22 @@ def g9_exclusive_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_late"
         ),
     )
-    per_order = joined.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
-        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
+    # Two-level aggregation instead of countDistinct×2: collapsing to one
+    # row per (order, supplier) first keeps the plan Expand-free (a double
+    # countDistinct triples the shuffle via Expand), and the second agg
+    # then needs only plain counts.
+    per_supp = joined.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count_if("supp_late").alias("n_late_supp"),
+        F.max(F.when(F.col("supp_late"), F.col("l_suppkey"))).alias("late_supp"),
     )
     exclusive = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     return (
         exclusive.groupBy(F.col("late_supp").alias("suppkey"))
-        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
         .join(F.broadcast(supplier), F.col("suppkey") == supplier.s_suppkey)
         .select("s_name", "suppkey", "n_orders")
     )

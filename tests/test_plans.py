@@ -72,3 +72,20 @@ def test_windows_are_partitioned(spark, sf_dir, name):
     # un-partitioned window => 'Window [..] ORDER BY' without PartitionBy spec;
     # cheap proxy: hashpartitioning on the window key must appear
     assert "hashpartitioning" in plan
+
+
+def test_chunking_has_zero_exchanges(spark, sf_dir):
+    # chunk_documents must stay in the scan stage — any Exchange means the
+    # corpus is being shuffled just to slice it.
+    plan = _plan(spark, sf_dir, "t9_chunk_documents")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the sequence-explode
+
+
+def test_exclusive_late_supplier_expand_free(spark, sf_dir):
+    # The EXISTS/NOT-EXISTS rewrite must not plan a multi-countDistinct
+    # Expand (which triples shuffle volume) nor any join against lineitem
+    # beyond the single orders join + broadcast supplier lookup.
+    plan = _plan(spark, sf_dir, "g9_exclusive_late_supplier")
+    assert "Expand" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
