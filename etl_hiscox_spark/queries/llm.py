@@ -587,6 +587,87 @@ def t9_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, "text", "doc_id", chunk_size=64, overlap=16)
 
 
+@register(
+    "t10_repetition_stats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                    ELSE [array_to_string(t, ' ')] END) AS g
+      FROM toks
+    ), pg AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS total_ngrams,
+           COUNT(*) AS distinct_ngrams,
+           CAST(MAX(c) AS BIGINT) AS top_ngram_count
+    FROM pg GROUP BY doc_id
+    """,
+)
+def t10_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style duplicate-bigram profile (operators/quality_filters):
+    # exact integer counts so thresholding is float-free. Shuffle volume is
+    # |distinct grams| (map-side combined), not |tokens|.
+    from etl_hiscox_spark.operators.quality_filters import repetition_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return repetition_stats(docs, "text", "doc_id", ngram=2)
+
+
+@register(
+    "t11_gopher_flags",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), stats AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_word_len,
+             len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha_words,
+             len(list_filter(t, x -> list_contains({_EN_STOP_SQL}, x))) AS n_stop_hits
+      FROM toks
+    )
+    SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stop_hits,
+           CAST(n_words >= 10 AND n_words <= 100000 AS INT) AS ok_n_words,
+           CAST(sum_word_len >= 2 * n_words AND sum_word_len <= 10 * n_words AS INT)
+             AS ok_mean_word_len,
+           CAST(100 * n_alpha_words >= 80 * n_words AS INT) AS ok_alpha_words,
+           CAST(n_stop_hits >= 2 AS INT) AS ok_stopwords,
+           CAST(n_words >= 10 AND n_words <= 100000
+                AND sum_word_len >= 2 * n_words AND sum_word_len <= 10 * n_words
+                AND 100 * n_alpha_words >= 80 * n_words
+                AND n_stop_hits >= 2 AS INT) AS keep
+    FROM stats
+    """,
+)
+def t11_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher quality gates as integer cross-multiplications — zero float
+    # division, so the keep decision is bit-identical in any engine.
+    from etl_hiscox_spark.operators.quality_filters import gopher_flags
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = gopher_flags(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_words",
+        "sum_word_len",
+        "n_alpha_words",
+        "n_stop_hits",
+        *[
+            F.col(c).cast("int").alias(c)
+            for c in ("ok_n_words", "ok_mean_word_len", "ok_alpha_words", "ok_stopwords", "keep")
+        ],
+    )
+
+
 @register("t8_pack_sequences")  # rows-only: greedy FFD packing is not SQL-expressible
 def t8_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Token-budget shard packing (operators/sampling.pack_sequences): FFD

@@ -1,0 +1,55 @@
+"""Tests for corpus quality filters: repetition stats and Gopher flags."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_hiscox_spark.operators.quality_filters import gopher_flags, repetition_stats
+
+
+def test_repetition_stats_flags_looping_text(spark):
+    rows = [
+        ("loop", "the cat sat " * 20),          # one bigram dominates
+        ("fresh", " ".join(f"w{i}" for i in range(40))),  # all bigrams unique
+        ("single", "hello"),                     # shorter than the n-gram
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in repetition_stats(df, "text", "doc_id", ngram=2).collect()}
+    loop = out["loop"]
+    assert loop.top_ngram_count > loop.total_ngrams // 3  # dominated by repeats
+    assert loop.distinct_ngrams <= 3
+    fresh = out["fresh"]
+    assert fresh.distinct_ngrams == fresh.total_ngrams == 39
+    assert fresh.top_ngram_count == 1
+    assert out["single"].total_ngrams == 1  # whole-text fallback gram
+
+
+def test_gopher_flags_each_gate(spark):
+    good = "the quick brown fox jumps over the lazy dog and then it runs away home"
+    rows = [
+        ("good", good),
+        ("short", "too few words here"),                       # fails n_words
+        ("symbols", " ".join(["$$$"] * 30)),                   # fails alpha + stopwords
+        ("longwords", " ".join(["pneumonoultramicroscopics"] * 30)),  # fails mean len
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_flags(df, "text", "doc_id").collect()}
+    assert out["good"].keep
+    assert not out["short"].ok_n_words and not out["short"].keep
+    assert not out["symbols"].ok_alpha_words and not out["symbols"].ok_stopwords
+    assert not out["longwords"].ok_mean_word_len
+    # signals are exact integers
+    g = out["good"]
+    assert g.n_words == len(good.split())
+    assert g.sum_word_len == sum(len(w) for w in good.split())
+
+
+def test_gopher_flags_keep_is_conjunction(spark):
+    df = spark.createDataFrame(
+        [("d", "the cat and the dog sat on the warm mat together all day long")],
+        ["doc_id", "text"],
+    )
+    r = gopher_flags(df, "text", "doc_id").first()
+    assert r.keep == (
+        r.ok_n_words and r.ok_mean_word_len and r.ok_alpha_words and r.ok_stopwords
+    )
