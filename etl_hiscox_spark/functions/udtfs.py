@@ -14,7 +14,7 @@ test suite pins both to identical output so neither can drift.
 
 from __future__ import annotations
 
-from pyspark.sql.functions import lit, udtf
+from pyspark.sql.functions import udtf
 from pyspark.sql.session import SparkSession
 
 
@@ -27,8 +27,10 @@ class SplitChunks:
     def eval(self, text: str, chunk_size: int, overlap: int):  # noqa: D102
         if text is None:
             return
-        if overlap >= chunk_size:
-            raise ValueError(f"overlap ({overlap}) must be < chunk_size ({chunk_size})")
+        if chunk_size <= 0:
+            raise ValueError(f"chunk_size ({chunk_size}) must be positive")
+        if not 0 <= overlap < chunk_size:
+            raise ValueError(f"overlap ({overlap}) must be in [0, chunk_size={chunk_size})")
         toks = text.strip().split()
         if not toks:
             toks = [""]

@@ -39,8 +39,10 @@ def chunk_documents(
 
     Output: (id, chunk_idx 0-based, n_tokens, [chunk_text]).
     """
-    if overlap >= chunk_size:
-        raise ValueError(f"overlap ({overlap}) must be < chunk_size ({chunk_size})")
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size ({chunk_size}) must be positive")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"overlap ({overlap}) must be in [0, chunk_size={chunk_size})")
     stride = chunk_size - overlap
     base = df.select(
         F.col(id_col),

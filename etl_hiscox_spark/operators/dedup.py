@@ -236,11 +236,14 @@ def jaccard_pairs(
     :func:`exploded_shingle_hashes`).
     """
     # The shingle table feeds three plan branches (a-side, b-side, counts);
-    # materialize it once instead of re-deriving the subtree per branch.
+    # cache it lazily so the first action computes it once and the other
+    # branches reuse it. (Not an eager localCheckpoint: that would run a
+    # Spark job at DataFrame-CONSTRUCTION time — surprising for callers
+    # that only .explain() — and truncate lineage, losing fault tolerance.)
     sh = (
         _shingle_hashes
         if _shingle_hashes is not None
-        else exploded_shingle_hashes(df, text_col, id_col, shingle_k).localCheckpoint(eager=True)
+        else exploded_shingle_hashes(df, text_col, id_col, shingle_k).persist()
     )
     counts = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("__n"))
     a_sh = sh.select(F.col("doc").alias("id_a"), F.col("h").alias("__s"))

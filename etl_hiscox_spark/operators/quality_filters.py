@@ -15,7 +15,7 @@ Design rules:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_hiscox_spark.functions.text import LANG_STOPWORDS, tokens

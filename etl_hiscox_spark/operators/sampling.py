@@ -139,11 +139,13 @@ def mixture_sample(
     norm = {k: w / total_w for k, w in weights.items()}
     counts = {k: df.count() for k, df in sources.items()}
     for k, n in counts.items():
-        if n == 0:
+        if n == 0 and norm[k] > 0:
             raise ValueError(f"source {k!r} is empty — mixture unachievable")
     t_max = min(counts[k] / w for k, w in norm.items() if w > 0)
     out = None
     for name, df in sources.items():
+        if norm[name] == 0:
+            continue  # zero-weight source: contributes no rows by definition
         frac = min(1.0, norm[name] * t_max / counts[name])
         # xxhash64 → uniform in [0, 1): shift to non-negative 63-bit space.
         u = (F.shiftrightunsigned(F.xxhash64(F.col(key), F.lit(seed)), 1)) / F.lit(float(2**63))
@@ -162,17 +164,22 @@ def pack_sequences(
 ) -> DataFrame:
     """Assign documents to training shards ("packs") of ≤ ``budget`` tokens.
 
-    The pre-tokenization step of sequence packing: greedy first-fit-
+    The pre-tokenization step of sequence packing: greedy best-fit-
     decreasing runs independently inside ``n_groups`` hash groups
     (``applyInPandas`` — one shuffle, each group packs locally, pack ids
-    are globally unique via the group prefix). FFD within a group wastes
-    <~22% of OPT in the worst case and far less in practice; running it
+    are globally unique via the group prefix). BFD within a group wastes
+    ≤~22% of OPT in the worst case and far less in practice; running it
     per hash group instead of globally costs at most one underfull pack
     per group — negligible when groups hold thousands of documents, and
-    it's what makes the algorithm distribute. Documents longer than the
-    budget get a singleton pack (callers truncate/split downstream).
-    Deterministic: group = xxhash64(id), ties broken by id.
+    it's what makes the algorithm distribute. Per group the bin search is
+    a bisect over a sorted remaining-capacity index — O(m log m), so a
+    100k-doc group packs in well under a second of Python. Documents
+    longer than the budget get a singleton pack (callers truncate/split
+    downstream). Deterministic: group = xxhash64(id), ties broken by id
+    (equal-capacity bins by lowest bin index).
     """
+    import bisect
+
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -189,29 +196,29 @@ def pack_sequences(
     def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
         grp = int(pdf["__grp"].iloc[0])
         pdf = pdf.sort_values([token_col, id_col], ascending=[False, True])
-        bins: list[int] = []  # remaining capacity per open pack
+        toks = pdf[token_col].astype("int64").to_numpy()
+        ids = pdf[id_col].to_numpy()
+        open_bins: list[tuple[int, int]] = []  # sorted (remaining, bin_idx)
+        n_bins = 0
         assign: list[str] = []
-        order = []
-        for _, row in pdf.iterrows():
-            tok = int(row[token_col])
-            placed = None
-            for i, rem in enumerate(bins):
-                if tok <= rem:
-                    bins[i] = rem - tok
-                    placed = i
-                    break
-            if placed is None:
-                bins.append(max(0, budget - tok))
-                placed = len(bins) - 1
-            assign.append(f"{grp}-{placed}")
-            order.append(row[id_col])
-        return pd.DataFrame(
-            {
-                id_col: order,
-                token_col: pdf[token_col].astype("int64").values,
-                pack_col: assign,
-            }
-        )
+        for tok in toks:
+            t = int(tok)
+            # best fit: the open pack with the SMALLEST remaining capacity
+            # that still holds t (ties -> lowest bin index, deterministic)
+            j = bisect.bisect_left(open_bins, (t, -1))
+            if j < len(open_bins):
+                rem, idx = open_bins.pop(j)
+                new_rem = rem - t
+                if new_rem > 0:
+                    bisect.insort(open_bins, (new_rem, idx))
+            else:
+                idx = n_bins
+                n_bins += 1
+                rem = budget - t
+                if rem > 0:  # oversized docs -> closed singleton pack
+                    bisect.insort(open_bins, (rem, idx))
+            assign.append(f"{grp}-{idx}")
+        return pd.DataFrame({id_col: ids, token_col: toks, pack_col: assign})
 
     prepared = df.select(
         F.col(id_col),

@@ -668,9 +668,9 @@ def t11_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("t8_pack_sequences")  # rows-only: greedy FFD packing is not SQL-expressible
+@register("t8_pack_sequences")  # rows-only: greedy BFD packing is not SQL-expressible
 def t8_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Token-budget shard packing (operators/sampling.pack_sequences): FFD
+    # Token-budget shard packing (operators/sampling.pack_sequences): BFD
     # inside hash groups, globally-unique pack ids, ≤2048 tokens per pack
     # (oversized docs → singleton packs). Output: per-pack doc count and
     # fill — the shape a training-shard writer consumes.

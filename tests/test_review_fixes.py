@@ -218,3 +218,55 @@ def test_minhash_rejects_indivisible_bands(spark):
     df = spark.createDataFrame([(1, "some text here")], "doc_id long, text string")
     with pytest.raises(ValueError, match="divisible"):
         minhash_candidates(df, "text", "doc_id", num_hashes=32, num_bands=6)
+
+
+# -- round 3 (post-extension review) -----------------------------------------
+
+
+def test_chunking_rejects_negative_overlap(spark):
+    from etl_hiscox_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame([("d", "a b c d e f g h i j")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "text", "doc_id", chunk_size=4, overlap=-2)
+    with pytest.raises(ValueError, match="chunk_size"):
+        chunk_documents(df, "text", "doc_id", chunk_size=0, overlap=0)
+
+
+def test_udtf_rejects_negative_overlap(spark):
+    from etl_hiscox_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    with pytest.raises(Exception, match="overlap"):
+        spark.sql("SELECT * FROM split_chunks('a b c d', 4, -1)").collect()
+
+
+def test_mixture_sample_allows_zero_weight_empty_source(spark):
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.operators.sampling import mixture_sample
+
+    web = spark.range(100).select(F.concat(F.lit("w"), F.col("id")).alias("doc_id"))
+    empty = web.filter(F.lit(False))
+    out = mixture_sample({"web": web, "code": empty}, {"web": 1.0, "code": 0.0}, key="doc_id")
+    assert out.count() == 100  # zero-weight empty source contributes nothing
+    # but a weighted empty source still fails loudly
+    with pytest.raises(ValueError, match="empty"):
+        mixture_sample({"web": web, "code": empty}, {"web": 0.7, "code": 0.3}, key="doc_id")
+
+
+def test_jaccard_pairs_construction_runs_no_job(spark):
+    # Constructing the DataFrame (e.g. for .explain()) must not trigger an
+    # eager materialization of the shingle table.
+    from etl_hiscox_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta") for i in range(50)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], ["id_a", "id_b"])
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = jaccard_pairs(docs, pairs, "text", "doc_id")
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after  # no Spark job at construction time
+    assert df.count() == 2  # and it still evaluates correctly

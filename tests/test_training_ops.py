@@ -1,6 +1,6 @@
 """Tests for corpus-composition operators: mixture_sample (target source
 mix, deterministic by key hash) and pack_sequences (token-budget shard
-packing via per-group FFD)."""
+packing via per-group best-fit-decreasing)."""
 
 from __future__ import annotations
 
@@ -66,7 +66,7 @@ def test_pack_sequences_respects_budget(spark):
     # singleton-overflow exception applies).
     sums = packed.groupBy("pack_id").agg(F.sum("n_tokens").alias("s")).collect()
     assert all(r.s <= 2048 for r in sums)
-    # FFD should land well above half-full on average (not one doc per pack).
+    # BFD should land well above half-full on average (not one doc per pack).
     import statistics
 
     fills = [r.s / 2048 for r in sums]
