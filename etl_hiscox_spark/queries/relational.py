@@ -693,6 +693,69 @@ def w5_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w6_trailing_week_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS spend_7d
+    FROM orders
+    """,
+)
+def w6_trailing_week_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W-extension: time-based RANGE frame — trailing 7 calendar days per
+    # customer (not 7 rows). Spark's rangeBetween needs a numeric order
+    # key, so the frame runs over epoch seconds with the same inclusive
+    # [t-7d, t] bound (peer rows included on both engines). Decimal sum ->
+    # exact -> cast double once.
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_7d"),
+    )
+
+
+@register(
+    "w7_distribution_ranks",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           NTILE(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def w7_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W-extension: distribution window functions. The order key includes
+    # c_custkey so every row is rank-unique -> ntile assignment and
+    # percent_rank's (rank-1)/(n-1) are integer-derived and engine-exact.
+    c = load_table(spark, "customer", sf_dir).select("c_mktsegment", "c_custkey", "c_acctbal")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / top-k / set ops (R2-R4, U1-U3)
 # ---------------------------------------------------------------------------
