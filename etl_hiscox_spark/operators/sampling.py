@@ -111,6 +111,27 @@ def reservoir_per_key(
     ).drop("__r", "__rank")
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str | Column,
+    key: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Importance sampling: keep each row with probability = its weight
+    (clamped to [0, 1]) — e.g. quality-score-weighted corpus downsampling,
+    where high-quality documents survive at a higher rate.
+
+    Deterministic: the uniform draw is xxhash64(key, seed) mapped to
+    [0, 1), so re-runs and re-shards keep exactly the same rows (unlike
+    ``sample``, whose output depends on partition layout). Zero shuffle —
+    a pure filter that stays in the scan stage, with expected output size
+    sum(weights).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = F.shiftrightunsigned(F.xxhash64(F.col(key), F.lit(seed)), 1) / F.lit(float(2**63))
+    return df.filter(u < F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)))
+
+
 def mixture_sample(
     sources: Mapping[str, DataFrame],
     weights: Mapping[str, float],

@@ -572,3 +572,34 @@ def g9_exclusive_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supplier), F.col("suppkey") == supplier.s_suppkey)
         .select("s_name", "suppkey", "n_orders")
     )
+
+
+@register(
+    "a17_order_items_array",
+    oracle="""
+    SELECT l_orderkey,
+           COUNT(*) AS n_items,
+           list(l_partkey ORDER BY l_linenumber, l_partkey) AS partkeys
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def a17_order_items_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array aggregation (nested result type): per-order part list in line
+    # order. collect_list is order-nondeterministic under parallelism, so
+    # the struct array is sorted post-agg — the standard Spark recipe for
+    # deterministic array_agg. l_linenumber repeats within an order in
+    # this dataset, so the sort key carries l_partkey as tiebreaker (the
+    # struct sort does this implicitly; the oracle must do it explicitly).
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))).alias("__s"),
+        )
+        .select(
+            "l_orderkey",
+            "n_items",
+            F.transform(F.col("__s"), lambda s: s.getField("l_partkey")).alias("partkeys"),
+        )
+    )

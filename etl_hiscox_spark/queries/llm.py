@@ -685,3 +685,22 @@ def t8_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
         .orderBy("pack_id")
     )
+
+
+@register("t12_weighted_sample")  # rows-only: xxhash64 draw has no DuckDB twin
+def t12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Importance sampling (operators/sampling.weighted_sample): keep each
+    # doc with probability proportional to a length-based quality weight —
+    # deterministic in (doc_id, seed), zero-shuffle. Output: survivors per
+    # (lang, source) with token mass.
+    from etl_hiscox_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    weighted = docs.withColumn(
+        "__w", F.least(F.col("n_chars").cast("double") / F.lit(2000.0), F.lit(1.0))
+    )
+    kept = weighted_sample(weighted, "__w", key="doc_id")
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )

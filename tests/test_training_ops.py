@@ -94,3 +94,27 @@ def test_pack_sequences_deterministic(spark):
         for r in pack_sequences(df.repartition(11), "doc_id", "n_tokens", 1024).collect()
     }
     assert a == b
+
+
+def test_weighted_sample_rates_and_determinism(spark):
+    from etl_hiscox_spark.operators.sampling import weighted_sample
+
+    n = 20000
+    df = spark.range(n).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(0.9)).otherwise(F.lit(0.1)).alias("w"),
+    )
+    kept = weighted_sample(df, "w", key="doc_id", seed=3)
+    counts = {
+        r.w: r.n for r in kept.groupBy("w").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert abs(counts[0.9] - 0.9 * n / 2) / (0.9 * n / 2) < 0.05
+    assert abs(counts[0.1] - 0.1 * n / 2) / (0.1 * n / 2) < 0.15
+    # deterministic across repartition; weights outside [0,1] clamp
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(r.doc_id for r in weighted_sample(df.repartition(13), "w", "doc_id", seed=3).collect())
+    assert a == b
+    all_kept = weighted_sample(df.withColumn("w", F.lit(7.0)), "w", "doc_id")
+    assert all_kept.count() == n
+    none_kept = weighted_sample(df.withColumn("w", F.lit(-1.0)), "w", "doc_id")
+    assert none_kept.count() == 0
