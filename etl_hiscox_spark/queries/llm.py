@@ -704,3 +704,40 @@ def t12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
     )
+
+
+@register("l3_ann_topk")  # rows-only: seeded-hyperplane LSH has no DuckDB twin
+def l3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L3 ANN: hyperplane-LSH bucket probe (operators/similarity.ann_topk_lsh)
+    # for vec_id 0's bucket + 2 multiprobe neighbors, exact cosine within
+    # the probed candidates. Deterministic: planes from a fixed seed.
+    # Recall vs exact top-k is pinned in tests/test_dedup_similarity.py.
+    from etl_hiscox_spark.operators.similarity import ann_topk_lsh
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    out = ann_topk_lsh(emb, "embedding", "vec_id", qvec, k=10, n_planes=8, multiprobe=2)
+    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+
+
+@register("m1_multimodal_features")  # rows-only: stub decode (no media libs here)
+def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L7 multimodal plumbing as a declared query: documents' text bytes
+    # stand in for media binary (container has no image libs; decode is
+    # the deterministic stub). The Spark contract — binary column in,
+    # Arrow-batched mapInPandas decode, typed feature rows out — is real
+    # and identical to the production path; swap the stub for PIL at
+    # deployment. Aggregated per (width, n_channels) to keep output small.
+    from etl_hiscox_spark.operators.multimodal import image_features
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    feats = image_features(media)
+    return (
+        feats.groupBy("width", "n_channels")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+        .orderBy("width", "n_channels")
+    )
