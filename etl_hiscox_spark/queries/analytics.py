@@ -603,3 +603,40 @@ def a17_order_items_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("__s"), lambda s: s.getField("l_partkey")).alias("partkeys"),
         )
     )
+
+
+@register(
+    "f16_fuzzy_name_pairs",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name) AS edit_dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_custkey < b.c_custkey
+     AND b.c_custkey - a.c_custkey <= 20
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def f16_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fuzzy matching for entity resolution: Levenshtein distance on a
+    # deterministic blocked candidate set (same nation, nearby keys) —
+    # the classic blocked fuzzy-dedup shape. Edit distance is an exact
+    # integer, so the oracle needs no float handling. At 100 TB the block
+    # key comes from cheap canopies (prefix/phonetic/sorted-neighborhood),
+    # never an unblocked self-join.
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name", "c_nationkey")
+    a, b = cust.alias("a"), cust.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            & (F.col("b.c_custkey") - F.col("a.c_custkey") <= 20),
+        )
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+    )
