@@ -111,6 +111,16 @@ def reservoir_per_key(
     ).drop("__r", "__rank")
 
 
+def _uniform01(key: str, seed: int, salt: int) -> Column:
+    """Deterministic uniform draw in [0, 1) from (key, seed) — a pure
+    function of the row key, so re-runs/re-shards reproduce selections
+    exactly. ``salt`` differs per operator so composed samplers on the
+    same key draw INDEPENDENT uniforms (same-salt draws are identical,
+    making P(keep both) = min(p,q) instead of p·q)."""
+    h = F.xxhash64(F.col(key), F.lit(salt), F.lit(seed))
+    return F.shiftrightunsigned(h, 1) / F.lit(float(2**63))
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str | Column,
@@ -118,18 +128,25 @@ def weighted_sample(
     seed: int = 0,
 ) -> DataFrame:
     """Importance sampling: keep each row with probability = its weight
-    (clamped to [0, 1]) — e.g. quality-score-weighted corpus downsampling,
-    where high-quality documents survive at a higher rate.
+    (clamped to [0, 1]; NaN/NULL weights drop the row) — e.g. quality-
+    score-weighted corpus downsampling, where high-quality documents
+    survive at a higher rate.
 
-    Deterministic: the uniform draw is xxhash64(key, seed) mapped to
-    [0, 1), so re-runs and re-shards keep exactly the same rows (unlike
-    ``sample``, whose output depends on partition layout). Zero shuffle —
-    a pure filter that stays in the scan stage, with expected output size
-    sum(weights).
+    Deterministic (see :func:`_uniform01`) and zero-shuffle — a pure
+    filter in the scan stage, expected output size sum(weights). NULL
+    keys error out (they would all share one draw and be kept or dropped
+    as a block — the same systematic skew :func:`hash_split` rejects).
     """
-    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    u = F.shiftrightunsigned(F.xxhash64(F.col(key), F.lit(seed)), 1) / F.lit(float(2**63))
-    return df.filter(u < F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)))
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast("double")
+    w = F.when(w.isNull() | F.isnan(w), F.lit(0.0)).otherwise(
+        F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0))
+    )
+    keep = _uniform01(key, seed, salt=2) < w
+    keep = F.when(
+        F.col(key).isNull(),
+        F.raise_error(F.lit(f"weighted_sample: NULL {key} cannot be sampled deterministically")),
+    ).otherwise(keep)
+    return df.filter(keep)
 
 
 def mixture_sample(
@@ -168,9 +185,9 @@ def mixture_sample(
         if norm[name] == 0:
             continue  # zero-weight source: contributes no rows by definition
         frac = min(1.0, norm[name] * t_max / counts[name])
-        # xxhash64 → uniform in [0, 1): shift to non-negative 63-bit space.
-        u = (F.shiftrightunsigned(F.xxhash64(F.col(key), F.lit(seed)), 1)) / F.lit(float(2**63))
-        picked = df.filter(u < F.lit(frac)).withColumn(source_col, F.lit(name))
+        picked = df.filter(_uniform01(key, seed, salt=1) < F.lit(frac)).withColumn(
+            source_col, F.lit(name)
+        )
         out = picked if out is None else out.unionByName(picked)
     return out
 

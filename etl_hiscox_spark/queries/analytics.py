@@ -619,19 +619,26 @@ def a17_order_items_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f16_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fuzzy matching for entity resolution: Levenshtein distance on a
-    # deterministic blocked candidate set (same nation, nearby keys) —
-    # the classic blocked fuzzy-dedup shape. Edit distance is an exact
-    # integer, so the oracle needs no float handling. At 100 TB the block
-    # key comes from cheap canopies (prefix/phonetic/sorted-neighborhood),
-    # never an unblocked self-join.
+    # deterministic blocked candidate set (same nation, key distance ≤ 20).
+    # The band is made an EQUI-join key (sorted-neighborhood bucketing:
+    # floor(key/20), a-side probes its bucket and the next), so Spark
+    # enumerates only in-band pairs — a nationkey-only join would
+    # materialize all same-nation pairs, O((n/25)²), and band-filter
+    # after the fact. Edit distance is an exact integer, so the oracle
+    # needs no float handling.
     cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name", "c_nationkey")
-    a, b = cust.alias("a"), cust.alias("b")
+    band = 20
+    a = cust.withColumn(
+        "__bkt", F.explode(F.array(F.floor(F.col("c_custkey") / band), F.floor(F.col("c_custkey") / band) + 1))
+    ).alias("a")
+    b = cust.withColumn("__bkt", F.floor(F.col("c_custkey") / band)).alias("b")
     return (
         a.join(
             b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            (F.col("a.__bkt") == F.col("b.__bkt"))
+            & (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey"))
-            & (F.col("b.c_custkey") - F.col("a.c_custkey") <= 20),
+            & (F.col("b.c_custkey") - F.col("a.c_custkey") <= band),
         )
         .select(
             F.col("a.c_custkey").alias("id_a"),

@@ -10,7 +10,7 @@ by unit tests instead).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_hiscox_spark.functions.text import (
@@ -32,6 +32,13 @@ from etl_hiscox_spark.operators.dedup import (
 from etl_hiscox_spark.operators.similarity import cosine, cosine_topk
 from etl_hiscox_spark.queries import register
 from etl_hiscox_spark.registry import load_table
+
+def _raw_token_count() -> Column:
+    """Single-space token count of the raw ``text`` column — the corpus
+    size proxy shared by the sampling/packing queries (documents are
+    single-spaced; the normalized variant is functions.text.word_count)."""
+    return F.size(F.split(F.col("text"), " "))
+
 
 # ---------------------------------------------------------------------------
 # L1: exact dedup
@@ -555,7 +562,7 @@ def t7_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed = mixture_sample({"en": en, "other": rest}, {"en": 0.6, "other": 0.4}, key="doc_id")
     return mixed.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+        F.sum(_raw_token_count()).alias("n_tokens"),
     )
 
 
@@ -677,7 +684,7 @@ def t8_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_hiscox_spark.operators.sampling import pack_sequences
 
     docs = load_table(spark, "documents", sf_dir).select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+        "doc_id", _raw_token_count().alias("n_tokens")
     )
     packed = pack_sequences(docs, "doc_id", "n_tokens", budget=2048, n_groups=16)
     return (
@@ -702,7 +709,7 @@ def t12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = weighted_sample(weighted, "__w", key="doc_id")
     return kept.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+        F.sum(_raw_token_count()).alias("n_tokens"),
     )
 
 

@@ -270,3 +270,34 @@ def test_jaccard_pairs_construction_runs_no_job(spark):
     after = tracker.getJobIdsForGroup(None)
     assert before == after  # no Spark job at construction time
     assert df.count() == 2  # and it still evaluates correctly
+
+
+def test_weighted_sample_nan_null_weights_drop(spark):
+    from etl_hiscox_spark.operators.sampling import weighted_sample
+
+    df = spark.range(100).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.when(F.col("id") < 50, F.lit(float("nan"))).otherwise(F.lit(None)).alias("w"),
+    )
+    assert weighted_sample(df, "w", key="doc_id").count() == 0
+
+
+def test_weighted_sample_null_key_errors(spark):
+    from etl_hiscox_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(None, 0.5), ("a", 0.5)], "doc_id string, w double")
+    with pytest.raises(Exception, match="NULL doc_id"):
+        weighted_sample(df, "w", key="doc_id").count()
+
+
+def test_composed_samplers_draw_independently(spark):
+    # mixture_sample then weighted_sample on the same key must approximate
+    # p*q joint survival, not min(p, q) (the correlated-draw bug).
+    from etl_hiscox_spark.operators.sampling import mixture_sample, weighted_sample
+
+    n = 20000
+    df = spark.range(n).select(F.concat(F.lit("d"), F.col("id")).alias("doc_id"))
+    half = mixture_sample({"a": df, "b": df}, {"a": 0.5, "b": 0.5}, key="doc_id")
+    kept = weighted_sample(half.withColumn("w", F.lit(0.5)), "w", key="doc_id")
+    frac = kept.count() / half.count()
+    assert abs(frac - 0.5) < 0.05  # min(p,q) correlation would give ~1.0
