@@ -1,0 +1,115 @@
+"""End-to-end LLM training-corpus preparation pipeline.
+
+Composes the §2.11 operators into the canonical corpus-prep flow:
+
+    raw docs → quality gates (Gopher/C4) → repetition filter
+             → exact dedup → MinHash near-dedup
+             → chunk (overlapping token windows)
+             → train/val/test split (leakage-safe, by SOURCE doc)
+             → token-budget shard packing (per split)
+
+Every stage is one of the individually-tested operators; this module owns
+only the composition and the stage-count report. Ordering rationale (the
+order IS the optimization at 100 TB):
+
+- Cheap per-row gates run FIRST (zero-shuffle scans) so the shuffling
+  stages see only surviving rows.
+- Exact dedup (one uniform-hash shuffle) runs before MinHash (the most
+  expensive stage) — byte-identical copies never reach signature work.
+- Chunking runs AFTER dedup: duplicated docs would otherwise fan out into
+  duplicated chunks, multiplying downstream cost.
+- The split is assigned per-DOCUMENT before packing, so all chunks of one
+  document land in one split (no train/test leakage through overlap), and
+  packing runs inside each split.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_hiscox_spark.operators.chunking import chunk_documents
+from etl_hiscox_spark.operators.dedup import exact_dedup, near_dedup_minhash
+from etl_hiscox_spark.operators.quality_filters import gopher_flags, repetition_stats
+from etl_hiscox_spark.operators.sampling import hash_split, pack_sequences
+
+
+@dataclass
+class CorpusPrepResult:
+    """Final chunk table + per-stage row counts for the run report."""
+
+    chunks: DataFrame  # id_col, chunk_idx, n_tokens, chunk_text, split, pack_id
+    stage_counts: dict[str, int]
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 128,
+    overlap: int = 16,
+    pack_budget: int = 2048,
+    near_dup_threshold: float = 0.8,
+    max_top_ngram_share_pct: int = 30,
+    split_weights: dict[str, float] | None = None,
+    count_stages: bool = True,
+) -> CorpusPrepResult:
+    """Run the full corpus-prep flow; see module docstring for staging.
+
+    ``count_stages=False`` skips the per-stage counts (each is an extra
+    action) — the production setting; counts are for reports and tests.
+    """
+    weights = split_weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    counts: dict[str, int] = {}
+
+    def note(name: str, df: DataFrame) -> DataFrame:
+        if count_stages:
+            counts[name] = df.count()
+        return df
+
+    note("raw", docs)
+
+    # 1-2. zero-shuffle quality gates, then the (one-shuffle) repetition gate
+    flags = gopher_flags(docs, text_col, id_col).filter(F.col("keep")).select(id_col)
+    gated = note("quality_gated", docs.join(flags, id_col, "left_semi"))
+    rep = repetition_stats(gated, text_col, id_col, ngram=2)
+    ok_rep = rep.filter(
+        F.lit(100) * F.col("top_ngram_count") <= F.lit(max_top_ngram_share_pct) * F.col("total_ngrams")
+    ).select(id_col)
+    unrepetitive = note("repetition_gated", gated.join(ok_rep, id_col, "left_semi"))
+
+    # 3-4. dedup: exact first (cheap, uniform hash), then MinHash near-dup
+    exact = note("exact_deduped", exact_dedup(unrepetitive, text_col, id_col))
+    deduped = note(
+        "near_deduped", near_dedup_minhash(exact, text_col, id_col, threshold=near_dup_threshold)
+    )
+
+    # 5. leakage-safe split BY DOCUMENT (before chunking, so overlapping
+    #    chunks of one doc can never straddle train/test)
+    split_docs = hash_split(deduped, id_col, weights)
+
+    # 6. chunk, carrying the split label
+    chunks = chunk_documents(split_docs, text_col, id_col, chunk_size, overlap).join(
+        split_docs.select(id_col, "split"), id_col
+    )
+    note("chunks", chunks)
+
+    # 7. pack per split: prefix the pack hash-group with the split so pack
+    #    ids never collide across splits
+    packed = None
+    for name in weights:
+        part = chunks.filter(F.col("split") == name)
+        p = pack_sequences(
+            part.select(F.concat_ws("#", id_col, F.col("chunk_idx")).alias("chunk_key"), "n_tokens"),
+            "chunk_key",
+            "n_tokens",
+            budget=pack_budget,
+        ).withColumn("pack_id", F.concat_ws("/", F.lit(name), F.col("pack_id")))
+        packed = p if packed is None else packed.unionByName(p)
+    out = chunks.withColumn(
+        "chunk_key", F.concat_ws("#", id_col, F.col("chunk_idx"))
+    ).join(packed.select("chunk_key", "pack_id"), "chunk_key").drop("chunk_key")
+    note("packed_chunks", out)
+    return CorpusPrepResult(chunks=out, stage_counts=counts)

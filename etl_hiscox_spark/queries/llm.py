@@ -748,3 +748,26 @@ def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_images"))
         .orderBy("width", "n_channels")
     )
+
+
+@register("t13_corpus_prep_pipeline")  # rows-only: split/pack stages are hash-based
+def t13_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The full corpus-prep flow (plans/llm_pipeline.prepare_corpus):
+    # quality gates -> repetition gate -> exact + MinHash dedup -> chunk
+    # -> leakage-safe split -> shard packing. Output: per-split corpus
+    # shape (docs, chunks, packs, token mass) — the report a training run
+    # consumes.
+    from etl_hiscox_spark.plans.llm_pipeline import prepare_corpus
+
+    docs = load_table(spark, "documents", sf_dir)
+    res = prepare_corpus(docs, chunk_size=64, overlap=8, pack_budget=1024, count_stages=False)
+    return (
+        res.chunks.groupBy("split")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
