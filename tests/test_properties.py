@@ -157,3 +157,38 @@ def test_exact_dedup_partitions_by_normalized_text(spark, texts):
         key = " ".join(t.lower().strip().split())
         norm.setdefault(key, i)
     assert kept == sorted(norm.values())
+
+
+def _chunk_reference(tokens: list[str], size: int, overlap: int) -> list[tuple[int, int, str]]:
+    """Pure-Python chunking reference: (chunk_idx, n_tokens, text)."""
+    toks = tokens if tokens else [""]
+    stride = size - overlap
+    bound = max(len(toks) - overlap, 1)
+    out = []
+    for idx, start in enumerate(range(0, bound, stride)):
+        piece = toks[start : start + size]
+        out.append((idx, len(piece), " ".join(piece)))
+    return out
+
+
+@SETTINGS
+@given(
+    st.integers(min_value=0, max_value=60),   # n tokens
+    st.integers(min_value=1, max_value=12),   # chunk size
+    st.data(),
+)
+def test_chunk_documents_matches_reference(spark, n, size, data):
+    from etl_hiscox_spark.operators.chunking import chunk_documents
+
+    overlap = data.draw(st.integers(min_value=0, max_value=size - 1))
+    toks = [f"w{i}" for i in range(n)]
+    df = spark.createDataFrame([("d", " ".join(toks))], ["doc_id", "text"])
+    got = sorted(
+        (r.chunk_idx, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(df, "text", "doc_id", size, overlap).collect()
+    )
+    want = sorted(_chunk_reference(toks, size, overlap))
+    assert got == want
+    # full coverage: every token appears in some chunk
+    covered = {t for _, _, text in got for t in text.split(" ")}
+    assert set(toks) <= covered or n == 0
