@@ -192,3 +192,61 @@ def threshold_alert_stream(events: DataFrame, threshold: float) -> DataFrame:
         F.col("s.cumulative_value").alias("cumulative_value"),
         F.col("s.crossed_at_n").alias("crossed_at_n"),
     )
+
+
+# -- transformWithStateInPandas (Spark 4 stateful v2) -------------------------
+# Same running-user-stats semantics on the modern API: typed value state,
+# RocksDB-backed, evolvable schema — where new stateful operators should
+# land; applyInPandasWithState above remains for the v1 surface.
+# NOTE: the TWS state-server protocol requires `google.protobuf`, which is
+# not in this container — the streaming path is gated (tests skip without
+# protobuf, same policy as the Excel reader); the batch fallback always runs.
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class RunningUserStatsProcessor(StatefulProcessor):
+    """StatefulProcessor twin of :func:`running_user_stats` (same math).
+
+    A plain module-level subclass: the TWS runner pickles the processor to
+    a dedicated Python worker, so it must be importable by reference.
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("stats", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, total, mx = self._state.get() if self._state.exists() else (0, None, None)
+        for pdf in rows:
+            n += int(len(pdf))
+            vals = pdf["value"].dropna().astype(float)
+            if len(vals):
+                total = (total or 0.0) + float(vals.sum())
+                vmax = float(vals.max())
+                mx = vmax if mx is None else max(mx, vmax)
+        self._state.update((n, total, mx))
+        (user_id,) = key
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_events": n, "total_value": total, "max_value": mx}]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` form of running_user_stats.
+
+    Requires the RocksDB state-store provider (set by the caller's session
+    conf for streaming runs); batch input falls back to the same groupBy
+    twin as the v1 operator.
+    """
+    if not events.isStreaming:
+        return running_user_stats(events)
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningUserStatsProcessor(),
+        outputStructType=USER_STATS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -3,10 +3,12 @@ and the streaming result matches the batch twin."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_hiscox_spark.registry import load_table
-from etl_hiscox_spark.streaming.ops import stream_from_parquet
+from etl_hiscox_spark.streaming.ops import EVENTS_SCHEMA, stream_from_parquet
 from etl_hiscox_spark.streaming.stateful import (
     running_user_stats,
     threshold_alert_stream,
@@ -87,3 +89,60 @@ def test_threshold_alert_batch_twin(spark, sf_dir):
     sample = list(per_user.values())[:5]
     for r in sample:
         assert r["cumulative_value"] >= 500.0
+
+
+def test_tws_running_stats_equals_batch(spark, sf_dir, tmp_path):
+    # Spark 4 transformWithStateInPandas twin: same cumulative stats as the
+    # applyInPandasWithState v1 operator, on the RocksDB state store.
+    # TWS's state-server protocol needs protobuf, absent in this container —
+    # the operator is gated exactly like the Excel reader (import-try).
+    pytest.importorskip("google.protobuf")
+    from etl_hiscox_spark.streaming.stateful import running_user_stats, running_user_stats_tws
+
+    path = str(tmp_path / "events_us")
+    load_table(spark, "events", sf_dir).write.mode("overwrite").parquet(path)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+        q = (
+            running_user_stats_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_stats")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    # update-mode memory sink: last row per user is the final state
+    got_df = spark.table("tws_stats")
+    w_last = (
+        got_df.groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "total_value", "max_value"), "n_events").alias("s"))
+        .select("user_id", "s.*")
+    )
+    got = {r.user_id: (r.n_events, round(r.total_value, 6), r.max_value) for r in w_last.collect()}
+    batch = running_user_stats(spark.read.parquet(path))
+    want = {
+        r.user_id: (r.n_events, round(r.total_value, 6), r.max_value) for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_tws_batch_fallback_matches_v1(spark, sf_dir):
+    # Without streaming input the TWS wrapper must produce the identical
+    # batch twin as the v1 operator (no protobuf needed on this path).
+    from etl_hiscox_spark.streaming.stateful import running_user_stats, running_user_stats_tws
+
+    ev = load_table(spark, "events", sf_dir)
+    a = sorted(map(tuple, running_user_stats(ev).collect()))
+    b = sorted(map(tuple, running_user_stats_tws(ev).collect()))
+    assert a == b and len(a) > 0
