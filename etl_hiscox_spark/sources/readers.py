@@ -125,6 +125,36 @@ def with_ingest_metadata(df: DataFrame, source_file: str | None = None, batch_id
     return out
 
 
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan — the row-oriented interchange format (Kafka/connect
+    pipelines land it). Avro is an EXTERNAL Spark module (spark-avro jar);
+    this container does not deploy it, so the call raises a clear
+    RuntimeError here and works unchanged once the jar is on the
+    cluster's classpath (same gating policy as :func:`read_excel`)."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # AnalysisException: failed to find data source
+        if "avro" in str(e).lower():
+            raise RuntimeError(
+                "read_avro needs the spark-avro module on the classpath "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+            ) from e
+        raise
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro sink — gated exactly like :func:`read_avro`."""
+    try:
+        df.write.mode(mode).format("avro").save(path)
+    except Exception as e:
+        if "avro" in str(e).lower():
+            raise RuntimeError(
+                "write_avro needs the spark-avro module on the classpath "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+            ) from e
+        raise
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — same vectorized reader + predicate pushdown story as
     parquet (Spark's second first-class columnar format). Kept for parity

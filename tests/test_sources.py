@@ -75,3 +75,14 @@ def test_latest_object(spark, tmp_path):
     os.utime(tmp_path / "new.csv", (now, now))
     blob = latest_object(spark, str(tmp_path), suffix=".csv")
     assert blob is not None and blob.path.endswith("new.csv")
+
+
+def test_avro_gated_without_module(spark, tmp_path):
+    # spark-avro is an external module not deployed here: both directions
+    # must fail with actionable guidance (same policy as the Excel gate).
+    from etl_hiscox_spark.sources.readers import read_avro, write_avro
+
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "in.avro"))
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        write_avro(spark.range(3), str(tmp_path / "out.avro"))
