@@ -771,3 +771,20 @@ def t13_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register("l2_transitive_clusters")  # rows-only: iterative min-label propagation
+def l2_transitive_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Transitive near-dedup (operators/dedup.near_dedup_clusters): LSH
+    # candidates -> Jaccard-confirmed pairs -> connected components
+    # (iterative min-label propagation with per-round lineage truncation)
+    # -> keep one doc per component. Iterative algorithms are the
+    # non-SQL-expressible category; semantics are locked by chain/island
+    # unit tests. Output: survivors per (lang, source).
+    from etl_hiscox_spark.operators.dedup import near_dedup_clusters
+
+    docs = load_table(spark, "documents", sf_dir)
+    kept = near_dedup_clusters(docs, "text", "doc_id", threshold=0.8)
+    return kept.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs")).orderBy(
+        "lang", "source"
+    )
