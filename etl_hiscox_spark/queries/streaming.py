@@ -229,3 +229,57 @@ def x10_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.min(F.col("r.ts")).alias("first_purchase_ts"),
     )
+
+
+@register(
+    "x11_funnel_stages",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+      GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL
+    SELECT '2_click' AS stage, COUNT(*) AS n_users FROM c
+    UNION ALL
+    SELECT '3_purchase' AS stage, COUNT(*) AS n_users FROM p
+    """,
+)
+def x11_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Funnel analysis: users progressing view -> click-after-view ->
+    # purchase-after-click (each stage anchored at the previous stage's
+    # first event). Three grouped mins chained by broadcast-size joins —
+    # each stage's user set only shrinks, so at 100 TB the expensive scan
+    # happens once per stage over an ever-smaller key set.
+    ev = load_table(spark, "events", sf_dir)
+
+    def first_after(event_type: str, anchor: DataFrame, anchor_ts: str, out_ts: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == event_type)
+        return (
+            e.join(anchor, "user_id")
+            .filter(F.col("ts") >= F.col(anchor_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    counts = [
+        v.agg(F.lit("1_view").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+        c.agg(F.lit("2_click").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+        p.agg(F.lit("3_purchase").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+    ]
+    out = counts[0]
+    for df in counts[1:]:
+        out = out.unionByName(df)
+    return out
