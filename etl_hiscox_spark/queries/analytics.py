@@ -344,8 +344,8 @@ def a13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a14_pivot",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
            CAST(SUM(CASE WHEN l_linestatus = 'F'
                          THEN CAST(l_quantity AS DECIMAL(18,2))
                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,

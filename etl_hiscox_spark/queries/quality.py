@@ -35,15 +35,16 @@ def lineitem_ruleset() -> RuleSet:
     "q2_rule_profile",
     oracle="""
     SELECT COUNT(*) AS row_count,
-           SUM(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS pass_notnull_orderkey,
-           SUM(CASE WHEN l_quantity IS NULL OR (l_quantity >= 1.0 AND l_quantity <= 45.0)
-                    THEN 1 ELSE 0 END) AS pass_range_quantity,
-           SUM(CASE WHEN l_discount IS NULL OR (l_discount >= 0.0 AND l_discount <= 0.08)
-                    THEN 1 ELSE 0 END) AS pass_range_discount,
-           SUM(CASE WHEN l_returnflag IS NULL OR l_returnflag IN ('A', 'N')
-                    THEN 1 ELSE 0 END) AS pass_accepted_returnflag,
-           SUM(CASE WHEN COALESCE(l_extendedprice > l_quantity * 900, TRUE)
-                    THEN 1 ELSE 0 END) AS pass_price_consistency
+           CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS pass_notnull_orderkey,
+           CAST(SUM(CASE WHEN l_quantity IS NULL OR (l_quantity >= 1.0 AND l_quantity <= 45.0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pass_range_quantity,
+           CAST(SUM(CASE WHEN l_discount IS NULL OR (l_discount >= 0.0 AND l_discount <= 0.08)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pass_range_discount,
+           CAST(SUM(CASE WHEN l_returnflag IS NULL OR l_returnflag IN ('A', 'N')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pass_accepted_returnflag,
+           CAST(SUM(CASE WHEN COALESCE(l_extendedprice > l_quantity * 900, TRUE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pass_price_consistency
     FROM lineitem
     """,
 )

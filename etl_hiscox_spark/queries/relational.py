@@ -239,8 +239,9 @@ def p8_filter_cross_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            COUNT(*) AS n_customers,
-           SUM(CASE WHEN (CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal > 1000.0
-                               ELSE c_acctbal > -500.0 END) THEN 0 ELSE 1 END) AS n_violations
+           CAST(SUM(CASE WHEN (CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal > 1000.0
+                               ELSE c_acctbal > -500.0 END) THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_violations
     FROM customer GROUP BY c_mktsegment
     """,
 )
@@ -474,8 +475,8 @@ def a1_a5_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_total,
-           SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_high_value,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished
+           CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
     FROM orders GROUP BY o_orderpriority
     """,
 )

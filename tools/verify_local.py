@@ -1,9 +1,16 @@
 """Local stand-in for the driver's correctness gate.
 
 Runs every declared query through Spark AND its DuckDB oracle on the same
-parquet tables, then compares row count, sorted column names, and the full
-multiset of values (order-insensitive, exact after canonicalization). Exact
-match here implies the driver's value-hash comparison passes.
+parquet tables, then compares row count, sorted column names, per-column
+TYPE CLASSES, and the full multiset of values (order-insensitive, exact
+after canonicalization).
+
+Type classes exist because the driver's value-hash is typed: r1 evidence
+shows int32-vs-int64 passes (w4 rank) but BIGINT-vs-HUGEINT fails (p9/a7/
+a14 — DuckDB sums integers into INT128). So all <=64-bit ints share one
+class while HUGEINT/UBIGINT get their own, and decimal(p,s) must match
+exactly. A bare ``SUM(CASE ... THEN 1 ...)`` in an oracle fails HERE now,
+not just in the driver.
 
 Usage:
     python tools/verify_local.py [--sf /root/testdata/sf0.01] [--only q1,q2]
@@ -47,6 +54,59 @@ def canon(v):
     except ImportError:
         pass
     return str(v)
+
+
+def _class_duck(t: str) -> str:
+    """Normalize a DuckDB type string into a driver-hash-relevant class."""
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return "list<" + _class_duck(t[:-2]) + ">"
+    if t.startswith("DECIMAL"):
+        return "dec" + t[len("DECIMAL"):].replace(" ", "")
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "i"
+    if t in ("HUGEINT", "UBIGINT", "UHUGEINT"):
+        return "i128"  # DuckDB SUM(int) lands here; Spark never does -> hash fail
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "f"
+    if t == "BOOLEAN":
+        return "b"
+    if t in ("VARCHAR", "TEXT"):
+        return "s"
+    if t == "DATE":
+        return "d"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "BLOB":
+        return "bytes"
+    if t.startswith("STRUCT"):
+        return "struct"
+    return t.lower()
+
+
+def _class_spark(t: str) -> str:
+    """Normalize a Spark simpleString() type into the same class space."""
+    if t.startswith("array<") and t.endswith(">"):
+        return "list<" + _class_spark(t[len("array<"):-1]) + ">"
+    if t.startswith("decimal"):
+        return "dec" + t[len("decimal"):]
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "i"
+    if t in ("float", "double"):
+        return "f"
+    if t == "boolean":
+        return "b"
+    if t == "string":
+        return "s"
+    if t == "date":
+        return "d"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t == "binary":
+        return "bytes"
+    if t.startswith("struct"):
+        return "struct"
+    return t
 
 
 def rows_to_multiset(cols, rows):
@@ -105,6 +165,7 @@ def main():
         try:
             df = q.fn(spark, args.sf)
             s_cols = df.columns
+            s_classes = {f.name: _class_spark(f.dataType.simpleString()) for f in df.schema.fields}
             s_rows = df.collect()
         except Exception:
             print(f"FAIL  {name}: spark error")
@@ -117,9 +178,10 @@ def main():
             n_rows_only += 1
             continue
         try:
-            res = con.execute(q.oracle)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(q.oracle)
+            d_cols = list(rel.columns)
+            d_classes = {c: _class_duck(str(t)) for c, t in zip(rel.columns, rel.types)}
+            d_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
@@ -130,6 +192,14 @@ def main():
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        else:
+            bad = {
+                c: (s_classes[c], d_classes[c])
+                for c in s_cols
+                if s_classes[c] != d_classes[c]
+            }
+            if bad:
+                problems.append(f"type class mismatch (spark, duckdb): {bad}")
         if not problems:
             ms = rows_to_multiset(s_cols, [[r[c] for c in s_cols] for r in s_rows])
             md = rows_to_multiset(d_cols, d_rows)
