@@ -1,0 +1,320 @@
+"""Write-path queries (SURVEY.md §2.1 S1/S3/S6/S8/S9/S10, §2.4 A11).
+
+Each query exercises a real sink/reader round-trip — write to a scratch
+directory, read back through the declared reader, and return a DataFrame
+whose content is a pure function of the source parquet tables, so a DuckDB
+oracle over those tables checks the whole write→read→compute path
+(VERDICT r2 item 5: convert the S-tier's pytest-only rows into hard driver
+passes).
+
+Determinism: scratch paths are wiped at the start of every invocation, so
+repeated runs (driver retries, bench loops) are idempotent. Money stays
+exact through round-trips (doubles serialize losslessly in CSV/JSON via
+shortest-round-trip repr; aggregates go through DECIMAL per SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_hiscox_spark.queries import register
+from etl_hiscox_spark.registry import load_table
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    """Per-(query, sf) scratch dir, wiped on entry for idempotent reruns."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), "etl_hiscox_spark_writes", f"{name}_{tag}")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# S1: CSV scan — write a projection to CSV, read it back with an explicit
+# schema (F14 cast/dtype policy: explicit StructType, no inference for
+# registered shapes), aggregate. Reference parity: ingestion.py:71-74 reads
+# CSV with header; here the oracle proves type fidelity through the text
+# format (long/int/double/date all survive).
+# ---------------------------------------------------------------------------
+
+_S1_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_shipdate", T.DateType()),
+    ]
+)
+
+
+@register(
+    "s1_csv_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+           MAX(CAST(l_shipdate AS DATE)) AS last_ship
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_hiscox_spark.sources.readers import read_csv
+
+    path = os.path.join(_scratch("s1_csv", sf_dir), "lineitem_csv")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+    )
+    li.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(spark, path, schema=_S1_SCHEMA)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S6: JSON scan — same round-trip proof for the JSON reader (README.md:9
+# 'Raw Insurance Data CSV/JSON').
+# ---------------------------------------------------------------------------
+
+_S6_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.DateType()),
+    ]
+)
+
+
+@register(
+    "s6_json_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           MIN(CAST(o_orderdate AS DATE)) AS first_order,
+           MAX(CAST(o_orderdate AS DATE)) AS last_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def s6_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_hiscox_spark.sources.readers import read_json
+
+    path = os.path.join(_scratch("s6_json", sf_dir), "orders_json")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    orders.write.mode("overwrite").json(path)
+    back = read_json(spark, path, schema=_S6_SCHEMA)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3: append + schema evolution — two appends with different column sets
+# (the second adds a column), mergeSchema-parity read-back
+# (ingestion.py:94-98 Delta mergeSchema, parquet emulation per SURVEY §2.1).
+# min/max over the evolved column are order-independent, so the oracle is
+# exact without decimal plumbing.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s3_append_schema_merge",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_priced,
+           MIN(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END) AS min_price,
+           MAX(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def s3_append_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_hiscox_spark.sources.writers import append_with_schema_merge
+
+    path = os.path.join(_scratch("s3_append", sf_dir), "orders_evolved")
+    orders = load_table(spark, "orders", sf_dir)
+    batch1 = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_orderstatus")
+    batch2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").alias("price")
+    )
+    append_with_schema_merge(spark, batch1, path)
+    append_with_schema_merge(spark, batch2, path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("price").alias("n_priced"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8: CTAS materialization — build a gold summary, materialize it sorted
+# (range-repartition + in-partition sort → parquet row-group stats prune
+# the sort key at scale), read it back (bronze_claims.sql full-refresh
+# parity).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s8_ctas_roundtrip",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(12,6))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def s8_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_hiscox_spark.sources.writers import materialize
+
+    path = os.path.join(_scratch("s8_ctas", sf_dir), "gold_priority_revenue")
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    summary = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(12,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    materialize(summary, path, sort_by=("o_orderpriority",))
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# S9: SCD-2 snapshot — two sequential runs (initial load, then an update
+# batch that advances updated_at for 10% of keys); the snapshot must close
+# the superseded version (valid_to = new valid_from) and keep the rest open
+# (dbt timestamp-strategy snapshots, dbt_project.yml:49-53).
+# ---------------------------------------------------------------------------
+
+_TS1 = "1995-01-01 00:00:00"
+_TS2 = "1995-06-01 00:00:00"
+
+
+@register(
+    "s9_scd2_snapshot",
+    oracle=f"""
+    SELECT c_custkey,
+           CAST(c_acctbal AS DOUBLE) AS acctbal,
+           TIMESTAMP '{_TS1}' AS valid_from,
+           CASE WHEN c_custkey % 10 = 0 THEN TIMESTAMP '{_TS2}' END AS valid_to
+    FROM customer
+    UNION ALL
+    SELECT c_custkey,
+           CAST(c_acctbal AS DOUBLE) + 100.0 AS acctbal,
+           TIMESTAMP '{_TS2}' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def s9_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_hiscox_spark.sources.writers import scd2_snapshot
+
+    path = os.path.join(_scratch("s9_scd2", sf_dir), "customer_snapshot")
+    cust = load_table(spark, "customer", sf_dir)
+    v1 = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.lit(_TS1).cast("timestamp").alias("updated_at"),
+    )
+    v2 = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal").cast("double") + F.lit(100.0)).alias("acctbal"),
+        F.lit(_TS2).cast("timestamp").alias("updated_at"),
+    )
+    scd2_snapshot(spark, v1, path, key="c_custkey", updated_at="updated_at")
+    snap = scd2_snapshot(spark, v2, path, key="c_custkey", updated_at="updated_at")
+    return snap.select(
+        "c_custkey",
+        "acctbal",
+        F.col("__valid_from").alias("valid_from"),
+        F.col("__valid_to").alias("valid_to"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S10: seed load — small CSV → managed table (dbt seed,
+# dbt_project.yml:56-58). The region dim round-trips through an inferred
+# CSV read then a parquet materialization.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s10_seed_load",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def s10_seed_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_hiscox_spark.sources.writers import seed_load
+
+    root = _scratch("s10_seed", sf_dir)
+    csv_path = os.path.join(root, "region_seed_csv")
+    target = os.path.join(root, "region_table")
+    region = load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
+    region.coalesce(1).write.mode("overwrite").option("header", "true").csv(csv_path)
+    seed_load(spark, csv_path, target)
+    return spark.read.parquet(target)
+
+
+# ---------------------------------------------------------------------------
+# A11: ANALYZE TABLE — materialize a catalog table, compute statistics, and
+# surface the recorded rowCount (dbt on-run-end ANALYZE hook,
+# dbt_project.yml:95-97). Stats feed the CBO's broadcast/join-reorder
+# decisions at scale; rowCount is the oracle-checkable part (column NDVs
+# are HLL-approximate by design).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a11_table_stats",
+    oracle="SELECT COUNT(*) AS row_count FROM lineitem",
+)
+def a11_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from etl_hiscox_spark.registry import analyze_table, save_as_catalog_table, table_stats
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    save_as_catalog_table(li, "a11_stats_tbl")
+    analyze_table(spark, "a11_stats_tbl", columns=["l_orderkey"])
+    stats = table_stats(spark, "a11_stats_tbl").get("statistics", "")
+    m = re.search(r"(\d+)\s+rows", stats)
+    if not m:
+        raise RuntimeError(f"ANALYZE produced no rowCount: {stats!r}")
+    return spark.createDataFrame([(int(m.group(1)),)], "row_count bigint")

@@ -133,3 +133,17 @@ def test_registry_conveniences(spark, sf_dir):
     assert set(tables) >= {"lineitem", "orders", "documents"}
     register_temp_views(spark, sf_dir)
     assert spark.sql("SELECT COUNT(*) AS n FROM region").first()["n"] == 5
+
+
+def test_driver_window_rotation():
+    """The driver checks only the first 50 registered queries; WINDOW_R3
+    pins which ones those are this round (VERDICT r2 item 1). Guards:
+    exactly 50 names, all registered, served first and in order."""
+    from etl_hiscox_spark.queries import WINDOW_R3, all_queries
+
+    qs = all_queries()
+    assert len(WINDOW_R3) == 50
+    assert len(set(WINDOW_R3)) == 50
+    missing = [n for n in WINDOW_R3 if n not in qs]
+    assert not missing, f"window names not registered: {missing}"
+    assert list(qs)[:50] == list(WINDOW_R3)
