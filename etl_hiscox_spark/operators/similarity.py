@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Dot product of two array<numeric> columns, expression-only."""
+    """Dot product of two array<numeric> columns, expression-only.
+
+    NOTE: Spark 4 evaluates array lambdas interpreted per element, so this
+    is for one-off projections (v1 norms etc.), NOT bulk scoring scans —
+    those go through :func:`cosine_scores_pandas` / the Arrow tier
+    (measured ~6× on the analogous shingle path, SCALING.md)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -48,6 +53,35 @@ def _as_double_literal_array(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
 
+def cosine_scores_pandas(embedding_col: Column, query_vec: Sequence[float]) -> Column:
+    """Cosine similarity of each row's embedding against ONE query vector,
+    computed per Arrow batch as a single BLAS matvec (``mat @ q``).
+
+    This is the default scoring path for bulk scans: the expression-tier
+    :func:`cosine` runs Spark 4's array lambdas interpreted per element,
+    which is ~6× slower on wide embedding columns; here each Arrow batch
+    crosses the JVM↔Python boundary once and the dim-length loop runs in
+    BLAS. Embeddings are widened to float64 (exact) before arithmetic so
+    scores match the DECIMAL/DOUBLE oracle convention. Zero-norm rows
+    yield NaN — callers filter them exactly as with ``try_divide`` NULLs.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    @F.pandas_udf("double")
+    def _score(embs: pd.Series) -> pd.Series:
+        if not len(embs):
+            return pd.Series([], dtype="float64")
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        denom = np.linalg.norm(mat, axis=1) * qn
+        dots = mat @ q
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(denom > 0, dots / denom, np.nan)
+        return pd.Series(out)
+
+    return _score(embedding_col)
+
+
 def cosine_topk(
     df: DataFrame,
     embedding_col: str,
@@ -62,11 +96,9 @@ def cosine_topk(
     by similarity desc with id as deterministic tiebreak. Executes as
     scan → project → TakeOrderedAndProject (no shuffle).
     """
-    q = _as_double_literal_array(query_vec)
-    emb = F.transform(F.col(embedding_col), lambda x: x.cast("double"))
     scored = df.select(
         F.col(id_col),
-        cosine(emb, q).alias("cosine_sim"),
+        cosine_scores_pandas(F.col(embedding_col), query_vec).alias("cosine_sim"),
     )
     # Zero-norm/empty embeddings make cosine NaN, and Spark sorts NaN above
     # every double in descending order — drop them instead of letting a
@@ -88,16 +120,24 @@ def lsh_bucket(embedding_col: Column, planes: np.ndarray) -> Column:
     """Signed-random-projection bucket id (long) for an embedding column.
 
     bit_i = 1 iff e · plane_i >= 0; bucket = packed bits. Cosine-similar
-    vectors collide with probability 1 - θ/π per bit.
+    vectors collide with probability 1 - θ/π per bit. All n_planes
+    projections are ONE BLAS matmul per Arrow batch (``mat @ planes.T``) —
+    the expression form would run n_planes interpreted array folds per row.
     """
-    emb = F.transform(embedding_col, lambda x: x.cast("double"))
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        d = dot(emb, _as_double_literal_array(plane))
-        bucket = bucket.bitwiseOR(
-            F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    return bucket
+    P = np.asarray(planes, dtype=np.float64)
+    if P.shape[0] > 62:
+        raise ValueError(f"at most 62 hyperplanes fit a signed long bucket, got {P.shape[0]}")
+    weights = (1 << np.arange(P.shape[0])).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def _bucket(embs: pd.Series) -> pd.Series:
+        if not len(embs):
+            return pd.Series([], dtype="int64")
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        bits = (mat @ P.T) >= 0  # (batch, n_planes) sign bits
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return _bucket(embedding_col)
 
 
 def ann_topk_lsh(

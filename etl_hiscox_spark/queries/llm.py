@@ -98,14 +98,25 @@ def l2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n-gram Jaccard on a deterministic blocked candidate set (same source,
     # nearby ids) — the exact-verify stage of near-dedup, oracle-checked.
+    #
+    # The id band is an EQUI-join key (sorted-neighborhood bucketing, same
+    # trick as f16_fuzzy_name_pairs): bucket = floor(doc_id/25), the a-side
+    # explodes to (bucket, bucket+1), join on (source, bucket) + distance
+    # filter. A source-only equi-join would enumerate ALL same-source pairs
+    # — O((n/|sources|)²) per source — and band-filter after the fact; with
+    # the bucket in the key, work is linear in n × band width at any scale.
     docs = load_table(spark, "documents", sf_dir)
+    band = 25
     ids = docs.select("doc_id", "source")
-    a, b = ids.alias("a"), ids.alias("b")
+    bkt = F.floor(F.col("doc_id") / band)
+    a = ids.withColumn("__bkt", F.explode(F.array(bkt, bkt + 1))).alias("a")
+    b = ids.withColumn("__bkt", bkt).alias("b")
     pairs = a.join(
         b,
-        (F.col("a.source") == F.col("b.source"))
+        (F.col("a.__bkt") == F.col("b.__bkt"))
+        & (F.col("a.source") == F.col("b.source"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.col("b.doc_id") - F.col("a.doc_id") <= 25),
+        & (F.col("b.doc_id") - F.col("a.doc_id") <= band),
     ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     return jaccard_pairs(docs, pairs, "text", "doc_id", shingle_k=3)
 

@@ -89,3 +89,24 @@ def test_exclusive_late_supplier_expand_free(spark, sf_dir):
     plan = _plan(spark, sf_dir, "g9_exclusive_late_supplier")
     assert "Expand" not in plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_ngram_pairs_join_is_banded(spark, sf_dir):
+    # The candidate self-join must carry the sorted-neighborhood bucket as
+    # an EQUI-join key — a source-only key would enumerate all same-source
+    # pairs (O(n²) per source) and filter the id band after the fact.
+    plan = _plan(spark, sf_dir, "l2_ngram_jaccard_pairs")
+    # formatted mode lists join keys on their own lines below the operator
+    banded = [
+        l for l in plan.splitlines() if l.strip().startswith("Left keys") and "__bkt" in l
+    ]
+    assert banded, f"no join keyed on __bkt in:\n{plan[:2000]}"
+
+
+def test_l3_scoring_scan_is_arrow_not_interpreted(spark, sf_dir):
+    # Bulk cosine scoring must run as an Arrow-batched BLAS matvec — no
+    # interpreted array-lambda aggregate( in the scan (VERDICT r2 item 3).
+    for q in ("l3_cosine_topk", "l3_ann_topk"):
+        plan = _plan(spark, sf_dir, q)
+        assert "ArrowEvalPython" in plan, q
+        assert "aggregate(" not in plan, q
