@@ -6,12 +6,20 @@ Protocol (BASELINE.md): run at ``$SPARK_GRAFT_SF_DIR`` (default
 
 Each query is executed with a count-style action that forces full evaluation
 without driver-side collect of the payload.
+
+Median-of-3 protocol (VERDICT r2 item 4): every query runs three times and
+reports the per-query MEDIAN; the headline value is the sum of medians.
+Single-shot timings made round-over-round deltas unreadable — r2 showed
+±2× swings on queries whose code had not changed. Runs interleave by pass
+(q1..qN, q1..qN, ...) rather than back-to-back so one transient system
+stall cannot inflate all three samples of the same query.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -69,18 +77,16 @@ def main() -> None:
     for t in TESTDATA_TABLES:
         load_table(spark, t, sf).count()
 
-    t_total0 = time.time()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = queries.get(name)
-        if q is None:
-            continue
-        t0 = time.time()
-        df = q.fn(spark, sf)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        _ = n
-    total = round(time.time() - t_total0, 3)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    present = [n for n in HEADLINE if n in queries]
+    samples: dict[str, list[float]] = {n: [] for n in present}
+    for _ in range(n_runs):
+        for name in present:
+            t0 = time.time()
+            queries[name].fn(spark, sf).count()
+            samples[name].append(time.time() - t0)
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    total = round(sum(timings.values()), 3)
 
     sf_label = os.path.basename(os.path.normpath(sf)).replace("sf", "")
     print(
@@ -91,6 +97,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
+                "protocol": f"median_of_{n_runs}_interleaved",
             }
         )
     )

@@ -164,8 +164,9 @@ def mixture_sample(
     in expectation. Selection is a pure function of (key, seed) —
     xxhash64-uniform per row under a fraction threshold — so re-runs and
     re-partitions reproduce the same corpus exactly (unlike ``sample``,
-    whose output depends on partition layout). Source sizes come from
-    ``count()`` — at scale that's parquet footer metadata, not a scan.
+    whose output depends on partition layout). Source sizes come from ONE
+    union-groupBy job over zero-column scans (parquet answers those from
+    footer row counts) — not one ``count()`` action per source.
 
     Returns the union with a ``source`` tag column; schemas must match.
     """
@@ -175,7 +176,15 @@ def mixture_sample(
     if total_w <= 0:
         raise ValueError("weights must sum to a positive value")
     norm = {k: w / total_w for k, w in weights.items()}
-    counts = {k: df.count() for k, df in sources.items()}
+    tagged = None
+    for name, df in sources.items():
+        t = df.select(F.lit(name).alias("__src"))
+        tagged = t if tagged is None else tagged.unionAll(t)
+    counted = {
+        r["__src"]: r["n"]
+        for r in tagged.groupBy("__src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    counts = {k: counted.get(k, 0) for k in sources}
     for k, n in counts.items():
         if n == 0 and norm[k] > 0:
             raise ValueError(f"source {k!r} is empty — mixture unachievable")

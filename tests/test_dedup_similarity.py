@@ -125,3 +125,29 @@ def test_batch_pandas_topk(spark):
     for r in out:
         by_q.setdefault(r["query_idx"], []).append(r["vec_id"])
     assert by_q[0][0] == 0 and by_q[1][0] == 3
+
+
+def test_minhash_16_4_recall_on_planted_dups(spark):
+    """Recall pin for the declared l2 query's 16-hash / 4-band config.
+
+    Theory: at J≈0.9 a 4-row band collides w.p. 0.9^4≈0.656, so recall
+    over 4 bands is 1-(1-0.656)^4 ≈ 0.986; at J≈0.8 it is ≈0.88. Plant 30
+    high-similarity pairs (one word of 60 swapped → J≈0.9) and require
+    ≥80% found — far above chance, low enough to not flake on the seed."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    rows = []
+    n_pairs = 30
+    for i in range(n_pairs):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(60)]
+        dup = list(words)
+        dup[rng.randrange(60)] = vocab[rng.randrange(len(vocab))]
+        rows.append((i, " ".join(words)))
+        rows.append((i + 1000, " ".join(dup)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = minhash_candidates(docs, "text", "doc_id", num_hashes=16, num_bands=4)
+    got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    found = sum(1 for i in range(n_pairs) if (i, i + 1000) in got)
+    assert found >= 0.8 * n_pairs, f"recall {found}/{n_pairs}"
