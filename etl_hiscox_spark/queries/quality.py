@@ -224,3 +224,151 @@ def f6_f9_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("discount_value"),
     )
+
+
+@register(
+    "q1_rule_violations",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             CAST(SUM(CASE WHEN NOT (l_quantity IS NULL OR (l_quantity >= 1.0 AND l_quantity <= 45.0))
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             CAST(SUM(CASE WHEN NOT (l_discount IS NULL OR (l_discount >= 0.0 AND l_discount <= 0.08))
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+             CAST(SUM(CASE WHEN NOT (l_returnflag IS NULL OR l_returnflag IN ('A', 'N'))
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+             CAST(SUM(CASE WHEN NOT COALESCE(l_extendedprice > l_quantity * 900, TRUE)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+             CAST(COUNT(*) - COUNT(DISTINCT l_orderkey) AS BIGINT) AS v6
+      FROM lineitem
+    )
+    SELECT 'notnull_l_orderkey' AS rule_name, v1 AS n_violations FROM agg
+    UNION ALL SELECT 'range_l_quantity', v2 FROM agg
+    UNION ALL SELECT 'range_l_discount', v3 FROM agg
+    UNION ALL SELECT 'acceptedvalues_l_returnflag', v4 FROM agg
+    UNION ALL SELECT 'crosscolumn_price_consistency', v5 FROM agg
+    UNION ALL SELECT 'unique_l_orderkey', v6 FROM agg
+    """,
+)
+def q1_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q1: the rule DSL end-to-end — row-level rules compile to predicates,
+    # set-level Unique evaluates as count vs count_distinct, all in ONE
+    # aggregation pass, unpivoted to (rule_name, n_violations).
+    from etl_hiscox_spark.quality.rules import Unique
+
+    rs = lineitem_ruleset()
+    li = load_table(spark, "lineitem", sf_dir)
+    aggs = [
+        F.sum(F.when(~r.predicate(), 1).otherwise(0)).cast("long").alias(r.name)
+        for r in rs.row_rules
+    ]
+    uniq = Unique("l_orderkey")
+    aggs.append(
+        (F.count(F.lit(1)) - F.count_distinct(F.col(uniq.column))).cast("long").alias(uniq.name)
+    )
+    wide = li.agg(*aggs)
+    return wide.unpivot([], list(wide.columns), "rule_name", "n_violations")
+
+
+@register(
+    "q3_threshold_alerts",
+    oracle="""
+    WITH agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*) AS s_notnull,
+        CAST(SUM(CASE WHEN l_quantity IS NULL OR (l_quantity >= 1.0 AND l_quantity <= 45.0)
+                 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS s_qty,
+        CAST(SUM(CASE WHEN l_discount IS NULL OR (l_discount >= 0.0 AND l_discount <= 0.08)
+                 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS s_disc,
+        CAST(SUM(CASE WHEN l_returnflag IS NULL OR l_returnflag IN ('A', 'N')
+                 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS s_flag,
+        CAST(SUM(CASE WHEN COALESCE(l_extendedprice > l_quantity * 900, TRUE)
+                 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS s_price
+      FROM lineitem
+    ), long AS (
+      SELECT 'notnull_l_orderkey' AS rule_name, s_notnull AS score FROM agg
+      UNION ALL SELECT 'range_l_quantity', s_qty FROM agg
+      UNION ALL SELECT 'range_l_discount', s_disc FROM agg
+      UNION ALL SELECT 'acceptedvalues_l_returnflag', s_flag FROM agg
+      UNION ALL SELECT 'crosscolumn_price_consistency', s_price FROM agg
+    )
+    SELECT rule_name, score,
+           CAST(0.95 AS DOUBLE) AS threshold,
+           CASE WHEN score < CAST(0.9 AS DOUBLE) * CAST(0.95 AS DOUBLE)
+                THEN 'critical' ELSE 'warning' END AS severity
+    FROM long WHERE score < CAST(0.95 AS DOUBLE)
+    """,
+)
+def q3_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q3: threshold alerting — one-pass profile scores -> Alert records
+    # (severity tiers per QualityEngine.check: critical below 90% of the
+    # threshold). The report row is tiny (one row of scores), so the
+    # engine's driver-side check() is the declared path.
+    from etl_hiscox_spark.quality.engine import QualityEngine
+
+    rs = lineitem_ruleset()
+    li = load_table(spark, "lineitem", sf_dir)
+    engine = QualityEngine(default_threshold=0.95)
+    report = engine.check(engine.profile(li, rs))
+    rows = [(a.rule, a.score, a.threshold, a.severity) for a in report.alerts]
+    return spark.createDataFrame(
+        rows, "rule_name string, score double, threshold double, severity string"
+    )
+
+
+@register(
+    "f3_money_parse",
+    oracle="""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CAST(o_orderkey % 900 + 100 AS VARCHAR) || ','
+               || lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0') || '.'
+               || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') AS money_str
+      FROM orders
+    )
+    SELECT o_orderkey, money_str,
+           TRY_CAST(replace(money_str, ',', '') AS DECIMAL(18,2)) AS amount
+    FROM raw
+    """,
+)
+def f3_money_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F3: thousands-separator money parse ('1,500.50' -> 1500.50 exact
+    # decimal; unparseable -> NULL via try_cast). The input strings are a
+    # pure function of o_orderkey so both engines build identical text.
+    from etl_hiscox_spark.functions.cleaning import parse_money
+
+    raw = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.concat(
+            (F.col("o_orderkey") % 900 + 100).cast("string"),
+            F.lit(","),
+            F.lpad((F.col("o_orderkey") % 1000).cast("string"), 3, "0"),
+            F.lit("."),
+            F.lpad((F.col("o_orderkey") % 100).cast("string"), 2, "0"),
+        ).alias("money_str"),
+    )
+    return raw.select("o_orderkey", "money_str", parse_money("money_str").alias("amount"))
+
+
+@register(
+    "f8_batch_id_format",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y%m%d_%H%M%S') AS batch_id,
+           try_strptime(strftime(o_orderdate, '%Y%m%d_%H%M%S'), '%Y%m%d_%H%M%S') AS parsed_back
+    FROM orders
+    """,
+)
+def f8_batch_id_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F8: batch-id formatting (strftime('%Y%m%d_%H%M%S'), ingestion.py:80)
+    # plus the inverse parse — the round-trip pins both directions.
+    from etl_hiscox_spark.functions.cleaning import batch_id
+
+    o = load_table(spark, "orders", sf_dir)
+    bid = batch_id(F.col("o_orderdate"))
+    return o.select(
+        "o_orderkey",
+        bid.alias("batch_id"),
+        F.try_to_timestamp(bid, F.lit("yyyyMMdd_HHmmss")).alias("parsed_back"),
+    )

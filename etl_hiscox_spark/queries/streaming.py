@@ -283,3 +283,60 @@ def x11_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in counts[1:]:
         out = out.unionByName(df)
     return out
+
+
+@register(
+    "x7_upsert_batch_twin",
+    oracle="""
+    WITH b1 AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+    ), b2 AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events WHERE event_id % 2 = 1 GROUP BY user_id
+    )
+    SELECT user_id, n_events, total_value FROM b2
+    UNION ALL
+    SELECT user_id, n_events, total_value FROM b1
+    WHERE user_id NOT IN (SELECT user_id FROM b2)
+    """,
+)
+def x7_upsert_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # X7: foreachBatch upsert twin — two micro-batches (events split by
+    # event_id parity, pre-aggregated to one row per user) merged into a
+    # parquet target with last-writer-wins per key. The second batch's
+    # rows must replace the first's for shared users; first-batch-only
+    # users survive. Exercises the real foreach_batch_upsert sink function
+    # the streaming query uses, driven batch-by-batch.
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from etl_hiscox_spark.streaming.ops import foreach_batch_upsert
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    root = _os.path.join(_tf.gettempdir(), "etl_hiscox_spark_writes", f"x7_upsert_{tag}")
+    if _os.path.exists(root):
+        _sh.rmtree(root)
+    _os.makedirs(root)
+    target = _os.path.join(root, "user_totals")
+
+    ev = load_table(spark, "events", sf_dir)
+
+    def batch(parity: int) -> DataFrame:
+        return (
+            ev.filter(F.col("event_id") % 2 == parity)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            )
+        )
+
+    apply_batch = foreach_batch_upsert(target, key_cols=("user_id",), spark=spark)
+    apply_batch(batch(0), 0)
+    apply_batch(batch(1), 1)
+    return spark.read.parquet(target).select("user_id", "n_events", "total_value")
