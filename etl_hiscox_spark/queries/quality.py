@@ -372,3 +372,100 @@ def f8_batch_id_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         bid.alias("batch_id"),
         F.try_to_timestamp(bid, F.lit("yyyyMMdd_HHmmss")).alias("parsed_back"),
     )
+
+
+@register(
+    "q5_store_failures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, n_failed FROM (
+      SELECT l_orderkey, l_linenumber,
+             (CASE WHEN l_quantity IS NULL OR (l_quantity >= 1.0 AND l_quantity <= 45.0)
+                   THEN 0 ELSE 1 END)
+             + (CASE WHEN l_discount IS NULL OR (l_discount >= 0.0 AND l_discount <= 0.08)
+                     THEN 0 ELSE 1 END)
+             + (CASE WHEN l_returnflag IS NULL OR l_returnflag IN ('A', 'N')
+                     THEN 0 ELSE 1 END)
+             + (CASE WHEN COALESCE(l_extendedprice > l_quantity * 900, TRUE)
+                     THEN 0 ELSE 1 END) AS n_failed
+      FROM lineitem
+    ) WHERE n_failed > 0
+    """,
+)
+def q5_store_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q5: dbt store_failures parity — failing rows persisted to the audit
+    # area (write path), then read back. The oracle checks the full
+    # write→read round-trip carries exactly the quarantine rows.
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from etl_hiscox_spark.quality.engine import QualityEngine
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    root = _os.path.join(_tf.gettempdir(), "etl_hiscox_spark_writes", f"q5_store_{tag}")
+    if _os.path.exists(root):
+        _sh.rmtree(root)
+    _os.makedirs(root)
+    path = _os.path.join(root, "lineitem_failures")
+
+    rs = lineitem_ruleset()
+    li = load_table(spark, "lineitem", sf_dir)
+    QualityEngine().store_failures(li, rs, path)
+    back = spark.read.parquet(path)
+    # NotNull(l_orderkey) never fails (PK); exclude for parity with the
+    # 4-rule oracle (same convention as q4_failure_tagging).
+    return back.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size(
+            F.filter(F.col("failed_rules"), lambda x: x != F.lit("notnull_l_orderkey"))
+        ).alias("n_failed"),
+    ).filter(F.col("n_failed") > 0)
+
+
+@register(
+    "q6_observe_metrics",
+    oracle="""
+    SELECT 'q6_write' AS step,
+           COUNT(*) AS total_records,
+           CAST(SUM(CASE WHEN l_orderkey IS NOT NULL
+                      AND (l_quantity IS NULL OR (l_quantity >= 1.0 AND l_quantity <= 45.0))
+                      AND (l_discount IS NULL OR (l_discount >= 0.0 AND l_discount <= 0.08))
+                      AND (l_returnflag IS NULL OR l_returnflag IN ('A', 'N'))
+                      AND COALESCE(l_extendedprice > l_quantity * 900, TRUE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS valid_records,
+           CAST(SUM(CASE WHEN NOT (l_orderkey IS NOT NULL
+                      AND (l_quantity IS NULL OR (l_quantity >= 1.0 AND l_quantity <= 45.0))
+                      AND (l_discount IS NULL OR (l_discount >= 0.0 AND l_discount <= 0.08))
+                      AND (l_returnflag IS NULL OR l_returnflag IN ('A', 'N'))
+                      AND COALESCE(l_extendedprice > l_quantity * 900, TRUE))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS invalid_records
+    FROM lineitem
+    """,
+)
+def q6_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q6: quality logging via DataFrame.observe — the write job itself
+    # produces total/valid/invalid counts (zero extra scans); the oracle
+    # checks the observed numbers, proving metrics ride the write.
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from etl_hiscox_spark.observability import write_with_metrics
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    root = _os.path.join(_tf.gettempdir(), "etl_hiscox_spark_writes", f"q6_observe_{tag}")
+    if _os.path.exists(root):
+        _sh.rmtree(root)
+    _os.makedirs(root)
+    path = _os.path.join(root, "lineitem_out")
+
+    rs = lineitem_ruleset()
+    li = load_table(spark, "lineitem", sf_dir)
+    m = write_with_metrics(li, path, step="q6_write", valid_predicate=rs.all_pass())
+    return spark.createDataFrame(
+        [(m.step, m.records_processed, m.records_valid, m.records_invalid)],
+        "step string, total_records bigint, valid_records bigint, invalid_records bigint",
+    )

@@ -318,3 +318,19 @@ def a11_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not m:
         raise RuntimeError(f"ANALYZE produced no rowCount: {stats!r}")
     return spark.createDataFrame([(int(m.group(1)),)], "row_count bigint")
+
+
+# ---------------------------------------------------------------------------
+# S7: object-store listing — Hadoop FS API over the sf_dir (works for any
+# deployed scheme: file://, s3a://, abfss://). Rows-only: file sizes and
+# layout are environment facts DuckDB's table views cannot see.
+# ---------------------------------------------------------------------------
+
+
+@register("s7_object_listing")  # rows-only: filesystem metadata has no SQL twin
+def s7_object_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_hiscox_spark.sources.readers import list_objects
+
+    blobs = list_objects(spark, sf_dir, suffix=".parquet")
+    rows = [(os.path.basename(b.path), b.size > 0) for b in sorted(blobs, key=lambda b: b.path)]
+    return spark.createDataFrame(rows, "object_name string, has_bytes boolean")
