@@ -1,10 +1,14 @@
 """Multimodal column operators (SURVEY.md §2.11 L7).
 
 Images/audio/video are opaque ``binary`` columns + typed metadata. The
-Spark-side plumbing here is real and tested — schemas, partitioning, UDF
-signatures, Arrow batch shapes — while the actual media decode is stubbed
-behind deterministic fakes (the decode libraries are not in this
-container; swap ``_decode_image_stub`` for PIL/torchvision in deployment).
+Spark-side plumbing — schemas, partitioning, UDF signatures, Arrow batch
+shapes — is real and tested. Decode tiers:
+
+- **BMP: real decode/encode** (:func:`decode_bmp`/:func:`encode_bmp`) —
+  uncompressed 24-bit SpreadsheetML-era simplicity, numpy + struct only.
+- **Other formats**: PIL when deployed; otherwise a clearly-marked
+  deterministic stub (``_decode_image_stub``) keeps the contract testable.
+- **Resize is real** (:func:`resize_nearest`, numpy index maps).
 
 Pattern: ``mapInPandas`` for decode/feature-extract (row-count-changing,
 whole-batch numpy work), plain ``pandas_udf`` for per-row features.
@@ -55,6 +59,80 @@ def _decode_image_stub(content: bytes) -> np.ndarray:
     return rng.integers(0, 256, size=(ht, w, 3), dtype=np.uint8)
 
 
+def decode_bmp(content: bytes) -> np.ndarray:
+    """REAL decoder for uncompressed 24-bit BMP (the format is two packed
+    little-endian C structs + raw BGR rows — stdlib-parseable).
+
+    Supports BITMAPINFOHEADER, bottom-up or top-down, 4-byte row padding.
+    Returns (h, w, 3) uint8 RGB. Anything else (compressed, paletted,
+    other depths) raises ValueError — quarantine, don't guess.
+    """
+    import struct
+
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    pixel_offset = struct.unpack_from("<I", content, 10)[0]
+    header_size = struct.unpack_from("<I", content, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    width, height = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp}, comp={compression})")
+    top_down = height < 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = pixel_offset + row_stride * height
+    if len(content) < need:
+        raise ValueError(f"truncated BMP: {len(content)} bytes < {need}")
+    raw = np.frombuffer(content, dtype=np.uint8, count=row_stride * height, offset=pixel_offset)
+    rows = raw.reshape(height, row_stride)[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_bmp` (bottom-up 24-bit): test fixture
+    generator and a real thumbnail sink format."""
+    import struct
+
+    h, w = arr.shape[:2]
+    row_stride = (w * 3 + 3) & ~3
+    pad = row_stride - w * 3
+    bgr = arr[:, :, ::-1]
+    body = b"".join(bgr[r].tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    return file_header + info + body
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """Dispatch decoder: real BMP path; PIL for other formats when
+    deployed; deterministic stub otherwise (honestly fake, tests pin it)."""
+    if content[:2] == b"BM":
+        return decode_bmp(content)
+    try:
+        import io
+
+        from PIL import Image  # not in this container; real path in deployment
+
+        return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+    except ImportError:
+        return _decode_image_stub(content)
+
+
+def resize_nearest(arr: np.ndarray, target: tuple[int, int]) -> np.ndarray:
+    """REAL nearest-neighbor resample via integer index maps (numpy-only).
+    (th, tw) output; channels preserved."""
+    th, tw = target
+    h, w = arr.shape[:2]
+    rows = (np.arange(th) * h) // th
+    cols = (np.arange(tw) * w) // tw
+    return arr[rows][:, cols]
+
+
 def image_features(df: DataFrame, content_col: str = "content", path_col: str = "path") -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow-batched).
 
@@ -67,7 +145,7 @@ def image_features(df: DataFrame, content_col: str = "content", path_col: str = 
         for pdf in batches:
             rows = []
             for path, content in zip(pdf[path_col], pdf[content_col]):
-                arr = _decode_image_stub(bytes(content) if content is not None else b"")
+                arr = decode_image(bytes(content) if content is not None else b"")
                 rows.append(
                     {
                         "path": path,
@@ -83,11 +161,11 @@ def image_features(df: DataFrame, content_col: str = "content", path_col: str = 
 
 
 def resize_images(df: DataFrame, target: tuple[int, int] = (8, 8)) -> DataFrame:
-    """Resize stub: emits fixed-size thumbnails as binary.
+    """Resize to fixed-size BMP thumbnails (binary out, same rows).
 
-    REAL IMPLEMENTATION: PIL ``Image.resize``. The stub center-crops the
-    fake decode — the Spark contract (binary in, binary out, same rows)
-    is what's under test.
+    Decode (real for BMP, stub otherwise) → nearest-neighbor resample
+    (:func:`resize_nearest`, numpy index maps — a real resize, no PIL) →
+    re-encode as BMP so the thumbnail column is itself decodable.
     """
     th, tw = target
 
@@ -95,9 +173,11 @@ def resize_images(df: DataFrame, target: tuple[int, int] = (8, 8)) -> DataFrame:
         for pdf in batches:
             out = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                arr = _decode_image_stub(bytes(content) if content is not None else b"")
-                thumb = arr[:th, :tw, :]
-                out.append({"path": path, "thumbnail": thumb.tobytes(), "thumb_h": th, "thumb_w": tw})
+                arr = decode_image(bytes(content) if content is not None else b"")
+                thumb = resize_nearest(arr, (th, tw))
+                out.append(
+                    {"path": path, "thumbnail": encode_bmp(thumb), "thumb_h": th, "thumb_w": tw}
+                )
             yield pd.DataFrame(out, columns=["path", "thumbnail", "thumb_h", "thumb_w"])
 
     schema = T.StructType(

@@ -46,12 +46,14 @@ def register(name: str, oracle: str | None = None):
 # rotated list, not an accident of import order (VERDICT r2 item 1).
 #
 # Round 3 window: every oracle query never checked in r1/r2 (F-cleaning,
-# Q-quality, X-streaming, L/T/V LLM tiers), the new S-tier write-path
-# queries, then the highest-value rows-only operators. The 50 rows already
-# driver-green in CORRECTNESS_r02 rotate to the back — the union of rounds
-# keeps every row covered. Rotate this list again next round for anything
-# still unchecked (l2_simhash_candidates, l2_transitive_clusters,
-# t7_mixture_sample, t12_weighted_sample + any newly declared queries).
+# Q-quality, X-streaming, L/T/V LLM tiers) plus the queries declared this
+# round (S-tier write paths, DQ engine, scalar parses, upsert twin) — all
+# 50 slots carry hash-checkable oracles. The 50 rows already driver-green
+# in CORRECTNESS_r02 rotate to the back — the union of rounds keeps every
+# row covered. Rotate again next round for the rows-only operators
+# (l2_minhash_near_dup, l2_simhash_candidates, l2_transitive_clusters,
+# l3_ann_topk, t3/t7/t8/t12/t13, m1_multimodal_features, a16, s7) + any
+# newly declared queries.
 # ---------------------------------------------------------------------------
 
 WINDOW_R3: tuple[str, ...] = (
@@ -104,14 +106,14 @@ WINDOW_R3: tuple[str, ...] = (
     "s9_scd2_snapshot",
     "s10_seed_load",
     "a11_table_stats",
-    # rows-only operators that have never had even a rows-only driver check
-    "l2_minhash_near_dup",
-    "l3_ann_topk",
-    "t3_fingerprint",
-    "t8_pack_sequences",
-    "t13_corpus_prep_pipeline",
-    "m1_multimodal_features",
-    "a16_hll_distinct_rollup",
+    # DQ engine / scalar-function / streaming-sink queries (new this round)
+    "q1_rule_violations",
+    "q3_threshold_alerts",
+    "q5_store_failures",
+    "q6_observe_metrics",
+    "x7_upsert_batch_twin",
+    "f3_money_parse",
+    "f8_batch_id_format",
 )
 
 

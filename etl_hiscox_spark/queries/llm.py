@@ -742,27 +742,47 @@ def l3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
 
 
-@register("m1_multimodal_features")  # rows-only: stub decode (no media libs here)
+@register(
+    "m1_multimodal_features",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS path,
+           CAST(4 + doc_id % 13 AS INT) AS width,
+           CAST(4 + doc_id % 7 AS INT) AS height,
+           3 AS n_channels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_intensity
+    FROM documents
+    """,
+)
 def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # L7 multimodal plumbing as a declared query: documents' text bytes
-    # stand in for media binary (container has no image libs; decode is
-    # the deterministic stub). The Spark contract — binary column in,
-    # Arrow-batched mapInPandas decode, typed feature rows out — is real
-    # and identical to the production path; swap the stub for PIL at
-    # deployment. Aggregated per (width, n_channels) to keep output small.
-    from etl_hiscox_spark.operators.multimodal import image_features
+    # L7 multimodal with a REAL decode: one deterministic 24-bit BMP per
+    # document (dims and color derived from doc_id — widths hit every
+    # 4-byte-stride padding case), encoded and then decoded by the
+    # stdlib BMP codec inside the Arrow mapInPandas pipeline. The oracle
+    # checks dimensions and mean intensity survive the binary round-trip
+    # — a wrong stride/channel-order parse corrupts the mean. JPEG/PNG
+    # decode still needs PIL at deployment; the Spark contract is
+    # identical.
+    from collections.abc import Iterator
 
-    docs = load_table(spark, "documents", sf_dir)
-    media = docs.select(
-        F.col("doc_id").cast("string").alias("path"),
-        F.encode("text", "UTF-8").alias("content"),
-    )
-    feats = image_features(media)
-    return (
-        feats.groupBy("width", "n_channels")
-        .agg(F.count(F.lit(1)).alias("n_images"))
-        .orderBy("width", "n_channels")
-    )
+    import numpy as np
+    import pandas as pd
+
+    from etl_hiscox_spark.operators.multimodal import encode_bmp, image_features
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h, c = 4 + i % 13, 4 + i % 7, i % 256
+                arr = np.full((h, w, 3), c, dtype=np.uint8)
+                out.append({"path": str(i), "content": encode_bmp(arr)})
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    media = docs.mapInPandas(gen, "path string, content binary")
+    return image_features(media)
 
 
 @register("t13_corpus_prep_pipeline")  # rows-only: split/pack stages are hash-based

@@ -52,21 +52,26 @@ def read_json(
 
 
 def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
-    """S5: Excel scan (test_ingestion.py:118-129). Driver-side pandas →
+    """S5: Excel scan (test_ingestion.py:118-129). Driver-side parse →
     createDataFrame — correct for the reference's small .xlsx inputs; NOT a
-    distributed path (large Excel is not a thing worth distributing).
+    distributed path (large Excel is not a thing worth distributing; the
+    format itself caps at ~1M rows).
 
-    Requires openpyxl; raises ImportError with guidance when absent.
+    pandas/openpyxl when available; otherwise the stdlib SpreadsheetML
+    parser (:mod:`etl_hiscox_spark.sources.xlsx_lite`) — strings, numbers,
+    booleans, blanks; formulas/styled dates need the full engine.
     """
     import pandas as pd
 
     try:
         pdf = pd.read_excel(path, sheet_name=sheet)
-    except ImportError as e:  # openpyxl missing in this environment
-        raise ImportError(
-            "read_excel needs openpyxl; install it or convert the file to CSV"
-        ) from e
-    return spark.createDataFrame(pdf)
+        return spark.createDataFrame(pdf)
+    except ImportError:  # openpyxl missing — stdlib SpreadsheetML fallback
+        from etl_hiscox_spark.sources.xlsx_lite import read_xlsx_records
+
+        header, rows = read_xlsx_records(path, sheet)
+        pdf = pd.DataFrame(rows, columns=header)
+        return spark.createDataFrame(pdf)
 
 
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:

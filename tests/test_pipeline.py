@@ -144,7 +144,10 @@ def test_multimodal_stub_plumbing(spark, tmp_path):
         f["path"]: f["mean_intensity"] for f in feats2
     }
     thumbs = resize_images(df, target=(8, 8)).collect()
-    assert all(len(t["thumbnail"]) == 8 * 8 * 3 for t in thumbs)
+    # thumbnails are themselves decodable BMPs now
+    from etl_hiscox_spark.operators.multimodal import decode_bmp
+
+    assert all(decode_bmp(bytes(t["thumbnail"])).shape == (8, 8, 3) for t in thumbs)
 
 
 def test_materialize_sorted_layout(spark, tmp_path):
@@ -173,3 +176,48 @@ def test_csv_reader_with_explicit_schema(spark, raw_csv_dir):
 
     df = read_csv(spark, raw_csv_dir["policies"], schema=POLICIES_SCHEMA)
     assert df.schema["premium_amount"].dataType.simpleString() == "decimal(18,2)"
+
+
+def test_bmp_codec_roundtrip_and_real_features(spark, tmp_path):
+    """The BMP path is a REAL decode: encode→decode is bit-exact across
+    stride-padding widths, and image_features over on-disk BMPs recovers
+    true dimensions and means."""
+    import numpy as np
+
+    from etl_hiscox_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        image_features,
+        resize_nearest,
+    )
+    from etl_hiscox_spark.sources.readers import read_binary_files
+
+    rng = np.random.default_rng(7)
+    for w in (4, 5, 6, 7):  # hits every 4-byte row-padding remainder
+        arr = rng.integers(0, 256, size=(3, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(arr)), arr), w
+
+    grad = np.zeros((4, 6, 3), dtype=np.uint8)
+    grad[:, 3:, :] = 200  # two-tone: mean = 100 exactly
+    (tmp_path / "a.bmp").write_bytes(encode_bmp(grad))
+    (tmp_path / "b.bmp").write_bytes(encode_bmp(np.full((5, 7, 3), 9, dtype=np.uint8)))
+    df = read_binary_files(spark, str(tmp_path), glob="*.bmp")
+    feats = {r["path"].split("/")[-1]: r for r in image_features(df).collect()}
+    assert feats["a.bmp"]["width"] == 6 and feats["a.bmp"]["height"] == 4
+    assert feats["a.bmp"]["mean_intensity"] == 100.0
+    assert feats["b.bmp"]["width"] == 7 and feats["b.bmp"]["mean_intensity"] == 9.0
+
+    # nearest-neighbor resize: exact for an integer-ratio upscale
+    up = resize_nearest(np.arange(12, dtype=np.uint8).reshape(2, 2, 3), (4, 4))
+    assert up.shape == (4, 4, 3)
+    assert np.array_equal(up[:2, :2], np.repeat(np.repeat(
+        np.arange(12, dtype=np.uint8).reshape(2, 2, 3)[:1, :1], 2, 0), 2, 1))
+
+    # malformed inputs quarantine with clear errors, not garbage arrays
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"JFIF....")
+    trunc = encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))[:-10]
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(trunc)

@@ -35,21 +35,90 @@ def test_seed_load_roundtrip(spark, tmp_path):
     assert {(r["code"], r["label"]) for r in back.collect()} == {("A", "alpha"), ("B", "beta")}
 
 
-def test_read_excel_gated_without_openpyxl(spark, tmp_path):
-    # Environment has no openpyxl: the reader must raise a clear ImportError,
-    # not crash obscurely (S5 is declared-tier; driver-side pandas path).
-    fake = tmp_path / "wb.xlsx"
-    fake.write_bytes(b"not really an excel file")
-    try:
-        import openpyxl  # noqa: F401
+def test_read_excel_roundtrip_stdlib(spark, tmp_path):
+    # S5 without openpyxl: the stdlib SpreadsheetML path (xlsx_lite) must
+    # round-trip strings/ints/floats/bools/blanks through a real .xlsx zip
+    # (test_ingestion.py:118-129 parity).
+    from etl_hiscox_spark.sources.xlsx_lite import write_xlsx
 
-        has_openpyxl = True
-    except ImportError:
-        has_openpyxl = False
-    if has_openpyxl:
-        pytest.skip("openpyxl present; gating not exercised")
-    with pytest.raises((ImportError, ValueError)):
-        read_excel(spark, str(fake))
+    wb = tmp_path / "policies.xlsx"
+    write_xlsx(
+        str(wb),
+        ["policy_id", "premium", "n_claims", "active", "note"],
+        [
+            ["POL001", 1500.5, 2, True, "ok"],
+            ["POL002", 99.0, 0, False, None],
+        ],
+    )
+    df = read_excel(spark, str(wb))
+    rows = {r["policy_id"]: r for r in df.collect()}
+    assert set(rows) == {"POL001", "POL002"}
+    assert rows["POL001"]["premium"] == 1500.5
+    assert rows["POL001"]["n_claims"] == 2
+    assert rows["POL002"]["active"] is False
+    assert rows["POL002"]["note"] is None
+
+
+def test_xlsx_lite_sheet_selection_and_errors(tmp_path):
+    import zipfile
+
+    import pytest as _pytest
+
+    from etl_hiscox_spark.sources.xlsx_lite import read_xlsx_records, write_xlsx
+
+    wb = tmp_path / "one.xlsx"
+    write_xlsx(str(wb), ["a", "b"], [[1, "x"]], sheet_name="data")
+    header, rows = read_xlsx_records(str(wb), sheet="data")
+    assert header == ["a", "b"] and rows == [[1, "x"]]
+    with _pytest.raises(ValueError, match="not in"):
+        read_xlsx_records(str(wb), sheet="missing")
+    with _pytest.raises(ValueError, match="out of range"):
+        read_xlsx_records(str(wb), sheet=3)
+    bad = tmp_path / "bad.xlsx"
+    bad.write_bytes(b"not really an excel file")
+    with _pytest.raises(zipfile.BadZipFile):
+        read_xlsx_records(str(bad))
+
+
+def test_xlsx_lite_shared_strings_variant(tmp_path):
+    # Files written by Excel itself use the sharedStrings pool rather than
+    # inline strings — parse that layout too (hand-built minimal package).
+    import zipfile
+
+    from etl_hiscox_spark.sources.xlsx_lite import read_xlsx_records
+
+    wb = tmp_path / "shared.xlsx"
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    with zipfile.ZipFile(wb, "w") as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>',
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<workbook {ns} xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+            'relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        zf.writestr(
+            "xl/sharedStrings.xml",
+            f'<sst {ns}><si><t>name</t></si><si><r><t>he</t></r><r><t>llo</t></r></si></sst>',
+        )
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet {ns}><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>1</v></c><c r="C2"><v>7</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    header, rows = read_xlsx_records(str(wb))
+    # ragged sheet: width = widest row; short header gets placeholder names
+    assert header == ["name", "_c1", "_c2"]
+    assert rows == [["hello", None, 7]]  # rich-text runs concatenated
 
 
 def test_store_failures_roundtrip(spark, tmp_path):
