@@ -1,0 +1,183 @@
+"""Minimal transaction-log table format (SURVEY.md §2.1 S3 upgrade).
+
+The reference writes Delta (``scripts/ingestion.py:94-98``: append +
+mergeSchema); delta-spark is not deployable in this container, and the
+plain-parquet emulation in :mod:`writers` loses the two properties Delta
+actually provides — an atomic commit point and readable history. This
+module restores both with the same public design Delta/Iceberg use
+(an ordered log of versioned manifests; see the Delta Lake VLDB'20 paper):
+
+- ``_txn_log/v{N}.json`` lists the ACTIVE data files + schema for
+  version N. Readers resolve the latest version and read exactly those
+  files — a half-written data file is invisible until its manifest commits.
+- Commits are atomic via ``os.rename`` of a tmp manifest (POSIX rename
+  atomicity; object stores use put-if-absent — same protocol point).
+- ``mode="append"`` adds files (schema widened by union, missing columns
+  read as NULL); ``mode="overwrite"`` starts a fresh file set. Old files
+  are never mutated, so every prior version stays readable: time travel.
+- Single-writer protocol (the reference's orchestrator is a single daily
+  writer too). Multi-writer needs optimistic concurrency on the manifest
+  name — the hook is the ``FileExistsError`` raised on version collision.
+
+This is deliberately a few hundred lines, not a table format competitor:
+it documents exactly which Delta semantics the pipeline relies on, and it
+swaps out for real Delta/Iceberg by replacing TxnTable with
+``spark.read.format("delta")`` at deployment.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_LOG_DIR = "_txn_log"
+
+
+class TxnTable:
+    """A parquet table with a versioned-manifest transaction log."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.log_dir = os.path.join(path, _LOG_DIR)
+
+    # -- log plumbing --------------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(os.path.join(self.log_dir, f"v{version}.json")) as f:
+            return json.load(f)
+
+    def _commit(self, version: int, manifest: dict) -> None:
+        """Atomic commit: write the manifest to a tmp name, then
+        ``os.link`` it to the versioned name.
+
+        ``link`` is the POSIX create-if-absent that carries full content:
+        it fails with FileExistsError if version N is already committed
+        (two-writer race becomes loud, like Delta's optimistic concurrency)
+        and readers can never observe a partially-written manifest
+        (``rename`` over an existing name would silently replace; a probe
+        file would expose an empty manifest for a moment).
+        """
+        os.makedirs(self.log_dir, exist_ok=True)
+        final = os.path.join(self.log_dir, f"v{version}.json")
+        tmp = final + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, final)  # FileExistsError on writer race
+        finally:
+            os.unlink(tmp)
+
+    # -- write path ----------------------------------------------------------
+
+    def write(self, df: DataFrame, mode: str = "append") -> int:
+        """Write ``df`` as a new committed version; returns the version.
+
+        Data files land under ``data/`` with unique names BEFORE the
+        manifest commits — a crash mid-write leaves orphan files (cleaned
+        by vacuum), never a torn table.
+        """
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        batch_dir = f"batch-{uuid.uuid4().hex}"
+        out_dir = os.path.join(self.path, "data", batch_dir)
+        df.write.mode("error").parquet(out_dir)
+        new_files = sorted(
+            os.path.join("data", batch_dir, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        )
+        prev = self.latest_version()
+        if mode == "append" and prev is not None:
+            old = self._read_manifest(prev)
+            files = old["files"] + new_files
+        else:
+            files = new_files
+        version = 0 if prev is None else prev + 1
+        self._commit(
+            version,
+            {
+                "version": version,
+                "mode": mode,
+                "files": files,
+                "schema": df.schema.json(),
+                "committed_at": time.time(),
+                "n_added": len(new_files),
+            },
+        )
+        return version
+
+    # -- read path -----------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read of ``version`` (default: latest) — time travel.
+
+        Schema evolution: every file group is read with its own footer
+        schema and unioned by name with NULL fill, then projected to the
+        manifest's (latest-write) column order.
+        """
+        v = self.latest_version() if version is None else version
+        if v is None or v not in self._versions():
+            raise FileNotFoundError(f"no committed version {version!r} at {self.path}")
+        m = self._read_manifest(v)
+        paths = [os.path.join(self.path, f) for f in m["files"]]
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        out: DataFrame | None = None
+        for p in paths:
+            part = self.spark.read.parquet(p)
+            out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+        if out is None:
+            return self.spark.createDataFrame([], schema)
+        for field in schema.fieldNames():
+            if field not in out.columns:
+                import pyspark.sql.functions as F
+
+                out = out.withColumn(field, F.lit(None).cast(schema[field].dataType))
+        return out.select(*schema.fieldNames())
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first (Delta DESCRIBE HISTORY shape)."""
+        return [self._read_manifest(v) for v in self._versions()]
+
+    def vacuum(self) -> int:
+        """Delete data files no longer referenced by ANY version's manifest
+        (crash orphans). Returns the number removed. Retention-window
+        vacuuming of old versions is a deliberate non-goal here."""
+        live: set[str] = set()
+        for v in self._versions():
+            live.update(self._read_manifest(v)["files"])
+        removed = 0
+        data_root = os.path.join(self.path, "data")
+        if not os.path.isdir(data_root):
+            return 0
+        for batch in os.listdir(data_root):
+            bdir = os.path.join(data_root, batch)
+            for f in os.listdir(bdir):
+                rel = os.path.join("data", batch, f)
+                if f.endswith(".parquet") and rel not in live:
+                    os.remove(os.path.join(bdir, f))
+                    removed += 1
+            if not os.listdir(bdir):
+                os.rmdir(bdir)
+        return removed

@@ -155,3 +155,56 @@ def test_avro_gated_without_module(spark, tmp_path):
         read_avro(spark, str(tmp_path / "in.avro"))
     with pytest.raises(RuntimeError, match="spark-avro"):
         write_avro(spark.range(3), str(tmp_path / "out.avro"))
+
+
+def test_txn_table_append_time_travel_and_evolution(spark, tmp_path):
+    """Manifest-log table: atomic versions, time travel, schema widening
+    (the Delta semantics the reference relies on, without delta-spark)."""
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    v0 = t.write(spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string"))
+    v1 = t.write(spark.createDataFrame([(3, "c", 9.5)], "id int, s string, score double"))
+    assert (v0, v1) == (0, 1)
+    # latest sees the union schema; old rows read score as NULL
+    latest = t.read()
+    assert latest.columns == ["id", "s", "score"]
+    rows = {r["id"]: r["score"] for r in latest.collect()}
+    assert rows == {1: None, 2: None, 3: 9.5}
+    # time travel: version 0 is still exactly the original two rows/cols
+    old = t.read(version=0)
+    assert old.columns == ["id", "s"] and old.count() == 2
+    # overwrite starts a fresh file set but history stays readable
+    t.write(spark.createDataFrame([(99, "z", 0.0)], "id int, s string, score double"),
+            mode="overwrite")
+    assert t.read().count() == 1
+    assert t.read(version=1).count() == 3
+    hist = t.history()
+    assert [m["version"] for m in hist] == [0, 1, 2]
+    assert hist[2]["mode"] == "overwrite"
+
+
+def test_txn_table_vacuum_and_commit_collision(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.write(spark.createDataFrame([(1,)], "id int"))
+    t.write(spark.createDataFrame([(2,)], "id int"), mode="overwrite")
+    # both versions' files are referenced -> vacuum removes nothing
+    assert t.vacuum() == 0
+    # orphan a fake crash-leftover file -> vacuum removes exactly it
+    data_root = os.path.join(t.path, "data")
+    batch = sorted(os.listdir(data_root))[0]
+    orphan = os.path.join(data_root, batch, "part-crash-leftover.parquet")
+    open(orphan, "wb").write(b"junk")
+    assert t.vacuum() == 1
+    assert not os.path.exists(orphan)
+    # a second writer committing the same version must fail loudly
+    with _pytest.raises(FileExistsError):
+        t._commit(t.latest_version(), {"version": 0, "files": [], "schema": "{}"})
+    # unreadable after the stray probe? no - latest still resolves
+    assert t.read().count() == 1
