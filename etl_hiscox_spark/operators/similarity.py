@@ -79,7 +79,12 @@ def cosine_scores_pandas(embedding_col: Column, query_vec: Sequence[float]) -> C
             out = np.where(denom > 0, dots / denom, np.nan)
         return pd.Series(out)
 
-    return _score(embedding_col)
+    # asNondeterministic stops Catalyst duplicating the call when the score
+    # feeds both a Filter (NaN guard) and a Project — without it the plan
+    # carries TWO ArrowEvalPython nodes and every row is scored twice.
+    # (The function IS deterministic; the marker only disables the
+    # clone/pushdown rewrites. Plan-pinned in tests/test_plans.py.)
+    return _score.asNondeterministic()(embedding_col)
 
 
 def cosine_topk(

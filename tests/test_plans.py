@@ -105,8 +105,19 @@ def test_ngram_pairs_join_is_banded(spark, sf_dir):
 
 def test_l3_scoring_scan_is_arrow_not_interpreted(spark, sf_dir):
     # Bulk cosine scoring must run as an Arrow-batched BLAS matvec — no
-    # interpreted array-lambda aggregate( in the scan (VERDICT r2 item 3).
-    for q in ("l3_cosine_topk", "l3_ann_topk"):
-        plan = _plan(spark, sf_dir, q)
-        assert "ArrowEvalPython" in plan, q
-        assert "aggregate(" not in plan, q
+    # interpreted array-lambda aggregate( in the scan (VERDICT r2 item 3) —
+    # and each UDF must evaluate ONCE (Catalyst clones deterministic exprs
+    # across Filter+Project; asNondeterministic pins single evaluation).
+    import re
+
+    def n_arrow_nodes(plan: str) -> int:
+        # formatted mode prints each node twice (tree + "(N) Op" detail);
+        # count the detail headers = one per physical node
+        return len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
+
+    plan = _plan(spark, sf_dir, "l3_cosine_topk")
+    assert n_arrow_nodes(plan) == 1, plan[:800]
+    assert "aggregate(" not in plan
+    plan = _plan(spark, sf_dir, "l3_ann_topk")
+    assert n_arrow_nodes(plan) == 2, plan[:800]  # bucket UDF + score UDF
+    assert "aggregate(" not in plan
