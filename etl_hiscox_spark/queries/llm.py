@@ -823,3 +823,54 @@ def l2_transitive_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs")).orderBy(
         "lang", "source"
     )
+
+
+@register(
+    "l2_connected_clusters",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, source,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                                    i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS s
+      FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 25
+      WHERE len(list_intersect(a.s, b.s)) > 0
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ), reach(node, r) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT reach.node, e.d FROM reach JOIN edges e ON reach.r = e.s
+    )
+    SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    """,
+)
+def l2_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Transitive near-dup clustering with a HARD oracle: the candidate set
+    # is the deterministic banded n-gram pairs with ANY shingle overlap
+    # (no xxhash, threshold 0 — the corpus's in-band similarities are
+    # small, and the graph, not the cutoff, is what CC must get right), so the
+    # iterative min-label connected-components result is checkable against
+    # DuckDB's recursive-CTE transitive closure — value-for-value proof of
+    # an iterative distributed algorithm. (The MinHash-fed variant
+    # l2_transitive_clusters stays rows-only: its candidates are
+    # xxhash-derived.) Spark side: O(diameter) rounds of two equi-joins +
+    # groupBy with per-round lineage truncation; oracle side: O(n·m)
+    # closure — fine at oracle scale, intractable at 100 TB, which is
+    # exactly why the iterative form exists.
+    from etl_hiscox_spark.operators.dedup import connected_components
+
+    pairs = l2_ngram_jaccard_pairs(spark, sf_dir)  # register() returns fn unchanged
+    confirmed = pairs.filter(F.col("jaccard") > 0.0).select("id_a", "id_b")
+    return connected_components(confirmed).select("node", "component")
