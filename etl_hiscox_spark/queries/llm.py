@@ -25,11 +25,10 @@ from etl_hiscox_spark.functions.text import (
 from etl_hiscox_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
-    minhash_candidates,
     near_dedup_minhash,
     simhash_candidates,
 )
-from etl_hiscox_spark.operators.similarity import cosine, cosine_topk
+from etl_hiscox_spark.operators.similarity import cosine_topk
 from etl_hiscox_spark.queries import register
 from etl_hiscox_spark.registry import load_table
 
