@@ -342,3 +342,34 @@ def batch_cosine_topk_pandas(
         exploded.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Semantic (embedding-space) deduplication: drop all but one document
+    from every cluster of cosine-similar embeddings (SemDeDup pattern —
+    Abbas et al. 2023, arXiv:2303.09540).
+
+    Composition of existing scale primitives, nothing bespoke:
+    1. within-block near pairs via one BLAS matmul per block
+       (:func:`blocked_cosine_pairs_pandas` — pairs never form globally);
+    2. transitive closure via iterative min-label propagation
+       (:func:`...dedup.connected_components` — O(cluster diameter) rounds);
+    3. keeper = min id per component, dropped via one left-anti join.
+
+    At 100 TB the block key is an IVF/k-means cluster id written as a
+    partition column; here any low-cardinality column works (label).
+    """
+    from etl_hiscox_spark.operators.dedup import connected_components
+
+    pairs = blocked_cosine_pairs_pandas(df, embedding_col, id_col, block_col, threshold)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    drops = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drops, on=id_col, how="left_anti")

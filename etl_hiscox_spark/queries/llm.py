@@ -873,3 +873,45 @@ def l2_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = l2_ngram_jaccard_pairs(spark, sf_dir)  # register() returns fn unchanged
     confirmed = pairs.filter(F.col("jaccard") > 0.0).select("id_a", "id_b")
     return connected_components(confirmed).select("node", "component")
+
+
+@register(
+    "l3_semantic_dedup",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * b.emb[i]))
+              / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+                 * sqrt(list_sum(list_transform(b.emb, x -> x * x)))) > 0.3
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM p
+      UNION
+      SELECT id_b AS s, id_a AS d FROM p
+    ), reach(node, r) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT reach.node, e2.d FROM reach JOIN edges e2 ON reach.r = e2.s
+    ), comp AS (
+      SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    )
+    SELECT e.vec_id, e.label FROM e
+    LEFT JOIN comp ON e.vec_id = comp.node
+    WHERE comp.node IS NULL OR comp.node = comp.component
+    """,
+)
+def l3_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Semantic dedup (SemDeDup): embedding-cosine clusters within a block
+    # key -> keep min-id per transitive cluster. Every stage is
+    # oracle-checkable: the pair graph is deterministic (label-blocked
+    # BLAS cosine > 0.3, hash-matched by l3_embedding_near_pairs), and the
+    # iterative CC result is checked against DuckDB's recursive closure.
+    from etl_hiscox_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return semantic_dedup(emb, "embedding", "vec_id", "label", threshold=0.3).select(
+        "vec_id", "label"
+    )

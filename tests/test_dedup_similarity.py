@@ -151,3 +151,26 @@ def test_minhash_16_4_recall_on_planted_dups(spark):
     got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
     found = sum(1 for i in range(n_pairs) if (i, i + 1000) in got)
     assert found >= 0.8 * n_pairs, f"recall {found}/{n_pairs}"
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """SemDeDup composition: three near-identical vectors in one block
+    collapse to the min id (transitively — A~B, B~C without A~C being
+    required); orthogonal vectors all survive; blocks never mix."""
+    from etl_hiscox_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        # block "x": 1,2 similar; 3 similar to 2 but less to 1 (chain)
+        (1, "x", [1.0, 0.0, 0.0]),
+        (2, "x", [0.98, 0.2, 0.0]),
+        (3, "x", [0.9, 0.42, 0.0]),
+        # block "x": orthogonal survivor
+        (4, "x", [0.0, 0.0, 1.0]),
+        # block "y": same direction as 1 but different block -> untouched
+        (5, "y", [1.0, 0.0, 0.0]),
+        (6, "y", [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    out = semantic_dedup(df, "embedding", "vec_id", "label", threshold=0.9)
+    kept = {r["vec_id"] for r in out.collect()}
+    assert kept == {1, 4, 5, 6}
