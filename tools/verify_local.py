@@ -123,6 +123,11 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
     ap.add_argument(
+        "--window",
+        action="store_true",
+        help="check only the first 50 registered queries — the driver's CORRECTNESS view",
+    )
+    ap.add_argument(
         "--vanilla",
         action="store_true",
         help="driver rehearsal: bare SparkSession + the __spark_entry__ surface",
@@ -149,6 +154,8 @@ def main():
 
         queries = all_queries()
         spark = get_spark("verify_local", shuffle_partitions=8)
+    if args.window:
+        queries = dict(list(queries.items())[:50])
     if args.only:
         keep = set(args.only.split(","))
         queries = {k: v for k, v in queries.items() if k in keep}
