@@ -416,6 +416,11 @@ def simhash64(text_col: Column | str) -> Column:
     For each bit position b: sum over tokens of +1/-1 by token-hash bit b;
     bit set iff the vote is positive. Implemented with
     transform + aggregate over the token array, then a bit-OR fold.
+
+    NOTE: array lambdas run interpreted in Spark 4 — this form is for
+    single-column convenience (small frames, tests); bulk scans use
+    :func:`simhash_table`, whose explode + 64 partial-sum aggregates stay
+    in whole-stage codegen (same policy as ``similarity.dot``).
     """
     toks = F.split(normalize_text(text_col), " ")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
