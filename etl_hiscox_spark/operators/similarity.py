@@ -53,6 +53,34 @@ def _as_double_literal_array(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
 
+def _stack_embeddings(embs: pd.Series, dim: int | None = None) -> np.ndarray:
+    """Stack a Series of embedding cells into an (n, dim) float64 matrix,
+    turning malformed cells into all-NaN rows instead of crashing the batch.
+
+    ``np.asarray(None)`` raises TypeError and ``np.stack`` over ragged
+    lengths raises ValueError — at 100 TB of scraped data one NULL/truncated
+    embedding must not fail the whole job. NaN rows flow through BLAS to NaN
+    scores, which every caller filters — the same contract the expression
+    tier provided via ``try_divide`` NULLs. ``dim`` defaults to the first
+    well-formed row's length (0 if none, yielding an (n, 0) matrix whose
+    scores are all degenerate and filtered).
+    """
+    cells: list[np.ndarray | None] = []
+    for e in embs:
+        if e is None:
+            cells.append(None)
+            continue
+        a = np.asarray(e, dtype=np.float64)
+        cells.append(a if a.ndim == 1 and a.size > 0 else None)
+    if dim is None:
+        dim = next((a.size for a in cells if a is not None), 0)
+    mat = np.full((len(cells), dim), np.nan)
+    for i, a in enumerate(cells):
+        if a is not None and a.size == dim:
+            mat[i] = a
+    return mat
+
+
 def cosine_scores_pandas(embedding_col: Column, query_vec: Sequence[float]) -> Column:
     """Cosine similarity of each row's embedding against ONE query vector,
     computed per Arrow batch as a single BLAS matvec (``mat @ q``).
@@ -62,8 +90,10 @@ def cosine_scores_pandas(embedding_col: Column, query_vec: Sequence[float]) -> C
     which is ~6× slower on wide embedding columns; here each Arrow batch
     crosses the JVM↔Python boundary once and the dim-length loop runs in
     BLAS. Embeddings are widened to float64 (exact) before arithmetic so
-    scores match the DECIMAL/DOUBLE oracle convention. Zero-norm rows
-    yield NaN — callers filter them exactly as with ``try_divide`` NULLs.
+    scores match the DECIMAL/DOUBLE oracle convention. Zero-norm, NULL,
+    empty, and wrong-length rows all yield NaN (via
+    :func:`_stack_embeddings`) — callers filter them exactly as with
+    ``try_divide`` NULLs.
     """
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.linalg.norm(q))
@@ -72,7 +102,7 @@ def cosine_scores_pandas(embedding_col: Column, query_vec: Sequence[float]) -> C
     def _score(embs: pd.Series) -> pd.Series:
         if not len(embs):
             return pd.Series([], dtype="float64")
-        mat = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        mat = _stack_embeddings(embs, dim=q.size)
         denom = np.linalg.norm(mat, axis=1) * qn
         dots = mat @ q
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -105,7 +135,8 @@ def cosine_topk(
         F.col(id_col),
         cosine_scores_pandas(F.col(embedding_col), query_vec).alias("cosine_sim"),
     )
-    # Zero-norm/empty embeddings make cosine NaN, and Spark sorts NaN above
+    # Zero-norm, NULL, empty, and wrong-length embeddings all score NaN
+    # (guarded stack in cosine_scores_pandas), and Spark sorts NaN above
     # every double in descending order — drop them instead of letting a
     # garbage row win rank 1.
     scored = scored.filter(F.col("cosine_sim").isNotNull() & ~F.isnan("cosine_sim"))
@@ -128,6 +159,8 @@ def lsh_bucket(embedding_col: Column, planes: np.ndarray) -> Column:
     vectors collide with probability 1 - θ/π per bit. All n_planes
     projections are ONE BLAS matmul per Arrow batch (``mat @ planes.T``) —
     the expression form would run n_planes interpreted array folds per row.
+    NULL/empty/wrong-length embeddings land in bucket -1 (never a packed-bit
+    value) so they can't collide with a real bucket or crash the batch.
     """
     P = np.asarray(planes, dtype=np.float64)
     if P.shape[0] > 62:
@@ -138,9 +171,10 @@ def lsh_bucket(embedding_col: Column, planes: np.ndarray) -> Column:
     def _bucket(embs: pd.Series) -> pd.Series:
         if not len(embs):
             return pd.Series([], dtype="int64")
-        mat = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
-        bits = (mat @ P.T) >= 0  # (batch, n_planes) sign bits
-        return pd.Series((bits @ weights).astype(np.int64))
+        mat = _stack_embeddings(embs, dim=P.shape[1])
+        valid = ~np.isnan(mat).any(axis=1)
+        bits = np.nan_to_num(mat) @ P.T >= 0  # (batch, n_planes) sign bits
+        return pd.Series(np.where(valid, bits @ weights, -1).astype(np.int64))
 
     return _bucket(embedding_col)
 
@@ -272,7 +306,9 @@ def blocked_cosine_pairs_pandas(
         )
         if n < 2:
             return empty
-        mat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[embedding_col]])
+        # Guarded stack: malformed embedding cells become NaN rows, whose
+        # pair sims are NaN and never pass `vals > threshold` below.
+        mat = _stack_embeddings(pdf[embedding_col])
         norms = np.linalg.norm(mat, axis=1)
         denom = np.outer(norms, norms)
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -325,10 +361,11 @@ def batch_cosine_topk_pandas(
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def sims(embs: pd.Series) -> pd.Series:
-        mat = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        mat = _stack_embeddings(embs, dim=qm.shape[1])
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         with np.errstate(divide="ignore", invalid="ignore"):
-            mat = np.where(norms > 0, mat / norms, 0.0)  # zero-norm -> all-0 sims
+            # zero-norm AND malformed (NaN-row) cells -> all-0 sims
+            mat = np.where(norms > 0, mat / norms, 0.0)
         scores = mat @ bc.value.T  # (batch, n_queries)
         return pd.Series(list(scores))
 

@@ -45,17 +45,75 @@ def register(name: str, oracle: str | None = None):
 # order decides which ever get a hard signal — so the window is an explicit,
 # rotated list, not an accident of import order (VERDICT r2 item 1).
 #
-# Round 3 window: every oracle query never checked in r1/r2 (F-cleaning,
-# Q-quality, X-streaming, L/T/V LLM tiers) plus the queries declared this
-# round (S-tier write paths, DQ engine, scalar parses, upsert twin) — all
-# 50 slots carry hash-checkable oracles. The 50 rows already driver-green
-# in CORRECTNESS_r02 rotate to the back — the union of rounds keeps every
-# row covered. Rotate again next round for the rows-only operators
-# (l2_minhash_near_dup, l2_simhash_candidates, l2_transitive_clusters,
-# l3_ann_topk, t3/t7/t8/t12/t13, m1_multimodal_features, a16, s7) + any
-# newly declared queries.
+# Round 4 window (VERDICT r3 item 2): the two r3 driver-red queries fixed
+# this round (f3 decimal→DOUBLE, a17 array→array_join), the 14 queries
+# never in any prior window — the 3 with real oracles first
+# (m1/l2_connected_clusters/l3_semantic_dedup), then the 11 rows-only —
+# the 3 queries newly declared this round (s5 xlsx, f14 explicit schema,
+# x1+x2 real-stream round-trip), and a 31-query cross-tier canary of
+# previously-green rows so silent regressions in rotated-out queries stay
+# detectable. Union r1–r4 = 117/117 registered queries driver-checked.
 # ---------------------------------------------------------------------------
 
+WINDOW_R4: tuple[str, ...] = (
+    # r3 driver-red, fixed this round
+    "f3_money_parse",
+    "a17_order_items_array",
+    # never-checked, hard oracles
+    "m1_multimodal_features",
+    "l2_connected_clusters",
+    "l3_semantic_dedup",
+    # never-checked, rows-only
+    "l2_minhash_near_dup",
+    "l2_simhash_candidates",
+    "l2_transitive_clusters",
+    "l3_ann_topk",
+    "t3_fingerprint",
+    "t7_mixture_sample",
+    "t8_pack_sequences",
+    "t12_weighted_sample",
+    "t13_corpus_prep_pipeline",
+    "s7_object_listing",
+    "a16_hll_distinct_rollup",
+    # newly declared this round
+    "s5_xlsx_roundtrip",
+    "f14_explicit_schema_cast",
+    "x1_x2_stream_roundtrip",
+    # canary: one-per-tier sample of previously driver-green rows
+    "p9_conditional_business_rule",
+    "j3_broadcast_dim_join",
+    "j6_range_interval_join",
+    "j7_asof_join",
+    "a1_a5_global_stats",
+    "a8_completeness_profile",
+    "a10_grouping_sets",
+    "a14_pivot",
+    "w4_rank_with_ties",
+    "w5_running_total",
+    "r3_topk_orders",
+    "u2_except_difference",
+    "u3_intersect",
+    "g1_star_join_revenue",
+    "g5_exists_late_orders",
+    "g7_scalar_subquery_share",
+    "f_string_cleaning",
+    "f4_multiformat_dates",
+    "f8_batch_id_format",
+    "q1_rule_violations",
+    "q4_quarantine_split",
+    "q6_observe_metrics",
+    "x3_tumbling_window",
+    "x6_stateful_dedup_batch_twin",
+    "x7_upsert_batch_twin",
+    "s3_append_schema_merge",
+    "s9_scd2_snapshot",
+    "l1_exact_dedup",
+    "l2_ngram_jaccard_pairs",
+    "l3_cosine_topk",
+    "t9_chunk_documents",
+)
+
+# Round 3 window (historical — r3 driver results in CORRECTNESS_r03.json).
 WINDOW_R3: tuple[str, ...] = (
     # silver cleaning semantics (reference test_ingestion.py:204-253)
     "f_string_cleaning",
@@ -128,7 +186,7 @@ def all_queries() -> dict[str, Q]:
         except ImportError:
             pass
     ordered: dict[str, Q] = {}
-    for name in WINDOW_R3:
+    for name in WINDOW_R4:
         if name in QUERIES:
             ordered[name] = QUERIES[name]
     for name, q in QUERIES.items():

@@ -579,7 +579,7 @@ def g9_exclusive_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey,
            COUNT(*) AS n_items,
-           list(l_partkey ORDER BY l_linenumber, l_partkey) AS partkeys
+           array_to_string(list(l_partkey ORDER BY l_linenumber, l_partkey), '|') AS partkeys
     FROM lineitem GROUP BY l_orderkey
     """,
 )
@@ -590,6 +590,9 @@ def a17_order_items_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic array_agg. l_linenumber repeats within an order in
     # this dataset, so the sort key carries l_partkey as tiebreaker (the
     # struct sort does this implicitly; the oracle must do it explicitly).
+    # The declared output serializes the array ('|'-joined) because the
+    # driver's pandas canonicalization cannot sort/hash list cells
+    # (CORRECTNESS_r03 err: "unhashable type: 'list'", VERDICT r3 item 1).
     li = load_table(spark, "lineitem", sf_dir)
     return (
         li.groupBy("l_orderkey")
@@ -600,7 +603,10 @@ def a17_order_items_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "n_items",
-            F.transform(F.col("__s"), lambda s: s.getField("l_partkey")).alias("partkeys"),
+            F.array_join(
+                F.transform(F.col("__s"), lambda s: s.getField("l_partkey").cast("string")),
+                "|",
+            ).alias("partkeys"),
         )
     )
 

@@ -64,15 +64,18 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("l2_minhash_near_dup")  # rows-only: xxhash64 minhash has no DuckDB twin
 def l2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # L2: MinHash(16)+LSH(4 bands) candidates -> exact Jaccard>=0.8 verify
-    # -> survivors. 16/4 keeps band width 4 (same per-band selectivity as
-    # 32/8) at half the one-shot signature codegen + shuffle width; LSH
-    # recall at J=0.8 is 1-(1-0.8^4)^4 ≈ 0.88 vs 0.985 — pinned by
-    # test_minhash_16_4_recall_on_planted_dups. Precision is unaffected
-    # (the exact-Jaccard verify stage gates every candidate).
+    # L2: MinHash(24)+LSH(6 bands) candidates -> exact Jaccard>=0.8 verify
+    # -> survivors. Band width stays 4 (same per-band selectivity as 32/8);
+    # LSH recall at the J=0.8 threshold is 1-(1-0.8^4)^6 ≈ 0.96 vs 0.985
+    # for 32/8 and 0.88 for 16/4 — the r3 16/4 config was an undocumented
+    # recall drop (ADVICE r3); 24/6 restores most of it at the same
+    # measured runtime (the shingle-hash stage dominates; signature width
+    # is a minor term — profiled at sf0.1: 16/4 1.78s, 24/6 1.84s, 32/8
+    # 2.20s e2e). Pinned by test_minhash_24_6_recall_on_planted_dups.
+    # Precision is unaffected (exact-Jaccard verify gates every candidate).
     docs = load_table(spark, "documents", sf_dir)
     return near_dedup_minhash(
-        docs, "text", "doc_id", threshold=0.8, num_hashes=16, num_bands=4
+        docs, "text", "doc_id", threshold=0.8, num_hashes=24, num_bands=6
     ).select("doc_id", "lang", "source")
 
 

@@ -328,7 +328,7 @@ def q3_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT o_orderkey, money_str,
-           TRY_CAST(replace(money_str, ',', '') AS DECIMAL(18,2)) AS amount
+           CAST(TRY_CAST(replace(money_str, ',', '') AS DECIMAL(18,2)) AS DOUBLE) AS amount
     FROM raw
     """,
 )
@@ -336,6 +336,11 @@ def f3_money_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F3: thousands-separator money parse ('1,500.50' -> 1500.50 exact
     # decimal; unparseable -> NULL via try_cast). The input strings are a
     # pure function of o_orderkey so both engines build identical text.
+    # The parse itself is exact DECIMAL(18,2); the declared OUTPUT is cast
+    # to DOUBLE per the repo determinism rule (queries/__init__.py) — the
+    # driver canonicalizes DuckDB decimals through pandas float64 while
+    # Spark yields Decimal objects, so a raw decimal column rows/schema-
+    # matches but hash-fails (CORRECTNESS_r03, VERDICT r3 item 1).
     from etl_hiscox_spark.functions.cleaning import parse_money
 
     raw = load_table(spark, "orders", sf_dir).select(
@@ -348,7 +353,9 @@ def f3_money_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad((F.col("o_orderkey") % 100).cast("string"), 2, "0"),
         ).alias("money_str"),
     )
-    return raw.select("o_orderkey", "money_str", parse_money("money_str").alias("amount"))
+    return raw.select(
+        "o_orderkey", "money_str", parse_money("money_str").cast("double").alias("amount")
+    )
 
 
 @register(

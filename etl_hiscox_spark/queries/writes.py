@@ -334,3 +334,98 @@ def s7_object_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = list_objects(spark, sf_dir, suffix=".parquet")
     rows = [(os.path.basename(b.path), b.size > 0) for b in sorted(blobs, key=lambda b: b.path)]
     return spark.createDataFrame(rows, "object_name string, has_bytes boolean")
+
+
+# ---------------------------------------------------------------------------
+# S5: Excel scan — write a deterministic projection to a real .xlsx (stdlib
+# SpreadsheetML writer), read it back through the declared Excel reader
+# (pandas/openpyxl when present, xlsx_lite otherwise), aggregate. Converts
+# the one remaining real-path source with no driver signal (VERDICT r3
+# item 5; reference tests/unit/test_ingestion.py:118-129 reads .xlsx into
+# bronze). Excel is driver-side small by design — nation (25 rows) is the
+# honest shape for the format.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s5_xlsx_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           COUNT(*) AS n_nations,
+           MIN(n_name) AS first_nation,
+           MAX(n_name) AS last_nation,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def s5_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_hiscox_spark.sources.readers import read_excel
+    from etl_hiscox_spark.sources.xlsx_lite import write_xlsx
+
+    path = os.path.join(_scratch("s5_xlsx", sf_dir), "nation.xlsx")
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    rows = [
+        [r["n_nationkey"], r["n_name"], r["n_regionkey"]]
+        for r in sorted(nation.collect(), key=lambda r: r["n_nationkey"])
+    ]
+    write_xlsx(path, ["n_nationkey", "n_name", "n_regionkey"], rows)
+    back = read_excel(spark, path)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+        F.max("n_name").alias("last_nation"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F14: explicit-schema cast policy — write part to CSV (everything becomes
+# text), read back with an explicit StructType (long / string / int /
+# decimal(12,2)), and emit a dtype-sensitive aggregate: the int column sums
+# as BIGINT (not a string concat, not a double), the decimal column sums
+# exactly then casts to DOUBLE. Proves the reader applies declared types
+# instead of inferring (reference
+# tests/integration/test_pipeline_integration.py:373-375 dtype assertions).
+# ---------------------------------------------------------------------------
+
+_F14_SCHEMA = T.StructType(
+    [
+        T.StructField("p_partkey", T.LongType()),
+        T.StructField("p_brand", T.StringType()),
+        T.StructField("p_size", T.IntegerType()),
+        T.StructField("p_retailprice", T.DecimalType(12, 2)),
+    ]
+)
+
+
+@register(
+    "f14_explicit_schema_cast",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(p_size) AS BIGINT) AS size_sum,
+           MIN(p_size) AS min_size,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS retail_sum
+    FROM part GROUP BY p_brand
+    """,
+)
+def f14_explicit_schema_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_hiscox_spark.sources.readers import read_csv
+
+    path = os.path.join(_scratch("f14_cast", sf_dir), "part_csv")
+    part = load_table(spark, "part", sf_dir).select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    part.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(spark, path, schema=_F14_SCHEMA)
+    # Declared-dtype proof: sum(int) -> long, sum(decimal(12,2)) -> exact
+    # decimal then DOUBLE. If the reader ignored the schema (all-string
+    # inference), both aggregates would fail analysis or hash-mismatch.
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("p_size").alias("size_sum"),
+        F.min("p_size").alias("min_size"),
+        F.sum("p_retailprice").cast("double").alias("retail_sum"),
+    )

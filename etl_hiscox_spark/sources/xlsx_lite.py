@@ -81,13 +81,22 @@ def _cell_value(c: ET.Element, shared: list[str]):
         return v.text
     if t == "b":
         return v.text == "1"
-    num = float(v.text)
-    return int(num) if num.is_integer() else num
+    # Numbers stay float here; per-column int narrowing happens in
+    # read_xlsx_records so a column mixing 1500.5 and 99 is uniformly
+    # float (pandas.read_excel behavior) instead of ragged int/float —
+    # ragged object columns fail spark.createDataFrame type merging.
+    return float(v.text)
 
 
 def read_xlsx_rows(path: str, sheet: str | int = 0) -> list[list]:
     """Parse one worksheet into a dense list of rows (ragged rows padded
-    with None to the sheet's max width)."""
+    with None to the sheet's max width).
+
+    Rows Excel omits from sheetData entirely (blank rows) are restored
+    from the row elements' ``r`` attributes as all-None rows, so data
+    below a blank row keeps its sheet position — without this, subsequent
+    rows shift up and header detection can grab the wrong row.
+    """
     with zipfile.ZipFile(path) as zf:
         targets = _sheet_targets(zf)
         if isinstance(sheet, int):
@@ -101,26 +110,47 @@ def read_xlsx_rows(path: str, sheet: str | int = 0) -> list[list]:
             member = targets[sheet]
         shared = _shared_strings(zf)
         root = ET.fromstring(zf.read(member))
-        rows: list[list] = []
+        indexed: dict[int, list] = {}
+        next_ri = 1
         for row_el in root.iter(f"{_NS}row"):
+            r_attr = row_el.get("r")
+            ri = int(r_attr) if r_attr and r_attr.isdigit() else next_ri
+            next_ri = ri + 1
             cells: dict[int, object] = {}
             for c in row_el.iter(f"{_NS}c"):
                 ref = c.get("r")
                 ci = _col_index(ref) if ref else len(cells)
                 cells[ci] = _cell_value(c, shared)
             width = max(cells) + 1 if cells else 0
-            rows.append([cells.get(i) for i in range(width)])
+            indexed[ri] = [cells.get(i) for i in range(width)]
+    if not indexed:
+        return []
+    rows = [indexed.get(ri, []) for ri in range(1, max(indexed) + 1)]
     width = max((len(r) for r in rows), default=0)
     return [r + [None] * (width - len(r)) for r in rows]
 
 
 def read_xlsx_records(path: str, sheet: str | int = 0) -> tuple[list[str], list[list]]:
-    """(header, data_rows): first sheet row is the header (stringified)."""
+    """(header, data_rows): first sheet row is the header (stringified).
+
+    Numeric columns are normalized per COLUMN, matching pandas.read_excel:
+    all-integral with no blanks -> int; any fractional value or blank ->
+    float throughout. Mixed str/number columns are left as parsed.
+    """
     rows = read_xlsx_rows(path, sheet)
     if not rows:
         return [], []
     header = [str(h) if h is not None else f"_c{i}" for i, h in enumerate(rows[0])]
-    return header, rows[1:]
+    data = [list(r) for r in rows[1:]]
+    for ci in range(len(header)):
+        col = [r[ci] for r in data if ci < len(r)]
+        vals = [v for v in col if v is not None]
+        if vals and all(type(v) is float for v in vals):
+            if len(vals) == len(col) and all(v.is_integer() for v in vals):
+                for r in data:
+                    if ci < len(r):
+                        r[ci] = int(r[ci])
+    return header, data
 
 
 # ---------------------------------------------------------------------------

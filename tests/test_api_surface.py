@@ -136,14 +136,14 @@ def test_registry_conveniences(spark, sf_dir):
 
 
 def test_driver_window_rotation():
-    """The driver checks only the first 50 registered queries; WINDOW_R3
-    pins which ones those are this round (VERDICT r2 item 1). Guards:
+    """The driver checks only the first 50 registered queries; WINDOW_R4
+    pins which ones those are this round (VERDICT r3 item 2). Guards:
     exactly 50 names, all registered, served first and in order."""
-    from etl_hiscox_spark.queries import WINDOW_R3, all_queries
+    from etl_hiscox_spark.queries import WINDOW_R4, all_queries
 
     qs = all_queries()
-    assert len(WINDOW_R3) == 50
-    assert len(set(WINDOW_R3)) == 50
-    missing = [n for n in WINDOW_R3 if n not in qs]
+    assert len(WINDOW_R4) == 50
+    assert len(set(WINDOW_R4)) == 50
+    missing = [n for n in WINDOW_R4 if n not in qs]
     assert not missing, f"window names not registered: {missing}"
-    assert list(qs)[:50] == list(WINDOW_R3)
+    assert list(qs)[:50] == list(WINDOW_R4)

@@ -208,3 +208,42 @@ def test_txn_table_vacuum_and_commit_collision(spark, tmp_path):
         t._commit(t.latest_version(), {"version": 0, "files": [], "schema": "{}"})
     # unreadable after the stray probe? no - latest still resolves
     assert t.read().count() == 1
+
+
+def test_xlsx_lite_blank_rows_and_mixed_numeric_columns(tmp_path):
+    # ADVICE r3: (a) rows Excel omits from sheetData (blank rows) must keep
+    # their sheet position via the r attribute; (b) a numeric column mixing
+    # 1500.5 and 99 must come back uniformly float, and an all-integral
+    # column with a blank must stay float (pandas.read_excel parity).
+    import zipfile
+
+    from etl_hiscox_spark.sources.xlsx_lite import read_xlsx_records, read_xlsx_rows, write_xlsx
+
+    wb = tmp_path / "gaps.xlsx"
+    write_xlsx(str(wb), ["name", "amount", "count"], [["a", 1500.5, 3], ["b", 99, None]])
+    # Surgery: rewrite the sheet dropping row 2 ("a" data row) entirely but
+    # keeping rows 1 and 3 with their original r attributes — the shape
+    # Excel produces when a user leaves a row blank.
+    with zipfile.ZipFile(str(wb)) as zf:
+        parts = {n: zf.read(n) for n in zf.namelist()}
+    sheet = parts["xl/worksheets/sheet1.xml"].decode()
+    start = sheet.index('<row r="2">')
+    end = sheet.index('<row r="3">')
+    parts["xl/worksheets/sheet1.xml"] = (sheet[:start] + sheet[end:]).encode()
+    gap = tmp_path / "gap2.xlsx"
+    with zipfile.ZipFile(str(gap), "w") as zf:
+        for n, b in parts.items():
+            zf.writestr(n, b)
+
+    rows = read_xlsx_rows(str(gap))
+    assert len(rows) == 3 and all(v is None for v in rows[1])  # blank row held
+    header, data = read_xlsx_records(str(gap))
+    assert header == ["name", "amount", "count"]
+    assert data[1][0] == "b"  # did not shift into the blank slot
+
+    # column typing on the intact workbook
+    header, data = read_xlsx_records(str(wb))
+    amounts = [r[1] for r in data]
+    assert all(type(v) is float for v in amounts) and amounts == [1500.5, 99.0]
+    counts = [r[2] for r in data]
+    assert type(counts[0]) is float and counts[1] is None  # blank -> float col

@@ -35,7 +35,14 @@ TABLES = (
 
 
 def canon(v):
-    """Canonicalize one cell for multiset comparison."""
+    """Canonicalize one cell for multiset comparison.
+
+    Mirrors the DRIVER's pandas-side canonicalization (r3 lesson): the driver
+    materializes DuckDB results via ``.df()`` (DECIMAL -> float64) while Spark
+    ``collect()`` yields ``decimal.Decimal`` objects — so a Decimal cell must
+    NOT canonicalize to the same key as its float twin, or the local gate
+    passes queries the driver hash-fails (f3_money_parse, CORRECTNESS_r03).
+    """
     if v is None:
         return None
     if isinstance(v, float):
@@ -46,13 +53,12 @@ def canon(v):
         return v.hex()
     if isinstance(v, list):
         return tuple(canon(x) for x in v)
-    try:  # Decimal -> str keeps exactness
-        import decimal
+    import decimal
 
-        if isinstance(v, decimal.Decimal):
-            return str(v)
-    except ImportError:
-        pass
+    if isinstance(v, decimal.Decimal):
+        # Tagged so Decimal('1.50') never collides with float 1.5 — the
+        # driver's typed hash distinguishes them, and so must we.
+        return "dec:" + str(v)
     return str(v)
 
 
@@ -195,6 +201,23 @@ def main():
             failures.append(name)
             continue
         problems = []
+        # Driver-hashability pre-check (r3 lesson, VERDICT r3 item 3): the
+        # driver canonicalizes through pandas and (a) cannot sort/hash list
+        # cells ("unhashable type: 'list'" — a17 err), (b) hashes DuckDB
+        # decimals as float64 but Spark decimals as Decimal objects (f3
+        # hash-fail). Any top-level decimal/array output column on either
+        # side is a loud local failure even if values agree.
+        for side, classes in (("spark", s_classes), ("duckdb", d_classes)):
+            bad_cols = {
+                c: cls
+                for c, cls in classes.items()
+                if cls.startswith("dec") or cls.startswith("list<")
+            }
+            if bad_cols:
+                problems.append(
+                    f"not driver-hashable ({side}): {bad_cols} — cast decimals to"
+                    " DOUBLE and array_join list columns in the declared output"
+                )
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
