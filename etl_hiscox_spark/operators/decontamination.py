@@ -1,0 +1,88 @@
+"""Train/test decontamination — n-gram-overlap eval-set filtering.
+
+The standard pretraining hygiene step (GPT-3 paper appendix C, Dodge et al.
+2021 "Documenting Large Webtext Corpora" — both public): a training
+document is *contaminated* when it shares at least one word n-gram with any
+document of an evaluation/test set, and contaminated documents are dropped
+before training so benchmark numbers stay honest.
+
+Relational formulation, reusing the dedup shingle stem
+(``dedup._shingle_grams`` — shuffle-free k-gram generation in the scan
+stage):
+
+1. gram tables for both sides — one (doc, gram) row per DISTINCT k-gram;
+2. the eval side collapses to a distinct gram set (eval sets are small by
+   definition — broadcast it, so the probe is a map-side hash join and the
+   100 TB train side never shuffles);
+3. contaminated = train docs with >=1 gram match (inner join + groupBy);
+4. decontaminate = left-anti join of train against those ids.
+
+``hashed=True`` (default) joins on xxhash64(gram) — 8-byte keys, the scale
+path. ``hashed=False`` joins on gram strings; semantically identical
+(modulo ~2^-64 hash collisions) and expressible in ANSI SQL, which is what
+the declared oracle query uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_hiscox_spark.operators.dedup import exploded_shingle_hashes, exploded_shingles
+
+
+def _gram_table(
+    df: DataFrame, text_col: str, id_col: str, ngram: int, hashed: bool
+) -> DataFrame:
+    """(doc, g) rows — one per distinct k-gram per doc."""
+    if hashed:
+        return exploded_shingle_hashes(df, text_col, id_col, ngram).withColumnRenamed("h", "g")
+    return exploded_shingles(df, text_col, id_col, ngram).withColumnRenamed("shingle", "g")
+
+
+def contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram: int = 8,
+    hashed: bool = True,
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """(id, n_shared_grams) for every contaminated train document.
+
+    ``n_shared_grams`` counts the train doc's DISTINCT k-grams that occur
+    anywhere in the test set — an audit column for contamination triage
+    (a 1-gram brush vs. a wholesale copy). Plan: the distinct test-gram
+    set broadcasts (eval sets are tiny next to a training corpus), so the
+    train gram table probes it map-side — zero shuffle on the big side
+    until the per-doc groupBy, whose input is only the matching rows.
+    Set ``broadcast_test=False`` if the "test" side is itself huge (e.g.
+    corpus-vs-corpus contamination), falling back to a shuffled equi-join.
+    """
+    tg = _gram_table(train, text_col, id_col, ngram, hashed)
+    eg = _gram_table(test, text_col, id_col, ngram, hashed).select("g").distinct()
+    if broadcast_test:
+        eg = F.broadcast(eg)
+    return (
+        tg.join(eg, "g")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .withColumnRenamed("doc", id_col)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram: int = 8,
+    hashed: bool = True,
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Training rows with every contaminated document dropped."""
+    bad = contamination_report(
+        train, test, text_col, id_col, ngram, hashed, broadcast_test
+    ).select(id_col)
+    return train.join(bad, on=id_col, how="left_anti")

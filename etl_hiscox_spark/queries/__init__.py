@@ -50,9 +50,10 @@ def register(name: str, oracle: str | None = None):
 # never in any prior window — the 3 with real oracles first
 # (m1/l2_connected_clusters/l3_semantic_dedup), then the 11 rows-only —
 # the 3 queries newly declared this round (s5 xlsx, f14 explicit schema,
-# x1+x2 real-stream round-trip), and a 31-query cross-tier canary of
-# previously-green rows so silent regressions in rotated-out queries stay
-# detectable. Union r1–r4 = 117/117 registered queries driver-checked.
+# x1+x2 real-stream round-trip, t14 PII scrub, t15 decontamination), and
+# a 29-query cross-tier canary of previously-green rows so silent
+# regressions in rotated-out queries stay detectable. Union r1–r4 =
+# 119/119 registered queries driver-checked.
 # ---------------------------------------------------------------------------
 
 WINDOW_R4: tuple[str, ...] = (
@@ -79,6 +80,8 @@ WINDOW_R4: tuple[str, ...] = (
     "s5_xlsx_roundtrip",
     "f14_explicit_schema_cast",
     "x1_x2_stream_roundtrip",
+    "t14_pii_scrub",
+    "t15_decontamination",
     # canary: one-per-tier sample of previously driver-green rows
     "p9_conditional_business_rule",
     "j3_broadcast_dim_join",
@@ -87,12 +90,10 @@ WINDOW_R4: tuple[str, ...] = (
     "a1_a5_global_stats",
     "a8_completeness_profile",
     "a10_grouping_sets",
-    "a14_pivot",
     "w4_rank_with_ties",
     "w5_running_total",
     "r3_topk_orders",
     "u2_except_difference",
-    "u3_intersect",
     "g1_star_join_revenue",
     "g5_exists_late_orders",
     "g7_scalar_subquery_share",

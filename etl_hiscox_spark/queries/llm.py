@@ -918,3 +918,102 @@ def l3_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, "embedding", "vec_id", "label", threshold=0.3).select(
         "vec_id", "label"
     )
+
+
+@register(
+    "t14_pii_scrub",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\+?\d[\d\-\s]{7,}\d')) AS n_phone,
+           len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+           len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+               '\+?\d[\d\-\s]{7,}\d', '<PII>', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<PII>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<PII>', 'g')) AS masked_md5
+    FROM aug
+    """,
+)
+def t14_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T14: PII scrubbing (C4/CCNet-style corpus hygiene) — per-kind match
+    # counts on the raw text plus an md5 of the fully masked text, so the
+    # oracle pins both the detector and the exact replacement semantics.
+    # The synthetic corpus carries no natural PII, so each doc is augmented
+    # with deterministic PII spans (a pure function of doc_id, built
+    # identically in both engines) before scrubbing. Patterns live in the
+    # RE2/Java-regex common subset; scrub order (email → phone → ipv4 →
+    # ssn) is identical on both sides — order matters because the phone
+    # pattern also matches SSN-shaped spans.
+    from etl_hiscox_spark.functions.text import pii_counts, scrub_pii
+
+    docs = load_table(spark, "documents", sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        *pii_counts("text"),
+        F.md5(scrub_pii("text")).alias("masked_md5"),
+    )
+
+
+@register(
+    "t15_decontamination",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN list_distinct(list_transform(range(1, len(t) - 3),
+                                                    i -> array_to_string(t[i:i+4], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS s
+      FROM toks
+    ), grams AS (
+      SELECT doc_id, unnest(s) AS g FROM sh
+    ), test_g AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 7
+    )
+    SELECT grams.doc_id, COUNT(*) AS n_shared_grams
+    FROM grams JOIN test_g USING (g)
+    WHERE grams.doc_id % 10 <> 7
+    GROUP BY grams.doc_id
+    """,
+)
+def t15_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T15: train/test decontamination report (GPT-3 appendix-C style): the
+    # corpus splits deterministically (doc_id % 10 == 7 -> "test"), and
+    # every training doc sharing any word 5-gram with the test split is
+    # reported with its shared-gram count. The declared query uses string
+    # grams so DuckDB can replicate exactly; production uses the
+    # hashed=True path (8-byte join keys, broadcast test-gram set) —
+    # identical semantics, pinned against each other in
+    # tests/test_decontamination.py.
+    from etl_hiscox_spark.operators.decontamination import contamination_report
+
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 != 7)
+    test = docs.filter(F.col("doc_id") % 10 == 7)
+    return contamination_report(
+        train, test, "text", "doc_id", ngram=5, hashed=False
+    )
