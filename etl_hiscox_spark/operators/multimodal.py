@@ -215,7 +215,8 @@ def audio_features_stub(df: DataFrame) -> DataFrame:
     """Audio feature plumbing (duration/rms from byte stats).
 
     REAL IMPLEMENTATION: librosa/torchaudio decode. Deterministic byte-level
-    stats keep the UDF signature + schema real."""
+    stats keep the UDF signature + schema real. For PCM WAV the REAL path
+    exists — see :func:`decode_wav` / :func:`audio_features`."""
 
     @F.pandas_udf(T.DoubleType())
     def fake_rms(content: pd.Series) -> pd.Series:
@@ -226,3 +227,159 @@ def audio_features_stub(df: DataFrame) -> DataFrame:
         )
 
     return df.withColumn("rms_energy", fake_rms(F.col("content")))
+
+
+# ---------------------------------------------------------------------------
+# Audio: REAL codec tier for PCM WAV (RIFF is two packed little-endian
+# chunks + raw samples — stdlib-parseable, same situation as BMP). Lossy
+# formats (mp3/ogg/flac) need a real codec library and stay stubbed.
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """REAL decoder for PCM16 WAV: returns ((n_samples, n_channels) int16
+    array, sample_rate). Walks RIFF chunks (fmt/data can be separated by
+    LIST/fact chunks); anything not uncompressed PCM16 raises ValueError —
+    quarantine, don't guess (same policy as :func:`decode_bmp`)."""
+    import struct
+
+    if len(content) < 44 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos : pos + 4], struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only uncompressed PCM16 supported (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data[: (len(data) // (2 * n_channels)) * 2 * n_channels], dtype="<i2")
+    return samples.reshape(-1, n_channels), sample_rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Inverse of :func:`decode_wav` (PCM16): fixture generator and a real
+    sink format for extracted clips."""
+    import struct
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_channels = arr.shape[1]
+    body = arr.tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame, content_col: str = "content", path_col: str = "path") -> DataFrame:
+    """Decode + feature-extract for audio via mapInPandas: REAL for PCM
+    WAV (duration, RMS over float64, absolute peak); non-WAV bytes yield a
+    NULL-featured row (quarantine semantics — the malformed-row policy of
+    the similarity tier). Features are tiny, so the binary column never
+    shuffles: this projection is where it leaves the plan."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                try:
+                    samples, rate = decode_wav(bytes(content) if content is not None else b"")
+                    x = samples.astype(np.float64)
+                    rows.append(
+                        {
+                            "path": path,
+                            "sample_rate": rate,
+                            "n_samples": samples.shape[0],
+                            "n_channels": samples.shape[1],
+                            "duration_ms": samples.shape[0] * 1000.0 / rate,
+                            "rms": float(np.sqrt((x * x).mean())),
+                            "peak": int(np.abs(samples).max()) if samples.size else 0,
+                        }
+                    )
+                except ValueError:
+                    rows.append({"path": path, "sample_rate": None, "n_samples": None,
+                                 "n_channels": None, "duration_ms": None, "rms": None,
+                                 "peak": None})
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return df.select(path_col, content_col).mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_WINDOWS_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("window_index", T.IntegerType()),
+        T.StructField("start_ms", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_frame_windows(
+    df: DataFrame,
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """Per-window RMS frames (the standard 25 ms / 10 ms speech framing) —
+    the audio analog of document chunking: one audio row explodes to
+    ~duration/hop rows. REAL for PCM WAV; the per-batch loop is numpy
+    stride slicing, no Python per-sample work. Row-count-changing, so
+    mapInPandas (same shape rule as chunking/frame_sample_plan)."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                try:
+                    samples, rate = decode_wav(bytes(content) if content is not None else b"")
+                except ValueError:
+                    continue  # quarantine non-WAV rows from the frame table
+                mono = samples.astype(np.float64).mean(axis=1)
+                flen = max(1, rate * frame_ms // 1000)
+                hop = max(1, rate * hop_ms // 1000)
+                n_win = max(0, (len(mono) - flen) // hop + 1) if len(mono) >= flen else 0
+                for wi in range(n_win):
+                    seg = mono[wi * hop : wi * hop + flen]
+                    out.append(
+                        {
+                            "path": path,
+                            "window_index": wi,
+                            "start_ms": wi * hop * 1000.0 / rate,
+                            "rms": float(np.sqrt((seg * seg).mean())),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_WINDOWS_SCHEMA.fields])
+
+    return df.select(path_col, content_col).mapInPandas(frames, AUDIO_WINDOWS_SCHEMA)

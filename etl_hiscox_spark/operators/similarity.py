@@ -65,6 +65,15 @@ def _stack_embeddings(embs: pd.Series, dim: int | None = None) -> np.ndarray:
     well-formed row's length (0 if none, yielding an (n, 0) matrix whose
     scores are all degenerate and filtered).
     """
+    # Fast path: a clean batch (the overwhelmingly common case) stacks at
+    # C speed exactly as before the guard existed — the per-row repair
+    # loop below costs ~1.5× and must not tax healthy data.
+    try:
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        if mat.ndim == 2 and mat.shape[1] > 0 and (dim is None or mat.shape[1] == dim):
+            return mat
+    except (TypeError, ValueError):
+        pass
     cells: list[np.ndarray | None] = []
     for e in embs:
         if e is None:

@@ -50,10 +50,10 @@ def register(name: str, oracle: str | None = None):
 # never in any prior window — the 3 with real oracles first
 # (m1/l2_connected_clusters/l3_semantic_dedup), then the 11 rows-only —
 # the 3 queries newly declared this round (s5 xlsx, f14 explicit schema,
-# x1+x2 real-stream round-trip, t14 PII scrub, t15 decontamination), and
-# a 29-query cross-tier canary of previously-green rows so silent
-# regressions in rotated-out queries stay detectable. Union r1–r4 =
-# 119/119 registered queries driver-checked.
+# x1+x2 real-stream round-trip, t14 PII scrub, t15 decontamination, m2
+# real-WAV audio features), and a 28-query cross-tier canary of
+# previously-green rows so silent regressions in rotated-out queries stay
+# detectable. Union r1–r4 = 120/120 registered queries driver-checked.
 # ---------------------------------------------------------------------------
 
 WINDOW_R4: tuple[str, ...] = (
@@ -82,6 +82,7 @@ WINDOW_R4: tuple[str, ...] = (
     "x1_x2_stream_roundtrip",
     "t14_pii_scrub",
     "t15_decontamination",
+    "m2_audio_features",
     # canary: one-per-tier sample of previously driver-green rows
     "p9_conditional_business_rule",
     "j3_broadcast_dim_join",
@@ -95,7 +96,6 @@ WINDOW_R4: tuple[str, ...] = (
     "r3_topk_orders",
     "u2_except_difference",
     "g1_star_join_revenue",
-    "g5_exists_late_orders",
     "g7_scalar_subquery_share",
     "f_string_cleaning",
     "f4_multiformat_dates",

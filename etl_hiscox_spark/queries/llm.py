@@ -1017,3 +1017,56 @@ def t15_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(
         train, test, "text", "doc_id", ngram=5, hashed=False
     )
+
+
+@register(
+    "m2_audio_features",
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id, i.i,
+             CAST((d.doc_id * 7 + i.i * 13) % 2003 - 1001 AS DOUBLE) AS v
+      FROM documents d, LATERAL (SELECT unnest(range(400 + d.doc_id % 200)) AS i) i
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_samples,
+           CAST(COUNT(*) * 1000.0 / 8000 AS DOUBLE) AS duration_ms,
+           sqrt(avg(v * v)) AS rms,
+           CAST(MAX(ABS(v)) AS INT) AS peak
+    FROM s GROUP BY doc_id
+    """,
+)
+def m2_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # M2: REAL audio codec path driver-checked end-to-end. Each doc gets a
+    # deterministic PCM16 waveform (sample i = (doc_id*7 + i*13) % 2003 -
+    # 1001, n = 400 + doc_id % 200, rate 8 kHz), encoded to real WAV bytes
+    # (operators.multimodal.encode_wav), then decoded + featurized by the
+    # REAL decoder (decode_wav -> audio_features). The DuckDB twin
+    # regenerates the same waveform relationally and aggregates — so a
+    # codec bug anywhere (chunk layout, sample order, channel reshape, RMS
+    # math) breaks the hash. Exactness: samples are integers, v*v sums
+    # stay < 2^53, so RMS is bit-identical float64 in both engines.
+    import numpy as np
+    import pandas as pd
+
+    from etl_hiscox_spark.operators.multimodal import audio_features, encode_wav
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                n = 400 + int(doc_id) % 200
+                i = np.arange(n, dtype=np.int64)
+                v = ((int(doc_id) * 7 + i * 13) % 2003 - 1001).astype(np.int16)
+                rows.append({"path": str(int(doc_id)), "content": encode_wav(v, 8000)})
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    wavs = docs.mapInPandas(gen, "path string, content binary")
+    feats = audio_features(wavs)
+    return feats.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "n_samples",
+        "duration_ms",
+        "rms",
+        "peak",
+    )

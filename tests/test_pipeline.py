@@ -221,3 +221,49 @@ def test_bmp_codec_roundtrip_and_real_features(spark, tmp_path):
     trunc = encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))[:-10]
     with _pytest.raises(ValueError, match="truncated"):
         decode_bmp(trunc)
+
+
+def test_wav_codec_roundtrip_and_features(spark, tmp_path):
+    """PCM16 WAV decode/encode are bit-exact inverses (mono + stereo, odd
+    chunk padding), audio_features recovers exact sample counts and
+    numpy-computed RMS, and non-WAV bytes quarantine to NULL features."""
+    import numpy as np
+
+    from etl_hiscox_spark.operators.multimodal import (
+        audio_features,
+        audio_frame_windows,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(42)
+    mono = rng.integers(-(2**15), 2**15, size=(1601, 1), dtype=np.int16)
+    stereo = rng.integers(-(2**15), 2**15, size=(800, 2), dtype=np.int16)
+    for arr, rate in ((mono, 16000), (stereo, 8000)):
+        dec, r = decode_wav(encode_wav(arr, rate))
+        assert r == rate and np.array_equal(dec, arr)
+
+    rows = [
+        ("a.wav", bytearray(encode_wav(mono, 16000))),
+        ("b.wav", bytearray(encode_wav(stereo, 8000))),
+        ("bad.mp3", bytearray(b"ID3 not a wav")),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    feats = {r["path"]: r for r in audio_features(df).collect()}
+    assert feats["a.wav"]["n_samples"] == 1601 and feats["a.wav"]["n_channels"] == 1
+    assert abs(feats["a.wav"]["duration_ms"] - 1601 * 1000.0 / 16000) < 1e-9
+    expect_rms = float(np.sqrt((mono.astype(np.float64) ** 2).mean()))
+    assert abs(feats["a.wav"]["rms"] - expect_rms) < 1e-9
+    assert feats["b.wav"]["n_channels"] == 2
+    assert feats["bad.mp3"]["rms"] is None  # quarantined, not crashed
+
+    # 25ms/10ms framing over 1601 samples @16k: frame 400, hop 160
+    wins = audio_frame_windows(df, frame_ms=25, hop_ms=10).collect()
+    by_path = {}
+    for r in wins:
+        by_path.setdefault(r["path"], []).append(r)
+    assert len(by_path["a.wav"]) == (1601 - 400) // 160 + 1
+    assert "bad.mp3" not in by_path
+    w0 = sorted(by_path["a.wav"], key=lambda r: r["window_index"])[0]
+    seg = mono.astype(np.float64).mean(axis=1)[:400]
+    assert abs(w0["rms"] - float(np.sqrt((seg * seg).mean()))) < 1e-9
