@@ -653,3 +653,165 @@ def f16_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 2)
     )
+
+
+@register(
+    "g10_volume_shipping",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_nationkey <> cn.n_nationkey
+    GROUP BY sn.n_name, cn.n_name, CAST(YEAR(l_shipdate) AS INT)
+    """,
+)
+def g10_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q7 shape: cross-nation trade volume by ship year. Two nation
+    # lookups on different keys (supplier-side and customer-side) — both
+    # broadcast, as does supplier; the only shuffles are lineitem⨝orders
+    # on orderkey and the final aggregation. The inequality predicate
+    # (supp nation ≠ cust nation) evaluates post-join as a cheap filter on
+    # already-broadcast-joined ints.
+    li = load_table(spark, "lineitem", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(12,6)")
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("sn_key") != F.col("cn_key"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("ship_year")
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "g11_disjunctive_brackets",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def g11_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q19 shape: disjunction of three conjunctive brackets mixing
+    # fact and dim predicates. Catalyst extracts the common-term filters
+    # (quantity ∈ [1,30] on the scan side, the brand/size union on the
+    # broadcast side) from the OR so both scans prune before the join;
+    # the full disjunction then evaluates post-join. This is the classic
+    # "can the optimizer push through an OR" plan test.
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(12,6)")
+    q = F.col("l_quantity")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (q >= 1)
+            & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 30)
+            & (q >= 10)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 50)
+            & (q >= 20)
+            & (q <= 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(bracket)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "g12_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1998-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def g12_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22 shape (adapted: nationkey stands in for the phone prefix —
+    # the testdata has no c_phone, and "no orders ever" is empty in this
+    # synthetic corpus, so the anti-join condition is "no RECENT orders":
+    # lapsed high-balance customers). The scalar average computes as a
+    # one-row aggregate and CROSS-broadcasts into the filter (no collect);
+    # the lapsed predicate is a left-anti join against the date-filtered
+    # orders key projection (the filter pushes to that scan). AVG is
+    # decimal-exact so the threshold compare is engine-identical. The
+    # scalar threshold goes through the SQL entry (same mechanism as g7)
+    # so Catalyst plans it as a true scalar Subquery — computed once,
+    # reused as a literal in the filter; a DataFrame-side crossJoin of the
+    # 1-row aggregate would plan as a BroadcastNestedLoopJoin, which the
+    # repo's plan gate forbids across the g tier. NOT EXISTS becomes a
+    # LeftAnti with the date filter pushed to the orders scan.
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer_v")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               COUNT(*) AS n_custs,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM customer_v
+        WHERE CAST(c_acctbal AS DECIMAL(18,2))
+              > (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2)))
+                 FROM customer_v WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders_v
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1998-01-01')
+        GROUP BY c_nationkey
+        """
+    )

@@ -121,3 +121,33 @@ def test_l3_scoring_scan_is_arrow_not_interpreted(spark, sf_dir):
     plan = _plan(spark, sf_dir, "l3_ann_topk")
     assert n_arrow_nodes(plan) == 2, plan[:800]  # bucket UDF + score UDF
     assert "aggregate(" not in plan
+
+
+def test_q7_shape_broadcasts_all_dims(spark, sf_dir):
+    # g10: supplier, both nation lookups, and customer broadcast — the only
+    # exchanges left are lineitem⨝orders and the final aggregation.
+    plan = _plan(spark, sf_dir, "g10_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_prunes_both_sides(spark, sf_dir):
+    # g11: Catalyst must extract common bounds from the OR-of-brackets so
+    # the lineitem scan pushes a quantity range and part broadcasts.
+    plan = _plan(spark, sf_dir, "g11_disjunctive_brackets")
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l and "l_quantity" in l)
+    assert "GreaterThanOrEqual(l_quantity" in pushed
+    assert "LessThanOrEqual(l_quantity" in pushed
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_scalar_is_subquery_and_anti(spark, sf_dir):
+    # g12: the scalar threshold plans as a true Subquery (computed once,
+    # no join node — a crossJoin formulation degenerates to a nested
+    # loop), and "lapsed" is a LeftAnti with the date filter pushed to
+    # the orders scan.
+    plan = _plan(spark, sf_dir, "g12_sales_opportunity")
+    assert "Subquery" in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "o_orderdate" in l]
+    assert any("GreaterThanOrEqual(o_orderdate" in l for l in pushed)
