@@ -59,6 +59,12 @@ HEADLINE = [
     "t9_chunk_documents",
     "v2_quantize_int8",
     "t8_pack_sequences",
+    # round-4 additions (new keys — r3-comparable keys above are unchanged)
+    "t14_pii_scrub",
+    "t15_decontamination",
+    "m2_audio_features",
+    "g10_volume_shipping",
+    "g11_disjunctive_brackets",
 ]
 
 
