@@ -51,9 +51,12 @@ def register(name: str, oracle: str | None = None):
 # (m1/l2_connected_clusters/l3_semantic_dedup), then the 11 rows-only —
 # the 3 queries newly declared this round (s5 xlsx, f14 explicit schema,
 # x1+x2 real-stream round-trip, t14 PII scrub, t15 decontamination, m2
-# real-WAV audio features), and a 28-query cross-tier canary of
-# previously-green rows so silent regressions in rotated-out queries stay
-# detectable. Union r1–r4 = 120/120 registered queries driver-checked.
+# real-WAV audio features, s11 snapshot-diff CDC), and a 27-query
+# cross-tier canary of previously-green rows so silent regressions in
+# rotated-out queries stay detectable. Union r1–r4 covers every
+# registered query except the three Q7/Q19/Q22 gold shapes declared late
+# this round (g10/g11/g12 — oracle-verified locally, first window slot
+# in r5).
 # ---------------------------------------------------------------------------
 
 WINDOW_R4: tuple[str, ...] = (
@@ -83,6 +86,7 @@ WINDOW_R4: tuple[str, ...] = (
     "t14_pii_scrub",
     "t15_decontamination",
     "m2_audio_features",
+    "s11_snapshot_diff",
     # canary: one-per-tier sample of previously driver-green rows
     "p9_conditional_business_rule",
     "j3_broadcast_dim_join",
@@ -98,7 +102,6 @@ WINDOW_R4: tuple[str, ...] = (
     "g1_star_join_revenue",
     "g7_scalar_subquery_share",
     "f_string_cleaning",
-    "f4_multiformat_dates",
     "f8_batch_id_format",
     "q1_rule_violations",
     "q4_quarantine_split",

@@ -429,3 +429,58 @@ def f14_explicit_schema_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_size").alias("min_size"),
         F.sum("p_retailprice").cast("double").alias("retail_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S11: snapshot diff (CDC) — two deterministic snapshots of orders diffed
+# into I/D/U change rows; the DuckDB twin is the textbook FULL OUTER JOIN
+# formulation, so the operator's null-safe compare and op labeling are
+# hash-checked end to end.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s11_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ), new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN ''
+                ELSE 'o_totalprice' END AS changed_cols
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    """,
+)
+def s11_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S11: CDC between snapshots. old = orders minus keys ≡0 (mod 5);
+    # new = orders minus keys ≡0 (mod 7), with price bumped for keys ≡0
+    # (mod 3). So keys ≡0 (mod 5, not 7) surface as I, ≡0 (mod 7, not 5)
+    # as D, ≡0 (mod 3, in both) as U — all pure functions of o_orderkey.
+    # (Status never changes here, so changed_cols is exactly
+    # 'o_totalprice' for U rows — the oracle hardcodes that knowledge;
+    # the operator computes it.)
+    from etl_hiscox_spark.operators.cdc import snapshot_diff
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 5 != 0)
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, keys=["o_orderkey"])

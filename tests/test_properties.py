@@ -192,3 +192,35 @@ def test_chunk_documents_matches_reference(spark, n, size, data):
     # full coverage: every token appears in some chunk
     covered = {t for _, _, text in got for t in text.split(" ")}
     assert set(toks) <= covered or n == 0
+
+
+@given(
+    st.integers(min_value=1, max_value=3).flatmap(
+        lambda ch: st.lists(
+            st.lists(
+                st.integers(min_value=-(2**15), max_value=2**15 - 1),
+                min_size=ch,
+                max_size=ch,
+            ),
+            min_size=0,
+            max_size=64,
+        )
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(deadline=None, max_examples=40)
+def test_wav_codec_roundtrip_property(samples, rate):
+    """encode_wav∘decode_wav is the identity for ANY PCM16 payload —
+    every channel count, sample value (incl. int16 extremes), length
+    (incl. empty), and sample rate."""
+    import numpy as np
+
+    from etl_hiscox_spark.operators.multimodal import decode_wav, encode_wav
+
+    if samples:
+        arr = np.asarray(samples, dtype=np.int16)
+    else:
+        arr = np.zeros((0, 1), dtype=np.int16)
+    dec, r = decode_wav(encode_wav(arr, rate))
+    assert r == rate
+    assert dec.shape == arr.shape and np.array_equal(dec, arr)
