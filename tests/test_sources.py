@@ -247,3 +247,28 @@ def test_xlsx_lite_blank_rows_and_mixed_numeric_columns(tmp_path):
     assert all(type(v) is float for v in amounts) and amounts == [1500.5, 99.0]
     counts = [r[2] for r in data]
     assert type(counts[0]) is float and counts[1] is None  # blank -> float col
+
+
+def test_erase_keys_rewrites_target(spark, tmp_path):
+    # GDPR-style erasure: requested keys disappear from the readable
+    # target, everything else survives byte-for-value, and the returned
+    # count matches. A second erasure of the same keys is a no-op.
+    from etl_hiscox_spark.sources.writers import erase_keys
+
+    target = str(tmp_path / "policies")
+    spark.createDataFrame(
+        [(i, f"holder_{i}", float(i * 10)) for i in range(100)],
+        "cust_id long, name string, balance double",
+    ).write.parquet(target)
+    requests = spark.createDataFrame([(7,), (13,), (999,)], "cust_id long")
+
+    n = erase_keys(spark, target, requests, "cust_id")
+    assert n == 2  # 999 never existed
+    from pyspark.sql import functions as F
+
+    back = spark.read.parquet(target)
+    ids = {r["cust_id"] for r in back.select("cust_id").collect()}
+    assert ids == set(range(100)) - {7, 13}
+    assert back.filter(F.col("cust_id") == 20).first()["balance"] == 200.0
+
+    assert erase_keys(spark, target, requests, "cust_id") == 0  # idempotent

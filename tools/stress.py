@@ -160,6 +160,18 @@ def main() -> None:
             F.count(F.lit(1))
         ).collect()
 
+    @timed("decontaminate")
+    def _decon():
+        # eval set = 1% of the corpus; the broadcast-gram probe must stay
+        # ~linear in train size (the 100 TB-side scan + map-side probe).
+        from etl_hiscox_spark.operators.decontamination import decontaminate
+
+        train = docs.filter(F.col("doc_id") % 100 != 0)
+        test = docs.filter(F.col("doc_id") % 100 == 0)
+        decontaminate(train, test, "text", "doc_id", ngram=8).agg(
+            F.count(F.lit(1))
+        ).collect()
+
     print(json.dumps({"rows": args.rows, "docs": args.docs, "timings": timings}))
 
 
