@@ -147,3 +147,28 @@ def test_driver_window_rotation():
     missing = [n for n in WINDOW_R4 if n not in qs]
     assert not missing, f"window names not registered: {missing}"
     assert list(qs)[:50] == list(WINDOW_R4)
+
+
+def test_every_query_has_driver_coverage_plan():
+    """Every registered query must either have appeared in a driver
+    correctness round (CORRECTNESS_r*.json), be in the current window, or
+    be explicitly listed here as pending the next rotation. Declaring a
+    query without planning its driver signal is how coverage gaps grew in
+    r1/r2 — this fails loudly instead."""
+    import glob
+    import json
+
+    from etl_hiscox_spark.queries import WINDOW_R4, all_queries
+
+    PENDING_NEXT_WINDOW = {  # declared late in r4; first slots of WINDOW_R5
+        "g10_volume_shipping",
+        "g11_disjunctive_brackets",
+        "g12_sales_opportunity",
+    }
+    checked: set[str] = set(WINDOW_R4)
+    for path in glob.glob("CORRECTNESS_r*.json"):
+        checked |= set(json.load(open(path)))
+    unplanned = [n for n in all_queries() if n not in checked and n not in PENDING_NEXT_WINDOW]
+    assert not unplanned, f"queries with no driver-coverage plan: {unplanned}"
+    stale = [n for n in PENDING_NEXT_WINDOW if n in checked]
+    assert not stale, f"already covered, remove from PENDING: {stale}"
