@@ -229,14 +229,20 @@ def ivf_index(
     id_col: str,
     n_clusters: int = 16,
     seed: int = 42,
+    train_fraction: float = 1.0,
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF (inverted-file) index: k-means centroids + cluster assignment.
 
     Returns (assigned_df with __cluster column, centroid matrix). At scale
     the assigned table is written ``partitionBy("__cluster")`` so a probe
     reads only n_probe/n_clusters of the data — partition pruning does the
-    work, no custom index structure. Training samples can be capped
-    upstream; assignment is a single broadcast-scored pass.
+    work, no custom index structure.
+
+    ``train_fraction < 1.0`` fits k-means on a seeded sample (the 100 TB
+    path: centroid quality converges long before the full corpus is seen,
+    so training on ~1-10% avoids iterating k-means over every row);
+    ASSIGNMENT is always a single full pass with broadcast centroids —
+    every row gets a cluster regardless of the training sample.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -244,8 +250,9 @@ def ivf_index(
     vdf = df.withColumn(
         "__vec", array_to_vector(F.transform(F.col(embedding_col), lambda x: x.cast("double")))
     )
+    train = vdf if train_fraction >= 1.0 else vdf.sample(train_fraction, seed=seed)
     model = KMeans(k=n_clusters, seed=seed, featuresCol="__vec", predictionCol="__cluster").fit(
-        vdf
+        train
     )
     assigned = model.transform(vdf).drop("__vec")
     centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
@@ -261,11 +268,12 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF approximate top-k: score only the n_probe clusters whose
     centroids are nearest the query (cosine). Recall grows with n_probe;
     n_probe = n_clusters degrades gracefully to exact search."""
-    assigned, centroids = ivf_index(df, embedding_col, id_col, n_clusters, seed)
+    assigned, centroids = ivf_index(df, embedding_col, id_col, n_clusters, seed, train_fraction)
     q = np.asarray(query_vec, dtype=float)
     qn = q / np.linalg.norm(q)
     cn = centroids / np.clip(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12, None)

@@ -106,6 +106,16 @@ def test_ivf_topk_matches_exact_on_probed_all(spark):
         for r in ivf_topk(df, "embedding", "vec_id", q, k=5, n_clusters=6, n_probe=2).collect()
     ]
     assert 5 in approx
+    # sample-trained centroids (the 100 TB path): every row is still
+    # assigned, and probing every cluster still reproduces exact search —
+    # centroid placement affects recall at partial probe, never coverage.
+    sampled = [
+        r["vec_id"]
+        for r in ivf_topk(
+            df, "embedding", "vec_id", q, k=5, n_clusters=6, n_probe=6, train_fraction=0.5
+        ).collect()
+    ]
+    assert sampled == exact
 
 
 def test_approx_count_distinct_tolerance(spark, sf_dir):
