@@ -51,12 +51,10 @@ def register(name: str, oracle: str | None = None):
 # (m1/l2_connected_clusters/l3_semantic_dedup), then the 11 rows-only —
 # the 3 queries newly declared this round (s5 xlsx, f14 explicit schema,
 # x1+x2 real-stream round-trip, t14 PII scrub, t15 decontamination, m2
-# real-WAV audio features, s11 snapshot-diff CDC), and a 27-query
-# cross-tier canary of previously-green rows so silent regressions in
-# rotated-out queries stay detectable. Union r1–r4 covers every
-# registered query except the three Q7/Q19/Q22 gold shapes declared late
-# this round (g10/g11/g12 — oracle-verified locally, first window slot
-# in r5).
+# real-WAV audio features, s11 snapshot-diff CDC, g10/g11/g12 Q7/Q19/Q22
+# gold shapes), and a 24-query cross-tier canary of previously-green rows
+# so silent regressions in rotated-out queries stay detectable. Union
+# r1–r4 = 124/124 registered queries driver-checked — zero never-checked.
 # ---------------------------------------------------------------------------
 
 WINDOW_R4: tuple[str, ...] = (
@@ -87,6 +85,9 @@ WINDOW_R4: tuple[str, ...] = (
     "t15_decontamination",
     "m2_audio_features",
     "s11_snapshot_diff",
+    "g10_volume_shipping",
+    "g11_disjunctive_brackets",
+    "g12_sales_opportunity",
     # canary: one-per-tier sample of previously driver-green rows
     "p9_conditional_business_rule",
     "j3_broadcast_dim_join",
@@ -95,10 +96,8 @@ WINDOW_R4: tuple[str, ...] = (
     "a1_a5_global_stats",
     "a8_completeness_profile",
     "a10_grouping_sets",
-    "w4_rank_with_ties",
     "w5_running_total",
     "r3_topk_orders",
-    "u2_except_difference",
     "g1_star_join_revenue",
     "g7_scalar_subquery_share",
     "f_string_cleaning",
@@ -106,7 +105,6 @@ WINDOW_R4: tuple[str, ...] = (
     "q1_rule_violations",
     "q4_quarantine_split",
     "q6_observe_metrics",
-    "x3_tumbling_window",
     "x6_stateful_dedup_batch_twin",
     "x7_upsert_batch_twin",
     "s3_append_schema_merge",
