@@ -282,6 +282,54 @@ def ivf_topk(
     return cosine_topk(candidates, embedding_col, id_col, query_vec, k)
 
 
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    embedding_col: str,
+    id_col: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+) -> np.ndarray:
+    """Materialize the IVF index as a cluster-partitioned parquet table;
+    returns the centroid matrix (persist it beside the table — it is the
+    entire 'index structure', a (n_clusters, dim) array).
+
+    This is the 100 TB deployment form of :func:`ivf_topk`: the one-time
+    k-means assignment is written ``partitionBy(__cluster)``, so every
+    subsequent probe is a PARTITION-PRUNED read of n_probe/n_clusters of
+    the data — the layout does the indexing, no server, no side-structure.
+    """
+    assigned, centroids = ivf_index(
+        df, embedding_col, id_col, n_clusters, seed, train_fraction
+    )
+    assigned.write.partitionBy("__cluster").mode("overwrite").parquet(path)
+    return centroids
+
+
+def ivf_probe_topk(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    embedding_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k over a written IVF index: pick the ``n_probe`` nearest
+    centroids driver-side ((n_clusters, dim) matvec — microseconds), then
+    scan ONLY those cluster partitions. The ``__cluster`` IN-filter is a
+    partition filter, so unprobed partitions are never opened (plan-gated
+    in tests — the same pruning a date-partitioned fact table gets)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    cn = centroids / np.clip(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12, None)
+    probe = [int(p) for p in np.argsort(-(cn @ qn))[:n_probe]]
+    candidates = spark.read.parquet(path).filter(F.col("__cluster").isin(probe))
+    return cosine_topk(candidates, embedding_col, id_col, query_vec, k)
+
+
 def blocked_cosine_pairs_pandas(
     df: DataFrame,
     embedding_col: str,

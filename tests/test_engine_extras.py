@@ -140,3 +140,33 @@ def test_salted_join_equals_plain_join(spark):
     plain = left.join(right, "k").groupBy("label").count().collect()
     salted = salted_join(left, right, on="k", n_salts=4).groupBy("label").count().collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_ivf_written_index_partition_pruned_probe(spark, tmp_path):
+    """The written IVF index probes via PARTITION PRUNING: full-probe
+    results equal exact search, and the probe plan carries a __cluster
+    partition filter (unprobed cluster directories never open)."""
+    from etl_hiscox_spark.operators.similarity import (
+        ivf_probe_topk,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((150, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(150)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf")
+    centroids = write_ivf_index(df, path, "embedding", "vec_id", n_clusters=5, seed=1)
+    assert centroids.shape == (5, 8)
+
+    q = [float(x) for x in vecs[7]]
+    exact = [r["vec_id"] for r in cosine_topk(df, "embedding", "vec_id", q, k=5).collect()]
+    full = ivf_probe_topk(spark, path, centroids, "embedding", "vec_id", q, k=5, n_probe=5)
+    assert [r["vec_id"] for r in full.collect()] == exact
+
+    probe = ivf_probe_topk(spark, path, centroids, "embedding", "vec_id", q, k=5, n_probe=2)
+    assert 7 in [r["vec_id"] for r in probe.collect()]  # query's own cluster probed
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cluster" in plan.split("PartitionFilters")[1][:120]
