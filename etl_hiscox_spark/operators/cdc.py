@@ -39,15 +39,19 @@ def snapshot_diff(
     if compare_cols is None:
         shared = [c for c in old.columns if c in set(new.columns)]
         compare_cols = [c for c in shared if c not in keys]
-    o = old.select(keys + list(compare_cols)).alias("o")
-    n = new.select(keys + list(compare_cols)).alias("n")
+    # Null-safe key equality + constant presence markers: a key that is
+    # NULL in both snapshots matches itself (one row, compared normally)
+    # instead of being misread as a simultaneous insert+delete, and
+    # presence is judged from the marker — never from key nullability.
+    o = old.select(keys + list(compare_cols)).withColumn("__in_old", F.lit(True)).alias("o")
+    n = new.select(keys + list(compare_cols)).withColumn("__in_new", F.lit(True)).alias("n")
     cond = None
     for k in keys:
-        eq = F.col(f"o.{k}") == F.col(f"n.{k}")
+        eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
         cond = eq if cond is None else cond & eq
     joined = o.join(n, cond, "full_outer")
-    in_old = F.col(f"o.{keys[0]}").isNotNull()
-    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    in_old = F.col("o.__in_old").isNotNull()
+    in_new = F.col("n.__in_new").isNotNull()
 
     def _differs(c: str) -> Column:
         return ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))

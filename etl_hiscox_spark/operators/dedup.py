@@ -110,24 +110,34 @@ def exploded_shingles(df: DataFrame, text_col: str, id_col: str, shingle_k: int 
     return _shingle_grams(df, text_col, id_col, shingle_k).distinct()
 
 
+def _raw_shingle_hash_stream(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int
+) -> DataFrame:
+    """(doc, h) rows, duplicates included — the ZERO-SHUFFLE stem.
+
+    The variable-length shingle string is xxhash64'd to a long in the scan
+    stage, so anything downstream moves fixed 8-byte keys instead of text.
+    min() aggregations (MinHash signatures) consume this directly —
+    min is idempotent over duplicate hashes, so paying a corpus-wide
+    distinct shuffle before the signature agg buys nothing (VERDICT r4
+    profile: that distinct dominated l2_minhash_near_dup's runtime).
+    """
+    return _shingle_grams(df, text_col, id_col, shingle_k).select(
+        "doc", F.xxhash64("shingle").alias("h")
+    )
+
+
 def exploded_shingle_hashes(
     df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3
 ) -> DataFrame:
     """(doc, h) rows — one per DISTINCT 64-bit-hashed word-k-gram per doc.
 
-    Same shingle rule as :func:`exploded_shingles`, but the variable-length
-    shingle string is xxhash64'd to a long BEFORE the distinct, so every
-    downstream shuffle, join, and aggregation moves fixed 8-byte keys
-    instead of text (the only shuffle here is the distinct itself).
-    MinHash signatures are unchanged (they always started from this hash);
+    The distinct'd form exact set arithmetic needs (Jaccard |A∩B|/|A∪B|);
+    signature building uses :func:`_raw_shingle_hash_stream` instead.
     Jaccard counts are exact up to 64-bit hash collisions (~2^-64 per
     shingle pair — immaterial next to MinHash's own error).
     """
-    return (
-        _shingle_grams(df, text_col, id_col, shingle_k)
-        .select("doc", F.xxhash64("shingle").alias("h"))
-        .distinct()
-    )
+    return _raw_shingle_hash_stream(df, text_col, id_col, shingle_k).distinct()
 
 
 def minhash_signature_table(
@@ -151,11 +161,13 @@ def minhash_signature_table(
     sh = (
         _shingle_hashes
         if _shingle_hashes is not None
-        else exploded_shingle_hashes(df, text_col, id_col, shingle_k)
+        else _raw_shingle_hash_stream(df, text_col, id_col, shingle_k)
     )
     hashed = sh.select(
         "doc", *[F.xxhash64(F.col("h"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
     )
+    # ``_shingle_hashes`` may be raw (duplicates included) or distinct'd —
+    # min() is idempotent, signatures are identical either way.
     return hashed.groupBy("doc").agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
 
 
@@ -272,6 +284,66 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
+def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Eagerly cut lineage: ``localCheckpoint`` (executor-local blocks —
+    fast, but lost with an executor) by default; with ``checkpoint_dir``
+    set, a RELIABLE ``checkpoint()`` to that path, which survives executor
+    loss — the cluster setting for the iterative/multi-branch pipelines
+    here. The dir is set once per SparkContext; passing a different dir
+    later re-points it.
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
+def _confirmed_minhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    num_hashes: int,
+    num_bands: int,
+    shingle_k: int,
+    checkpoint_dir: str | None,
+) -> DataFrame:
+    """LSH candidates → exact-Jaccard-confirmed pairs (id_a, id_b, jaccard).
+
+    Plan (the VERDICT r4 item 3 shape): the SIGNATURE path consumes the
+    raw zero-shuffle shingle-hash stream — no corpus-wide distinct (min()
+    is duplicate-proof), so the first shuffle in the whole pipeline is the
+    |docs| × num_hashes map-side-combined signature agg. The Jaccard
+    branch is the only consumer that needs distinct shingle SETS, and only
+    for docs that survived banding — so the distinct runs after a
+    broadcast semi-join against the candidate ids: its shuffle is sized by
+    near-duplicate volume, not corpus volume. Candidates and the
+    candidate-doc shingle table are materialized eagerly (they each feed
+    2-3 plan branches); ``checkpoint_dir`` switches that from
+    executor-local to reliable storage for real clusters.
+    """
+    raw = _raw_shingle_hash_stream(df, text_col, id_col, shingle_k)
+    cands = _materialize(
+        minhash_candidates(
+            df, text_col, id_col, num_hashes, num_bands, shingle_k, _shingle_hashes=raw
+        ),
+        checkpoint_dir,
+    )
+    pair_docs = (
+        cands.select(F.col("id_a").alias("doc"))
+        .unionByName(cands.select(F.col("id_b").alias("doc")))
+        .distinct()
+    )
+    sh_cand = _materialize(
+        raw.join(F.broadcast(pair_docs), "doc", "left_semi").distinct(),
+        checkpoint_dir,
+    )
+    return jaccard_pairs(
+        df, cands, text_col, id_col, shingle_k, threshold, _shingle_hashes=sh_cand
+    )
+
+
 def near_dedup_minhash(
     df: DataFrame,
     text_col: str,
@@ -280,34 +352,29 @@ def near_dedup_minhash(
     num_hashes: int = 32,
     num_bands: int = 8,
     shingle_k: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Full near-dedup: LSH candidates → Jaccard verify → drop the higher
     id of each confirmed pair (greedy single-link by min id).
 
     Returns the surviving rows of ``df``. The drop set is computed as
     "appears as id_b in a confirmed pair" — a left-anti join, no driver
-    collect. The exploded shingle-hash table feeds three plan branches
-    (signature, |A∩B| twice), so it is materialized once with an eager
-    ``localCheckpoint`` — downstream branches then plan against a short
-    LogicalRDD instead of re-analyzing (and re-codegening) the shingle
-    subtree three times. At cluster scale this is the "write the
-    shingle/signature table once, reuse across stages" pattern; swap for
-    ``checkpoint()`` to a reliable store when executor loss must be
-    tolerated.
+    collect. See :func:`_confirmed_minhash_pairs` for the plan shape;
+    pass ``checkpoint_dir`` (an HDFS/S3 path on a cluster) to make the
+    intermediate materializations executor-loss-tolerant.
     """
-    sh = exploded_shingle_hashes(df, text_col, id_col, shingle_k).localCheckpoint(eager=True)
-    cands = minhash_candidates(
-        df, text_col, id_col, num_hashes, num_bands, shingle_k, _shingle_hashes=sh
-    ).localCheckpoint(eager=True)
-    confirmed = jaccard_pairs(
-        df, cands, text_col, id_col, shingle_k, threshold, _shingle_hashes=sh
+    confirmed = _confirmed_minhash_pairs(
+        df, text_col, id_col, threshold, num_hashes, num_bands, shingle_k, checkpoint_dir
     )
     drops = confirmed.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drops, on=id_col, how="left_anti")
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 20, strict: bool = True
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    strict: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of an undirected pair graph (id_a, id_b) →
     (node, component) with component = min node id in the component.
@@ -325,12 +392,12 @@ def connected_components(
         .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
         .distinct()
     )
-    edges = edges.localCheckpoint(eager=True)
-    labels = (
+    edges = _materialize(edges, checkpoint_dir)
+    labels = _materialize(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("component", F.col("node")),
+        checkpoint_dir,
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -346,13 +413,13 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
             )
-            # Truncate lineage every round: without this, iteration N
-            # re-executes all N-1 previous rounds for every action
-            # (exponential replay — the classic iterative-algorithm trap).
-            # On a cluster with an HDFS checkpoint dir, swap for
-            # ``checkpoint()`` to also tolerate executor loss.
-            .localCheckpoint(eager=True)
         )
+        # Truncate lineage every round: without this, iteration N
+        # re-executes all N-1 previous rounds for every action
+        # (exponential replay — the classic iterative-algorithm trap).
+        # ``checkpoint_dir`` upgrades the cut to a reliable checkpoint()
+        # that also tolerates executor loss.
+        new_labels = _materialize(new_labels, checkpoint_dir)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -383,6 +450,7 @@ def near_dedup_clusters(
     num_hashes: int = 32,
     num_bands: int = 8,
     shingle_k: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Transitive near-dedup: confirmed pairs → connected components →
     keep the minimum id of each component. Returns surviving rows.
@@ -391,14 +459,10 @@ def near_dedup_clusters(
     every local minimum of the pair graph); this keeps exactly one doc per
     transitive duplicate cluster.
     """
-    sh = exploded_shingle_hashes(df, text_col, id_col, shingle_k).localCheckpoint(eager=True)
-    cands = minhash_candidates(
-        df, text_col, id_col, num_hashes, num_bands, shingle_k, _shingle_hashes=sh
-    ).localCheckpoint(eager=True)
-    confirmed = jaccard_pairs(
-        df, cands, text_col, id_col, shingle_k, threshold, _shingle_hashes=sh
+    confirmed = _confirmed_minhash_pairs(
+        df, text_col, id_col, threshold, num_hashes, num_bands, shingle_k, checkpoint_dir
     ).select("id_a", "id_b")
-    comp = connected_components(confirmed)
+    comp = connected_components(confirmed, checkpoint_dir=checkpoint_dir)
     drops = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )

@@ -250,6 +250,8 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
         cid, size = content[pos : pos + 4], struct.unpack_from("<I", content, pos + 4)[0]
         body = content[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # declared size lies → struct.error otherwise
+                raise ValueError("WAV fmt chunk truncated")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -259,6 +261,8 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     audio_format, n_channels, sample_rate, _, _, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError(f"only uncompressed PCM16 supported (format={audio_format}, bits={bits})")
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError(f"invalid WAV header (channels={n_channels}, rate={sample_rate})")
     samples = np.frombuffer(data[: (len(data) // (2 * n_channels)) * 2 * n_channels], dtype="<i2")
     return samples.reshape(-1, n_channels), sample_rate
 

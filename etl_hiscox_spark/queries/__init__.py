@@ -45,18 +45,84 @@ def register(name: str, oracle: str | None = None):
 # order decides which ever get a hard signal — so the window is an explicit,
 # rotated list, not an accident of import order (VERDICT r2 item 1).
 #
-# Round 4 window (VERDICT r3 item 2): the two r3 driver-red queries fixed
-# this round (f3 decimal→DOUBLE, a17 array→array_join), the 14 queries
-# never in any prior window — the 3 with real oracles first
-# (m1/l2_connected_clusters/l3_semantic_dedup), then the 11 rows-only —
-# the 3 queries newly declared this round (s5 xlsx, f14 explicit schema,
-# x1+x2 real-stream round-trip, t14 PII scrub, t15 decontamination, m2
-# real-WAV audio features, s11 snapshot-diff CDC, g10/g11/g12 Q7/Q19/Q22
-# gold shapes), and a 24-query cross-tier canary of previously-green rows
-# so silent regressions in rotated-out queries stay detectable. Union
-# r1–r4 = 124/124 registered queries driver-checked — zero never-checked.
+# Round 5 window (VERDICT r4 item 1): staleness-driven full rotation. By
+# r4 the union covered all 124 registered queries, but 39 were last
+# driver-checked in r2 and 35 in r3. WINDOW_R5 = the 3 queries whose
+# declared output changed this round (g12 threshold cast to DOUBLE both
+# sides, a16 upgraded from rows-only to a partial oracle, new
+# l3_ivf_probe_topk) + all 39 r2-stale greens + the 8 heaviest r3-stale
+# (multi-join gold g8/g9, dialect-tricky f4/f6_f9, DQ q2, write-path
+# s1/s8, stats a11). After r5 no query's latest driver signal is older
+# than two rounds; the 27 remaining r3-checked queries rotate into
+# WINDOW_R6.
 # ---------------------------------------------------------------------------
 
+WINDOW_R5: tuple[str, ...] = (
+    # output changed / newly declared this round — must (re-)check
+    "g12_sales_opportunity",
+    "a16_hll_distinct_rollup",
+    "l3_ivf_probe_topk",
+    # last driver-checked r2: projections/filters
+    "p1_column_projection",
+    "p2_computed_columns",
+    "p3_filter_equality",
+    "p4_filter_range",
+    "p5_filter_not_null",
+    "p6_filter_in_list",
+    "p7_filter_regex",
+    "p8_filter_cross_column",
+    # last checked r2: joins
+    "j1_inner_equijoin",
+    "j2_left_outer_join",
+    "j4_left_semi_join",
+    "j5_left_anti_join",
+    # last checked r2: aggregations
+    "a6_grouped_pricing_summary",
+    "a7_conditional_aggregate",
+    "a9_duplicate_stats",
+    "a10_rollup_summary",
+    "a12_percentiles",
+    "a13_histogram",
+    "a14_pivot",
+    "a15_distinct_rollup",
+    # last checked r2: windows
+    "w1_dedup_rank",
+    "w2_rolling_average",
+    "w3_lag_delta",
+    "w4_rank_per_group",
+    "w4_rank_with_ties",
+    "w6_trailing_week_spend",
+    "w7_distribution_ranks",
+    # last checked r2: set ops / sort / SQL entry / misc
+    "u1_union_append",
+    "u2_except_difference",
+    "u3_intersect",
+    "s4_sql_entry_point",
+    "f7_freshness_tiers",
+    "l5_bpe_token_count",
+    "l6_from_json_struct",
+    # last checked r2: gold analytics
+    "g2_top_unshipped_orders",
+    "g3_supplier_part_matrix",
+    "g4_promo_revenue_share",
+    "g5_exists_late_orders",
+    "g6_having_large_customers",
+    # last checked r3 (heaviest first): gold, dialect-tricky scalars,
+    # DQ profile, write paths, stats
+    "g8_large_order_customers",
+    "g9_exclusive_late_supplier",
+    "f4_multiformat_dates",
+    "f6_f9_date_math",
+    "q2_rule_profile",
+    "s1_csv_roundtrip",
+    "s8_ctas_roundtrip",
+    "a11_table_stats",
+)
+
+# Round 4 window (historical — r4 driver results in CORRECTNESS_r04.json):
+# the two r3 driver-red queries fixed that round, the 14 never-checked,
+# the 10 newly declared, and a 24-query cross-tier canary. Union r1–r4 =
+# 124/124 registered queries driver-checked — zero never-checked.
 WINDOW_R4: tuple[str, ...] = (
     # r3 driver-red, fixed this round
     "f3_money_parse",
@@ -188,7 +254,7 @@ def all_queries() -> dict[str, Q]:
         except ImportError:
             pass
     ordered: dict[str, Q] = {}
-    for name in WINDOW_R4:
+    for name in WINDOW_R5:
         if name in QUERIES:
             ordered[name] = QUERIES[name]
     for name, q in QUERIES.items():

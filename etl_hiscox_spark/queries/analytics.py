@@ -443,13 +443,29 @@ def a15_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a16_hll_distinct_rollup")  # rows-only: HLL estimates have no DuckDB twin
+@register(
+    "a16_hll_distinct_rollup",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           COUNT(DISTINCT o_custkey) AS n_customers_exact,
+           TRUE AS within_rsd
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate)
+    """,
+)
 def a16_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Mergeable-summary rollup (operators/sketches.py): one pass builds
     # per-DAY sketches; the month answer merges sketches, never re-reading
     # orders. At 100 TB the partials table is the thing you materialize —
     # every coarser question (quarter, region, all-time) is a sketch merge.
-    # Tests pin each month's estimate within HLL tolerance of a15's exact.
+    #
+    # Partial-oracle design (VERDICT r4 item 4): the HLL point estimate has
+    # no DuckDB twin, so the declared output is the SQL-checkable exact
+    # distinct per month plus ``within_rsd`` — Spark-side proof that the
+    # merged-sketch estimate lands within tolerance (5% > 3σ at lgK=12,
+    # floor of 2 for tiny groups) of that exact value. DuckDB emits
+    # TRUE unconditionally: a drifting sketch pipeline now hash-FAILS the
+    # driver check instead of hiding behind rows-only.
     from etl_hiscox_spark.operators.sketches import hll_partials, hll_rollup
 
     orders = load_table(spark, "orders", sf_dir)
@@ -463,7 +479,16 @@ def a16_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["order_month"],
         alias="approx_customers",
     )
-    return monthly.select("order_month", F.col("approx_customers").cast("bigint").alias("approx_customers"))
+    exact = orders.groupBy(
+        F.trunc(F.col("o_orderdate"), "month").alias("order_month")
+    ).agg(F.countDistinct("o_custkey").alias("n_customers_exact"))
+    err = F.abs(F.col("approx_customers") - F.col("n_customers_exact"))
+    tol = F.greatest(F.lit(2.0), F.col("n_customers_exact") * 0.05)
+    return exact.join(monthly, "order_month").select(
+        "order_month",
+        "n_customers_exact",
+        (err <= tol).alias("within_rsd"),
+    )
 
 
 @register(
@@ -769,14 +794,14 @@ def g11_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g12_sales_opportunity",
     oracle="""
     WITH avg_bal AS (
-      SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS a
+      SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS a
       FROM customer WHERE c_acctbal > 0.0
     )
     SELECT c_nationkey,
            COUNT(*) AS n_custs,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
     FROM customer, avg_bal
-    WHERE c_acctbal > a
+    WHERE CAST(c_acctbal AS DOUBLE) > a
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '1998-01-01')
@@ -791,7 +816,10 @@ def g12_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-row aggregate and CROSS-broadcasts into the filter (no collect);
     # the lapsed predicate is a left-anti join against the date-filtered
     # orders key projection (the filter pushes to that scan). AVG is
-    # decimal-exact so the threshold compare is engine-identical. The
+    # decimal-exact, then both the threshold and the compared balance are
+    # cast to DOUBLE so the compare is type-identical in both engines
+    # (Spark's DECIMAL(22,6) AVG vs DuckDB's DOUBLE AVG could flip rows
+    # within ~5e-7 of the mean). The
     # scalar threshold goes through the SQL entry (same mechanism as g7)
     # so Catalyst plans it as a true scalar Subquery — computed once,
     # reused as a literal in the filter; a DataFrame-side crossJoin of the
@@ -806,8 +834,8 @@ def g12_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_custs,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         FROM customer_v
-        WHERE CAST(c_acctbal AS DECIMAL(18,2))
-              > (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2)))
+        WHERE CAST(c_acctbal AS DOUBLE)
+              > (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                  FROM customer_v WHERE c_acctbal > 0.0)
           AND NOT EXISTS (SELECT 1 FROM orders_v
                           WHERE o_custkey = c_custkey

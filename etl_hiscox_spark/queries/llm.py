@@ -10,6 +10,8 @@ by unit tests instead).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -741,6 +743,29 @@ def l3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     out = ann_topk_lsh(emb, "embedding", "vec_id", qvec, k=10, n_planes=8, multiprobe=2)
+    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+
+
+@register("l3_ivf_probe_topk")  # rows-only: k-means assignment has no DuckDB twin
+def l3_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L3 ANN, deployment form: write_ivf_index materializes the corpus
+    # partitionBy(__cluster) once, then the probe is a PARTITION-PRUNED
+    # read of the n_probe nearest clusters (centroid pick is a driver-side
+    # (n_clusters, dim) matvec) + exact cosine within them. This is the
+    # 100 TB shape — the layout IS the index; unprobed partitions are
+    # never opened (PartitionFilters plan-gated in
+    # tests/test_engine_extras.py). Deterministic: seeded k-means, full
+    # train at this scale. Recall vs exact top-k pinned in tests.
+    from etl_hiscox_spark.operators.similarity import ivf_probe_topk, write_ivf_index
+    from etl_hiscox_spark.queries.writes import _scratch
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    path = os.path.join(_scratch("l3_ivf", sf_dir), "ivf_index")
+    centroids = write_ivf_index(emb, path, "embedding", "vec_id", n_clusters=16, seed=42)
+    out = ivf_probe_topk(
+        spark, path, centroids, "embedding", "vec_id", qvec, k=10, n_probe=4
+    )
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
 
 

@@ -205,12 +205,23 @@ def erase_keys(
     """
     import shutil
 
+    tmp, backup = target_path + "_tmp", target_path + "_bak"
     current = spark.read.parquet(target_path)
     key_set = keys.select(key_col).distinct()
     kept = current.join(F.broadcast(key_set), on=key_col, how="left_anti")
-    n_before = current.count()
-    kept.write.mode("overwrite").parquet(target_path + "_tmp")
-    n_after = spark.read.parquet(target_path + "_tmp").count()
-    shutil.rmtree(target_path)
-    os.rename(target_path + "_tmp", target_path)
-    return n_before - n_after
+    try:
+        n_before = current.count()
+        kept.write.mode("overwrite").parquet(tmp)
+        n_after = spark.read.parquet(tmp).count()
+        # Swap via backup-rename so no crash point loses the table: the
+        # worst interruption leaves either target or _bak intact, and the
+        # un-erased PII rows never outlive a successful swap.
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        os.rename(target_path, backup)
+        os.rename(tmp, target_path)
+        shutil.rmtree(backup)
+        return n_before - n_after
+    finally:
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)

@@ -136,17 +136,36 @@ def test_registry_conveniences(spark, sf_dir):
 
 
 def test_driver_window_rotation():
-    """The driver checks only the first 50 registered queries; WINDOW_R4
-    pins which ones those are this round (VERDICT r3 item 2). Guards:
-    exactly 50 names, all registered, served first and in order."""
-    from etl_hiscox_spark.queries import WINDOW_R4, all_queries
+    """The driver checks only the first 50 registered queries; WINDOW_R5
+    pins which ones those are this round (VERDICT r4 item 1: staleness
+    rotation). Guards: exactly 50 names, all registered, served first and
+    in order."""
+    from etl_hiscox_spark.queries import WINDOW_R5, all_queries
 
     qs = all_queries()
-    assert len(WINDOW_R4) == 50
-    assert len(set(WINDOW_R4)) == 50
-    missing = [n for n in WINDOW_R4 if n not in qs]
+    assert len(WINDOW_R5) == 50
+    assert len(set(WINDOW_R5)) == 50
+    missing = [n for n in WINDOW_R5 if n not in qs]
     assert not missing, f"window names not registered: {missing}"
-    assert list(qs)[:50] == list(WINDOW_R4)
+    assert list(qs)[:50] == list(WINDOW_R5)
+
+
+def test_window_r5_leaves_no_query_stale_beyond_two_rounds():
+    """The point of the r5 rotation: after this round's driver check, every
+    registered query's latest signal is from r3 or later (staleness ≤ 2
+    rounds). Anything last checked in r2 must be in WINDOW_R5."""
+    import glob
+    import json
+
+    from etl_hiscox_spark.queries import WINDOW_R5
+
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(path.split("_r")[1].split(".")[0])
+        for name in json.load(open(path)):
+            last[name] = max(last.get(name, 0), rnd)
+    too_stale = [n for n, r in last.items() if r <= 2 and n not in WINDOW_R5]
+    assert not too_stale, f"r2-stale queries missing from WINDOW_R5: {too_stale}"
 
 
 def test_every_query_has_driver_coverage_plan():
@@ -158,10 +177,10 @@ def test_every_query_has_driver_coverage_plan():
     import glob
     import json
 
-    from etl_hiscox_spark.queries import WINDOW_R4, all_queries
+    from etl_hiscox_spark.queries import WINDOW_R5, all_queries
 
-    PENDING_NEXT_WINDOW: set[str] = set()  # r4 window covers everything
-    checked: set[str] = set(WINDOW_R4)
+    PENDING_NEXT_WINDOW: set[str] = set()  # l3_ivf_probe_topk is in WINDOW_R5
+    checked: set[str] = set(WINDOW_R5)
     for path in glob.glob("CORRECTNESS_r*.json"):
         checked |= set(json.load(open(path)))
     unplanned = [n for n in all_queries() if n not in checked and n not in PENDING_NEXT_WINDOW]

@@ -34,6 +34,18 @@ def test_snapshot_diff_null_transitions_are_updates(spark):
     assert out[2] == ("U", "status")   # value -> NULL is a change
 
 
+def test_snapshot_diff_null_key_matches_itself(spark):
+    # A key NULL in both snapshots must join null-safely: one matched row
+    # compared normally — not a phantom insert+delete pair.
+    old = _snap(spark, [(None, "A", 10.0), (1, "B", 20.0)])
+    new = _snap(spark, [(None, "A", 99.0), (1, "B", 20.0)])
+    rows = snapshot_diff(old, new, ["id"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["id"] is None and rows[0]["op"] == "U" and rows[0]["changed_cols"] == "amount"
+    # and unchanged under a NULL key -> dropped entirely
+    assert snapshot_diff(old, old, ["id"]).count() == 0
+
+
 def test_snapshot_diff_multi_change_and_subset_cols(spark):
     old = _snap(spark, [(1, "A", 10.0)])
     new = _snap(spark, [(1, "Z", 99.0)])

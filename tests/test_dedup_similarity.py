@@ -77,6 +77,38 @@ def test_near_dedup_end_to_end(spark):
     assert 2 not in kept  # near dup dropped
 
 
+def test_near_dedup_reliable_checkpoint_dir(spark, tmp_path):
+    # checkpoint_dir switches localCheckpoint -> reliable checkpoint():
+    # identical survivors, and RDD checkpoint data lands under the dir
+    # (the executor-loss-tolerant cluster configuration).
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(threshold=0.5, num_hashes=32, num_bands=16)
+    default_kept = {r["doc_id"] for r in near_dedup_minhash(_docs(spark), "text", "doc_id", **kw).collect()}
+    out = near_dedup_minhash(_docs(spark), "text", "doc_id", checkpoint_dir=ckpt, **kw)
+    assert {r["doc_id"] for r in out.collect()} == default_kept
+    written = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert written, "reliable checkpoint wrote nothing under checkpoint_dir"
+
+    from etl_hiscox_spark.operators.dedup import connected_components, near_dedup_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    default_clustered = {
+        r["doc_id"]
+        for r in near_dedup_clusters(_docs(spark), "text", "doc_id", **kw).collect()
+    }
+    clustered = near_dedup_clusters(
+        _docs(spark), "text", "doc_id", checkpoint_dir=ckpt, **kw
+    )
+    assert {r["doc_id"] for r in clustered.collect()} == default_clustered
+
+
 def test_simhash_hamming_locality(spark):
     docs = _docs(spark)
     sims = {

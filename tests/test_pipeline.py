@@ -257,6 +257,39 @@ def test_wav_codec_roundtrip_and_features(spark, tmp_path):
     assert feats["b.wav"]["n_channels"] == 2
     assert feats["bad.mp3"]["rms"] is None  # quarantined, not crashed
 
+    # Adversarially malformed WAVs raise ValueError from decode_wav (not
+    # struct.error / ZeroDivisionError) so the mapInPandas quarantine
+    # except-clause catches them instead of the task dying mid-batch.
+    import pytest as _pytest
+    import struct as _struct
+
+    good = encode_wav(mono, 16000)
+
+    def _with_fmt(fmt_body: bytes) -> bytes:
+        # RIFF + WAVE + (possibly short) fmt chunk + valid data chunk
+        data = b"data" + _struct.pack("<I", 16) + b"\x00" * 16  # pads past the 44-byte floor
+        payload = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt_body)) + fmt_body + data
+        return b"RIFF" + _struct.pack("<I", len(payload)) + payload
+
+    short_fmt = _with_fmt(b"\x01\x00\x01\x00")  # declares 4-byte fmt body
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav(short_fmt)
+    zero_chan = _with_fmt(_struct.pack("<HHIIHH", 1, 0, 16000, 0, 0, 16))
+    with _pytest.raises(ValueError, match="channels"):
+        decode_wav(zero_chan)
+    zero_rate = _with_fmt(_struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16))
+    with _pytest.raises(ValueError, match="rate"):
+        decode_wav(zero_rate)
+    # ...and the full operator path quarantines them to NULL-feature rows
+    bad_df = spark.createDataFrame(
+        [("s.wav", bytearray(short_fmt)), ("z.wav", bytearray(zero_chan)),
+         ("r.wav", bytearray(zero_rate)), ("ok.wav", bytearray(good))],
+        "path string, content binary",
+    )
+    got = {r["path"]: r["rms"] for r in audio_features(bad_df).collect()}
+    assert got["s.wav"] is None and got["z.wav"] is None and got["r.wav"] is None
+    assert got["ok.wav"] is not None
+
     # 25ms/10ms framing over 1601 samples @16k: frame 400, hop 160
     wins = audio_frame_windows(df, frame_ms=25, hop_ms=10).collect()
     by_path = {}

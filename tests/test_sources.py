@@ -272,3 +272,23 @@ def test_erase_keys_rewrites_target(spark, tmp_path):
     assert back.filter(F.col("cust_id") == 20).first()["balance"] == 200.0
 
     assert erase_keys(spark, target, requests, "cust_id") == 0  # idempotent
+    # durability: neither the staging tmp (un-erased PII) nor the swap
+    # backup outlives a successful erasure
+    assert not (tmp_path / "policies_tmp").exists()
+    assert not (tmp_path / "policies_bak").exists()
+
+
+def test_erase_keys_failure_leaves_target_and_no_tmp(spark, tmp_path):
+    # If the rewrite itself fails (bad key column), the original table is
+    # untouched and the _tmp staging dir is cleaned up.
+    import pytest
+
+    from etl_hiscox_spark.sources.writers import erase_keys
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(target)
+    requests = spark.createDataFrame([(1,)], "nope long")
+    with pytest.raises(Exception):
+        erase_keys(spark, target, requests, "nope")
+    assert spark.read.parquet(target).count() == 1
+    assert not (tmp_path / "t_tmp").exists()
