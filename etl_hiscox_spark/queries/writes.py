@@ -90,6 +90,40 @@ def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S12: ORC scan — round-trip through the other mainstream columnar format
+# (Hive/Trino warehouses a 100-TB deployment ingests from). Same proof
+# shape as S1/S6, plus a pushed-down filter so the ORC scan's predicate
+# pushdown / column pruning path executes, not just the happy full scan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s12_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_quantity >= 25.0
+    GROUP BY l_returnflag
+    """,
+)
+def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_hiscox_spark.sources.readers import read_orc
+
+    path = os.path.join(_scratch("s12_orc", sf_dir), "lineitem_orc")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    li.write.mode("overwrite").orc(path)
+    back = read_orc(spark, path).filter(F.col("l_quantity") >= 25.0)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S6: JSON scan — same round-trip proof for the JSON reader (README.md:9
 # 'Raw Insurance Data CSV/JSON').
 # ---------------------------------------------------------------------------

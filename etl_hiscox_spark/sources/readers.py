@@ -160,11 +160,18 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         raise
 
 
-def read_orc(spark: SparkSession, path: str) -> DataFrame:
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
     """ORC scan — same vectorized reader + predicate pushdown story as
     parquet (Spark's second first-class columnar format). Kept for parity
-    with warehouses that land ORC (Hive-era lakes)."""
-    return spark.read.orc(path)
+    with warehouses that land ORC (Hive-era lakes). An explicit schema
+    (when the registry knows the table) skips footer inference and pins
+    types across engines."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
 
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -124,6 +124,21 @@ def test_simhash_hamming_locality(spark):
     assert (0, 1) in pairs and (0, 4) in pairs
 
 
+def test_l3_ivf_probe_query_recall_vs_exact(spark):
+    # The declared deployment-form ANN query (write index -> pruned probe)
+    # must hold a recall floor against the exact brute-force query on the
+    # same table. Deterministic (seeded k-means on fixed data): measured
+    # 0.7 at sf0.001 / 1.0 at sf0.01 with n_probe=8/16; the floor leaves
+    # margin for k-means library drift only.
+    from etl_hiscox_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    exact = {r["vec_id"] for r in qs["l3_cosine_topk"].fn(spark, sf).collect()}
+    ivf = {r["vec_id"] for r in qs["l3_ivf_probe_topk"].fn(spark, sf).collect()}
+    assert len(ivf & exact) / len(exact) >= 0.6
+
+
 def _emb_df(spark, n=50, dim=8, seed=7):
     rng = np.random.default_rng(seed)
     vecs = rng.standard_normal((n, dim)).astype(np.float32)

@@ -50,6 +50,22 @@ def test_topk_uses_take_ordered(spark, sf_dir):
         assert "TakeOrderedAndProject" in _plan(spark, sf_dir, q), q
 
 
+def test_minhash_signature_is_single_shuffle(spark):
+    # The signature path must consume the RAW shingle-hash stream: exactly
+    # one Exchange (the per-doc min groupBy). A second Exchange means a
+    # corpus-wide distinct crept back in front of the agg — the r4 profile
+    # showed that shuffle dominating the whole near-dedup pipeline.
+    from etl_hiscox_spark.operators.dedup import minhash_signature_table
+
+    df = spark.createDataFrame(
+        [(i, f"some text body number {i} with several words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    sig = minhash_signature_table(df, "text", "doc_id", num_hashes=8)
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_no_cartesian_anywhere(spark, sf_dir):
     # every declared join query must avoid cartesian products
     join_queries = [n for n in all_queries() if n.startswith(("j", "g"))]

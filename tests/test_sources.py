@@ -249,6 +249,27 @@ def test_xlsx_lite_blank_rows_and_mixed_numeric_columns(tmp_path):
     assert type(counts[0]) is float and counts[1] is None  # blank -> float col
 
 
+def test_orc_roundtrip_pushes_filters(spark, tmp_path):
+    # ORC is a first-class columnar source: values survive the round-trip
+    # bit-exactly and a filter on the read-back reaches the ORC scan as a
+    # pushed predicate (same gate as the parquet scans in test_plans.py).
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.sources.readers import read_orc
+
+    path = str(tmp_path / "orc_tbl")
+    spark.createDataFrame(
+        [(i, float(i) * 1.5, f"g{i % 3}") for i in range(100)],
+        "id long, v double, grp string",
+    ).write.orc(path)
+    back = read_orc(spark, path).filter(F.col("v") >= 75.0)
+    assert back.count() == 50
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "v" in plan.split("PushedFilters")[1][:80]
+    total = back.agg(F.sum("id")).first()[0]
+    assert total == sum(i for i in range(100) if i * 1.5 >= 75.0)
+
+
 def test_erase_keys_rewrites_target(spark, tmp_path):
     # GDPR-style erasure: requested keys disappear from the readable
     # target, everything else survives byte-for-value, and the returned
