@@ -531,6 +531,64 @@ def t5_bigram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t16_bigram_lm_nll",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), bi AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(t)), i -> {'w1': t[i], 'w2': t[i+1]}),
+                    recursive := true)
+      FROM toks WHERE len(t) >= 2
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2
+    ), uc AS (
+      SELECT w, COUNT(*) AS c1
+      FROM (SELECT UNNEST(t) AS w FROM toks) GROUP BY w
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(-ln((c2 + 1.0) / (c1 + 1.0 * (SELECT COUNT(*) FROM uc)))), 6) AS avg_nll
+    FROM bi JOIN bc USING (w1, w2) JOIN uc ON bi.w1 = uc.w
+    GROUP BY doc_id
+    """,
+)
+def t16_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style LM quality scoring (operators/lm_score.py), self-trained:
+    # add-1-smoothed bigram model over the corpus, each doc scored by avg
+    # negative log-likelihood. SQL entry so the vocabulary size plans as a
+    # Catalyst scalar Subquery (the g7/g12 mechanism — no driver action,
+    # no 1-row crossJoin). Counts are exact integers on both engines; only
+    # the final ln/avg is float, rounded to 6 like the cosine tier. Size>=2
+    # filter sits UNDER the position explode so ANSI element_at never sees
+    # an empty sequence. At scale: broadcast the prob table
+    # (lm_score.bigram_nll_scores(broadcast_lm=True)) and the doc stem
+    # never shuffles before its per-doc reduce.
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents_v")
+    return spark.sql(
+        r"""
+        WITH toks AS (
+          SELECT doc_id, split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' ') AS t
+          FROM documents_v
+        ), bi AS (
+          SELECT doc_id, element_at(t, i) AS w1, element_at(t, i + 1) AS w2
+          FROM (SELECT * FROM toks WHERE size(t) >= 2)
+          LATERAL VIEW explode(sequence(1, size(t) - 1)) AS i
+        ), bc AS (
+          SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2
+        ), uc AS (
+          SELECT w, COUNT(*) AS c1
+          FROM (SELECT explode(t) AS w FROM toks) GROUP BY w
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(AVG(-ln((c2 + 1.0) / (c1 + 1.0 * (SELECT COUNT(*) FROM uc)))), 6) AS avg_nll
+        FROM bi JOIN bc USING (w1, w2) JOIN uc ON bi.w1 = uc.w
+        GROUP BY doc_id
+        """
+    )
+
+
+@register(
     "t6_train_test_split",
     oracle="""
     WITH assigned AS (
