@@ -86,3 +86,91 @@ def decontaminate(
         train, test, text_col, id_col, ngram, hashed, broadcast_test
     ).select(id_col)
     return train.join(bad, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) decontamination — the n-gram probe's companion:
+# catches paraphrased/reformatted eval material that shares no exact k-gram
+# (the reason modern pipelines run BOTH; see e.g. the public SemDeDup /
+# benchmark-contamination literature).
+# ---------------------------------------------------------------------------
+
+
+def semantic_contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(id, nearest_eval_id, max_sim) for train docs whose embedding is
+    within cosine ``threshold`` of ANY eval embedding.
+
+    Plan: the eval matrix is collected and closed over by an Arrow
+    ``mapInPandas`` (same eval-sets-are-small premise as the broadcast
+    n-gram probe above — a 100k-item eval suite at dim 1k is ~400 MB of
+    float32, still executor-resident); each train batch is scored with ONE
+    BLAS matmul against all eval vectors, so the train side is a single
+    zero-shuffle projection + filter. Ties on max similarity resolve to the
+    lowest eval id (eval matrix sorted by id). Malformed/NULL embeddings
+    score NaN and never pass the threshold — quarantine, don't crash.
+    """
+    import numpy as np
+
+    from etl_hiscox_spark.operators.similarity import _stack_embeddings
+
+    ev = sorted(
+        (r[0], r[1]) for r in test.select(id_col, embedding_col).collect()
+    )
+    id_field = train.schema[id_col]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        f"nearest_eval_id {id_field.dataType.simpleString()}, max_sim double"
+    )
+    if not ev:
+        return train.sparkSession.createDataFrame([], out_schema)
+    eval_ids = np.array([e[0] for e in ev])
+    E = np.vstack([np.asarray(e[1], dtype=np.float64) for e in ev])
+    E = E / np.clip(np.linalg.norm(E, axis=1, keepdims=True), 1e-12, None)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _stack_embeddings(pdf[embedding_col], dim=E.shape[1])
+            norms = np.linalg.norm(mat, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (mat @ E.T) / norms[:, None]
+            sims = np.where(np.isfinite(sims), sims, np.nan)
+            best = np.nanmax(
+                np.where(np.isnan(sims), -np.inf, sims), axis=1, initial=-np.inf
+            )
+            idx = np.argmax(np.where(np.isnan(sims), -np.inf, sims), axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "nearest_eval_id": eval_ids[idx],
+                    "max_sim": best,
+                }
+            )
+
+    scored = train.select(id_col, embedding_col).mapInPandas(score, out_schema)
+    return scored.filter(F.col("max_sim") >= threshold).select(
+        id_col, "nearest_eval_id", F.round("max_sim", 6).alias("max_sim")
+    )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Training rows minus everything semantically too close to the eval set."""
+    bad = semantic_contamination_report(
+        train, test, embedding_col, id_col, threshold
+    ).select(id_col)
+    return train.join(bad, on=id_col, how="left_anti")

@@ -589,6 +589,47 @@ def t16_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t17_semantic_decontamination",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), ev AS (SELECT * FROM e WHERE vec_id % 25 = 0),
+    tr AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
+    pairs AS (
+      SELECT tr.vec_id, ev.vec_id AS eval_id,
+             list_sum(list_transform(range(1, len(tr.emb) + 1), i -> tr.emb[i] * ev.emb[i]))
+               / (sqrt(list_sum(list_transform(tr.emb, x -> x * x)))
+                  * sqrt(list_sum(list_transform(ev.emb, x -> x * x)))) AS sim
+      FROM tr, ev
+    ), ranked AS (
+      SELECT vec_id, eval_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id ASC) AS rn
+      FROM pairs
+    )
+    SELECT vec_id, eval_id AS nearest_eval_id, ROUND(sim, 6) AS max_sim
+    FROM ranked WHERE rn = 1 AND sim >= 0.35
+    """,
+)
+def t17_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-space decontamination (operators/decontamination.py):
+    # flags training vectors within cosine 0.35 of ANY held-out item
+    # (every 25th vec_id stands in for the eval suite) — catches the
+    # paraphrased leakage the n-gram probe (t15) can't see. Spark side is
+    # one Arrow mapInPandas closing over the normalized eval matrix (one
+    # BLAS matmul per batch, zero shuffle on the train side); the oracle
+    # brute-forces the same max-sim/argmax with a window. 0.35 sits at
+    # ~p95 of the synthetic corpus's max-sim distribution so the flagged
+    # set is non-trivial in both directions.
+    from etl_hiscox_spark.operators.decontamination import semantic_contamination_report
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    ev = emb.filter(F.col("vec_id") % 25 == 0)
+    tr = emb.filter(F.col("vec_id") % 25 != 0)
+    return semantic_contamination_report(tr, ev, "embedding", "vec_id", threshold=0.35)
+
+
+@register(
     "t6_train_test_split",
     oracle="""
     WITH assigned AS (

@@ -72,3 +72,46 @@ def test_broadcast_plan_has_no_shuffle_on_train_side(spark):
     rep = contamination_report(train, test, "text", "doc_id", ngram=5, hashed=True)
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semantic_contamination_flags_planted_neighbor(spark):
+    # A train vector nearly parallel to an eval vector must be flagged with
+    # that eval id as nearest; orthogonal vectors must not be. Malformed
+    # embeddings (NULL) quarantine silently.
+    import numpy as np
+
+    from etl_hiscox_spark.operators.decontamination import (
+        semantic_contamination_report,
+        semantic_decontaminate,
+    )
+
+    rng = np.random.default_rng(5)
+    e0 = rng.standard_normal(16)
+    e1 = rng.standard_normal(16)
+    near = e0 + 0.01 * rng.standard_normal(16)  # planted leak of eval 100
+    far = np.zeros(16); far[0] = 1.0
+    ortho = np.zeros(16); ortho[1] = 1.0  # orthogonal to `far`, low sim to e0/e1
+    rows = [
+        (1, [float(x) for x in near]),
+        (2, [float(x) for x in ortho]),
+        (3, None),
+    ]
+    train = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    test = spark.createDataFrame(
+        [(100, [float(x) for x in e0]), (101, [float(x) for x in e1])],
+        "vec_id long, embedding array<float>",
+    )
+    rep = {r["vec_id"]: r for r in
+           semantic_contamination_report(train, test, "embedding", "vec_id", 0.9).collect()}
+    assert set(rep) == {1}
+    assert rep[1]["nearest_eval_id"] == 100 and rep[1]["max_sim"] > 0.99
+
+    kept = {r["vec_id"] for r in
+            semantic_decontaminate(train, test, "embedding", "vec_id", 0.9).collect()}
+    assert kept == {2, 3}
+
+    # empty eval set: nothing flagged, schema intact
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    rep0 = semantic_contamination_report(train, empty, "embedding", "vec_id", 0.5)
+    assert rep0.count() == 0
+    assert rep0.columns == ["vec_id", "nearest_eval_id", "max_sim"]
