@@ -47,14 +47,16 @@ def register(name: str, oracle: str | None = None):
 #
 # Round 5 window (VERDICT r4 item 1): staleness-driven full rotation. By
 # r4 the union covered all 124 registered queries, but 39 were last
-# driver-checked in r2 and 35 in r3. WINDOW_R5 = the 3 queries whose
-# declared output changed this round (g12 threshold cast to DOUBLE both
-# sides, a16 upgraded from rows-only to a partial oracle, new
-# l3_ivf_probe_topk) + all 39 r2-stale greens + the 8 heaviest r3-stale
-# (multi-join gold g8/g9, dialect-tricky f4/f6_f9, DQ q2, write-path
-# s1/s8, stats a11). After r5 no query's latest driver signal is older
-# than two rounds; the 27 remaining r3-checked queries rotate into
-# WINDOW_R6.
+# driver-checked in r2 and 35 in r3. WINDOW_R5 = the 6 queries whose
+# declared output is new or changed this round (g12 threshold cast to
+# DOUBLE both sides, a16 upgraded from rows-only to a partial oracle, new
+# l3_ivf_probe_topk / s12_orc_roundtrip / t16_bigram_lm_nll /
+# t17_semantic_decontamination — never-checked queries outrank stale
+# greens) + all 39 r2-stale greens + the 5 riskiest r3-stale (multi-join
+# gold g8/g9, dialect-tricky f4/f6_f9, DQ q2). The three r3-stale
+# write/stats paths displaced by the new declarations (s1/s8/a11, each
+# pinned by pytest round-trips) rotate with the 24 other r3-checked
+# queries into WINDOW_R6; after r6 no green is older than two rounds.
 # ---------------------------------------------------------------------------
 
 WINDOW_R5: tuple[str, ...] = (
@@ -62,6 +64,9 @@ WINDOW_R5: tuple[str, ...] = (
     "g12_sales_opportunity",
     "a16_hll_distinct_rollup",
     "l3_ivf_probe_topk",
+    "s12_orc_roundtrip",
+    "t16_bigram_lm_nll",
+    "t17_semantic_decontamination",
     # last driver-checked r2: projections/filters
     "p1_column_projection",
     "p2_computed_columns",
@@ -114,9 +119,6 @@ WINDOW_R5: tuple[str, ...] = (
     "f4_multiformat_dates",
     "f6_f9_date_math",
     "q2_rule_profile",
-    "s1_csv_roundtrip",
-    "s8_ctas_roundtrip",
-    "a11_table_stats",
 )
 
 # Round 4 window (historical — r4 driver results in CORRECTNESS_r04.json):

@@ -179,12 +179,8 @@ def test_every_query_has_driver_coverage_plan():
 
     from etl_hiscox_spark.queries import WINDOW_R5, all_queries
 
-    # declared after the r5 window froze; first slots of WINDOW_R6
-    PENDING_NEXT_WINDOW: set[str] = {
-        "s12_orc_roundtrip",
-        "t16_bigram_lm_nll",
-        "t17_semantic_decontamination",
-    }
+    # declared after the current window froze; first slots of the next one
+    PENDING_NEXT_WINDOW: set[str] = set()
     checked: set[str] = set(WINDOW_R5)
     for path in glob.glob("CORRECTNESS_r*.json"):
         checked |= set(json.load(open(path)))
