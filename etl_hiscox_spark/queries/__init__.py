@@ -47,16 +47,19 @@ def register(name: str, oracle: str | None = None):
 #
 # Round 5 window (VERDICT r4 item 1): staleness-driven full rotation. By
 # r4 the union covered all 124 registered queries, but 39 were last
-# driver-checked in r2 and 35 in r3. WINDOW_R5 = the 6 queries whose
+# driver-checked in r2 and 35 in r3. WINDOW_R5 = the 8 queries whose
 # declared output is new or changed this round (g12 threshold cast to
 # DOUBLE both sides, a16 upgraded from rows-only to a partial oracle, new
 # l3_ivf_probe_topk / s12_orc_roundtrip / t16_bigram_lm_nll /
-# t17_semantic_decontamination — never-checked queries outrank stale
-# greens) + all 39 r2-stale greens + the 5 riskiest r3-stale (multi-join
-# gold g8/g9, dialect-tricky f4/f6_f9, DQ q2). The three r3-stale
-# write/stats paths displaced by the new declarations (s1/s8/a11, each
-# pinned by pytest round-trips) rotate with the 24 other r3-checked
-# queries into WINDOW_R6; after r6 no green is older than two rounds.
+# t17_semantic_decontamination / t18_span_dedup /
+# t19_nb_language_classifier — never-checked queries outrank stale
+# greens) + all 39 r2-stale greens + the 3 riskiest r3-stale (multi-join
+# gold g8/g9, DQ q2). The five r3-stale paths displaced by the new
+# declarations (s1/s8/a11 write/stats round-trips pinned by pytest;
+# f4/f6_f9 date chains covered by the randomized oracle-dialect property
+# tests, tests/test_oracle_dialect_properties.py) rotate with the other
+# r3-checked queries into WINDOW_R6; after r6 no green is older than two
+# rounds.
 # ---------------------------------------------------------------------------
 
 WINDOW_R5: tuple[str, ...] = (
@@ -67,6 +70,8 @@ WINDOW_R5: tuple[str, ...] = (
     "s12_orc_roundtrip",
     "t16_bigram_lm_nll",
     "t17_semantic_decontamination",
+    "t18_span_dedup",
+    "t19_nb_language_classifier",
     # last driver-checked r2: projections/filters
     "p1_column_projection",
     "p2_computed_columns",
@@ -116,8 +121,6 @@ WINDOW_R5: tuple[str, ...] = (
     # DQ profile, write paths, stats
     "g8_large_order_customers",
     "g9_exclusive_late_supplier",
-    "f4_multiformat_dates",
-    "f6_f9_date_math",
     "q2_rule_profile",
 )
 

@@ -630,6 +630,113 @@ def t17_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t18_span_dedup",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 3
+    ), toks AS (
+      SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      FROM corpus
+    ), spans AS (
+      SELECT doc_id, CAST(i AS INT) AS span_idx,
+             array_to_string(w[(i*50+1):(i*50+50)], ' ') AS span
+      FROM toks,
+           LATERAL (SELECT UNNEST(range(CAST(ceil(len(w) / 50.0) AS BIGINT))) AS i) g
+    ), ranked AS (
+      SELECT doc_id, span_idx, span,
+             ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY span_idx), ''))
+             AS deduped_md5
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def t18_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Span-level exact dedup (operators/span_dedup.py) — the RefinedWeb
+    # repeated-block pass: remove every 50-word span whose identical text
+    # occurs earlier in corpus order, keep the rest of each document. The
+    # synthetic corpus has no natural 50-word repeats, so the query plants
+    # them: every doc_id%7==3 document is unioned back at doc_id+100000 —
+    # the copies must come out fully emptied (n_removed == n_spans) while
+    # every original survives intact. Output hashes the reassembled text
+    # (md5, both engines) so the driver compare stays compact. The
+    # declared form windows on the raw span string for DuckDB parity;
+    # production uses hashed=True (8-byte xxhash64 shuffle keys), pinned
+    # equal in tests/test_span_dedup.py.
+    from etl_hiscox_spark.operators.span_dedup import span_dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    planted = docs.filter(F.col("doc_id") % 7 == 3).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted.select("doc_id", "text"))
+    rep = span_dedup(corpus, "text", "doc_id", span_words=50, hashed=False)
+    return rep.select(
+        "doc_id", "n_spans", "n_removed", F.md5("deduped_text").alias("deduped_md5")
+    )
+
+
+@register(
+    "t19_nb_language_classifier",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, lang, UNNEST(t) AS word FROM toks
+    ), ww AS (
+      SELECT lang AS label, word, ln(COUNT(*) + 1.0) AS w
+      FROM occ GROUP BY lang, word
+    ), cs AS (
+      SELECT lang AS label,
+             ln(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM toks)) AS ln_prior,
+             ln(1.0 / (SUM(len(t)) + 1.0 * (SELECT COUNT(DISTINCT word) FROM occ)))
+               AS ln_floor
+      FROM toks GROUP BY lang
+    ), contrib AS (
+      SELECT occ.doc_id, ww.label, SUM(ww.w) AS seen
+      FROM occ JOIN ww USING (word) GROUP BY occ.doc_id, ww.label
+    ), scored AS (
+      SELECT g.doc_id, g.lang, g.label,
+             ROUND(g.ln_prior + COALESCE(c.seen, 0) + g.L * g.ln_floor, 6) AS score
+      FROM (SELECT toks.doc_id, toks.lang, len(toks.t) AS L, cs.*
+            FROM toks CROSS JOIN cs) g
+      LEFT JOIN contrib c ON g.doc_id = c.doc_id AND g.label = c.label
+    ), ranked AS (
+      SELECT doc_id, lang, label, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, lang, label AS predicted_lang, score FROM ranked WHERE rn = 1
+    """,
+)
+def t19_nb_language_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fastText-langid-shaped classifier as pure relational algebra
+    # (operators/classifier.py): multinomial Naive Bayes self-trained on
+    # (text -> lang), every doc scored against every class, argmax over
+    # 6-decimal-rounded scores with label-asc tiebreak (discrete outputs
+    # never ride an unrounded float — the g12 lesson). Training is two
+    # map-side-combined aggs; inference joins a BROADCAST weight table on
+    # the token stem, so at 100 TB the corpus shuffles only for the
+    # (doc,label) reduce and the per-doc argmax.
+    from etl_hiscox_spark.operators.classifier import nb_predict, nb_train
+
+    docs = load_table(spark, "documents", sf_dir)
+    ww, cs = nb_train(docs, "text", "lang", alpha=1.0)
+    pred = nb_predict(docs, "text", "doc_id", ww, cs)
+    return docs.select("doc_id", "lang").join(pred, "doc_id").select(
+        "doc_id", "lang", F.col("predicted_label").alias("predicted_lang"), "score"
+    )
+
+
+@register(
     "t6_train_test_split",
     oracle="""
     WITH assigned AS (
