@@ -50,13 +50,16 @@ def nb_train(
 
     ``word_weights``: (label, word, w) with w = ln((C_cw + α)/α) — one row
     per word TYPE the class observed. ``class_stats``: (label, ln_prior,
-    ln_floor) — one row per class. ``ln_prior`` uses doc counts; V is the
-    corpus-wide distinct-word count (one driver scalar, same precedent as
-    lm_score.train_bigram_lm).
+    ln_floor) — one row per class. ``ln_prior`` uses doc counts. The two
+    corpus scalars (V = distinct-word count, N = doc count) stay LAZY:
+    each is a 1-row aggregate broadcast-joined into class_stats — the
+    relational scalar-subquery shape (t16/g7), not an eager ``.count()``
+    that would re-scan and re-explode the corpus once per scalar.
     """
     toks = df.select(F.col(label_col).alias("label"), tokens(text_col).alias("__t"))
     occ = toks.select("label", F.explode("__t").alias("word"))
-    vocab_size = occ.select("word").distinct().count()
+    vocab = occ.select(F.countDistinct("word").cast("double").alias("__V"))
+    ndocs = toks.select(F.count(F.lit(1)).cast("double").alias("__N"))
     word_weights = (
         occ.groupBy("label", "word")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -66,16 +69,17 @@ def nb_train(
             F.ln((F.col("__c") + F.lit(alpha)) / F.lit(alpha)).alias("w"),
         )
     )
-    n_docs = df.count()
     class_stats = (
         toks.groupBy("label")
         .agg(F.count(F.lit(1)).alias("__docs"), F.sum(F.size("__t")).alias("__toks"))
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ndocs))
         .select(
             "label",
-            F.ln(F.col("__docs") / F.lit(float(n_docs))).alias("ln_prior"),
-            F.ln(
-                F.lit(alpha) / (F.col("__toks") + F.lit(alpha) * F.lit(float(vocab_size)))
-            ).alias("ln_floor"),
+            F.ln(F.col("__docs") / F.col("__N")).alias("ln_prior"),
+            F.ln(F.lit(alpha) / (F.col("__toks") + F.lit(alpha) * F.col("__V"))).alias(
+                "ln_floor"
+            ),
         )
     )
     return word_weights, class_stats
