@@ -121,27 +121,63 @@ def _uniform01(key: str, seed: int, salt: int) -> Column:
     return F.shiftrightunsigned(h, 1) / F.lit(float(2**63))
 
 
+_HEX13 = float(16**13)
+
+
+def _portable_keep(key: str, w: Column, seed: int, salt: int) -> Column:
+    """Engine-portable keep condition: the uniform draw is the first 13 hex
+    chars of sha256("key:salt:seed") compared against the weight rendered
+    as a 13-char hex threshold — string ops + sha256 only, all of which
+    DuckDB/Trino/BigQuery share, so the SAME rows are selected by any
+    engine (the :func:`hash_split` portability story, extended to per-row
+    probabilities). P(keep) = floor(w·16^13)/16^13 — exact to 2^-52.
+    w ≥ 1 keeps unconditionally (its 14-hex threshold would be TRUNCATED
+    by lpad, not padded — both engines' lpad truncates overlong input)."""
+    prefix = F.substring(
+        F.sha2(F.concat_ws(":", F.col(key).cast("string"), F.lit(str(salt)), F.lit(str(seed))), 256),
+        1,
+        13,
+    )
+    threshold = F.lpad(
+        F.lower(F.conv(F.floor(w * F.lit(_HEX13)).cast("long").cast("string"), 10, 16)),
+        13,
+        "0",
+    )
+    return (w >= 1.0) | (prefix < threshold)
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str | Column,
     key: str,
     seed: int = 0,
+    portable: bool = False,
 ) -> DataFrame:
     """Importance sampling: keep each row with probability = its weight
     (clamped to [0, 1]; NaN/NULL weights drop the row) — e.g. quality-
     score-weighted corpus downsampling, where high-quality documents
     survive at a higher rate.
 
-    Deterministic (see :func:`_uniform01`) and zero-shuffle — a pure
-    filter in the scan stage, expected output size sum(weights). NULL
-    keys error out (they would all share one draw and be kept or dropped
-    as a block — the same systematic skew :func:`hash_split` rejects).
+    Deterministic and zero-shuffle — a pure filter in the scan stage,
+    expected output size sum(weights). NULL keys error out (they would
+    all share one draw and be kept or dropped as a block — the same
+    systematic skew :func:`hash_split` rejects).
+
+    ``portable=False`` (default) draws from xxhash64 (see
+    :func:`_uniform01`) — the fast JVM-native path. ``portable=True``
+    draws from a sha256 hex prefix (:func:`_portable_keep`) so the exact
+    selection reproduces on any engine with sha256 — use when the sample
+    must be re-derivable outside Spark (audits, cross-engine parity); the
+    declared query t12 runs this form against its DuckDB twin.
     """
     w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast("double")
     w = F.when(w.isNull() | F.isnan(w), F.lit(0.0)).otherwise(
         F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0))
     )
-    keep = _uniform01(key, seed, salt=2) < w
+    if portable:
+        keep = _portable_keep(key, w, seed, salt=2)
+    else:
+        keep = _uniform01(key, seed, salt=2) < w
     keep = F.when(
         F.col(key).isNull(),
         F.raise_error(F.lit(f"weighted_sample: NULL {key} cannot be sampled deterministically")),

@@ -47,19 +47,21 @@ def register(name: str, oracle: str | None = None):
 #
 # Round 5 window (VERDICT r4 item 1): staleness-driven full rotation. By
 # r4 the union covered all 124 registered queries, but 39 were last
-# driver-checked in r2 and 35 in r3. WINDOW_R5 = the 8 queries whose
+# driver-checked in r2 and 35 in r3. WINDOW_R5 = the 9 queries whose
 # declared output is new or changed this round (g12 threshold cast to
 # DOUBLE both sides, a16 upgraded from rows-only to a partial oracle, new
 # l3_ivf_probe_topk / s12_orc_roundtrip / t16_bigram_lm_nll /
 # t17_semantic_decontamination / t18_span_dedup /
-# t19_nb_language_classifier — never-checked queries outrank stale
-# greens) + all 39 r2-stale greens + the 3 riskiest r3-stale (multi-join
-# gold g8/g9, DQ q2). The five r3-stale paths displaced by the new
-# declarations (s1/s8/a11 write/stats round-trips pinned by pytest;
-# f4/f6_f9 date chains covered by the randomized oracle-dialect property
-# tests, tests/test_oracle_dialect_properties.py) rotate with the other
-# r3-checked queries into WINDOW_R6; after r6 no green is older than two
-# rounds.
+# t19_nb_language_classifier, and t12_weighted_sample whose selection
+# switched to the portable sha256 draw and gained a full oracle —
+# new/changed queries outrank stale greens) + all 39 r2-stale greens +
+# the 2 heaviest r3-stale (multi-join gold g8/g9). The six r3-stale
+# paths displaced by the new declarations (s1/s8/a11 write/stats
+# round-trips pinned by pytest; f4/f6_f9 date chains and q2's unpivot
+# seam covered by the randomized oracle-dialect property tests,
+# tests/test_oracle_dialect_properties.py, plus their own unit tests)
+# rotate with the other r3-checked queries into WINDOW_R6; after r6 no
+# green is older than two rounds.
 # ---------------------------------------------------------------------------
 
 WINDOW_R5: tuple[str, ...] = (
@@ -72,6 +74,7 @@ WINDOW_R5: tuple[str, ...] = (
     "t17_semantic_decontamination",
     "t18_span_dedup",
     "t19_nb_language_classifier",
+    "t12_weighted_sample",
     # last driver-checked r2: projections/filters
     "p1_column_projection",
     "p2_computed_columns",
@@ -121,7 +124,6 @@ WINDOW_R5: tuple[str, ...] = (
     # DQ profile, write paths, stats
     "g8_large_order_customers",
     "g9_exclusive_late_supplier",
-    "q2_rule_profile",
 )
 
 # Round 4 window (historical — r4 driver results in CORRECTNESS_r04.json):

@@ -919,19 +919,40 @@ def t8_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("t12_weighted_sample")  # rows-only: xxhash64 draw has no DuckDB twin
+@register(
+    "t12_weighted_sample",
+    oracle="""
+    WITH weighted AS (
+      SELECT lang, source, text,
+             LEAST(n_chars / 2000.0, 1.0) AS w,
+             substring(sha256(CAST(doc_id AS VARCHAR) || ':2:0'), 1, 13) AS u,
+             lpad(lower(to_hex(CAST(floor(LEAST(n_chars / 2000.0, 1.0) * 16**13) AS BIGINT))),
+                  13, '0') AS threshold
+      FROM documents
+    )
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM weighted WHERE w >= 1.0 OR u < threshold
+    GROUP BY lang, source
+    """,
+)
 def t12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Importance sampling (operators/sampling.weighted_sample): keep each
     # doc with probability proportional to a length-based quality weight —
     # deterministic in (doc_id, seed), zero-shuffle. Output: survivors per
-    # (lang, source) with token mass.
+    # (lang, source) with token mass. Declared with portable=True (sha256
+    # hex-prefix draw vs hex-rendered threshold — r5 upgrade from
+    # rows-only): the DuckDB twin re-derives the EXACT selection, proving
+    # the sample is engine-portable; production defaults to the xxhash64
+    # draw (same semantics, JVM-native hash), rate/determinism pinned in
+    # tests/test_training_ops.py.
     from etl_hiscox_spark.operators.sampling import weighted_sample
 
     docs = load_table(spark, "documents", sf_dir)
     weighted = docs.withColumn(
         "__w", F.least(F.col("n_chars").cast("double") / F.lit(2000.0), F.lit(1.0))
     )
-    kept = weighted_sample(weighted, "__w", key="doc_id")
+    kept = weighted_sample(weighted, "__w", key="doc_id", portable=True)
     return kept.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(_raw_token_count()).alias("n_tokens"),

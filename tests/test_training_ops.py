@@ -118,3 +118,45 @@ def test_weighted_sample_rates_and_determinism(spark):
     assert all_kept.count() == n
     none_kept = weighted_sample(df.withColumn("w", F.lit(-1.0)), "w", "doc_id")
     assert none_kept.count() == 0
+
+
+def test_weighted_sample_portable_draw_matches_duckdb(spark):
+    # The portable=True selection must be re-derivable OUTSIDE Spark: the
+    # same sha256 hex-prefix draw in DuckDB picks the identical row set.
+    import duckdb
+
+    from etl_hiscox_spark.operators.sampling import weighted_sample
+
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") % 10) / 10.0).alias("w"),
+    )
+    kept = sorted(
+        r.doc_id for r in weighted_sample(df, "w", key="doc_id", portable=True).collect()
+    )
+    dd = duckdb.sql(
+        f"""
+        WITH t AS (
+          SELECT range AS doc_id, (range % 10) / 10.0 AS w FROM range({n})
+        )
+        SELECT doc_id FROM t
+        WHERE w >= 1.0 OR substring(sha256(CAST(doc_id AS VARCHAR) || ':2:0'), 1, 13)
+              < lpad(lower(to_hex(CAST(floor(w * 16**13) AS BIGINT))), 13, '0')
+        ORDER BY doc_id
+        """
+    ).fetchall()
+    assert kept == [r[0] for r in dd]
+    # rates: E[kept] = sum of weights
+    expect = sum((i % 10) / 10.0 for i in range(n))
+    assert abs(len(kept) - expect) / expect < 0.05
+
+
+def test_weighted_sample_portable_keeps_weight_one_unconditionally(spark):
+    # w >= 1 must short-circuit: its 14-hex threshold would be TRUNCATED
+    # by lpad (both engines truncate overlong input), silently halving the
+    # keep rate without the guard.
+    from etl_hiscox_spark.operators.sampling import weighted_sample
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"), F.lit(1.0).alias("w"))
+    assert weighted_sample(df, "w", key="doc_id", portable=True).count() == 500
