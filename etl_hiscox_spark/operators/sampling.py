@@ -191,6 +191,7 @@ def mixture_sample(
     key: str,
     seed: int = 0,
     source_col: str = "source",
+    portable: bool = False,
 ) -> DataFrame:
     """Draw the largest corpus that follows a target source mixture.
 
@@ -205,6 +206,10 @@ def mixture_sample(
     footer row counts) — not one ``count()`` action per source.
 
     Returns the union with a ``source`` tag column; schemas must match.
+    ``portable=True`` swaps the xxhash64 draw for the sha256 hex-prefix
+    form (:func:`_portable_keep`) — the per-source fractions are plain
+    IEEE-double arithmetic on exact counts, so any engine with sha256
+    re-derives the identical corpus (t7's DuckDB oracle does).
     """
     if set(sources) != set(weights):
         raise ValueError(f"sources {sorted(sources)} != weights {sorted(weights)}")
@@ -230,9 +235,11 @@ def mixture_sample(
         if norm[name] == 0:
             continue  # zero-weight source: contributes no rows by definition
         frac = min(1.0, norm[name] * t_max / counts[name])
-        picked = df.filter(_uniform01(key, seed, salt=1) < F.lit(frac)).withColumn(
-            source_col, F.lit(name)
-        )
+        if portable:
+            keep = _portable_keep(key, F.lit(frac), seed, salt=1)
+        else:
+            keep = _uniform01(key, seed, salt=1) < F.lit(frac)
+        picked = df.filter(keep).withColumn(source_col, F.lit(name))
         out = picked if out is None else out.unionByName(picked)
     return out
 

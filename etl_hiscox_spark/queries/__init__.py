@@ -47,21 +47,22 @@ def register(name: str, oracle: str | None = None):
 #
 # Round 5 window (VERDICT r4 item 1): staleness-driven full rotation. By
 # r4 the union covered all 124 registered queries, but 39 were last
-# driver-checked in r2 and 35 in r3. WINDOW_R5 = the 9 queries whose
+# driver-checked in r2 and 35 in r3. WINDOW_R5 = the 10 queries whose
 # declared output is new or changed this round (g12 threshold cast to
 # DOUBLE both sides, a16 upgraded from rows-only to a partial oracle, new
 # l3_ivf_probe_topk / s12_orc_roundtrip / t16_bigram_lm_nll /
 # t17_semantic_decontamination / t18_span_dedup /
-# t19_nb_language_classifier, and t12_weighted_sample whose selection
-# switched to the portable sha256 draw and gained a full oracle —
+# t19_nb_language_classifier, and t7/t12 whose sampling selections
+# switched to the portable sha256 draw and gained full oracles —
 # new/changed queries outrank stale greens) + all 39 r2-stale greens +
-# the 2 heaviest r3-stale (multi-join gold g8/g9). The six r3-stale
-# paths displaced by the new declarations (s1/s8/a11 write/stats
-# round-trips pinned by pytest; f4/f6_f9 date chains and q2's unpivot
-# seam covered by the randomized oracle-dialect property tests,
-# tests/test_oracle_dialect_properties.py, plus their own unit tests)
-# rotate with the other r3-checked queries into WINDOW_R6; after r6 no
-# green is older than two rounds.
+# the subtlest r3-stale gold rewrite (g9). The seven r3-stale paths
+# displaced by the new declarations (s1/s8/a11 write/stats round-trips
+# pinned by pytest; f4/f6_f9 date chains and q2's unpivot seam covered
+# by the randomized oracle-dialect property tests,
+# tests/test_oracle_dialect_properties.py; g8 plan-gated in
+# tests/test_plans.py and watched by bench) rotate with the other
+# r3-checked queries into WINDOW_R6; after r6 no green is older than
+# two rounds.
 # ---------------------------------------------------------------------------
 
 WINDOW_R5: tuple[str, ...] = (
@@ -75,6 +76,7 @@ WINDOW_R5: tuple[str, ...] = (
     "t18_span_dedup",
     "t19_nb_language_classifier",
     "t12_weighted_sample",
+    "t7_mixture_sample",
     # last driver-checked r2: projections/filters
     "p1_column_projection",
     "p2_computed_columns",
@@ -120,9 +122,8 @@ WINDOW_R5: tuple[str, ...] = (
     "g4_promo_revenue_share",
     "g5_exists_late_orders",
     "g6_having_large_customers",
-    # last checked r3 (heaviest first): gold, dialect-tricky scalars,
-    # DQ profile, write paths, stats
-    "g8_large_order_customers",
+    # last checked r3: the subtlest gold rewrite (correlated EXISTS/NOT
+    # EXISTS -> one two-level aggregation)
     "g9_exclusive_late_supplier",
 )
 

@@ -772,19 +772,50 @@ def t3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("t7_mixture_sample")  # rows-only: xxhash64 selection has no DuckDB twin
+@register(
+    "t7_mixture_sample",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, text,
+             CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS mix_source,
+             CASE WHEN lang = 'en' THEN CAST(0.6 AS DOUBLE) ELSE CAST(0.4 AS DOUBLE) END AS w
+      FROM documents
+    ), counts AS (
+      SELECT mix_source, w, COUNT(*) AS n FROM src GROUP BY mix_source, w
+    ), tmax AS (
+      SELECT MIN(n / w) AS t FROM counts
+    ), fracs AS (
+      SELECT mix_source, LEAST(1.0, (w * (SELECT t FROM tmax)) / n) AS frac FROM counts
+    ), kept AS (
+      SELECT src.mix_source, src.text
+      FROM src JOIN fracs USING (mix_source)
+      WHERE frac >= 1.0
+         OR substring(sha256(CAST(doc_id AS VARCHAR) || ':1:0'), 1, 13)
+            < lpad(lower(to_hex(CAST(floor(frac * 16**13) AS BIGINT))), 13, '0')
+    )
+    SELECT mix_source AS source, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM kept GROUP BY mix_source
+    """,
+)
 def t7_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Corpus composition: draw the largest corpus with a 60/40 en/non-en
     # mix (operators/sampling.mixture_sample). Selection is a pure function
     # of (doc_id, seed), so the drawn corpus is identical across re-runs
     # and re-partitions; the scarcer source caps the total and survives
-    # whole. Output: per-source doc counts + token mass.
+    # whole. Output: per-source doc counts + token mass. Declared with
+    # portable=True (r5 upgrade from rows-only): the per-source fractions
+    # are IEEE-double arithmetic on exact counts and the draw is the
+    # sha256 hex-prefix form, so the DuckDB twin re-derives the EXACT
+    # corpus; production defaults to the xxhash64 draw.
     from etl_hiscox_spark.operators.sampling import mixture_sample
 
     docs = load_table(spark, "documents", sf_dir)
     en = docs.filter(F.col("lang") == "en")
     rest = docs.filter(F.col("lang") != "en")
-    mixed = mixture_sample({"en": en, "other": rest}, {"en": 0.6, "other": 0.4}, key="doc_id")
+    mixed = mixture_sample(
+        {"en": en, "other": rest}, {"en": 0.6, "other": 0.4}, key="doc_id", portable=True
+    )
     return mixed.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(_raw_token_count()).alias("n_tokens"),

@@ -160,3 +160,38 @@ def test_weighted_sample_portable_keeps_weight_one_unconditionally(spark):
 
     df = spark.range(500).select(F.col("id").alias("doc_id"), F.lit(1.0).alias("w"))
     assert weighted_sample(df, "w", key="doc_id", portable=True).count() == 500
+
+
+def test_mixture_sample_portable_matches_duckdb(spark):
+    # portable=True mixture: DuckDB re-derives the per-source fractions
+    # from exact counts and the sha256 draw picks the identical corpus.
+    import duckdb
+
+    from etl_hiscox_spark.operators.sampling import mixture_sample
+
+    n = 3000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3 == 0).alias("is_a")
+    )
+    a, b = df.filter("is_a"), df.filter("NOT is_a")
+    mixed = mixture_sample({"a": a, "b": b}, {"a": 0.5, "b": 0.5}, key="doc_id", portable=True)
+    got = sorted((r.doc_id, r.source) for r in mixed.collect())
+    dd = duckdb.sql(
+        f"""
+        WITH src AS (
+          SELECT range AS doc_id,
+                 CASE WHEN range % 3 = 0 THEN 'a' ELSE 'b' END AS s,
+                 CAST(0.5 AS DOUBLE) AS w
+          FROM range({n})
+        ), counts AS (SELECT s, w, COUNT(*) AS n FROM src GROUP BY s, w),
+        tmax AS (SELECT MIN(n / w) AS t FROM counts),
+        fracs AS (SELECT s, LEAST(1.0, (w * (SELECT t FROM tmax)) / n) AS frac FROM counts)
+        SELECT doc_id, s FROM src JOIN fracs USING (s)
+        WHERE frac >= 1.0 OR substring(sha256(CAST(doc_id AS VARCHAR) || ':1:0'), 1, 13)
+              < lpad(lower(to_hex(CAST(floor(frac * 16**13) AS BIGINT))), 13, '0')
+        ORDER BY doc_id
+        """
+    ).fetchall()
+    assert got == [(r[0], r[1]) for r in dd]
+    # the scarce source (a: n/3 rows, target 50%) survives whole
+    assert sum(1 for _, s in got if s == "a") == n // 3
