@@ -142,6 +142,40 @@ def fingerprint64(c: Column | str) -> Column:
     return F.xxhash64(normalize_text(c))
 
 
+# Polynomial rolling-hash parameters: two independent (base, Mersenne-ish
+# prime) pairs. acc < 2^31 and base < 2^9, so acc*base + cp < 2^41 — no
+# BIGINT overflow in either engine (Spark 4 runs ANSI mode, where a
+# wrapping-2^64 hash would THROW on overflow; modular arithmetic below a
+# prime is the portable form of the same construction).
+ROLLING_BASES = (131, 257)
+ROLLING_MODS = (2147483647, 1000000007)
+
+
+def rolling_fingerprint64(c: Column | str) -> Column:
+    """~62-bit polynomial rolling fingerprint of normalized text,
+    ENGINE-PORTABLE: h_i = fold(acc*base_i + codepoint mod prime_i) over
+    the characters, combined as h1·1000000007 + h2 (fits BIGINT).
+
+    Unlike :func:`fingerprint64` (xxhash64 — JVM-native, the production
+    default), every step here is plain modular BIGINT arithmetic on
+    codepoints, so DuckDB/Trino/BigQuery reproduce it bit-for-bit
+    (Spark's ``ascii`` and DuckDB's ``unicode`` both return the full
+    codepoint of one-char strings). Empty/NULL text fingerprints to
+    0/NULL. The char-level lambda runs interpreted — fine for per-doc
+    fingerprints; keep xxhash64 for hot shingle loops."""
+    t = normalize_text(c)
+    cps = F.transform(F.split(t, ""), lambda ch: F.ascii(ch).cast("long"))
+    h1, h2 = (
+        F.aggregate(
+            cps,
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * base + x) % F.lit(mod),
+        )
+        for base, mod in zip(ROLLING_BASES, ROLLING_MODS)
+    )
+    return (h1 * F.lit(1000000007) + h2).alias("rolling_fp64")
+
+
 def content_hash(c: Column | str) -> Column:
     """SHA-256 hex of normalized text — the exact-dedup key (L1)."""
     return F.sha2(normalize_text(c), 256)

@@ -47,19 +47,19 @@ def register(name: str, oracle: str | None = None):
 #
 # Round 5 window (VERDICT r4 item 1): staleness-driven full rotation. By
 # r4 the union covered all 124 registered queries, but 39 were last
-# driver-checked in r2 and 35 in r3. WINDOW_R5 = the 10 queries whose
+# driver-checked in r2 and 35 in r3. WINDOW_R5 = the 11 queries whose
 # declared output is new or changed this round (g12 threshold cast to
 # DOUBLE both sides, a16 upgraded from rows-only to a partial oracle, new
 # l3_ivf_probe_topk / s12_orc_roundtrip / t16_bigram_lm_nll /
 # t17_semantic_decontamination / t18_span_dedup /
-# t19_nb_language_classifier, and t7/t12 whose sampling selections
-# switched to the portable sha256 draw and gained full oracles —
-# new/changed queries outrank stale greens) + all 39 r2-stale greens +
-# the subtlest r3-stale gold rewrite (g9). The seven r3-stale paths
+# t19_nb_language_classifier, and t3/t7/t12 whose declared outputs
+# switched to engine-portable forms (sha256 draws, polynomial rolling
+# fingerprint) and gained full oracles — new/changed queries outrank
+# stale greens) + all 39 r2-stale greens. The eight r3-stale paths
 # displaced by the new declarations (s1/s8/a11 write/stats round-trips
 # pinned by pytest; f4/f6_f9 date chains and q2's unpivot seam covered
 # by the randomized oracle-dialect property tests,
-# tests/test_oracle_dialect_properties.py; g8 plan-gated in
+# tests/test_oracle_dialect_properties.py; g8/g9 plan-gated in
 # tests/test_plans.py and watched by bench) rotate with the other
 # r3-checked queries into WINDOW_R6; after r6 no green is older than
 # two rounds.
@@ -77,6 +77,7 @@ WINDOW_R5: tuple[str, ...] = (
     "t19_nb_language_classifier",
     "t12_weighted_sample",
     "t7_mixture_sample",
+    "t3_fingerprint",
     # last driver-checked r2: projections/filters
     "p1_column_projection",
     "p2_computed_columns",
@@ -122,9 +123,6 @@ WINDOW_R5: tuple[str, ...] = (
     "g4_promo_revenue_share",
     "g5_exists_late_orders",
     "g6_having_large_customers",
-    # last checked r3: the subtlest gold rewrite (correlated EXISTS/NOT
-    # EXISTS -> one two-level aggregation)
-    "g9_exclusive_late_supplier",
 )
 
 # Round 4 window (historical — r4 driver results in CORRECTNESS_r04.json):

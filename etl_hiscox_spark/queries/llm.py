@@ -21,6 +21,7 @@ from etl_hiscox_spark.functions.text import (
     detect_language,
     fingerprint64,
     normalize_text,
+    rolling_fingerprint64,
     quality_score,
     tokens,
 )
@@ -761,13 +762,40 @@ def t6_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
-@register("t3_fingerprint")  # rows-only: xxhash64 has no DuckDB equivalent
+@register(
+    "t3_fingerprint",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
+                ELSE list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+                       (acc, x) -> (acc * 131 + x) % 2147483647) END
+             * 1000000007
+           + CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
+                ELSE list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+                       (acc, x) -> (acc * 257 + x) % 1000000007) END AS fp64,
+           sha256(t) AS sha256_hash
+    FROM n
+    """,
+)
 def t3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 64-bit document fingerprints + exact-dedup content hash.
+    # 64-bit document fingerprints + exact-dedup content hash. r5 upgrade
+    # from rows-only: the declared fingerprint is the engine-portable
+    # polynomial rolling hash (functions.text.rolling_fingerprint64 —
+    # modular BIGINT folds over codepoints, reproduced bit-for-bit by the
+    # DuckDB twin); the xxhash64 form (fingerprint64) stays the production
+    # default for hot shingle loops and is pinned by unit tests.
     docs = load_table(spark, "documents", sf_dir)
     return docs.select(
         "doc_id",
-        fingerprint64("text").alias("fp64"),
+        rolling_fingerprint64("text").alias("fp64"),
         content_hash("text").alias("sha256_hash"),
     )
 

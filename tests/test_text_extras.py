@@ -70,3 +70,45 @@ def test_detect_language_real_phrases(spark):
     out = df.select("expected", detect_language("t").alias("got")).collect()
     for r in out:
         assert r["got"] == r["expected"], r
+
+
+def test_rolling_fingerprint_portable_and_normalized(spark):
+    # The portable fingerprint: engine-reproducible (hand-fold the same
+    # modular arithmetic in python), invariant under the normalize_text
+    # canonicalization, 0 for empty, NULL for NULL.
+    from etl_hiscox_spark.functions.text import (
+        ROLLING_BASES,
+        ROLLING_MODS,
+        rolling_fingerprint64,
+    )
+
+    def py_fp(text):
+        t = " ".join(text.lower().strip().split())
+        hs = []
+        for base, mod in zip(ROLLING_BASES, ROLLING_MODS):
+            acc = 0
+            for ch in t:
+                acc = (acc * base + ord(ch)) % mod
+            hs.append(acc)
+        return hs[0] * 1000000007 + hs[1]
+
+    rows = [(1, "Hello  World"), (2, "hello world"), (3, ""), (4, None), (5, "spark")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", rolling_fingerprint64("text").alias("fp")).collect()
+    }
+    assert got[1] == got[2] == py_fp("Hello  World")  # normalization collapses
+    assert got[3] == 0 and got[4] is None
+    assert got[5] == py_fp("spark") != got[1]
+
+
+def test_rolling_fingerprint_no_corpus_collisions(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.functions.text import normalize_text, rolling_fingerprint64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_texts = docs.select(normalize_text("text").alias("t")).distinct().count()
+    n_fps = docs.select(rolling_fingerprint64("text").alias("fp")).distinct().count()
+    assert n_fps == n_texts
