@@ -167,3 +167,39 @@ def test_q22_scalar_is_subquery_and_anti(spark, sf_dir):
     assert "LeftAnti" in plan
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "o_orderdate" in l]
     assert any("GreaterThanOrEqual(o_orderdate" in l for l in pushed)
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
+    # The 100 TB fact⋈fact pruning mechanism: when the build side is
+    # selective, Catalyst injects a runtime bloom filter so the probe-side
+    # scan drops non-matching rows BEFORE the shuffle (Spark's runtime row
+    # filtering). Local testdata sits under the default size thresholds, so
+    # lower them to prove the injection fires — at warehouse scale the
+    # defaults (10MB creation / 10GB application) trigger on their own.
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        urgent = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan       # built from the selective side
+        assert "might_contain" in plan.lower()  # applied on the probe side
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
