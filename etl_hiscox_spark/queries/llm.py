@@ -738,6 +738,45 @@ def t19_nb_language_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t20_tfidf_keywords",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, UNNEST(t) AS term FROM toks
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM occ GROUP BY doc_id, term
+    ), idf AS (
+      SELECT term,
+             ln(((SELECT COUNT(*) FROM documents) + 1.0) / (COUNT(*) + 1.0)) + 1.0 AS idf
+      FROM tf GROUP BY term
+    ), ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             ROUND(tf.tf * idf.idf, 6) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY ROUND(tf.tf * idf.idf, 6) DESC, tf.term ASC
+             ) AS rank
+      FROM tf JOIN idf USING (term)
+    )
+    SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def t20_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Keyword extraction (operators/tfidf.py): smoothed TF-IDF over the
+    # corpus, top-5 terms per document — token explode in the scan stage,
+    # map-side tf counts, df derived from the tf table (no second token
+    # pass), idf broadcast onto tf, rounded-rank window (the g12/t19 rule
+    # for discrete outputs). Two real shuffles end to end.
+    from etl_hiscox_spark.operators.tfidf import top_keywords
+
+    docs = load_table(spark, "documents", sf_dir)
+    return top_keywords(docs, "text", "doc_id", k=5)
+
+
+@register(
     "t6_train_test_split",
     oracle="""
     WITH assigned AS (
