@@ -91,11 +91,17 @@ def nb_scores(
     id_col: str,
     word_weights: DataFrame,
     class_stats: DataFrame,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Long-form scores: (id, label, score) — one row per document per
-    class, every class present for every document."""
+    """Long-form scores: (id, *keep_cols, label, score) — one row per
+    document per class, every class present for every document.
+    ``keep_cols`` ride the grid side (no join back to the source — at
+    scale that join would re-scan and re-shuffle the corpus just to
+    reattach a column the scan already had)."""
+    keep = [F.col(c) for c in keep_cols]
     base = df.select(
         F.col(id_col).alias("doc"),
+        *keep,
         tokens(text_col).alias("__t"),
     ).withColumn("__len", F.size("__t"))
     occ = base.select("doc", F.explode("__t").alias("word"))
@@ -104,12 +110,15 @@ def nb_scores(
         .groupBy("doc", "label")
         .agg(F.sum("w").alias("__seen"))
     )
-    grid = base.select("doc", "__len").crossJoin(F.broadcast(class_stats.select("label")))
+    grid = base.select("doc", *keep_cols, "__len").crossJoin(
+        F.broadcast(class_stats.select("label"))
+    )
     return (
         grid.join(contrib, ["doc", "label"], "left")
         .join(F.broadcast(class_stats), "label")
         .select(
             F.col("doc").alias(id_col),
+            *keep_cols,
             "label",
             (
                 F.col("ln_prior")
@@ -126,15 +135,17 @@ def nb_predict(
     id_col: str,
     word_weights: DataFrame,
     class_stats: DataFrame,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, predicted_label, score): argmax class per document over
-    6-decimal-rounded scores, label ASC as the deterministic tiebreak."""
-    scored = nb_scores(df, text_col, id_col, word_weights, class_stats).select(
-        id_col, "label", F.round("score", 6).alias("score")
+    """(id, *keep_cols, predicted_label, score): argmax class per document
+    over 6-decimal-rounded scores, label ASC as the deterministic
+    tiebreak."""
+    scored = nb_scores(df, text_col, id_col, word_weights, class_stats, keep_cols).select(
+        id_col, *keep_cols, "label", F.round("score", 6).alias("score")
     )
     w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("label").asc())
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select(id_col, F.col("label").alias("predicted_label"), "score")
+        .select(id_col, *keep_cols, F.col("label").alias("predicted_label"), "score")
     )

@@ -731,8 +731,8 @@ def t19_nb_language_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     ww, cs = nb_train(docs, "text", "lang", alpha=1.0)
-    pred = nb_predict(docs, "text", "doc_id", ww, cs)
-    return docs.select("doc_id", "lang").join(pred, "doc_id").select(
+    pred = nb_predict(docs, "text", "doc_id", ww, cs, keep_cols=("lang",))
+    return pred.select(
         "doc_id", "lang", F.col("predicted_label").alias("predicted_lang"), "score"
     )
 
