@@ -124,6 +124,57 @@ def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S13: fixed-width flat-file scan — the mainframe/insurance feed format
+# (policy extracts, bordereaux) that predates delimiters. Same round-trip
+# proof shape as S1: render a lineitem projection as fixed-width lines,
+# re-parse with substring/trim/cast expressions, aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s13_fixed_width_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           MIN(CAST(l_shipdate AS DATE)) AS first_ship
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def s13_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_hiscox_spark.sources.readers import read_fixed_width, write_fixed_width
+
+    path = os.path.join(_scratch("s13_fw", sf_dir), "lineitem_fw")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        # decimal render pins the string form ("25.00") on both legs
+        F.col("l_quantity").cast("decimal(12,2)").alias("l_quantity"),
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+    )
+    layout = [("l_orderkey", 12), ("l_linenumber", 4), ("l_returnflag", 2),
+              ("l_quantity", 10), ("l_shipdate", 10)]
+    write_fixed_width(li, path, layout)
+    back = read_fixed_width(
+        spark,
+        path,
+        [
+            ("l_orderkey", 12, "bigint"),
+            ("l_linenumber", 4, "int"),
+            ("l_returnflag", 2, "string"),
+            ("l_quantity", 10, "decimal(12,2)"),
+            ("l_shipdate", 10, "date"),
+        ],
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S6: JSON scan — same round-trip proof for the JSON reader (README.md:9
 # 'Raw Insurance Data CSV/JSON').
 # ---------------------------------------------------------------------------

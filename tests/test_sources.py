@@ -313,3 +313,31 @@ def test_erase_keys_failure_leaves_target_and_no_tmp(spark, tmp_path):
         erase_keys(spark, target, requests, "nope")
     assert spark.read.parquet(target).count() == 1
     assert not (tmp_path / "t_tmp").exists()
+
+
+def test_fixed_width_roundtrip_blank_null_and_alignment(spark, tmp_path):
+    from etl_hiscox_spark.sources.readers import read_fixed_width, write_fixed_width
+
+    df = spark.createDataFrame(
+        [(1, "AB", 10.5), (2, None, None)], "k long, code string, amt double"
+    )
+    path = str(tmp_path / "fw")
+    write_fixed_width(df, path, [("k", 4), ("code", 4), ("amt", 8)])
+    lines = sorted(r["value"] for r in spark.read.text(path).collect())
+    assert lines == ["1   AB  10.5    ", "2" + " " * 15]  # NULLs render blank
+    back = read_fixed_width(
+        spark, path, [("k", 4, "bigint"), ("code", 4, "string"), ("amt", 8, "double")]
+    )
+    got = {r["k"]: (r["code"], r["amt"]) for r in back.collect()}
+    assert got == {1: ("AB", 10.5), 2: (None, None)}  # blanks back to NULL
+
+
+def test_fixed_width_overflow_fails_not_truncates(spark, tmp_path):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from etl_hiscox_spark.sources.readers import write_fixed_width
+
+    df = spark.createDataFrame([("POLICY-123456",)], "policy string")
+    with pytest.raises(SparkRuntimeException, match="exceeds width"):
+        write_fixed_width(df, str(tmp_path / "fw2"), [("policy", 8)])
