@@ -843,3 +843,51 @@ def g12_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_nationkey
         """
     )
+
+
+@register(
+    "g13_top_revenue_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(12,6))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def g13_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q15 shape: the revenue "view" aggregates once per supplier over
+    # a quarter, and the winner is picked by comparing against a scalar
+    # MAX-of-aggregate Subquery — the one gold shape (scalar over a DERIVED
+    # aggregate, not a base table) g7/g12 don't cover. The revenue CTE is
+    # decimal-exact so the equality compare is engine-exact (a DOUBLE sum
+    # would make "== MAX" order-dependent); the cast to DOUBLE happens only
+    # in the output. Catalyst evaluates the CTE twice (once per reference)
+    # — both instances push the shipdate filter to the scan, and at 100 TB
+    # the date-pruned quarter is the working set, not the table. SQL entry
+    # so the MAX plans as a true scalar Subquery (the g7/g12 mechanism).
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem_v")
+    load_table(spark, "supplier", sf_dir).createOrReplaceTempView("supplier_v")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(1 - l_discount AS DECIMAL(12,6))) AS total_revenue
+          FROM lineitem_v
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM supplier_v JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """
+    )

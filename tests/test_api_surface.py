@@ -180,7 +180,11 @@ def test_every_query_has_driver_coverage_plan():
     from etl_hiscox_spark.queries import WINDOW_R5, all_queries
 
     # declared after the current window froze; first slots of the next one
-    PENDING_NEXT_WINDOW: set[str] = {"t20_tfidf_keywords", "s13_fixed_width_roundtrip"}
+    PENDING_NEXT_WINDOW: set[str] = {
+        "t20_tfidf_keywords",
+        "s13_fixed_width_roundtrip",
+        "g13_top_revenue_supplier",
+    }
     checked: set[str] = set(WINDOW_R5)
     for path in glob.glob("CORRECTNESS_r*.json"):
         checked |= set(json.load(open(path)))

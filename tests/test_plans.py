@@ -203,3 +203,13 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_q15_max_of_aggregate_is_scalar_subquery(spark, sf_dir):
+    # g13: the MAX over the derived revenue aggregate plans as a true
+    # scalar Subquery (no nested-loop join), and the quarter filter pushes
+    # to BOTH instances of the revenue CTE's lineitem scan.
+    plan = _plan(spark, sf_dir, "g13_top_revenue_supplier")
+    assert "Subquery" in plan and "BroadcastNestedLoopJoin" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "l_shipdate" in l]
+    assert len(pushed) >= 2
