@@ -70,3 +70,45 @@ def test_mark_duplicates_single_shuffle(spark):
     marked = mark_duplicate_spans(document_spans(df, "text", "doc_id", 6), hashed=True)
     plan = marked._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_span_dedup_matches_python_reference(spark):
+    # Property: against a brute-force python implementation on a corpus
+    # engineered for heavy span overlap.
+    import itertools
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    words = ["alpha", "beta", "gamma", "delta"]
+    texts = [
+        " ".join(p)
+        for p in itertools.product(words, repeat=3)  # 64 docs, 3 words each
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    def py_span_dedup(rows, span_words):
+        # first (id, span_idx) occurrence of each distinct span wins
+        seen = {}
+        spans = []
+        for doc_id, text in rows:
+            toks = text.lower().split()
+            n = max((len(toks) + span_words - 1) // span_words, 1)
+            for i in range(n):
+                span = " ".join(toks[i * span_words : (i + 1) * span_words])
+                spans.append((doc_id, i, span))
+        out = {}
+        for doc_id, i, span in sorted(spans):
+            dup = span in seen
+            if not dup:
+                seen[span] = (doc_id, i)
+            ns, nr, kept = out.get(doc_id, (0, 0, []))
+            out[doc_id] = (ns + 1, nr + (1 if dup else 0), kept + ([] if dup else [span]))
+        return {d: (ns, nr, " ".join(k)) for d, (ns, nr, k) in out.items()}
+
+    expect = py_span_dedup(rows, 2)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_removed"], r["deduped_text"])
+        for r in span_dedup(df, "text", "doc_id", span_words=2).collect()
+    }
+    assert got == expect
