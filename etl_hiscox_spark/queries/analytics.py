@@ -891,3 +891,63 @@ def g13_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         """
     )
+
+
+@register(
+    "f17_golden_record",
+    oracle="""
+    WITH versions AS (
+      SELECT o_custkey, o_orderstatus, o_orderpriority,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(o_orderdate AS DATE) END AS last_urgent_date,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+               * 10000000000 + o_orderkey AS ord
+      FROM orders
+    )
+    SELECT o_custkey,
+           arg_max(o_orderstatus,
+                   CASE WHEN o_orderstatus IS NOT NULL THEN ord END) AS o_orderstatus,
+           arg_max(o_orderpriority,
+                   CASE WHEN o_orderpriority IS NOT NULL THEN ord END) AS o_orderpriority,
+           arg_max(last_urgent_date,
+                   CASE WHEN last_urgent_date IS NOT NULL THEN ord END) AS last_urgent_date,
+           COUNT(*) AS n_versions
+    FROM versions GROUP BY o_custkey
+    """,
+)
+def f17_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Survivorship / golden-record merge (operators/survivorship.py): each
+    # customer's order history collapses to one row whose fields take the
+    # LATEST NON-NULL value independently — the MDM rule window-dedup can't
+    # express (a newer row with a NULL field must not erase the older
+    # non-null value; last_urgent_date is NULL on non-urgent orders and
+    # must survive from the most recent URGENT one). Single max_by
+    # aggregation pass, map-side partials, no sort. The ordering key is
+    # recency composed with the unique order key (days-since-epoch·10^10 +
+    # o_orderkey — ties in max_by are engine-arbitrary, so the key must be
+    # unique), and the ordering is guarded per field because Spark's
+    # max_by returns NULL values at the max key while DuckDB's arg_max
+    # skips them — the guard makes both engines compute the same rule.
+    from etl_hiscox_spark.operators.survivorship import golden_record
+
+    orders = load_table(spark, "orders", sf_dir)
+    versions = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT", F.col("o_orderdate").cast("date")
+        ).alias("last_urgent_date"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            * 10000000000
+            + F.col("o_orderkey")
+        ).alias("__ord"),
+    )
+    return golden_record(
+        versions,
+        ["o_custkey"],
+        F.col("__ord"),
+        ["o_orderstatus", "o_orderpriority", "last_urgent_date"],
+    )

@@ -184,6 +184,7 @@ def test_every_query_has_driver_coverage_plan():
         "t20_tfidf_keywords",
         "s13_fixed_width_roundtrip",
         "g13_top_revenue_supplier",
+        "f17_golden_record",
     }
     checked: set[str] = set(WINDOW_R5)
     for path in glob.glob("CORRECTNESS_r*.json"):
