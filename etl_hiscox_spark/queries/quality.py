@@ -476,3 +476,52 @@ def q6_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m.step, m.records_processed, m.records_valid, m.records_invalid)],
         "step string, total_records bigint, valid_records bigint, invalid_records bigint",
     )
+
+
+@register(
+    "q7_outlier_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ss
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderkey, orders.o_orderpriority,
+           ROUND((CAST(o_totalprice AS DOUBLE) - s / n)
+                 / sqrt(ss / n - (s / n) * (s / n)), 6) AS z
+    FROM orders JOIN stats ON orders.o_orderpriority = stats.o_orderpriority
+    WHERE ABS((CAST(o_totalprice AS DOUBLE) - s / n)
+              / sqrt(ss / n - (s / n) * (s / n))) > 1.5
+    """,
+)
+def q7_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Statistical anomaly detection as a DQ stage: per-priority z-scores of
+    # order totals, flag the |z| > 1.5 tail. (Production uses 3-sigma; the
+    # synthetic totals are uniform, where max |z| = sqrt(3) ~ 1.77, so a
+    # 3-sigma gate would be vacuously empty — 1.5 keeps the driver check
+    # non-trivial.) The group moments come from DECIMAL-exact
+    # sums (SUM and SUM of squares) cast to DOUBLE once — a float STDDEV
+    # aggregate would make z depend on summation order and drift between
+    # engines near the 3.0 boundary; with exact sums both engines evaluate
+    # the IDENTICAL double expression. One agg pass for the moments (tiny:
+    # |priorities| rows, broadcast back), one broadcast join — the fact
+    # table never shuffles. z in the output is rounded; the flag compares
+    # the unrounded-but-engine-identical expression.
+    orders = load_table(spark, "orders", sf_dir)
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    stats = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(price_dec).cast("double").alias("s"),
+        F.sum(price_dec * price_dec).cast("double").alias("ss"),
+    )
+    j = orders.join(F.broadcast(stats), "o_orderpriority")
+    mean = F.col("s") / F.col("n")
+    z = (F.col("o_totalprice").cast("double") - mean) / F.sqrt(
+        F.col("ss") / F.col("n") - mean * mean
+    )
+    return j.filter(F.abs(z) > 1.5).select(
+        "o_orderkey", "o_orderpriority", F.round(z, 6).alias("z")
+    )

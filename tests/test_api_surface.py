@@ -185,6 +185,7 @@ def test_every_query_has_driver_coverage_plan():
         "s13_fixed_width_roundtrip",
         "g13_top_revenue_supplier",
         "f17_golden_record",
+        "q7_outlier_zscore",
     }
     checked: set[str] = set(WINDOW_R5)
     for path in glob.glob("CORRECTNESS_r*.json"):

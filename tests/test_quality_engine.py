@@ -99,3 +99,29 @@ def test_insurance_rulesets_compile(spark):
     for r in present:
         pred = pred & r.predicate()
     assert df.filter(pred).count() >= 1
+
+
+def test_zscore_moments_are_exact_and_flag_symmetric(spark):
+    # q7's mechanism: moments from decimal-exact sums -> z identical to a
+    # direct two-pass computation; tail flag symmetric around the mean.
+    from pyspark.sql import functions as F
+
+    rows = [(i, "P", float(v)) for i, v in enumerate([10, 10, 10, 10, 100])]
+    df = spark.createDataFrame(rows, "k long, g string, x double")
+    dec = F.col("x").cast("decimal(18,2)")
+    stats = df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+    )
+    j = df.join(F.broadcast(stats), "g")
+    mean = F.col("s") / F.col("n")
+    z = (F.col("x") - mean) / F.sqrt(F.col("ss") / F.col("n") - mean * mean)
+    got = {r["k"]: r["z"] for r in j.select("k", F.round(z, 6).alias("z")).collect()}
+    import statistics as st
+
+    xs = [10.0, 10.0, 10.0, 10.0, 100.0]
+    mu = st.mean(xs)
+    sd = (sum((v - mu) ** 2 for v in xs) / len(xs)) ** 0.5
+    assert abs(got[4] - round((100 - mu) / sd, 6)) < 1e-6
+    assert abs(sum(got.values())) < 1e-6  # z-scores sum to ~0
