@@ -4,6 +4,8 @@ Composes the §2.11 operators into the canonical corpus-prep flow:
 
     raw docs → quality gates (Gopher/C4) → repetition filter
              → exact dedup → MinHash near-dedup
+             → [opt] span-level dedup (RefinedWeb repeated-block removal)
+             → [opt] LM-NLL gate (CCNet-style bigram perplexity filter)
              → chunk (overlapping token windows)
              → train/val/test split (leakage-safe, by SOURCE doc)
              → token-budget shard packing (per split)
@@ -33,7 +35,9 @@ from pyspark.sql import functions as F
 from etl_hiscox_spark.operators.chunking import chunk_documents
 from etl_hiscox_spark.operators.dedup import exact_dedup, near_dedup_minhash
 from etl_hiscox_spark.operators.quality_filters import gopher_flags, repetition_stats
+from etl_hiscox_spark.operators.lm_score import self_trained_nll
 from etl_hiscox_spark.operators.sampling import hash_split, pack_sequences
+from etl_hiscox_spark.operators.span_dedup import span_dedup
 
 
 @dataclass
@@ -55,11 +59,23 @@ def prepare_corpus(
     max_top_ngram_share_pct: int = 30,
     split_weights: dict[str, float] | None = None,
     count_stages: bool = True,
+    span_dedup_words: int | None = None,
+    lm_nll_cutoff: float | None = None,
 ) -> CorpusPrepResult:
     """Run the full corpus-prep flow; see module docstring for staging.
 
     ``count_stages=False`` skips the per-stage counts (each is an extra
     action) — the production setting; counts are for reports and tests.
+
+    Opt-in hygiene stages (both default OFF so the declared t13 output is
+    stable):
+    - ``span_dedup_words``: after near-dedup, remove repeated
+      ``span_dedup_words``-token blocks corpus-wide (RefinedWeb pass);
+      documents whose every span was seen earlier drop out entirely and
+      the surviving text is the span-deduped reassembly.
+    - ``lm_nll_cutoff``: self-train the bigram LM on the surviving corpus
+      and drop documents whose avg negative log-likelihood exceeds the
+      cutoff (gibberish/boilerplate tail, CCNet-style).
     """
     weights = split_weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     counts: dict[str, int] = {}
@@ -85,6 +101,29 @@ def prepare_corpus(
     deduped = note(
         "near_deduped", near_dedup_minhash(exact, text_col, id_col, threshold=near_dup_threshold)
     )
+
+    # 4b. optional span-level dedup: replace text with the span-deduped
+    #     reassembly, dropping fully-emptied docs (their content already
+    #     exists verbatim earlier in the corpus)
+    if span_dedup_words is not None:
+        rep = span_dedup(deduped, text_col, id_col, span_words=span_dedup_words)
+        deduped = note(
+            "span_deduped",
+            deduped.drop(text_col).join(
+                rep.filter(F.col("deduped_text") != "").select(
+                    id_col, F.col("deduped_text").alias(text_col)
+                ),
+                id_col,
+            ),
+        )
+
+    # 4c. optional CCNet-style LM gate on the surviving corpus
+    if lm_nll_cutoff is not None:
+        scores = self_trained_nll(deduped, text_col, id_col)
+        keep = scores.filter(F.col("avg_nll") <= lm_nll_cutoff).select(
+            F.col("doc").alias(id_col)
+        )
+        deduped = note("lm_gated", deduped.join(keep, id_col, "left_semi"))
 
     # 5. leakage-safe split BY DOCUMENT (before chunking, so overlapping
     #    chunks of one doc can never straddle train/test)

@@ -300,3 +300,58 @@ def test_wav_codec_roundtrip_and_features(spark, tmp_path):
     w0 = sorted(by_path["a.wav"], key=lambda r: r["window_index"])[0]
     seg = mono.astype(np.float64).mean(axis=1)[:400]
     assert abs(w0["rms"] - float(np.sqrt((seg * seg).mean()))) < 1e-9
+
+
+
+def test_pipeline_optional_span_dedup_stage_removes_repeated_blocks(spark):
+    from etl_hiscox_spark.plans.llm_pipeline import prepare_corpus
+
+    # every doc passes the Gopher gates: >=10 words, >=2 stopword hits
+    span = "the cat " + " ".join(f"tok{i}" for i in range(6))  # 8 words
+    filler = "and the " + " ".join(f"w{i}x" for i in range(22))
+    uniq = "and the " + " ".join(f"other{i}" for i in range(6))
+    rows = [
+        (1, span + " " + filler),  # owns the span first
+        (2, span + " " + uniq),    # shares the 8-word span, keeps its tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_corpus(
+        df, chunk_size=8, overlap=0, pack_budget=64,
+        span_dedup_words=8, count_stages=True,
+    )
+    assert "span_deduped" in out.stage_counts
+    # doc 2 survives but its text lost the shared leading span: its chunks
+    # contain only the unique tail tokens
+    texts = [r["chunk_text"] for r in out.chunks.filter(F.col("doc_id") == 2).collect()]
+    assert texts and all("tok0" not in t for t in texts)
+    assert any("other0" in t for t in texts)
+
+
+def test_pipeline_optional_lm_gate_drops_high_nll_docs(spark):
+    from etl_hiscox_spark.operators.lm_score import self_trained_nll
+    from etl_hiscox_spark.plans.llm_pipeline import prepare_corpus
+
+    # six docs built from the same word PAIRS in different orders: shared
+    # bigram mass (low NLL) but distinct 3-gram shingle sets, so neither
+    # exact nor near dedup collapses them; the gibberish doc passes the
+    # Gopher gates (stopwords up front) but its bigrams are unique.
+    pairs = ["the cat", "sat down", "on mats", "and dogs", "ran far",
+             "very fast", "in parks", "near trees"]
+    orders = [
+        [0, 1, 2, 3, 4, 5, 6, 7], [3, 0, 5, 1, 7, 2, 6, 4],
+        [5, 3, 7, 0, 2, 6, 1, 4], [7, 6, 5, 4, 3, 2, 1, 0],
+        [2, 4, 0, 6, 1, 7, 3, 5], [6, 2, 4, 1, 5, 0, 7, 3],
+    ]
+    rows = [(i + 1, " ".join(pairs[j] for j in o)) for i, o in enumerate(orders)]
+    rows.append((99, "the zq xv jk and qqq zzz pw mn vb cx uy tr ew qa sd fg hj"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nll = {r["doc"]: r["avg_nll"] for r in self_trained_nll(df, "text", "doc_id").collect()}
+    assert nll[99] > max(v for k, v in nll.items() if k != 99)
+    cutoff = (max(v for k, v in nll.items() if k != 99) + nll[99]) / 2
+    out = prepare_corpus(
+        df, chunk_size=8, overlap=0, pack_budget=64,
+        lm_nll_cutoff=cutoff, count_stages=True,
+    )
+    kept_ids = {r["doc_id"] for r in out.chunks.select("doc_id").distinct().collect()}
+    assert 99 not in kept_ids and 1 in kept_ids
+    assert out.stage_counts["lm_gated"] == out.stage_counts["near_deduped"] - 1
