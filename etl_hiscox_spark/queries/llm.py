@@ -1202,14 +1202,55 @@ def t13_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l2_transitive_clusters")  # rows-only: iterative min-label propagation
+@register(
+    "l2_transitive_clusters",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                                    i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS s
+      FROM toks
+    ), grams AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT ia, ib FROM inter
+      JOIN n na ON ia = na.doc_id JOIN n nb ON ib = nb.doc_id
+      WHERE 5 * i >= 4 * (na.n + nb.n - i)
+    ),
+    edges AS (SELECT ia AS src, ib AS dst FROM pairs UNION SELECT ib, ia FROM pairs),
+    closure AS (
+      SELECT src AS node, src AS reach FROM edges
+      UNION
+      SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src
+    ),
+    comp AS (SELECT node, MIN(reach) AS component FROM closure GROUP BY node),
+    drops AS (SELECT node FROM comp WHERE node <> component)
+    SELECT lang, source, COUNT(*) AS n_docs FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM drops)
+    GROUP BY lang, source ORDER BY lang, source
+    """,
+)
 def l2_transitive_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Transitive near-dedup (operators/dedup.near_dedup_clusters): LSH
     # candidates -> Jaccard-confirmed pairs -> connected components
     # (iterative min-label propagation with per-round lineage truncation)
-    # -> keep one doc per component. Iterative algorithms are the
-    # non-SQL-expressible category; semantics are locked by chain/island
-    # unit tests. Output: survivors per (lang, source).
+    # -> keep one doc per component. Output: survivors per (lang, source).
+    # r5 upgrade from rows-only: the DuckDB twin brute-forces the exact
+    # J>=0.8 pair graph (the banding provably loses no true pair at driver
+    # scale — see l2_minhash_near_dup) and closes it with a RECURSIVE CTE,
+    # so the iterative min-label propagation is checked end-to-end against
+    # an independent closure algorithm (the l2_connected_clusters
+    # mechanism, now fed by the production candidate path).
     from etl_hiscox_spark.operators.dedup import near_dedup_clusters
 
     docs = load_table(spark, "documents", sf_dir)
