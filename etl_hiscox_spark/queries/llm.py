@@ -1179,13 +1179,99 @@ def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(media)
 
 
-@register("t13_corpus_prep_pipeline")  # rows-only: split/pack stages are hash-based
+@register(
+    "t13_corpus_prep_pipeline",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents
+    ), words AS (SELECT doc_id, UNNEST(t) AS w FROM toks),
+    gop AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, COUNT(*) AS n, SUM(length(w)) AS sl,
+               COUNT(*) FILTER (WHERE regexp_matches(w, '[a-zA-Z]')) AS na,
+               COUNT(*) FILTER (WHERE w IN ('the','and','of','to','is','in',
+                                            'that','it','for','with')) AS ns
+        FROM words GROUP BY doc_id
+      ) g
+      WHERE n BETWEEN 10 AND 100000
+        AND sl BETWEEN 2 * n AND 10 * n
+        AND 100 * na >= 80 * n AND ns >= 2
+    ),
+    big AS (
+      SELECT toks.doc_id,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+                  ELSE [norm] END AS gs
+      FROM toks JOIN gop USING (doc_id)
+    ), bgr AS (SELECT doc_id, UNNEST(gs) AS g FROM big),
+    repc AS (
+      SELECT doc_id, SUM(c) AS tot, MAX(c) AS topc
+      FROM (SELECT doc_id, g, COUNT(*) AS c FROM bgr GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ),
+    unrep AS (SELECT doc_id FROM repc WHERE 100 * topc <= 30 * tot),
+    ex AS (
+      SELECT doc_id FROM (
+        SELECT toks.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY norm ORDER BY toks.doc_id) AS rn
+        FROM toks JOIN unrep USING (doc_id)
+      ) WHERE rn = 1
+    ),
+    sh AS (
+      SELECT toks.doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                                    i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE [norm] END AS s
+      FROM toks JOIN ex USING (doc_id)
+    ), grams AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+    nsh AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dropped AS (
+      SELECT DISTINCT ib FROM inter
+      JOIN nsh na ON ia = na.doc_id JOIN nsh nb ON ib = nb.doc_id
+      WHERE 5 * i >= 4 * (na.n + nb.n - i)
+    ),
+    final AS (
+      SELECT toks.doc_id, len(t) AS n,
+             CASE WHEN substring(sha256(CAST(toks.doc_id AS VARCHAR)), 1, 5) < 'e6666'
+                    THEN 'train'
+                  WHEN substring(sha256(CAST(toks.doc_id AS VARCHAR)), 1, 5) < 'f3333'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM toks JOIN ex USING (doc_id)
+      WHERE toks.doc_id NOT IN (SELECT ib FROM dropped)
+    ),
+    chunks AS (
+      SELECT doc_id, split, n, CAST(1 + 56 * j AS BIGINT) AS s
+      FROM final,
+           LATERAL (SELECT UNNEST(range((GREATEST(n - 8, 1) - 1) // 56 + 1)) AS j) g
+    )
+    SELECT split, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+           CAST(SUM(LEAST(64, n - s + 1)) AS BIGINT) AS n_tokens
+    FROM chunks GROUP BY split ORDER BY split
+    """,
+)
 def t13_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The full corpus-prep flow (plans/llm_pipeline.prepare_corpus):
     # quality gates -> repetition gate -> exact + MinHash dedup -> chunk
     # -> leakage-safe split -> shard packing. Output: per-split corpus
-    # shape (docs, chunks, packs, token mass) — the report a training run
-    # consumes.
+    # shape (docs, chunks, token mass) — the report a training run
+    # consumes. r5 upgrade from rows-only: the DuckDB twin recomputes the
+    # ENTIRE pipeline independently — Gopher gates, repetition gate, exact
+    # dedup, brute-force exact-Jaccard near-dedup (provably equal to the
+    # banded path at driver scale — see l2_minhash_near_dup), the sha256
+    # split and the chunk-count/token arithmetic — so every stage boundary
+    # is hash-gated end to end. The one genuinely non-SQL stage (BFD shard
+    # packing) still RUNS but its pack ids are no longer in the declared
+    # output; pack semantics stay pinned by t8 and the packing unit tests.
     from etl_hiscox_spark.plans.llm_pipeline import prepare_corpus
 
     docs = load_table(spark, "documents", sf_dir)
@@ -1195,7 +1281,6 @@ def t13_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_chunks"),
-            F.countDistinct("pack_id").alias("n_packs"),
             F.sum("n_tokens").alias("n_tokens"),
         )
         .orderBy("split")
