@@ -1036,22 +1036,49 @@ def t11_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("t8_pack_sequences")  # rows-only: greedy BFD packing is not SQL-expressible
+@register(
+    "t8_pack_sequences",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           TRUE AS within_budget,
+           TRUE AS packs_lb_ok,
+           TRUE AS packs_ub_ok
+    FROM documents
+    """,
+)
 def t8_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Token-budget shard packing (operators/sampling.pack_sequences): BFD
-    # inside hash groups, globally-unique pack ids, ≤2048 tokens per pack
-    # (oversized docs → singleton packs). Output: per-pack doc count and
-    # fill — the shape a training-shard writer consumes.
+    # inside 16 hash groups, globally-unique pack ids, ≤2048 tokens per
+    # pack (oversized docs → singleton packs). r5: PARTIAL ORACLE (the a16
+    # mechanism) — the greedy assignment itself has no SQL twin, but its
+    # INVARIANTS do: every doc packed exactly once (n_docs, n_tokens exact
+    # vs DuckDB), every pack within budget or a singleton, and the pack
+    # count between the bin-packing lower bound ceil(total/budget) and the
+    # BFD-per-group upper bound (all groups' bins but one are > half full,
+    # so ≤ 2·lb + n_groups). A packing bug — lost docs, split docs,
+    # overfull or pathologically-underfull packs — now goes driver-red.
+    # Per-pack detail stays pinned by the packing unit tests.
     from etl_hiscox_spark.operators.sampling import pack_sequences
 
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", _raw_token_count().alias("n_tokens")
     )
     packed = pack_sequences(docs, "doc_id", "n_tokens", budget=2048, n_groups=16)
-    return (
-        packed.groupBy("pack_id")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
-        .orderBy("pack_id")
+    per_pack = packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("n_tokens").alias("__tok")
+    )
+    return per_pack.agg(
+        F.sum("__n").alias("n_docs"),
+        F.sum("__tok").alias("n_tokens"),
+        F.count(F.lit(1)).alias("__packs"),
+        F.bool_and((F.col("__tok") <= 2048) | (F.col("__n") == 1)).alias("within_budget"),
+    ).select(
+        "n_docs",
+        "n_tokens",
+        "within_budget",
+        (F.col("__packs") >= F.ceil(F.col("n_tokens") / 2048)).alias("packs_lb_ok"),
+        (F.col("__packs") <= 2 * F.ceil(F.col("n_tokens") / 2048) + 16).alias("packs_ub_ok"),
     )
 
 
