@@ -97,13 +97,22 @@ def nb_scores(
     document per class, every class present for every document.
     ``keep_cols`` ride the grid side (no join back to the source — at
     scale that join would re-scan and re-shuffle the corpus just to
-    reattach a column the scan already had)."""
+    reattach a column the scan already had).
+
+    NULL-text documents are EXCLUDED from the output (no tokens = no
+    evidence): without the filter their scores would all be NULL and the
+    argmax tiebreak would confidently "predict" the alphabetically first
+    class. Quarantine NULL text upstream if it must be surfaced."""
     keep = [F.col(c) for c in keep_cols]
-    base = df.select(
-        F.col(id_col).alias("doc"),
-        *keep,
-        tokens(text_col).alias("__t"),
-    ).withColumn("__len", F.size("__t"))
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc"),
+            *keep,
+            tokens(text_col).alias("__t"),
+        )
+        .withColumn("__len", F.size("__t"))
+    )
     occ = base.select("doc", F.explode("__t").alias("word"))
     contrib = (
         occ.join(F.broadcast(word_weights), "word")

@@ -108,12 +108,18 @@ def semantic_contamination_report(
 
     Plan: the eval matrix is collected and closed over by an Arrow
     ``mapInPandas`` (same eval-sets-are-small premise as the broadcast
-    n-gram probe above — a 100k-item eval suite at dim 1k is ~400 MB of
-    float32, still executor-resident); each train batch is scored with ONE
-    BLAS matmul against all eval vectors, so the train side is a single
-    zero-shuffle projection + filter. Ties on max similarity resolve to the
-    lowest eval id (eval matrix sorted by id). Malformed/NULL embeddings
-    score NaN and never pass the threshold — quarantine, don't crash.
+    n-gram probe above — a 100k-item eval suite at dim 1k is ~800 MB as
+    float64, still executor-resident; swap the closure to float32 to halve
+    it, at the cost of ~1e-7 relative score noise the declared oracle's
+    6-decimal rounding cannot tolerate, which is why the default stays
+    float64); each train batch is scored with ONE BLAS matmul against all
+    eval vectors, so the train side is a single zero-shuffle projection +
+    filter. Ties on max similarity resolve to the lowest eval id (eval
+    matrix sorted by id). Malformed/NULL embeddings on EITHER side are
+    quarantined, never a crash: train-side they score NaN and fail the
+    threshold; eval-side (NULL, wrong-length, non-finite) they are
+    excluded from the matrix — an unmatchable eval item cannot flag
+    anything.
     """
     import numpy as np
 
@@ -127,6 +133,22 @@ def semantic_contamination_report(
         f"{id_col} {id_field.dataType.simpleString()}, "
         f"nearest_eval_id {id_field.dataType.simpleString()}, max_sim double"
     )
+    # eval-side quarantine: NULL / wrong-length / non-finite embeddings
+    # would crash np.vstack (ragged) or poison the matmul — drop them.
+    # dim anchors on the MODAL length so one bad first row can't evict
+    # the whole suite.
+    from collections import Counter
+
+    lengths = Counter(len(e[1]) for e in ev if e[1] is not None)
+    dim = lengths.most_common(1)[0][0] if lengths else None
+    if dim is not None:
+        ev = [
+            e
+            for e in ev
+            if e[1] is not None
+            and len(e[1]) == dim
+            and np.isfinite(np.asarray(e[1], dtype=np.float64)).all()
+        ]
     if not ev:
         return train.sparkSession.createDataFrame([], out_schema)
     eval_ids = np.array([e[0] for e in ev])

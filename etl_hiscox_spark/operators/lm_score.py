@@ -97,6 +97,15 @@ def bigram_nll_scores(
     document stem never shuffles before its per-doc reduce — use when the
     trained LM fits executor memory (usually true even for web-scale
     corpora; bigram TYPE counts grow far slower than token counts).
+
+    Out-of-vocabulary bigrams get the smoothing FLOOR, never dropped:
+    a (w1, w2) the model hasn't seen scores P = α/(C(w1) + αV), and an
+    unseen w1 scores P = α/(0 + αV) = 1/V — both via LEFT joins with a
+    coalesced fallback. (An inner join here would silently exclude OOV
+    bigrams from the average, making gibberish score as fluent as its few
+    in-vocabulary bigrams — exactly backwards for the reference-corpus
+    mode where the scored text was NOT the training text. Invisible in
+    the self-trained path, where every bigram is in the model.)
     """
     probs = bigram_counts.join(
         unigram_counts, bigram_counts.w1 == unigram_counts.w
@@ -108,11 +117,22 @@ def bigram_nll_scores(
             / (F.col("c1") + F.lit(alpha) * F.lit(float(vocab_size)))
         ).alias("__p"),
     )
+    uni = unigram_counts.select(F.col("w").alias("w1"), F.col("c1").alias("__c1"))
     if broadcast_lm:
         probs = F.broadcast(probs)
+        uni = F.broadcast(uni)
     bi = doc_bigrams(df, text_col, id_col)
+    av = F.lit(alpha) * F.lit(float(vocab_size))
     return (
-        bi.join(probs, ["w1", "w2"])
+        bi.join(probs, ["w1", "w2"], "left")
+        .join(uni, ["w1"], "left")
+        .select(
+            "doc",
+            F.coalesce(
+                F.col("__p"),
+                F.lit(alpha) / (F.coalesce(F.col("__c1"), F.lit(0)) + av),
+            ).alias("__p"),
+        )
         .groupBy("doc")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

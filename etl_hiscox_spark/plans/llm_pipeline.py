@@ -117,13 +117,17 @@ def prepare_corpus(
             ),
         )
 
-    # 4c. optional CCNet-style LM gate on the surviving corpus
+    # 4c. optional CCNet-style LM gate on the surviving corpus. The gate
+    # DROPS the high-NLL tail (anti-join) rather than keeping the scored
+    # set: a doc with <2 tokens has no bigrams, hence no score row, and a
+    # semi-join on "scored low" would silently discard it even though the
+    # model has no evidence against it.
     if lm_nll_cutoff is not None:
         scores = self_trained_nll(deduped, text_col, id_col)
-        keep = scores.filter(F.col("avg_nll") <= lm_nll_cutoff).select(
+        too_high = scores.filter(F.col("avg_nll") > lm_nll_cutoff).select(
             F.col("doc").alias(id_col)
         )
-        deduped = note("lm_gated", deduped.join(keep, id_col, "left_semi"))
+        deduped = note("lm_gated", deduped.join(too_high, id_col, "left_anti"))
 
     # 5. leakage-safe split BY DOCUMENT (before chunking, so overlapping
     #    chunks of one doc can never straddle train/test)

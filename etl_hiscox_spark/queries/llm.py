@@ -672,9 +672,10 @@ def t17_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t18_span_dedup",
     oracle=r"""
     WITH corpus AS (
-      SELECT doc_id, text FROM documents
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
       UNION ALL
-      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 3
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      WHERE doc_id % 7 = 3 AND text IS NOT NULL
     ), toks AS (
       SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
       FROM corpus
@@ -710,7 +711,11 @@ def t18_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equal in tests/test_span_dedup.py.
     from etl_hiscox_spark.operators.span_dedup import span_dedup
 
-    docs = load_table(spark, "documents", sf_dir)
+    # NULL text filtered on BOTH legs: the operator reports one NULL-span
+    # row per NULL doc while the oracle's LATERAL range() emits none — a
+    # latent hash divergence if a future corpus regen introduced NULLs
+    # (no-op on today's data).
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
     planted = docs.filter(F.col("doc_id") % 7 == 3).withColumn(
         "doc_id", F.col("doc_id") + 100000
     )

@@ -68,3 +68,13 @@ def test_weight_join_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_null_text_documents_are_excluded_not_mispredicted(spark):
+    # A NULL-text doc has no evidence; it must be absent from predictions
+    # rather than "predicted" as the alphabetically first class via the
+    # all-NULL-score tiebreak.
+    ww, cs = nb_train(_df(spark, TRAIN), "text", "label")
+    test = spark.createDataFrame([(1, "spark join"), (2, None)], "doc_id long, text string")
+    got = nb_predict(test, "text", "doc_id", ww, cs).collect()
+    assert [r["doc_id"] for r in got] == [1]

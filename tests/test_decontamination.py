@@ -115,3 +115,25 @@ def test_semantic_contamination_flags_planted_neighbor(spark):
     rep0 = semantic_contamination_report(train, empty, "embedding", "vec_id", 0.5)
     assert rep0.count() == 0
     assert rep0.columns == ["vec_id", "nearest_eval_id", "max_sim"]
+
+
+def test_semantic_report_quarantines_malformed_eval_embeddings(spark):
+    # NULL / ragged / non-finite EVAL embeddings must be excluded from the
+    # matrix, not crash np.vstack before the job starts.
+    from etl_hiscox_spark.operators.decontamination import semantic_contamination_report
+
+    tr = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>")
+    ev = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, None), (12, [1.0]), (13, [float("nan"), 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_contamination_report(tr, ev, "embedding", "vec_id", threshold=0.9).collect()
+    assert [(r["vec_id"], r["nearest_eval_id"]) for r in out] == [(1, 10)]
+
+
+def test_semantic_report_all_eval_malformed_yields_empty(spark):
+    from etl_hiscox_spark.operators.decontamination import semantic_contamination_report
+
+    tr = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    ev = spark.createDataFrame([(10, None)], "vec_id long, embedding array<double>")
+    assert semantic_contamination_report(tr, ev, "embedding", "vec_id").count() == 0

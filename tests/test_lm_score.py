@@ -77,3 +77,33 @@ def test_broadcast_lm_plan(spark):
     # and results equal the non-broadcast path
     plain = bigram_nll_scores(df, "text", "doc_id", bc, uc, v)
     assert sorted(map(tuple, scored.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_oov_bigrams_get_the_smoothing_floor_not_dropped(spark):
+    # Reference-corpus mode: score text the model never saw. Unseen
+    # bigrams must contribute the smoothing floor; an inner join would
+    # average only the in-vocabulary bigrams and score gibberish as
+    # fluent.
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.operators.lm_score import bigram_nll_scores, train_bigram_lm
+
+    ref = spark.createDataFrame([(1, "the cat sat the cat ran", "x")], "doc_id long, text string, l string")
+    bc, uc, v = train_bigram_lm(ref, "text", "doc_id")
+    # doc: "the cat zz" -> bigrams (the,cat) seen, (cat,zz) OOV w1 seen,
+    # plus "qq ww" -> (qq,ww) both unseen
+    scored = spark.createDataFrame([(9, "the cat zz"), (8, "qq ww")], "doc_id long, text string")
+    got = {r["doc"]: r for r in bigram_nll_scores(scored, "text", "doc_id", bc, uc, v).collect()}
+    # every bigram counted, none dropped
+    assert got[9]["n_bigrams"] == 2 and got[8]["n_bigrams"] == 1
+    # vocab = {the, cat, sat, ran} -> V=4. C(the)=2, C(the,cat)=2;
+    # C(cat)=2, C(cat,zz)=0; C(qq)=0.
+    p_the_cat = (2 + 1) / (2 + 4)
+    p_cat_zz = 1 / (2 + 4)
+    p_qq_ww = 1 / (0 + 4)
+    assert abs(got[9]["avg_nll"] - round((-math.log(p_the_cat) - math.log(p_cat_zz)) / 2, 6)) < 1e-6
+    assert abs(got[8]["avg_nll"] - round(-math.log(p_qq_ww), 6)) < 1e-6
+    # and the OOV doc scores WORSE than an in-vocabulary doc
+    assert got[8]["avg_nll"] > got[9]["avg_nll"] > 0

@@ -355,3 +355,18 @@ def test_pipeline_optional_lm_gate_drops_high_nll_docs(spark):
     kept_ids = {r["doc_id"] for r in out.chunks.select("doc_id").distinct().collect()}
     assert 99 not in kept_ids and 1 in kept_ids
     assert out.stage_counts["lm_gated"] == out.stage_counts["near_deduped"] - 1
+
+
+def test_lm_gate_keeps_unscoreable_short_docs(spark):
+    # A doc left with <2 tokens (no bigrams, no score row) must NOT be
+    # dropped by the LM gate — the model has no evidence against it.
+    from etl_hiscox_spark.plans.llm_pipeline import prepare_corpus
+
+    base = "the cat sat and the dog ran for the big mat"  # passes Gopher
+    rows = [(1, base), (2, base.replace("cat", "fox").replace("mat", "rug"))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_corpus(
+        df, chunk_size=8, overlap=0, pack_budget=64, lm_nll_cutoff=1e9, count_stages=True
+    )
+    # cutoff 1e9 drops nothing; both docs (incl. any unscored) survive
+    assert out.stage_counts["lm_gated"] == out.stage_counts["near_deduped"] == 2
