@@ -112,3 +112,64 @@ def test_rolling_fingerprint_no_corpus_collisions(spark, sf_dir):
     n_texts = docs.select(normalize_text("text").alias("t")).distinct().count()
     n_fps = docs.select(rolling_fingerprint64("text").alias("fp")).distinct().count()
     assert n_fps == n_texts
+
+
+def test_rolling_fingerprint_hypothesis_parity_with_python_fold(spark):
+    # Randomized parity: the Spark fold equals the pure-python fold for
+    # arbitrary text including BMP and astral codepoints (Spark 4's
+    # split('') and ascii() are codepoint-aware, matching DuckDB's
+    # string_split/unicode — probed explicitly for U+1F600).
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_hiscox_spark.functions.text import (
+        ROLLING_BASES,
+        ROLLING_MODS,
+        rolling_fingerprint64,
+    )
+    from pyspark.sql import functions as F
+
+    def py_fp(text):
+        t = " ".join(text.lower().strip().split())
+        hs = []
+        for base, mod in zip(ROLLING_BASES, ROLLING_MODS):
+            acc = 0
+            for ch in t:
+                acc = (acc * base + ord(ch)) % mod
+            hs.append(acc)
+        return hs[0] * 1000000007 + hs[1]
+
+    # Alphabet excludes whitespace/control/cased-uppercase categories:
+    # those exercise normalize_text's engine-specific edges (Java/RE2 \s
+    # is ASCII-only while Python's is Unicode; exotic case mappings
+    # differ), not the fold under test. ASCII space is added back
+    # explicitly so multi-token collapsing is still covered.
+    texts = st.lists(
+        st.text(
+            alphabet=st.one_of(
+                st.just(" "),
+                st.characters(
+                    codec="utf-8",
+                    exclude_categories=("Cs", "Cc", "Cf", "Zs", "Zl", "Zp", "Lu", "Lt"),
+                    max_codepoint=0x1FFFF,
+                ),
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(texts)
+    def check(batch):
+        rows = [(i, t) for i, t in enumerate(batch)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["fp"]
+            for r in df.select("doc_id", rolling_fingerprint64("text").alias("fp")).collect()
+        }
+        for i, t in rows:
+            assert got[i] == py_fp(t), repr(t)
+
+    check()
