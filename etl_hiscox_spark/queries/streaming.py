@@ -401,3 +401,49 @@ def x1_x2_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_event_id"),
         F.max("event_id").alias("max_event_id"),
     )
+
+
+@register(
+    "x12_click_abandonment",
+    oracle="""
+    SELECT l.user_id AS user_id,
+           COUNT(*) AS n_abandoned,
+           MAX(l.ts) AS last_abandoned_ts
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') l
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    WHERE r.ts IS NULL
+    GROUP BY l.user_id
+    """,
+)
+def x12_click_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch twin of the watermarked stream-stream LEFT-OUTER join — the
+    # funnel-abandonment shape: clicks with NO purchase inside the 30-min
+    # conversion window. Streaming, the null-padded rows emit only once
+    # the watermark proves no match can still arrive (state eviction is
+    # what makes the join feasible at all — the real-stream parity test in
+    # tests/test_streaming.py pins stream==batch, advancing the final
+    # watermark with a sentinel event); in batch mode watermarks are
+    # no-ops and the LEFT JOIN is exact, which is what the driver checks.
+    from etl_hiscox_spark.streaming.ops import stream_stream_join
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = stream_stream_join(
+        clicks,
+        purchases,
+        key="user_id",
+        watermark="10 minutes",
+        max_delay="30 minutes",
+        how="leftOuter",
+    )
+    return (
+        joined.filter(F.col("r.ts").isNull())
+        .groupBy(F.col("l.user_id").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_abandoned"),
+            F.max(F.col("l.ts")).alias("last_abandoned_ts"),
+        )
+    )

@@ -186,6 +186,7 @@ def test_every_query_has_driver_coverage_plan():
         "g13_top_revenue_supplier",
         "f17_golden_record",
         "q7_outlier_zscore",
+        "x12_click_abandonment",
     }
     checked: set[str] = set(WINDOW_R5)
     for path in glob.glob("CORRECTNESS_r*.json"):

@@ -172,3 +172,45 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, spark.table("s2s_join").collect()))
     want = sorted(map(tuple, pairs(spark.read.parquet(path)).collect()))
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_left_outer_equals_batch(spark, sf_dir, tmp_path):
+    # Watermarked stream-stream LEFT OUTER (x12's mechanism): null-padded
+    # rows only emit once the watermark proves no match can arrive, so the
+    # stream run appends a far-future sentinel event on both sides to push
+    # the final watermark past every real row; the sentinel user is
+    # excluded from the comparison.
+    from etl_hiscox_spark.streaming.ops import stream_stream_join
+
+    ev = load_table(spark, "events", sf_dir)
+    sentinel = ev.limit(1).select(
+        F.lit(-1).alias("user_id"),
+        (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+        F.lit("click").alias("event_type"),
+    )
+    base = ev.select("user_id", "ts", "event_type")
+    path = str(tmp_path / "events_sentinel")
+    base.unionByName(sentinel).unionByName(
+        sentinel.withColumn("event_type", F.lit("purchase"))
+    ).write.mode("overwrite").parquet(path)
+
+    def abandoned(src):
+        clicks = src.filter(F.col("event_type") == "click").select("user_id", "ts")
+        buys = src.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+        j = stream_stream_join(
+            clicks, buys, key="user_id", watermark="10 minutes",
+            max_delay="30 minutes", how="leftOuter",
+        )
+        return j.filter(F.col("r.ts").isNull()).select(
+            F.col("l.user_id").alias("user_id"), F.col("l.ts").alias("click_ts")
+        )
+
+    stream_out = abandoned(stream_from_parquet(spark, path))
+    run_available_now_to_memory(stream_out, "s2s_left_outer", output_mode="append")
+    got = sorted(
+        map(tuple, spark.table("s2s_left_outer").filter("user_id >= 0").collect())
+    )
+    want = sorted(
+        map(tuple, abandoned(spark.read.parquet(path)).filter("user_id >= 0").collect())
+    )
+    assert got == want and len(want) > 0
