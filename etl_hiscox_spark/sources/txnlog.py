@@ -181,3 +181,66 @@ class TxnTable:
             if not os.listdir(bdir):
                 os.rmdir(bdir)
         return removed
+
+    def erase_keys(self, key_col: str, keys: list) -> int:
+        """Right-to-be-forgotten across ALL versions: rewrite every data
+        file containing the subject's rows and repoint every manifest that
+        references it, so the erased keys are unreadable at every
+        time-travel version — not just the latest (erasing only the head
+        while history stays readable is a compliance hole, Delta's
+        REORG/VACUUM problem). Returns the number of files rewritten.
+
+        Version numbering and all other rows are preserved. Work is
+        proportional to the files that actually CONTAIN the subject
+        (found with one input_file_name scan — the same file pruning a
+        Delta deletion vector build does); each hit file is rewritten
+        filtered, manifests update via atomic tmp+replace, and the old
+        files are deleted last — a crash mid-way leaves both old and new
+        files present and every manifest readable.
+        """
+        import pyspark.sql.functions as F
+
+        versions = self._versions()
+        all_files = sorted({f for v in versions for f in self._read_manifest(v)["files"]})
+        if not all_files or not keys:
+            return 0
+        paths = [os.path.join(self.path, f) for f in all_files]
+        hit_paths = {
+            os.path.relpath(r[0].removeprefix("file://"), self.path)
+            for r in self.spark.read.parquet(*paths)
+            .filter(F.col(key_col).isin(keys))
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        }
+        if not hit_paths:
+            return 0
+        replacement: dict[str, list[str]] = {}
+        for rel in sorted(hit_paths):
+            kept = self.spark.read.parquet(os.path.join(self.path, rel)).filter(
+                ~F.col(key_col).isin(keys)
+            )
+            batch_dir = f"erase-{uuid.uuid4().hex}"
+            out_dir = os.path.join(self.path, "data", batch_dir)
+            kept.write.mode("error").parquet(out_dir)
+            replacement[rel] = sorted(
+                os.path.join("data", batch_dir, f)
+                for f in os.listdir(out_dir)
+                if f.endswith(".parquet")
+            )
+        for v in versions:
+            m = self._read_manifest(v)
+            if not any(f in replacement for f in m["files"]):
+                continue
+            m["files"] = [nf for f in m["files"] for nf in replacement.get(f, [f])]
+            m["erased_at"] = time.time()
+            tmp = os.path.join(self.log_dir, f".v{v}.erase.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(m, fh)
+            os.replace(tmp, os.path.join(self.log_dir, f"v{v}.json"))
+        for rel in replacement:
+            try:
+                os.remove(os.path.join(self.path, rel))
+            except FileNotFoundError:
+                pass
+        return len(replacement)

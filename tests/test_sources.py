@@ -341,3 +341,44 @@ def test_fixed_width_overflow_fails_not_truncates(spark, tmp_path):
     df = spark.createDataFrame([("POLICY-123456",)], "policy string")
     with pytest.raises(SparkRuntimeException, match="exceeds width"):
         write_fixed_width(df, str(tmp_path / "fw2"), [("policy", 8)])
+
+
+def test_txn_erase_keys_purges_every_version(spark, tmp_path):
+    # RTBF across history: after erase_keys, the subject is unreadable at
+    # EVERY time-travel version, other rows and version numbering intact,
+    # and the old data files holding the subject's rows are gone.
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.write(spark.createDataFrame([(2, "b2"), (3, "c")], "k long, v string"))
+    assert sorted(r.k for r in t.read(0).collect()) == [1, 2]
+    n = t.erase_keys("k", [2])
+    assert n >= 1
+    assert sorted(r.k for r in t.read(0).collect()) == [1]
+    assert sorted(r.k for r in t.read(1).collect()) == [1, 3]
+    assert t._versions() == [0, 1]
+    # surviving values untouched
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a"), (3, "c")}
+    # no parquet file under the table still contains k=2
+    import glob as g
+
+    for p in g.glob(str(tmp_path / "tbl" / "data" / "*" / "*.parquet")):
+        assert spark.read.parquet(p).filter("k = 2").count() == 0
+    # idempotent: erasing again touches nothing
+    assert t.erase_keys("k", [2]) == 0
+
+
+def test_txn_erase_keys_untouched_files_not_rewritten(spark, tmp_path):
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "tbl2"))
+    t.write(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.write(spark.createDataFrame([(9, "z")], "k long, v string"))
+    m_before = t._read_manifest(1)["files"]
+    assert t.erase_keys("k", [1]) >= 1
+    m_after = t._read_manifest(1)["files"]
+    # the v1 batch (no hits) keeps its original files
+    kept = [f for f in m_before if "erase-" not in f and f in m_after]
+    assert kept, "files without the subject must not be rewritten"
+    assert sorted(r.k for r in t.read().collect()) == [9]
