@@ -91,6 +91,19 @@ class TxnTable:
 
     # -- write path ----------------------------------------------------------
 
+    def _write_batch(self, df: DataFrame, prefix: str) -> list[str]:
+        """Write ``df`` into a fresh uuid batch dir under ``data/`` and
+        return the table-relative parquet file paths — the one place the
+        physical file layout is defined (write and erase both use it)."""
+        batch_dir = f"{prefix}-{uuid.uuid4().hex}"
+        out_dir = os.path.join(self.path, "data", batch_dir)
+        df.write.mode("error").parquet(out_dir)
+        return sorted(
+            os.path.join("data", batch_dir, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        )
+
     def write(self, df: DataFrame, mode: str = "append") -> int:
         """Write ``df`` as a new committed version; returns the version.
 
@@ -100,14 +113,7 @@ class TxnTable:
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-        batch_dir = f"batch-{uuid.uuid4().hex}"
-        out_dir = os.path.join(self.path, "data", batch_dir)
-        df.write.mode("error").parquet(out_dir)
-        new_files = sorted(
-            os.path.join("data", batch_dir, f)
-            for f in os.listdir(out_dir)
-            if f.endswith(".parquet")
-        )
+        new_files = self._write_batch(df, "batch")
         prev = self.latest_version()
         if mode == "append" and prev is not None:
             old = self._read_manifest(prev)
@@ -198,6 +204,8 @@ class TxnTable:
         files are deleted last — a crash mid-way leaves both old and new
         files present and every manifest readable.
         """
+        from urllib.parse import unquote, urlparse
+
         import pyspark.sql.functions as F
 
         versions = self._versions()
@@ -205,9 +213,16 @@ class TxnTable:
         if not all_files or not keys:
             return 0
         paths = [os.path.join(self.path, f) for f in all_files]
+        # mergeSchema: the table supports schema widening, so key_col may be
+        # absent from older files — the merged schema carries it as NULL
+        # there (a file without the column can never be a hit). Without the
+        # merge, Spark samples ONE footer and the scan either throws or
+        # silently misses subject rows. input_file_name() is a URL-encoded
+        # URI — decode before computing the table-relative path.
         hit_paths = {
-            os.path.relpath(r[0].removeprefix("file://"), self.path)
-            for r in self.spark.read.parquet(*paths)
+            os.path.relpath(unquote(urlparse(r[0]).path), self.path)
+            for r in self.spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
             .filter(F.col(key_col).isin(keys))
             .select(F.input_file_name())
             .distinct()
@@ -217,17 +232,13 @@ class TxnTable:
             return 0
         replacement: dict[str, list[str]] = {}
         for rel in sorted(hit_paths):
+            # NULL-safe keep: ~isin(...) is NULL (dropped) for NULL keys —
+            # the subject filter must never erase anonymous rows (same rule
+            # as writers.erase_keys' left_anti join).
             kept = self.spark.read.parquet(os.path.join(self.path, rel)).filter(
-                ~F.col(key_col).isin(keys)
+                F.col(key_col).isNull() | ~F.col(key_col).isin(keys)
             )
-            batch_dir = f"erase-{uuid.uuid4().hex}"
-            out_dir = os.path.join(self.path, "data", batch_dir)
-            kept.write.mode("error").parquet(out_dir)
-            replacement[rel] = sorted(
-                os.path.join("data", batch_dir, f)
-                for f in os.listdir(out_dir)
-                if f.endswith(".parquet")
-            )
+            replacement[rel] = self._write_batch(kept, "erase")
         for v in versions:
             m = self._read_manifest(v)
             if not any(f in replacement for f in m["files"]):

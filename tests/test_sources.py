@@ -382,3 +382,18 @@ def test_txn_erase_keys_untouched_files_not_rewritten(spark, tmp_path):
     kept = [f for f in m_before if "erase-" not in f and f in m_after]
     assert kept, "files without the subject must not be rewritten"
     assert sorted(r.k for r in t.read().collect()) == [9]
+
+
+def test_txn_erase_keys_null_keys_survive_and_schema_evolution(spark, tmp_path):
+    # NULL-key rows are anonymous, not the subject — a rewrite must keep
+    # them; and the hit scan must work when the key column only exists in
+    # NEWER files (schema widening).
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "tbl3"))
+    t.write(spark.createDataFrame([("x",)], "v string"))  # pre-widening: no k
+    t.write(spark.createDataFrame([(2, "b"), (None, "n")], "k long, v string"))
+    assert t.erase_keys("k", [2]) >= 1
+    rows = {(r["k"] if "k" in r.__fields__ else None, r["v"]) for r in t.read().collect()}
+    assert (None, "n") in rows and ("x" in {v for _, v in rows})
+    assert all(k != 2 for k, _ in rows)

@@ -183,9 +183,11 @@ def test_stream_stream_left_outer_equals_batch(spark, sf_dir, tmp_path):
     from etl_hiscox_spark.streaming.ops import stream_stream_join
 
     ev = load_table(spark, "events", sf_dir)
-    sentinel = ev.limit(1).select(
+    # sentinel anchored on MAX(ts): it must outrun every real row by more
+    # than max_delay + watermark or some null-padded rows never emit
+    sentinel = ev.agg(F.max("ts").alias("ts")).select(
         F.lit(-1).alias("user_id"),
-        (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("ts"),
         F.lit("click").alias("event_type"),
     )
     base = ev.select("user_id", "ts", "event_type")
