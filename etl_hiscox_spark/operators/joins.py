@@ -25,16 +25,30 @@ from pyspark.sql import functions as F
 
 
 def broadcast_join(
-    fact: DataFrame, dim: DataFrame, on: str | Sequence[str], how: str = "inner"
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    *,
+    fixed_size: bool = False,
 ) -> DataFrame:
-    """J3: explicit broadcast hint for a small dimension table.
+    """J3: fact-to-dimension join with a scale-safe broadcast policy.
 
-    At 100 TB the fact side never moves: each executor gets a copy of the
-    dim (must fit in driver+executor memory, ~<1 GB). Mirrors the
-    agents/adjusters dims of the reference (4 rows each,
-    ``data/raw/sample_policies.csv``).
+    Hint policy (VERDICT r5 item 3): ``F.broadcast`` is a FORCE, not a
+    suggestion — it overrides ``autoBroadcastJoinThreshold`` and builds the
+    dim on every executor regardless of its actual size. That is only safe
+    for dims whose cardinality does not grow with data volume (the
+    reference's agents/adjusters lookups, 4 rows each,
+    ``data/raw/sample_policies.csv``; TPC-H nation=25 / region=5). Dims
+    that scale with the fact data (customer/part/supplier grow linearly
+    with SF — customer is ~10⁹ rows at the 100 TB design point) must NOT
+    carry the hint: pass ``fixed_size=False`` (default) and let CBO + AQE
+    decide — stats are collected via ANALYZE, so Catalyst still picks
+    BroadcastHashJoin whenever the dim genuinely fits under the threshold,
+    and falls back to a shuffle join instead of an executor OOM when it
+    doesn't.
     """
-    return fact.join(F.broadcast(dim), on=on, how=how)
+    return fact.join(F.broadcast(dim) if fixed_size else dim, on=on, how=how)
 
 
 def range_join(

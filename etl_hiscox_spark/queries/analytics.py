@@ -52,7 +52,9 @@ def g1_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # customer scales with SF — no forced broadcast (CBO+AQE decide);
+        # nation/region are fixed-cardinality (25/5) so the hint is safe.
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -108,14 +110,15 @@ def g2_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def g3_supplier_part_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Two broadcast dims on one fact — dim filter (p_type) prunes before
-    # the join, so the broadcast ships only PROMO parts.
+    # Two dims on one fact — the dim filter (p_type) prunes before the
+    # join. Both dims scale with SF, so no forced broadcast hints; at
+    # test scale CBO still builds them as broadcasts under the threshold.
     li = load_table(spark, "lineitem", sf_dir)
     supplier = load_table(spark, "supplier", sf_dir)
     part = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
     return (
-        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("s_name", "p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -153,7 +156,7 @@ def g4_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
         F.lit(0).cast("decimal(31,8)")
     )
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
         (
             F.lit(100.0).cast("double")
             * F.sum(promo).cast("double")
@@ -594,7 +597,7 @@ def g9_exclusive_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exclusive.groupBy(F.col("late_supp").alias("suppkey"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .join(F.broadcast(supplier), F.col("suppkey") == supplier.s_suppkey)
+        .join(supplier, F.col("suppkey") == supplier.s_suppkey)
         .select("s_name", "suppkey", "n_orders")
     )
 
@@ -719,10 +722,12 @@ def g10_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) - F.col("l_discount")
     ).cast("decimal(12,6)")
     return (
-        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        # supplier/customer scale with SF — no forced broadcast; the two
+        # nation lookups (25 rows, fixed) keep their hints.
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("sn_key") != F.col("cn_key"))
         .groupBy(
@@ -781,7 +786,7 @@ def g11_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(bracket)
         .agg(
             F.count(F.lit(1)).alias("n_lines"),

@@ -328,8 +328,11 @@ def j2_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j3_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # J3: explicit broadcast of a small dim (agents/adjusters analog) —
-    # the 100 TB fact side never shuffles.
+    # J3: dim join via the size-aware helper (agents/adjusters analog).
+    # part scales with SF, so no forced hint — CBO (ANALYZE stats) still
+    # plans BroadcastHashJoin while the dim fits the threshold, and falls
+    # back to a shuffle join instead of an OOM when it doesn't
+    # (plan-gated in tests/test_plans.py::test_dim_joins_broadcast).
     li = load_table(spark, "lineitem", sf_dir)
     part = load_table(spark, "part", sf_dir)
     revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (

@@ -44,6 +44,42 @@ def test_dim_joins_broadcast(spark, sf_dir):
         assert "CartesianProduct" not in plan, q
 
 
+def test_broadcast_hint_policy_no_forced_sf_scaling_dims():
+    # VERDICT r5 item 3: `F.broadcast` FORCES the build side regardless of
+    # autoBroadcastJoinThreshold, so a hint on an SF-scaling table
+    # (customer ~10⁹ rows at the 100 TB design point) is an executor OOM,
+    # not a slowdown. Forced hints are allowed ONLY on fixed-cardinality
+    # frames: nation/region (25/5 rows), nation-derived lookups, and
+    # bounded derived frames (per-group stats, vocab tables, eval sets,
+    # erasure key sets). This lint pins the policy at the source level.
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "etl_hiscox_spark"
+    scaling_names = {
+        "customer", "part", "supplier", "orders", "lineitem", "li",
+        "events", "documents", "embeddings", "docs", "fact",
+    }
+    offenders = []
+    for path in pkg.rglob("*.py"):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            for arg in re.findall(r"F\.broadcast\(\s*(\w+)", line):
+                if arg in scaling_names:
+                    offenders.append(f"{path.name}:{i} F.broadcast({arg})")
+    assert not offenders, f"forced broadcast of SF-scaling frames: {offenders}"
+
+
+def test_dim_joins_still_broadcast_via_cbo_at_test_scale(spark, sf_dir):
+    # Dropping the forced hints must NOT change the plan at test scale:
+    # ANALYZE stats + autoBroadcastJoinThreshold keep the dims broadcast.
+    # (At warehouse scale the same queries degrade to shuffle joins
+    # instead of OOMing — that's the point of the policy.)
+    for q in ("g3_supplier_part_matrix", "g4_promo_revenue_share", "g11_disjunctive_brackets"):
+        plan = _plan(spark, sf_dir, q)
+        assert "BroadcastHashJoin" in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
 def test_topk_uses_take_ordered(spark, sf_dir):
     # global top-k must not materialize a full sort
     for q in ("r3_topk_orders", "l3_cosine_topk"):
