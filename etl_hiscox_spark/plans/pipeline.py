@@ -34,6 +34,12 @@ class Model:
     on_missing_source: str = "fail"  # "fail" | "skip" (skip_and_continue)
     retries: int = 0  # retry_with_backoff for transient step errors
     retry_delay_seconds: float = 1.0
+    # dbt materialization strategy (dbt_project.yml:32-46). "table" fully
+    # rewrites materialize_path each run; "incremental" refreshes only the
+    # partitions at/after the target's high-watermark partition value
+    # (sources.writers.incremental_refresh) — requires exactly one
+    # partition_by column, which doubles as the watermark.
+    materialization: str = "table"  # "table" | "incremental"
 
 
 def sql_model(
@@ -196,7 +202,19 @@ class Pipeline:
                         continue
                     raise
                 rows = None
-                if m.materialize_path:
+                if m.materialize_path and m.materialization == "incremental":
+                    if len(m.partition_by) != 1:
+                        raise ValueError(
+                            f"incremental model {name!r} needs exactly one "
+                            f"partition_by column (the watermark), got {m.partition_by}"
+                        )
+                    from etl_hiscox_spark.sources.writers import incremental_refresh
+
+                    df = incremental_refresh(
+                        self.spark, df, m.materialize_path, m.partition_by[0]
+                    )
+                    rows = df.count()
+                elif m.materialize_path:
                     from etl_hiscox_spark.observability import write_with_metrics
 
                     metrics = write_with_metrics(

@@ -65,6 +65,76 @@ def register(name: str, oracle: str | None = None):
 # two rounds.
 # ---------------------------------------------------------------------------
 
+# Round 6 window (VERDICT r5 item 2): lead with the 6 queries declared
+# after the r5 window froze (never driver-checked) plus the one new r6
+# declaration (s14), then the 4 r5 oracle upgrades whose declared
+# output/oracle changed after the freeze (l2_minhash gained the DuckDB
+# brute-force exact-Jaccard recall tripwire; l2_transitive the
+# recursive-CTE closure; t13 the full per-stage recompute; t8 the partial
+# exact-totals invariant), then ALL 35 r3-stale greens, then 4 of the r4
+# greens whose PLANS changed this round (forced-broadcast removal — j3,
+# g1, g10, g11; outputs unchanged, re-banked as plan-change canaries).
+# 7 + 4 + 35 + 4 = 50. After r6 no green is older than r4 (staleness ≤ 2
+# rounds — now enforced mechanically by
+# tests/test_api_surface.py::test_window_r6_leaves_no_query_stale_beyond_two_rounds).
+WINDOW_R6: tuple[str, ...] = (
+    # never driver-checked (declared post-freeze in r5) + new in r6
+    "t20_tfidf_keywords",
+    "s13_fixed_width_roundtrip",
+    "g13_top_revenue_supplier",
+    "f17_golden_record",
+    "q7_outlier_zscore",
+    "x12_click_abandonment",
+    "s14_incremental_refresh",
+    # r5 oracle upgrades — declared output/oracle changed post-freeze
+    "l2_minhash_near_dup",
+    "l2_transitive_clusters",
+    "t13_corpus_prep_pipeline",
+    "t8_pack_sequences",
+    # all 35 queries whose latest green is r3
+    "a11_table_stats",
+    "f16_fuzzy_name_pairs",
+    "f4_multiformat_dates",
+    "f6_f9_date_math",
+    "g8_large_order_customers",
+    "g9_exclusive_late_supplier",
+    "l3_embedding_near_pairs",
+    "l4_text_stats",
+    "l5_token_stats",
+    "l6_json_extraction",
+    "q2_rule_profile",
+    "q3_threshold_alerts",
+    "q4_failure_tagging",
+    "q5_store_failures",
+    "s10_seed_load",
+    "s1_csv_roundtrip",
+    "s6_json_roundtrip",
+    "s8_ctas_roundtrip",
+    "t10_repetition_stats",
+    "t11_gopher_flags",
+    "t1_language_id",
+    "t2_quality_score",
+    "t4_vocabulary",
+    "t5_bigram_frequency",
+    "t6_train_test_split",
+    "v1_embedding_norms",
+    "v2_quantize_int8",
+    "v3_random_projection",
+    "x10_click_purchase_join",
+    "x11_funnel_stages",
+    "x3_tumbling_window",
+    "x4_sliding_window",
+    "x5_session_window",
+    "x8_threshold_crossing",
+    "x9_stream_static_enrich",
+    # r4 greens whose physical plans changed this round (broadcast policy)
+    "j3_broadcast_dim_join",
+    "g1_star_join_revenue",
+    "g10_volume_shipping",
+    "g11_disjunctive_brackets",
+)
+
+# Round 5 window (historical — r5 driver results in CORRECTNESS_r05.json).
 WINDOW_R5: tuple[str, ...] = (
     # output changed / newly declared this round — must (re-)check
     "g12_sales_opportunity",
@@ -260,7 +330,7 @@ def all_queries() -> dict[str, Q]:
         except ImportError:
             pass
     ordered: dict[str, Q] = {}
-    for name in WINDOW_R5:
+    for name in WINDOW_R6:
         if name in QUERIES:
             ordered[name] = QUERIES[name]
     for name, q in QUERIES.items():

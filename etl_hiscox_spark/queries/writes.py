@@ -569,3 +569,55 @@ def s11_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")),
     )
     return snapshot_diff(old, new, keys=["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# S14: incremental refresh — dbt materialized='incremental' with the
+# insert_overwrite strategy (dbt_project.yml:32-46 model groups;
+# scripts/ingestion.py:96 append semantics, made idempotent). Two
+# sequential runs: an initial build over history < 1997, then a run after
+# the rest of the data "arrives". The second run recomputes ONLY the
+# partitions at/after the target's high-watermark month (boundary month
+# included, so late rows in it are picked up); older partition files are
+# untouched (mtime-pinned in tests/test_pipeline.py). End state must equal
+# a from-scratch build — which is exactly what the oracle computes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s14_incremental_refresh",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def s14_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_hiscox_spark.sources.writers import incremental_refresh
+
+    path = os.path.join(_scratch("s14_incr", sf_dir), "monthly_revenue")
+    orders = load_table(spark, "orders", sf_dir)
+
+    def model(src: DataFrame) -> DataFrame:
+        return src.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+
+    # Run 1: only pre-1997 history has arrived — full initial build.
+    incremental_refresh(
+        spark,
+        model(orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))),
+        path,
+        "order_month",
+    )
+    # Run 2: the full source is now visible; the refresh reads the
+    # watermark (1996-12) from the target and overwrites only months >= it.
+    snap = incremental_refresh(spark, model(orders), path, "order_month")
+    return snap.select("order_month", "n_orders", "revenue")

@@ -136,61 +136,73 @@ def test_registry_conveniences(spark, sf_dir):
 
 
 def test_driver_window_rotation():
-    """The driver checks only the first 50 registered queries; WINDOW_R5
-    pins which ones those are this round (VERDICT r4 item 1: staleness
+    """The driver checks only the first 50 registered queries; WINDOW_R6
+    pins which ones those are this round (VERDICT r5 item 2: staleness
     rotation). Guards: exactly 50 names, all registered, served first and
     in order."""
-    from etl_hiscox_spark.queries import WINDOW_R5, all_queries
+    from etl_hiscox_spark.queries import WINDOW_R6, all_queries
 
     qs = all_queries()
-    assert len(WINDOW_R5) == 50
-    assert len(set(WINDOW_R5)) == 50
-    missing = [n for n in WINDOW_R5 if n not in qs]
+    assert len(WINDOW_R6) == 50
+    assert len(set(WINDOW_R6)) == 50
+    missing = [n for n in WINDOW_R6 if n not in qs]
     assert not missing, f"window names not registered: {missing}"
-    assert list(qs)[:50] == list(WINDOW_R5)
+    assert list(qs)[:50] == list(WINDOW_R6)
 
 
-def test_window_r5_leaves_no_query_stale_beyond_two_rounds():
-    """The point of the r5 rotation: after this round's driver check, every
-    registered query's latest signal is from r3 or later (staleness ≤ 2
-    rounds). Anything last checked in r2 must be in WINDOW_R5."""
+def _latest_green_rounds() -> dict[str, int]:
     import glob
     import json
-
-    from etl_hiscox_spark.queries import WINDOW_R5
 
     last: dict[str, int] = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         rnd = int(path.split("_r")[1].split(".")[0])
         for name in json.load(open(path)):
             last[name] = max(last.get(name, 0), rnd)
-    too_stale = [n for n, r in last.items() if r <= 2 and n not in WINDOW_R5]
-    assert not too_stale, f"r2-stale queries missing from WINDOW_R5: {too_stale}"
+    return last
+
+
+def test_window_r6_leaves_no_query_stale_beyond_two_rounds():
+    """Mechanized staleness invariant (VERDICT r5 item 7): at window-freeze
+    time, every query whose latest driver signal would be MORE than two
+    rounds old after this round's check must be in the current window.
+    Current round = max CORRECTNESS round + 1; anything last checked at or
+    before (current - 3) and not in the window fails loudly — the r2/r3
+    staleness piles of earlier rounds can no longer accumulate silently."""
+    from etl_hiscox_spark.queries import WINDOW_R6
+
+    last = _latest_green_rounds()
+    current = max(last.values()) + 1
+    too_stale = [n for n, r in last.items() if r <= current - 3 and n not in WINDOW_R6]
+    assert not too_stale, f"stale-beyond-2-rounds queries missing from WINDOW_R6: {too_stale}"
+
+
+def test_never_checked_queries_lead_the_window():
+    """New declarations outrank stale greens: every registered query with
+    NO driver signal at all must occupy the earliest window slots (or be
+    explicitly listed in PENDING_NEXT_WINDOW below)."""
+    from etl_hiscox_spark.queries import WINDOW_R6, all_queries
+
+    last = _latest_green_rounds()
+    never = [n for n in all_queries() if n not in last and n not in PENDING_NEXT_WINDOW]
+    head = set(WINDOW_R6[: max(len(never), 1)])
+    missing = [n for n in never if n not in head]
+    assert not missing, f"never-checked queries not leading WINDOW_R6: {missing}"
+
+
+# Declared after the current window froze; first slots of the next one.
+PENDING_NEXT_WINDOW: set[str] = set()
 
 
 def test_every_query_has_driver_coverage_plan():
     """Every registered query must either have appeared in a driver
     correctness round (CORRECTNESS_r*.json), be in the current window, or
-    be explicitly listed here as pending the next rotation. Declaring a
-    query without planning its driver signal is how coverage gaps grew in
-    r1/r2 — this fails loudly instead."""
-    import glob
-    import json
+    be explicitly listed in PENDING_NEXT_WINDOW as pending the next
+    rotation. Declaring a query without planning its driver signal is how
+    coverage gaps grew in r1/r2 — this fails loudly instead."""
+    from etl_hiscox_spark.queries import WINDOW_R6, all_queries
 
-    from etl_hiscox_spark.queries import WINDOW_R5, all_queries
-
-    # declared after the current window froze; first slots of the next one
-    PENDING_NEXT_WINDOW: set[str] = {
-        "t20_tfidf_keywords",
-        "s13_fixed_width_roundtrip",
-        "g13_top_revenue_supplier",
-        "f17_golden_record",
-        "q7_outlier_zscore",
-        "x12_click_abandonment",
-    }
-    checked: set[str] = set(WINDOW_R5)
-    for path in glob.glob("CORRECTNESS_r*.json"):
-        checked |= set(json.load(open(path)))
+    checked: set[str] = set(WINDOW_R6) | set(_latest_green_rounds())
     unplanned = [n for n in all_queries() if n not in checked and n not in PENDING_NEXT_WINDOW]
     assert not unplanned, f"queries with no driver-coverage plan: {unplanned}"
     stale = [n for n in PENDING_NEXT_WINDOW if n in checked]

@@ -370,3 +370,94 @@ def test_lm_gate_keeps_unscoreable_short_docs(spark):
     )
     # cutoff 1e9 drops nothing; both docs (incl. any unscored) survive
     assert out.stage_counts["lm_gated"] == out.stage_counts["near_deduped"] == 2
+
+
+def test_incremental_refresh_touches_only_watermark_partitions(spark, tmp_path):
+    """S14 semantics: run 2 rewrites only partitions >= the watermark month;
+    older partition files keep their exact mtimes, the boundary partition
+    picks up late rows, and the end state equals a from-scratch build."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.sources.writers import incremental_refresh
+
+    path = str(tmp_path / "incr")
+    rows = [
+        ("2024-01", 1, 10.0), ("2024-01", 2, 20.0),
+        ("2024-02", 3, 30.0),
+        ("2024-03", 4, 40.0),  # boundary month: run 1 sees only this row
+    ]
+    df1 = spark.createDataFrame(rows, "month string, id int, amount double")
+    incremental_refresh(spark, df1, path, "month")
+
+    def mtimes(month):
+        d = os.path.join(path, f"month={month}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    jan_before, feb_before = mtimes("2024-01"), mtimes("2024-02")
+
+    # Run 2: a late row lands in the boundary month plus two new months.
+    rows2 = rows + [("2024-03", 5, 50.0), ("2024-04", 6, 60.0), ("2024-05", 7, 70.0)]
+    df2 = spark.createDataFrame(rows2, "month string, id int, amount double")
+    out = incremental_refresh(spark, df2, path, "month")
+
+    assert mtimes("2024-01") == jan_before  # old partitions untouched
+    assert mtimes("2024-02") == feb_before
+    got = {(r["month"], r["id"]) for r in out.collect()}
+    assert got == {(m, i) for m, i, _ in rows2}  # late row + new months present
+    # boundary month fully recomputed, not duplicated
+    assert out.filter(F.col("month") == "2024-03").count() == 2
+
+
+def test_pipeline_incremental_materialization_mode(spark, tmp_path):
+    """Model(materialization='incremental') routes through
+    incremental_refresh: two pipeline runs over a growing source produce
+    the full end state without rewriting pre-watermark partitions."""
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.plans.pipeline import Model, Pipeline
+
+    src_path = str(tmp_path / "events_src")
+    tgt = str(tmp_path / "daily_counts")
+
+    def write_source(n_days):
+        rows = [(f"2024-01-{d:02d}", i) for d in range(1, n_days + 1) for i in range(3)]
+        spark.createDataFrame(rows, "day string, v int").write.mode("overwrite").parquet(src_path)
+
+    def daily_counts(sp, outputs):
+        return (
+            sp.read.parquet(src_path)
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def run():
+        p = Pipeline(spark)
+        p.add(
+            Model(
+                name="gold.daily_counts",
+                fn=daily_counts,
+                materialize_path=tgt,
+                partition_by=("day",),
+                materialization="incremental",
+            )
+        )
+        return p.run()
+
+    write_source(2)
+    assert run().success
+    write_source(4)
+    report = run()
+    assert report.success
+    # day=2024-01-01 dirs read back as DATE partitions — compare as str
+    got = {(str(r["day"]), r["n"]) for r in spark.read.parquet(tgt).collect()}
+    assert got == {(f"2024-01-{d:02d}", 3) for d in range(1, 5)}
+    # incremental models with zero or multi-column partition_by are rejected
+    p = Pipeline(spark)
+    p.add(Model(name="bad", fn=daily_counts, materialize_path=tgt, materialization="incremental"))
+    assert not p.run().success
