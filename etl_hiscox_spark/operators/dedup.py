@@ -358,8 +358,19 @@ def _confirmed_minhash_pairs(
         .unionByName(cands.select(F.col("id_b").alias("doc")))
         .distinct()
     )
+    # Semi-join the DOCUMENTS to the candidate set BEFORE re-shingling, not
+    # the exploded hash stream after: normalize/split/hash then runs over
+    # candidate docs only (duplicate volume), not the whole corpus — the
+    # r6 profile showed the post-explode semi-join re-paying the full
+    # corpus-wide shingle-hash CPU a second time. The candidate-id set is
+    # sized by near-duplicate volume; when that outgrows broadcast range,
+    # Catalyst falls back per the join-strategy hint rules (no forced
+    # build: candidate volume scales with duplication, not a constant).
+    cand_docs = df.join(
+        pair_docs.withColumnRenamed("doc", id_col), on=id_col, how="left_semi"
+    )
     sh_cand = _materialize(
-        raw.join(F.broadcast(pair_docs), "doc", "left_semi").distinct(),
+        _raw_shingle_hash_stream(cand_docs, text_col, id_col, shingle_k).distinct(),
         checkpoint_dir,
     )
     return jaccard_pairs(
