@@ -86,6 +86,7 @@ WINDOW_R6: tuple[str, ...] = (
     "q7_outlier_zscore",
     "x12_click_abandonment",
     "s14_incremental_refresh",
+    "g14_custdist",
     # r5 oracle upgrades — declared output/oracle changed post-freeze
     "l2_minhash_near_dup",
     "l2_transitive_clusters",
@@ -127,11 +128,12 @@ WINDOW_R6: tuple[str, ...] = (
     "x5_session_window",
     "x8_threshold_crossing",
     "x9_stream_static_enrich",
-    # r4 greens whose physical plans changed this round (broadcast policy)
+    # r4 greens whose physical plans changed this round (broadcast policy;
+    # g11 was displaced when g14_custdist was declared — new outranks
+    # re-banked, and g11's r4 green stays within the 2-round bound)
     "j3_broadcast_dim_join",
     "g1_star_join_revenue",
     "g10_volume_shipping",
-    "g11_disjunctive_brackets",
 )
 
 # Round 5 window (historical — r5 driver results in CORRECTNESS_r05.json).

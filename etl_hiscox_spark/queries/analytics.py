@@ -956,3 +956,36 @@ def f17_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__ord"),
         ["o_orderstatus", "o_orderpriority", "last_urgent_date"],
     )
+
+
+@register(
+    "g14_custdist",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def g14_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q13 shape: how many customers placed k (non-urgent) orders,
+    # including k=0 — the classic left-outer + double aggregation. The
+    # exclusion predicate lives IN the join condition (not a pre-filter of
+    # the outer result), so zero-order customers survive.
+    #
+    # Scale shape: orders filters map-side, then one shuffle keys BOTH the
+    # join and the per-customer count (groupBy(c_custkey) reuses the
+    # join's hash partitioning — no second exchange for the first agg);
+    # the distribution agg shuffles |distinct counts| rows, i.e. nothing.
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))

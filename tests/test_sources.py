@@ -397,3 +397,52 @@ def test_txn_erase_keys_null_keys_survive_and_schema_evolution(spark, tmp_path):
     rows = {(r["k"] if "k" in r.__fields__ else None, r["v"]) for r in t.read().collect()}
     assert (None, "n") in rows and ("x" in {v for _, v in rows})
     assert all(k != 2 for k, _ in rows)
+
+
+def test_managed_table_backend_selection_and_fallback(spark, tmp_path):
+    """ManagedTable binds to real Delta when the runtime is loadable and to
+    the TxnTable fallback otherwise; forcing backend='delta' without the
+    runtime fails up front with a clear message instead of an opaque
+    ClassNotFoundException at first write."""
+    import pytest
+
+    from etl_hiscox_spark.sources.managed import ManagedTable, delta_available, delta_session_conf
+
+    conf = delta_session_conf()
+    assert conf["spark.sql.extensions"].endswith("DeltaSparkSessionExtension")
+
+    path = str(tmp_path / "managed_tbl")
+    t = ManagedTable(spark, path)  # autodetect
+    expected = "delta" if delta_available(spark) else "txnlog"
+    assert t.backend == expected
+
+    # write/append/widen/read/time-travel through the facade
+    df1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    df2 = spark.createDataFrame([(2, "b", 9.5)], "id int, v string, score double")
+    t.write(df1)
+    t.write(df2, mode="append")
+    latest = t.read()
+    assert latest.count() == 2 and "score" in latest.columns
+    v0 = t.read(version=0)
+    assert v0.count() == 1
+    assert len(t.history()) == 2
+
+    if not delta_available(spark):
+        with pytest.raises(RuntimeError, match="delta-spark"):
+            ManagedTable(spark, path, backend="delta")
+    with pytest.raises(ValueError):
+        ManagedTable(spark, path, backend="iceberg")
+
+
+def test_managed_table_erase_keys_purges_history(spark, tmp_path):
+    from etl_hiscox_spark.sources.managed import ManagedTable
+
+    path = str(tmp_path / "managed_pii")
+    t = ManagedTable(spark, path)
+    t.write(spark.createDataFrame([(1, "keep"), (2, "erase")], "id int, v string"))
+    t.write(spark.createDataFrame([(3, "keep2")], "id int, v string"), mode="append")
+    n = t.erase_keys("id", [2])
+    assert n == 1
+    assert {r["id"] for r in t.read().collect()} == {1, 3}
+    if t.backend == "txnlog":  # all-versions purge is native in the fallback
+        assert {r["id"] for r in t.read(version=0).collect()} == {1}
