@@ -87,6 +87,7 @@ WINDOW_R6: tuple[str, ...] = (
     "x12_click_abandonment",
     "s14_incremental_refresh",
     "g14_custdist",
+    "t21_bpe_merges",
     # r5 oracle upgrades — declared output/oracle changed post-freeze
     "l2_minhash_near_dup",
     "l2_transitive_clusters",
@@ -129,11 +130,11 @@ WINDOW_R6: tuple[str, ...] = (
     "x8_threshold_crossing",
     "x9_stream_static_enrich",
     # r4 greens whose physical plans changed this round (broadcast policy;
-    # g11 was displaced when g14_custdist was declared — new outranks
-    # re-banked, and g11's r4 green stays within the 2-round bound)
+    # g10/g11 were displaced as g14_custdist/t21_bpe_merges were declared —
+    # new outranks re-banked, and their r4 greens stay within the 2-round
+    # staleness bound)
     "j3_broadcast_dim_join",
     "g1_star_join_revenue",
-    "g10_volume_shipping",
 )
 
 # Round 5 window (historical — r5 driver results in CORRECTNESS_r05.json).

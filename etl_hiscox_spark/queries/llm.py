@@ -1620,3 +1620,24 @@ def m2_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rms",
         "peak",
     )
+
+
+# ---------------------------------------------------------------------------
+# T21: distributed BPE tokenizer-merge training. The corpus is read ONCE
+# (word-frequency table); every merge round then runs on the vocab-sized
+# symbol table — corpus-scale-independent after pass one. The oracle is a
+# generated chain of CTEs that replays the entire training loop (same
+# argmax tie-break, same literal-replace merge application), making an
+# iterative ML training run hash-checkable against SQL.
+# ---------------------------------------------------------------------------
+
+from etl_hiscox_spark.operators.bpe import bpe_oracle_sql, bpe_train  # noqa: E402
+
+
+@register(
+    "t21_bpe_merges",
+    oracle=bpe_oracle_sql("SELECT text FROM documents", "text", n_merges=8),
+)
+def t21_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return bpe_train(docs, "text", n_merges=8)
