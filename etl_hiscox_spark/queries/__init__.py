@@ -88,6 +88,7 @@ WINDOW_R6: tuple[str, ...] = (
     "s14_incremental_refresh",
     "g14_custdist",
     "t21_bpe_merges",
+    "v4_pca_projection",
     # r5 oracle upgrades — declared output/oracle changed post-freeze
     "l2_minhash_near_dup",
     "l2_transitive_clusters",
@@ -129,12 +130,11 @@ WINDOW_R6: tuple[str, ...] = (
     "x5_session_window",
     "x8_threshold_crossing",
     "x9_stream_static_enrich",
-    # r4 greens whose physical plans changed this round (broadcast policy;
-    # g10/g11 were displaced as g14_custdist/t21_bpe_merges were declared —
-    # new outranks re-banked, and their r4 greens stay within the 2-round
-    # staleness bound)
+    # r4 green whose physical plan changed this round (broadcast policy;
+    # g1/g10/g11 were displaced as g14/t21/v4 were declared — new outranks
+    # re-banked, and their r4 greens stay within the 2-round staleness
+    # bound; j3 keeps the slot as the named J3 inventory row)
     "j3_broadcast_dim_join",
-    "g1_star_join_revenue",
 )
 
 # Round 5 window (historical — r5 driver results in CORRECTNESS_r05.json).

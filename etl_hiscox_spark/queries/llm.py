@@ -1641,3 +1641,36 @@ from etl_hiscox_spark.operators.bpe import bpe_oracle_sql, bpe_train  # noqa: E4
 def t21_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return bpe_train(docs, "text", n_merges=8)
+
+
+# ---------------------------------------------------------------------------
+# V4: distributed PCA. Corpus pass = one Arrow-batched X'X Gram partial per
+# partition reduced by a map-side-combined groupBy(pos).sum (shuffle =
+# #partitions × d² fixed-width rows, row-count-independent); the d×d eigh
+# is driver-side numpy (O(d³), microseconds at embedding dims); projection
+# broadcasts the k×d components through the same BLAS mapInPandas path as
+# v2/v3. Declared rows-only: an eigendecomposition has no SQL twin (same
+# justified class as l3_ivf's seeded k-means); numerics are pinned against
+# full-data numpy PCA in tests/test_pca.py instead.
+# ---------------------------------------------------------------------------
+
+from etl_hiscox_spark.operators.pca import pca_fit, pca_project  # noqa: E402
+
+
+@register("v4_pca_projection")
+def v4_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    model = pca_fit(emb, "embedding", k=4)
+    proj = pca_project(emb, "embedding", model, out_col="pc")
+    # per-label second moments of the projected coords — label-level
+    # structure a classifier downstream would consume
+    return (
+        proj.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            *[
+                F.round(F.avg(F.element_at("pc", i + 1) ** 2), 6).alias(f"ms_pc{i + 1}")
+                for i in range(4)
+            ],
+        )
+    )
