@@ -161,7 +161,13 @@ def incremental_refresh(
             # type so the pushed-down comparison never mixes types.
             wm = F.lit(watermark_row["wm"]).cast(source.schema[partition_col].dataType)
             source = source.filter(F.col(partition_col) >= wm)
-    overwrite_partitions_dynamic(source, path, (partition_col,))
+    # Cluster rows by partition value before the partitioned write: without
+    # this every upstream task writes a sliver into every partition dir
+    # (n_partitions × n_tasks small files — a scan-planning and object-
+    # store-LIST tax on every downstream reader at scale).
+    overwrite_partitions_dynamic(
+        source.repartition(F.col(partition_col)), path, (partition_col,)
+    )
     return spark.read.parquet(path)
 
 
