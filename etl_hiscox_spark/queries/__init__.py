@@ -89,11 +89,13 @@ WINDOW_R6: tuple[str, ...] = (
     "g14_custdist",
     "t21_bpe_merges",
     "v4_pca_projection",
-    # r5 oracle upgrades — declared output/oracle changed post-freeze
+    # oracle upgrades — declared output/oracle changed post-r5-freeze
+    # (l2s/t13/t8 in r5; l3_ann gained its literal-plane SQL twin in r6)
     "l2_minhash_near_dup",
     "l2_transitive_clusters",
     "t13_corpus_prep_pipeline",
     "t8_pack_sequences",
+    "l3_ann_topk",
     # all 35 queries whose latest green is r3
     "a11_table_stats",
     "f16_fuzzy_name_pairs",
@@ -130,11 +132,10 @@ WINDOW_R6: tuple[str, ...] = (
     "x5_session_window",
     "x8_threshold_crossing",
     "x9_stream_static_enrich",
-    # r4 green whose physical plan changed this round (broadcast policy;
-    # g1/g10/g11 were displaced as g14/t21/v4 were declared — new outranks
-    # re-banked, and their r4 greens stay within the 2-round staleness
-    # bound; j3 keeps the slot as the named J3 inventory row)
-    "j3_broadcast_dim_join",
+    # (the r4 plan-change canaries j3/g1/g10/g11 were displaced one by one
+    # as g14/t21/v4/l3_ann declarations+upgrades landed — new and upgraded
+    # outrank re-banked greens; their r4 signals stay within the 2-round
+    # staleness bound and their plan shapes are pytest-gated)
 )
 
 # Round 5 window (historical — r5 driver results in CORRECTNESS_r05.json).

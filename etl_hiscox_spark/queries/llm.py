@@ -1127,12 +1127,69 @@ def t12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l3_ann_topk")  # rows-only: seeded-hyperplane LSH has no DuckDB twin
+def _ann_oracle() -> str:
+    """r6 upgrade from rows-only: the seeded hyperplanes are data-independent
+    numpy draws, so — like v3's projection matrix — they embed as SQL
+    literals and the WHOLE ANN path becomes SQL-expressible: per-vector
+    sign-bit bucket, query bucket, the two smallest-|margin| multiprobe
+    flips (same tie-break as the Python: |margin| asc, plane index asc),
+    bucket-membership filter, exact cosine + rank within the candidates.
+    6-dp rounding absorbs BLAS-vs-sequential float summation order."""
+    from etl_hiscox_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim=64, n_planes=8, seed=42)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in row)}])"
+        for i, row in enumerate(planes)
+    )
+    return f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id = 0
+    ), planes(i, p) AS (
+      VALUES {values}
+    ), qproj AS (
+      SELECT i, list_dot_product(q.qe, p) AS d FROM planes, q
+    ), qbucket AS (
+      SELECT CAST(SUM(CASE WHEN d >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS b
+      FROM qproj
+    ), flips AS (
+      SELECT i FROM qproj ORDER BY abs(d) ASC, i ASC LIMIT 2
+    ), probes AS (
+      SELECT b FROM qbucket
+      UNION ALL
+      SELECT xor(qbucket.b, (1::BIGINT << flips.i)) FROM qbucket, flips
+    ), e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), bucketed AS (
+      SELECT vec_id, emb,
+             (SELECT CAST(SUM(CASE WHEN list_dot_product(emb, p) >= 0
+                                   THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
+              FROM planes) AS bucket
+      FROM e
+    ), cand AS (
+      SELECT vec_id, emb FROM bucketed WHERE bucket IN (SELECT b FROM probes)
+    ), scored AS (
+      SELECT vec_id,
+             list_dot_product(emb, q.qe)
+               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(q.qe, q.qe))) AS sim
+      FROM cand, q
+    )
+    SELECT vec_id, ROUND(sim, 6) AS cosine_sim,
+           ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+    FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+    """
+
+
+@register("l3_ann_topk", oracle=_ann_oracle())
 def l3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # L3 ANN: hyperplane-LSH bucket probe (operators/similarity.ann_topk_lsh)
     # for vec_id 0's bucket + 2 multiprobe neighbors, exact cosine within
-    # the probed candidates. Deterministic: planes from a fixed seed.
-    # Recall vs exact top-k is pinned in tests/test_dedup_similarity.py.
+    # the probed candidates. Deterministic: planes from a fixed seed; the
+    # oracle (r6) replays buckets/flips/probe/scoring in SQL with the same
+    # plane literals. Recall vs exact top-k is pinned in
+    # tests/test_dedup_similarity.py.
     from etl_hiscox_spark.operators.similarity import ann_topk_lsh
 
     emb = load_table(spark, "embeddings", sf_dir)
