@@ -558,27 +558,56 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash_table(
+    df: DataFrame, text_col: str, id_col: str, portable: bool = False
+) -> DataFrame:
     """(doc, sim) SimHash table via explode + 64 conditional-sum aggregates.
 
     Same semantics as :func:`simhash64` (multiset bit voting over token
     hashes) but fully codegen'd: one projection per token, one groupBy(doc)
     with 64 partial sums — map-side combine keeps shuffle at |docs| rows.
+
+    ``portable=False`` (default): token hashes are xxhash64 — the fast
+    JVM-native path. ``portable=True``: token bit b comes from bit
+    ``b % 4`` of hex digit ``b // 4`` of sha256(token) — re-derivable on
+    any engine with sha256 (same portability contract as
+    ``sampling.weighted_sample(portable=True)``); the declared query
+    l2_simhash_candidates runs this form against its DuckDB twin.
     """
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
     )
-    hashed = toks.select("doc", F.xxhash64(F.col("tok")).alias("h"))
     masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
-    votes = hashed.groupBy("doc").agg(
-        *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(m).cast("long")) != 0, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b, m in enumerate(masks)
-        ]
-    )
+    if portable:
+        hashed = toks.select("doc", F.sha2(F.col("tok"), 256).alias("hx"))
+        digits = hashed.select(
+            "doc",
+            *[
+                F.conv(F.substring("hx", d + 1, 1), 16, 10).cast("int").alias(f"d{d}")
+                for d in range(16)
+            ],
+        )
+        votes = digits.groupBy("doc").agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                ).alias(f"v{b}")
+                for b in range(64)
+            ]
+        )
+    else:
+        hashed = toks.select("doc", F.xxhash64(F.col("tok")).alias("h"))
+        votes = hashed.groupBy("doc").agg(
+            *[
+                F.sum(
+                    F.when(F.col("h").bitwiseAND(F.lit(m).cast("long")) != 0, 1).otherwise(-1)
+                ).alias(f"v{b}")
+                for b, m in enumerate(masks)
+            ]
+        )
     sim = F.lit(0).cast("long")
     for b, m in enumerate(masks):
         sim = sim.bitwiseOR(
@@ -588,11 +617,11 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, portable: bool = False
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block-bucket join then exact Hamming
     filter. 4 blocks guarantee recall for distance <= 3 (pigeonhole)."""
-    with_sim = simhash_table(df, text_col, id_col)
+    with_sim = simhash_table(df, text_col, id_col, portable=portable)
     blocks = with_sim.select(
         "doc", "sim", *simhash_blocks(F.col("sim"), 4)
     )

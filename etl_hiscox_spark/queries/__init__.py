@@ -90,7 +90,11 @@ WINDOW_R6: tuple[str, ...] = (
     "t21_bpe_merges",
     "v4_pca_projection",
     # oracle upgrades — declared output/oracle changed post-r5-freeze
-    # (l2s/t13/t8 in r5; l3_ann gained its literal-plane SQL twin in r6)
+    # (l2s/t13/t8 in r5; l3_ann gained its literal-plane SQL twin in r6).
+    # l2_simhash_candidates also upgraded in r6 (portable sha256 bit
+    # source + full SQL twin, locally hash-green at sf0.001 AND sf0.01)
+    # but takes no slot — the staleness guard auto-forces its r4 green
+    # into WINDOW_R7.
     "l2_minhash_near_dup",
     "l2_transitive_clusters",
     "t13_corpus_prep_pipeline",

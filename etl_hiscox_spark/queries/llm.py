@@ -168,12 +168,52 @@ def l2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, pairs, "text", "doc_id", shingle_k=3)
 
 
-@register("l2_simhash_candidates")  # rows-only: xxhash64-based
+_SIMHASH_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents
+    ), th AS (
+      SELECT doc_id, sha256(tok) AS hx FROM toks
+    ), bits AS (
+      SELECT doc_id, u.b,
+             CASE WHEN ((strpos('0123456789abcdef', substr(hx, CAST(u.b // 4 AS INT) + 1, 1)) - 1)
+                        >> CAST(u.b % 4 AS INT)) & 1 = 1
+                  THEN 1 ELSE -1 END AS vote
+      FROM th, UNNEST(range(0, 64)) AS u(b)
+    ), votes AS (
+      SELECT doc_id, b, SUM(vote) AS v FROM bits GROUP BY doc_id, b
+    ), simbits AS (
+      SELECT doc_id, b, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes
+    ), blk AS (
+      SELECT doc_id, b // 16 AS blk_id, SUM(CAST(bit AS BIGINT) << CAST(b % 16 AS INT)) AS blk
+      FROM simbits GROUP BY doc_id, b // 16
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      FROM blk a JOIN blk b ON a.blk_id = b.blk_id AND a.blk = b.blk AND a.doc_id < b.doc_id
+    ), hd AS (
+      SELECT p.ia, p.ib, SUM(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS h
+      FROM pairs p
+      JOIN simbits x ON x.doc_id = p.ia
+      JOIN simbits y ON y.doc_id = p.ib AND y.b = x.b
+      GROUP BY p.ia, p.ib
+    )
+    SELECT ia AS id_a, ib AS id_b, CAST(h AS INT) AS hamming FROM hd WHERE h <= 3
+"""
+
+
+@register("l2_simhash_candidates", oracle=_SIMHASH_ORACLE)
 def l2_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SimHash near-dup candidates within Hamming distance 3 (pigeonhole
-    # 4-block bucketing). Unit-tested on perturbed texts in tests/.
+    # 4-block bucketing). r6 upgrade from rows-only: the declared form runs
+    # portable=True — token bit b is bit b%4 of hex digit b//4 of
+    # sha256(token), re-derivable in any engine (same contract as the
+    # sampling tier's sha256 draws) — so the DuckDB twin replays the whole
+    # vote -> pack -> block-bucket -> Hamming pipeline bit-for-bit. The
+    # xxhash64 fast path keeps identical semantics (unit-tested on
+    # perturbed texts in tests/).
     docs = load_table(spark, "documents", sf_dir)
-    return simhash_candidates(docs, "text", "doc_id", max_hamming=3)
+    return simhash_candidates(docs, "text", "doc_id", max_hamming=3, portable=True)
 
 
 # ---------------------------------------------------------------------------

@@ -262,3 +262,37 @@ def test_malformed_embeddings_do_not_crash(spark):
     qm = np.stack([vecs[0]])
     bt = batch_cosine_topk_pandas(mixed, "embedding", "vec_id", qm, k=3).collect()
     assert bt[0]["vec_id"] == 0 and all(r["vec_id"] < 100 for r in bt)
+
+
+def test_simhash_portable_and_fast_modes_agree_on_planted_dups(spark):
+    """The sha256-portable bit source and the xxhash64 fast path are
+    different hash families, so candidate PAIRS can differ on borderline
+    docs — but both must find planted near-duplicates (1-word edit on a
+    40-word doc) and neither may pair unrelated docs."""
+    import random
+
+    from etl_hiscox_spark.operators.dedup import simhash_candidates
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(500)]
+    n_words = 120  # vote margins scale ~sqrt(n): a 1-word edit on 120
+    rows = []      # words rarely flips > 3 of the 64 bits
+    for i in range(20):
+        words = [rng.choice(vocab) for _ in range(n_words)]
+        rows.append((2 * i, " ".join(words)))
+        mutated = list(words)
+        mutated[rng.randrange(n_words)] = "zzz"
+        rows.append((2 * i + 1, " ".join(mutated)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    for portable in (False, True):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_candidates(df, "text", "doc_id", max_hamming=3, portable=portable).collect()
+        }
+        # a 1/40-word edit usually lands within Hamming 3 but not always —
+        # both hash families must recover most planted pairs and invent none
+        found = len(planted & pairs)
+        assert found >= 15, f"portable={portable} found only {found}/20 planted dups"
+        assert pairs <= planted, f"portable={portable} paired unrelated docs: {pairs - planted}"
