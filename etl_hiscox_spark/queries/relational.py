@@ -836,3 +836,54 @@ def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir).select(F.col("o_custkey").alias("custkey"))
     events = load_table(spark, "events", sf_dir).select(F.col("user_id").alias("custkey"))
     return orders.intersect(events)
+
+
+# ---------------------------------------------------------------------------
+# W8: time-series resample + gap-fill (hypertable-style regularization).
+# Dense daily grid per key between its first and last observation,
+# forward-filled, with imputed rows marked. Grid rows are GENERATED in the
+# reduce stage (sequence+explode) — grid size is keys × span, independent
+# of event count, and never shuffles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w8_gap_fill_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority, date_trunc('day', o_orderdate) AS bucket,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS actual
+      FROM orders GROUP BY 1, 2
+    ), bounds AS (
+      SELECT o_orderpriority, MIN(bucket) AS mn, MAX(bucket) AS mx FROM daily GROUP BY 1
+    ), grid AS (
+      SELECT o_orderpriority, UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket
+      FROM bounds
+    ), j AS (
+      SELECT g.o_orderpriority, g.bucket, d.actual
+      FROM grid g
+      LEFT JOIN daily d ON d.o_orderpriority = g.o_orderpriority AND d.bucket = g.bucket
+    )
+    SELECT o_orderpriority, bucket,
+           CAST(last_value(actual IGNORE NULLS)
+                  OVER (PARTITION BY o_orderpriority ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS value,
+           actual IS NULL AS is_gap
+    FROM j
+    """,
+)
+def w8_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_hiscox_spark.operators.timeseries import resample_ffill
+
+    orders = load_table(spark, "orders", sf_dir)
+    out = resample_ffill(
+        orders,
+        key_cols=["o_orderpriority"],
+        ts_col="o_orderdate",
+        value_expr=F.col("o_totalprice").cast("decimal(18,2)"),
+        grain="day",
+        interval="1 day",
+    )
+    return out.select(
+        "o_orderpriority", "bucket", F.col("value").cast("double").alias("value"), "is_gap"
+    )

@@ -461,3 +461,32 @@ def test_pipeline_incremental_materialization_mode(spark, tmp_path):
     p = Pipeline(spark)
     p.add(Model(name="bad", fn=daily_counts, materialize_path=tgt, materialization="incremental"))
     assert not p.run().success
+
+
+def test_resample_ffill_semantics(spark):
+    """Gap-fill: dense grid per key, forward fill, leading NULLs stay NULL,
+    imputed rows marked, and keys never bleed into each other."""
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.operators.timeseries import resample_ffill
+
+    rows = [
+        ("a", "2024-01-01 10:00:00", 1.0),
+        ("a", "2024-01-01 15:00:00", 2.0),   # same day -> aggregated
+        ("a", "2024-01-04 09:00:00", 7.0),   # 2-day gap
+        ("b", "2024-01-02 00:00:00", 5.0),   # single-point key
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = resample_ffill(df, ["k"], "ts", F.col("v"), grain="day", interval="1 day")
+    got = {
+        (r["k"], str(r["bucket"])[:10]): (r["value"], r["is_gap"]) for r in out.collect()
+    }
+    assert got == {
+        ("a", "2024-01-01"): (3.0, False),
+        ("a", "2024-01-02"): (3.0, True),
+        ("a", "2024-01-03"): (3.0, True),
+        ("a", "2024-01-04"): (7.0, False),
+        ("b", "2024-01-02"): (5.0, False),
+    }
