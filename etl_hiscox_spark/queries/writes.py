@@ -621,3 +621,54 @@ def s14_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # watermark (1996-12) from the target and overwrites only months >= it.
     snap = incremental_refresh(spark, model(orders), path, "order_month")
     return snap.select("order_month", "n_orders", "revenue")
+
+
+# ---------------------------------------------------------------------------
+# S15: corrupt-record quarantine on JSON ingestion. The feed is rendered
+# from orders with rows whose key ≡ 0 (mod 7) intentionally truncated
+# mid-object, read back PERMISSIVE with columnNameOfCorruptRecord, and
+# split good/quarantine. Corruption is a pure function of o_orderkey, so
+# the oracle checks the whole render→parse→quarantine→aggregate path from
+# orders arithmetic without ever parsing JSON itself.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s15_corrupt_json_quarantine",
+    oracle="""
+    SELECT COUNT(*) FILTER (WHERE o_orderkey % 7 != 0) AS n_good,
+           COUNT(*) FILTER (WHERE o_orderkey % 7 = 0) AS n_quarantined,
+           CAST(SUM(CASE WHEN o_orderkey % 7 != 0
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS good_value
+    FROM orders
+    """,
+)
+def s15_corrupt_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_hiscox_spark.sources.readers import read_json_quarantine
+
+    path = os.path.join(_scratch("s15_corrupt", sf_dir), "orders_feed")
+    orders = load_table(spark, "orders", sf_dir)
+    line = F.when(
+        F.col("o_orderkey") % 7 == 0,
+        # truncated mid-object: unparseable, but the raw line survives
+        F.concat(F.lit('{"o_orderkey": '), F.col("o_orderkey").cast("string"), F.lit(', "o_tot')),
+    ).otherwise(
+        F.to_json(F.struct("o_orderkey", "o_totalprice", "o_orderstatus"))
+    )
+    orders.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderstatus", T.StringType()),
+        ]
+    )
+    good, bad = read_json_quarantine(spark, path, schema)
+    # bad.count() is a driver-side scalar over the cached parse — the
+    # quarantine count is exactly the kind of ingest metric that rides a
+    # report row, not a distributed column.
+    return good.agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("good_value"),
+    ).select("n_good", F.lit(bad.count()).alias("n_quarantined"), "good_value")

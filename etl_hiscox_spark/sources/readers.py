@@ -51,6 +51,38 @@ def read_json(
     return reader.json(path)
 
 
+def read_json_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """S6b: JSON scan with corrupt-record quarantine — (good, quarantined).
+
+    Real feeds carry malformed rows; FAILFAST aborts a 100 TB job on the
+    first one and DROPMALFORMED silently loses data. PERMISSIVE with
+    ``columnNameOfCorruptRecord`` keeps the raw text of every unparseable
+    row, so this splits the scan into clean rows (corrupt column dropped)
+    and a quarantine frame holding the raw line for replay/debugging —
+    the same split/tag shape as the DQ engine's Q4.
+
+    Spark quirk handled here: the parsed frame is cached before filtering
+    because a query that references ONLY the internal corrupt column is
+    rejected by the analyzer (SPARK-21610) — and without the cache the two
+    branches would re-read the files anyway.
+    """
+    full = T.StructType(list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())])
+    parsed = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = parsed.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw")
+    )
+    return good, bad
+
+
 def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
     """S5: Excel scan (test_ingestion.py:118-129). Driver-side parse →
     createDataFrame — correct for the reference's small .xlsx inputs; NOT a

@@ -195,6 +195,7 @@ def test_never_checked_queries_lead_the_window():
 # output-changed oracle upgrades + the 35 guard-required r3-stale greens.)
 PENDING_NEXT_WINDOW: set[str] = {
     "w8_gap_fill_daily",
+    "s15_corrupt_json_quarantine",
 }
 
 

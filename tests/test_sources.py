@@ -446,3 +446,24 @@ def test_managed_table_erase_keys_purges_history(spark, tmp_path):
     assert {r["id"] for r in t.read().collect()} == {1, 3}
     if t.backend == "txnlog":  # all-versions purge is native in the fallback
         assert {r["id"] for r in t.read(version=0).collect()} == {1}
+
+
+def test_read_json_quarantine_splits_and_preserves_raw(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from etl_hiscox_spark.sources.readers import read_json_quarantine
+
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "part.json").write_text(
+        '{"id": 1, "v": "a"}\n'
+        '{"id": 2, "v": BROKEN\n'          # malformed literal
+        '{"id": 3, "v": "c"}\n'
+        'not json at all\n'
+    )
+    schema = T.StructType([T.StructField("id", T.LongType()), T.StructField("v", T.StringType())])
+    good, bad = read_json_quarantine(spark, str(p), schema)
+    assert {r["id"] for r in good.collect()} == {1, 3}
+    assert "_corrupt_record" not in good.columns
+    raws = {r["raw"] for r in bad.collect()}
+    assert raws == {'{"id": 2, "v": BROKEN', "not json at all"}
