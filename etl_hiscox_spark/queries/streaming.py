@@ -447,3 +447,60 @@ def x12_click_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("l.ts")).alias("last_abandoned_ts"),
         )
     )
+
+
+@register(
+    "x13_exactly_once_txn_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def x13_exactly_once_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exactly-once streaming sink, driver-executed for real: events →
+    # readStream → foreachBatch txn-append (each micro-batch = one
+    # manifest commit tagged (app_id, batch_id)) — then the WHOLE stream
+    # runs a SECOND time against a fresh checkpoint with the same app_id.
+    # The replayed batch ids are already committed, so run 2 must be a
+    # complete no-op: if the idempotency protocol leaked, every count
+    # below doubles and the driver's hash compare goes red. The final
+    # table is a pure function of events, hence the SQL twin.
+    import os
+
+    from etl_hiscox_spark.queries.writes import _scratch
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+    from etl_hiscox_spark.streaming.ops import foreach_batch_txn_append, stream_from_parquet
+
+    root = _scratch("x13_txn", sf_dir)
+    src, tbl = os.path.join(root, "src"), os.path.join(root, "table")
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    ev.write.mode("overwrite").parquet(src)
+
+    def run(ckpt_name: str) -> None:
+        stream = (
+            stream_from_parquet(spark, src, ev.schema)
+            .filter(F.col("value").isNotNull())
+            .select("event_id", "event_type", "value")
+        )
+        q = (
+            stream.writeStream.foreachBatch(foreach_batch_txn_append(tbl, spark, "x13"))
+            .option("checkpointLocation", os.path.join(root, ckpt_name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    run("ckpt2")  # full replay, fresh checkpoint, same app_id -> no-op
+    table = TxnTable(spark, tbl).read()
+    return table.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )

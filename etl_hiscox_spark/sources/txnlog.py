@@ -104,12 +104,14 @@ class TxnTable:
             if f.endswith(".parquet")
         )
 
-    def write(self, df: DataFrame, mode: str = "append") -> int:
+    def write(self, df: DataFrame, mode: str = "append", txn: dict | None = None) -> int:
         """Write ``df`` as a new committed version; returns the version.
 
         Data files land under ``data/`` with unique names BEFORE the
         manifest commits — a crash mid-write leaves orphan files (cleaned
-        by vacuum), never a torn table.
+        by vacuum), never a torn table. ``txn`` ({app_id: txn_version})
+        rides the manifest for the idempotent-writer protocol
+        (:meth:`write_txn`).
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -121,18 +123,42 @@ class TxnTable:
         else:
             files = new_files
         version = 0 if prev is None else prev + 1
-        self._commit(
-            version,
-            {
-                "version": version,
-                "mode": mode,
-                "files": files,
-                "schema": df.schema.json(),
-                "committed_at": time.time(),
-                "n_added": len(new_files),
-            },
-        )
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "files": files,
+            "schema": df.schema.json(),
+            "committed_at": time.time(),
+            "n_added": len(new_files),
+        }
+        if txn:
+            manifest["txn"] = {str(k): int(v) for k, v in txn.items()}
+        self._commit(version, manifest)
         return version
+
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Highest writer-transaction id committed for ``app_id`` (scanning
+        manifests newest-first), or None — Delta's txnAppId/txnVersion
+        lookup."""
+        for v in reversed(self._versions()):
+            txn = self._read_manifest(v).get("txn") or {}
+            if app_id in txn:
+                return int(txn[app_id])
+        return None
+
+    def write_txn(self, df: DataFrame, app_id: str, txn_version: int, mode: str = "append") -> bool:
+        """Idempotent write keyed by (``app_id``, ``txn_version``) — the
+        Delta txnAppId/txnVersion protocol. Returns False without writing
+        when ``txn_version`` (or a later one) is already committed for
+        ``app_id``, so an at-least-once producer that replays a batch
+        after a crash lands it exactly once. The check and the commit are
+        same-writer serialized (single-writer protocol, as :mod:`txnlog`
+        documents); multi-writer needs the manifest-collision hook."""
+        last = self.last_txn_version(app_id)
+        if last is not None and txn_version <= last:
+            return False
+        self.write(df, mode=mode, txn={app_id: txn_version})
+        return True
 
     # -- read path -----------------------------------------------------------
 

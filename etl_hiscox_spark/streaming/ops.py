@@ -247,3 +247,28 @@ def foreach_batch_upsert(
         os.rename(target_path + "_tmp", target_path)
 
     return _apply
+
+
+def foreach_batch_txn_append(
+    target_path: str, spark: SparkSession, app_id: str
+) -> Callable[[DataFrame, int], None]:
+    """Exactly-once streaming append: each micro-batch commits as ONE
+    txn-log version tagged (``app_id``, batch_id). foreachBatch is
+    at-least-once — after a failure the restarted query replays the last
+    batch — but the replayed id is already in the manifest log, so the
+    sink skips it: end-to-end exactly-once without a MERGE. This is
+    Delta's ``txnAppId``/``txnVersion`` idempotent-writes protocol on the
+    manifest-log fallback (and with Delta deployed, ManagedTable swaps in
+    with the same two options).
+
+    Operational contract (same as Delta's): batch ids live in the
+    checkpoint — if you reset/delete the checkpoint, pick a NEW app_id,
+    or the restarted ids (0,1,2,…) will all be skipped as already
+    committed.
+    """
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        TxnTable(spark, target_path).write_txn(batch_df, app_id, int(batch_id))
+
+    return _apply

@@ -196,6 +196,7 @@ def test_never_checked_queries_lead_the_window():
 PENDING_NEXT_WINDOW: set[str] = {
     "w8_gap_fill_daily",
     "s15_corrupt_json_quarantine",
+    "x13_exactly_once_txn_sink",
 }
 
 

@@ -216,3 +216,64 @@ def test_stream_stream_left_outer_equals_batch(spark, sf_dir, tmp_path):
         map(tuple, abandoned(spark.read.parquet(path)).filter("user_id >= 0").collect())
     )
     assert got == want and len(want) > 0
+
+
+def test_write_txn_idempotent_per_app_and_batch(spark, tmp_path):
+    """The txnAppId/txnVersion protocol: a replayed (app, batch) pair is a
+    no-op; later batches commit; independent apps don't interfere."""
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    b0 = spark.createDataFrame([(1,)], "id int")
+    b1 = spark.createDataFrame([(2,)], "id int")
+
+    assert t.write_txn(b0, "appA", 0) is True
+    assert t.write_txn(b0, "appA", 0) is False       # replay skipped
+    assert t.write_txn(b0, "appA", 0, mode="overwrite") is False
+    assert t.write_txn(b1, "appA", 1) is True
+    assert t.write_txn(b1, "appA", 0) is False       # late replay of old id
+    assert t.write_txn(b0, "appB", 0) is True        # other writer unaffected
+    assert t.last_txn_version("appA") == 1 and t.last_txn_version("appB") == 0
+    assert t.last_txn_version("appC") is None
+    assert t.read().count() == 3  # 1 + 2 + 1 rows, no duplicates
+
+
+def test_foreach_batch_txn_append_multibatch_replay(spark, tmp_path):
+    """Multi-batch stream (maxFilesPerTrigger=1) into the txn sink, then a
+    full fresh-checkpoint replay with the same app_id: row set unchanged."""
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+    from etl_hiscox_spark.streaming.ops import foreach_batch_txn_append
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    for i in range(3):  # three files -> three micro-batches
+        spark.createDataFrame([(i * 10 + j,) for j in range(5)], "id long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(foreach_batch_txn_append(tbl, spark, "s"))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    t = TxnTable(spark, tbl)
+    n_versions = len(t.history())
+    assert n_versions >= 2  # genuinely multi-batch
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == sorted(i * 10 + j for i in range(3) for j in range(5))
+
+    run("ckpt2")  # same app_id, fresh checkpoint -> every batch id skipped
+    assert len(t.history()) == n_versions
+    assert sorted(r["id"] for r in t.read().collect()) == got
