@@ -273,3 +273,53 @@ def erase_keys(
     finally:
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
+
+
+def zorder_layout(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` clustered by the Z-order (Morton) interleaving of two
+    columns — multi-dimensional file pruning (Delta ``OPTIMIZE ZORDER BY``,
+    the public bit-interleave technique).
+
+    A single-column sort gives disjoint per-file ranges on THAT column
+    only; a point/range filter on any other column still opens every
+    file. Interleaving the bit representations makes per-file min/max
+    ranges compact on BOTH columns, so parquet footer stats prune files
+    for filters on either (or both) — at 100 TB the difference between
+    reading 1/n_files of the table and all of it, on the second-most
+    common predicate column.
+
+    Mechanics: each column min/max-scales to ``bits`` bits (bounds from
+    one tiny driver-side aggregate), the bit positions interleave into a
+    z-value with a chain of codegen'd shift/or expressions (no UDF), and
+    the frame range-repartitions + sorts on z before writing.
+    """
+    c0, c1 = (F.col(c).cast("double") for c in cols)
+    lo0, hi0, lo1, hi1 = df.agg(
+        F.min(c0), F.max(c0), F.min(c1), F.max(c1)
+    ).first()
+    span0 = (hi0 - lo0) or 1.0
+    span1 = (hi1 - lo1) or 1.0
+    top = (1 << bits) - 1
+    q0 = ((c0 - F.lit(lo0)) / F.lit(span0) * top).cast("long")
+    q1 = ((c1 - F.lit(lo1)) / F.lit(span1) * top).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(q0, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(q1, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
