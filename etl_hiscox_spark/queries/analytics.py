@@ -989,3 +989,69 @@ def g14_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "a18_approx_quantile_rollup",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           quantile_cont(o_totalprice, 0.5) AS p50_exact,
+           quantile_cont(o_totalprice, 0.95) AS p95_exact,
+           TRUE AS approx_within_rank_eps
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate)
+    """,
+)
+def a18_approx_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mergeable quantile summaries per month: percentile_approx (GK
+    # sketch, map-side partial merge — at 100 TB the per-group state is
+    # O(accuracy), never the group's values; contrast a12's exact
+    # interpolated percentile, which buffers the group).
+    #
+    # a16-mechanism partial oracle: the sketch estimate has no SQL twin,
+    # so the declared output carries the exact p50/p95 (SQL-checkable —
+    # Spark `percentile` == quantile_cont, parity pinned by a12) plus a
+    # Spark-side proof of the GK guarantee IN RANK SPACE: the returned
+    # value's rank interval [#(v < x)+1, #(v <= x)] must intersect
+    # [p·n − tol, p·n + tol], tol = n/accuracy + 1. (Value-space bounds
+    # from exact quantiles at p ± eps fail legitimately whenever the
+    # window is narrower than one data point — approx returns actual
+    # values, exact interpolates between them.) DuckDB emits TRUE
+    # unconditionally: a sketch regression hash-FAILS instead of hiding
+    # behind rows-only.
+    acc = 1000
+    price = F.col("o_totalprice")
+    orders = load_table(spark, "orders", sf_dir)
+    month = F.trunc(F.col("o_orderdate"), "month").alias("order_month")
+    g = orders.groupBy(month).agg(
+        F.percentile_approx(price, 0.5, acc).alias("a50"),
+        F.percentile_approx(price, 0.95, acc).alias("a95"),
+        F.percentile(price, F.lit(0.5)).alias("p50_exact"),
+        F.percentile(price, F.lit(0.95)).alias("p95_exact"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranks = (
+        orders.select(month, price.alias("__v"))
+        .join(g, "order_month")
+        .groupBy("order_month")
+        .agg(
+            F.count_if(F.col("__v") <= F.col("a50")).alias("le50"),
+            F.count_if(F.col("__v") < F.col("a50")).alias("lt50"),
+            F.count_if(F.col("__v") <= F.col("a95")).alias("le95"),
+            F.count_if(F.col("__v") < F.col("a95")).alias("lt95"),
+        )
+    )
+    tol = F.col("n") / acc + 1
+
+    def within(p, le, lt):
+        target = F.col("n") * p
+        return (F.col(le) >= target - tol) & (F.col(lt) + 1 <= target + tol)
+
+    return g.join(ranks, "order_month").select(
+        "order_month",
+        "p50_exact",
+        "p95_exact",
+        (within(0.5, "le50", "lt50") & within(0.95, "le95", "lt95")).alias(
+            "approx_within_rank_eps"
+        ),
+    )

@@ -197,6 +197,7 @@ PENDING_NEXT_WINDOW: set[str] = {
     "w8_gap_fill_daily",
     "s15_corrupt_json_quarantine",
     "x13_exactly_once_txn_sink",
+    "a18_approx_quantile_rollup",
 }
 
 
