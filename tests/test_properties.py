@@ -224,3 +224,106 @@ def test_wav_codec_roundtrip_property(samples, rate):
     dec, r = decode_wav(encode_wav(arr, rate))
     assert r == rate
     assert dec.shape == arr.shape and np.array_equal(dec, arr)
+
+
+@given(
+    st.lists(  # batches of (month 1-6, id, amount); months arrive roughly in order
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=6),
+                st.integers(min_value=0, max_value=99),
+                st.floats(min_value=0, max_value=100, allow_nan=False),
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@SETTINGS
+def test_incremental_refresh_equals_full_rebuild(spark, tmp_path_factory, batches):
+    """Property: running incremental_refresh over a growing source — where
+    each run sees everything that has arrived so far — ends at exactly the
+    state a from-scratch aggregation of the final source produces,
+    regardless of how rows are distributed over months and batches. (Late
+    rows for pre-watermark months are out of contract; dbt's incremental
+    models share the boundary-partition-only guarantee.)"""
+    from etl_hiscox_spark.sources.writers import incremental_refresh
+
+    path = str(tmp_path_factory.mktemp("incr") / "t")
+    # arrival contract: time moves forward — re-chunk the drawn rows in
+    # month order so no batch introduces a month older than the watermark
+    # (a month may still straddle a batch boundary: that's the late-row-
+    # in-boundary-partition case the >= watermark rule exists for)
+    ordered = sorted((r for b in batches for r in b), key=lambda r: r[0])
+    sizes = [len(b) for b in batches]
+    chunks, pos = [], 0
+    for s in sizes:
+        chunks.append(ordered[pos : pos + s])
+        pos += s
+    seen: list[tuple[int, int, float]] = []
+    for chunk in chunks:
+        seen.extend(chunk)
+        agg_src = (
+            spark.createDataFrame(seen, "month int, id int, amount double")
+            .groupBy("month")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total"))
+        )
+        incremental_refresh(spark, agg_src, path, "month")
+
+    got = {
+        r["month"]: (r["n"], round(r["total"], 6))
+        for r in spark.read.parquet(path).collect()
+    }
+    from collections import defaultdict
+
+    exp: dict[int, list[float]] = defaultdict(list)
+    for m, _, a in seen:
+        exp[m].append(a)
+    expected = {m: (len(v), round(sum(v), 6)) for m, v in exp.items()}
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=20),  # day offset
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_resample_ffill_matches_python_reference(spark, rows):
+    """Property: the grid/ffill operator equals a plain-Python reference on
+    arbitrary sparse per-key observations."""
+    from datetime import datetime, timedelta
+
+    from etl_hiscox_spark.operators.timeseries import resample_ffill
+
+    base = datetime(2024, 3, 1)
+    data = [(k, base + timedelta(days=d, hours=1), v) for k, d, v in rows]
+    df = spark.createDataFrame(data, "k string, ts timestamp, v double")
+    out = resample_ffill(df, ["k"], "ts", F.col("v"), grain="day", interval="1 day")
+    got = {(r["k"], str(r["bucket"])[:10]): (round(r["value"], 6), r["is_gap"]) for r in out.collect()}
+
+    # python reference
+    from collections import defaultdict
+
+    daily: dict[str, dict[int, float]] = defaultdict(lambda: defaultdict(float))
+    for k, d, v in rows:
+        daily[k][d] += v
+    expected = {}
+    for k, days in daily.items():
+        lo, hi = min(days), max(days)
+        last = None
+        for d in range(lo, hi + 1):
+            if d in days:
+                last = days[d]
+                expected[(k, str((base + timedelta(days=d)).date()))] = (round(last, 6), False)
+            else:
+                expected[(k, str((base + timedelta(days=d)).date()))] = (round(last, 6), True)
+    assert got == expected
