@@ -1055,3 +1055,39 @@ def a18_approx_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_within_rank_eps"
         ),
     )
+
+
+@register(
+    "g15_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def g15_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q17 shape: revenue from below-one-fifth-of-average-quantity
+    # line items of one brand. The correlated per-part scalar subquery is
+    # DECORRELATED by hand into a per-part aggregate joined back — the
+    # rewrite Catalyst would have to find on the SQL form, made explicit:
+    # at 100 TB the per-part avg table is |parts-of-brand| rows (the brand
+    # filter semi-joins the avg build via the part dim before any heavy
+    # work), and lineitem is scanned twice but shuffled on l_partkey once
+    # per side with map-side partial aggs.
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#1")
+    brand_lines = li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+    per_part_avg = brand_lines.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("__q_threshold")
+    )
+    return (
+        brand_lines.join(per_part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__q_threshold"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )

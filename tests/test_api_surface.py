@@ -198,6 +198,7 @@ PENDING_NEXT_WINDOW: set[str] = {
     "s15_corrupt_json_quarantine",
     "x13_exactly_once_txn_sink",
     "a18_approx_quantile_rollup",
+    "g15_small_quantity_revenue",
 }
 
 

@@ -249,3 +249,40 @@ def test_q15_max_of_aggregate_is_scalar_subquery(spark, sf_dir):
     assert "Subquery" in plan and "BroadcastNestedLoopJoin" not in plan
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "l_shipdate" in l]
     assert len(pushed) >= 2
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    # The skew lever the 100 TB design leans on instead of hand-salting:
+    # AQE's OptimizeSkewedJoin must split an oversized shuffle partition
+    # at runtime. One hot key (~90% of the left side) + thresholds lowered
+    # to local-data sizes; the executed SMJ must carry the skew=true
+    # marker. (salted_join stays for the pathological cases AQE can't
+    # reach — streaming joins, single-key-exceeds-memory.)
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("padpadpadpadpadpad-"), F.col("id")).alias("payload"),
+        )
+        right = spark.range(50_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        j = left.join(right, "k").groupBy().count()
+        j.collect()  # AQE re-plans at runtime — must execute, not just explain
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
