@@ -387,3 +387,51 @@ def audio_frame_windows(
             yield pd.DataFrame(out, columns=[f.name for f in AUDIO_WINDOWS_SCHEMA.fields])
 
     return df.select(path_col, content_col).mapInPandas(frames, AUDIO_WINDOWS_SCHEMA)
+
+
+def gif_frame_features(
+    df: DataFrame, every_n: int = 2, content_col: str = "content", path_col: str = "path"
+) -> DataFrame:
+    """REAL video-tier frame sampling for GIF inputs: decode every frame
+    (pure-stdlib LZW, :mod:`operators.gif`), keep every ``every_n``-th,
+    emit one row per sampled frame with shape + mean intensity.
+
+    Same Arrow mapInPandas shape as image/audio features: binary in,
+    frame rows out, decode cost per-row-irreducible. Non-GIF bytes raise
+    (route them through :func:`frame_sample_plan`'s stub or a codec-gated
+    path — silently guessing frames is worse than failing)."""
+    from etl_hiscox_spark.operators.gif import decode_gif
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                frames = decode_gif(bytes(content))
+                for i in range(0, len(frames), every_n):
+                    f = frames[i]
+                    rows.append(
+                        {
+                            "path": path,
+                            "frame_index": i,
+                            "height": f.shape[0],
+                            "width": f.shape[1],
+                            "mean_intensity": float(f.mean()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "frame_index", "height", "width", "mean_intensity"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("mean_intensity", T.DoubleType()),
+        ]
+    )
+    return df.select(F.col(path_col).alias("path"), F.col(content_col).alias("content")).mapInPandas(
+        extract, schema
+    )

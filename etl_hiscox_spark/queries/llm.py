@@ -1771,3 +1771,67 @@ def v4_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
+
+
+@register(
+    "m3_gif_frame_sample",
+    oracle="""
+    WITH clips AS (
+      SELECT doc_id,
+             4 + doc_id % 5 AS w,
+             3 + doc_id % 4 AS h,
+             2 + CAST(doc_id % 3 AS INT) AS n_frames
+      FROM documents
+    ), sampled AS (
+      SELECT doc_id, w, h, CAST(UNNEST(range(0, n_frames, 2)) AS INT) AS frame_index
+      FROM clips
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS path,
+           frame_index,
+           CAST(h AS INT) AS height,
+           CAST(w AS INT) AS width,
+           ROUND(list_avg(list_transform(range(0, w * h),
+                 i -> CAST((doc_id * 31 + frame_index * 7 + i) % 256 AS DOUBLE))), 6)
+             AS mean_intensity
+    FROM sampled
+    """,
+)
+def m3_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L7 video tier with a REAL decode: one deterministic animated GIF per
+    # document (dims/frame-count/pixels all arithmetic in doc_id), encoded
+    # then frame-sampled every 2nd frame by the stdlib GIF/LZW codec
+    # inside Arrow mapInPandas. The oracle recomputes each sampled frame's
+    # mean intensity from the same arithmetic — a wrong LZW table reset,
+    # sub-block stitch or palette lookup corrupts the mean. Real video
+    # codecs (H.264) stay gated on external libs; the Spark contract
+    # (binary in → frame rows out) is identical.
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from etl_hiscox_spark.operators.gif import encode_gif
+    from etl_hiscox_spark.operators.multimodal import gif_frame_features
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h, n = 4 + i % 5, 3 + i % 4, 2 + i % 3
+                idxs = [
+                    ((np.arange(w * h) + i * 31 + f * 7) % 256)
+                    .reshape(h, w)
+                    .astype(np.uint8)
+                    for f in range(n)
+                ]
+                out.append({"path": str(i), "content": encode_gif(idxs)})
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    media = docs.mapInPandas(gen, "path string, content binary")
+    out = gif_frame_features(media, every_n=2)
+    return out.select(
+        "path", "frame_index", "height", "width", F.round("mean_intensity", 6).alias("mean_intensity")
+    )

@@ -199,6 +199,7 @@ PENDING_NEXT_WINDOW: set[str] = {
     "x13_exactly_once_txn_sink",
     "a18_approx_quantile_rollup",
     "g15_small_quantity_revenue",
+    "m3_gif_frame_sample",
 }
 
 
