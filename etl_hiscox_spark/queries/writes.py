@@ -672,3 +672,43 @@ def s15_corrupt_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_good"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("good_value"),
     ).select("n_good", F.lit(bad.count()).alias("n_quarantined"), "good_value")
+
+
+# ---------------------------------------------------------------------------
+# S16: Avro round-trip through the stdlib fallback codec (r6 upgrade of
+# the formerly jar-gated surface): orders → object-container files
+# (deflate, one per Arrow partition, executor-side) → distributed
+# container decode → aggregate. long/double/string/timestamp all cross
+# the binary format; the oracle checks the whole round-trip from the
+# source table (a wrong varint, union branch or timestamp unit corrupts
+# counts, sums or the min date).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s16_avro_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MIN(o_orderdate) AS first_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def s16_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_hiscox_spark.sources.readers import read_avro, write_avro
+
+    path = os.path.join(_scratch("s16_avro", sf_dir), "orders_avro")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    )
+    write_avro(orders, path)
+    back = read_avro(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        F.min("o_orderdate").alias("first_order"),
+    )

@@ -162,34 +162,149 @@ def with_ingest_metadata(df: DataFrame, source_file: str | None = None, batch_id
     return out
 
 
+def _avro_to_spark_type(t) -> T.DataType:
+    if isinstance(t, list):  # union — nullable wrapper
+        non_null = [s for s in t if (s if isinstance(s, str) else s.get("type")) != "null"]
+        if len(non_null) != 1:
+            raise NotImplementedError(f"multi-branch avro union {t}")
+        return _avro_to_spark_type(non_null[0])
+    if isinstance(t, dict):
+        lt = t.get("logicalType")
+        if lt in ("timestamp-micros", "timestamp-millis"):
+            return T.TimestampType()
+        if t["type"] == "array":
+            return T.ArrayType(_avro_to_spark_type(t["items"]))
+        t = t["type"]
+    prim = {
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "string": T.StringType(),
+        "boolean": T.BooleanType(),
+        "bytes": T.BinaryType(),
+    }
+    if t not in prim:
+        raise NotImplementedError(f"avro type {t!r} has no fallback mapping")
+    return prim[t]
+
+
+def _spark_to_avro_type(dt: T.DataType):
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, T.IntegerType):
+        return "int"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.ArrayType):
+        return {"type": "array", "items": _spark_to_avro_type(dt.elementType)}
+    raise NotImplementedError(f"spark type {dt} has no avro fallback mapping")
+
+
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Avro scan — the row-oriented interchange format (Kafka/connect
-    pipelines land it). Avro is an EXTERNAL Spark module (spark-avro jar);
-    this container does not deploy it, so the call raises a clear
-    RuntimeError here and works unchanged once the jar is on the
-    cluster's classpath (same gating policy as :func:`read_excel`)."""
+    """Avro scan — the row-oriented interchange format (Kafka/Connect
+    pipelines land it). Prefers the spark-avro module when its jar is on
+    the classpath; without it, a REAL stdlib fallback
+    (:mod:`etl_hiscox_spark.sources.avro_lite`, same policy as the xlsx/
+    BMP/WAV/GIF codecs) parses the object-container format distributed:
+    the schema comes from one file header (driver-side, no block decode),
+    then each container decodes inside an Arrow ``mapInPandas`` over a
+    ``binaryFile`` scan — per-file parallelism, rows never hit the driver."""
     try:
         return spark.read.format("avro").load(path)
     except Exception as e:  # AnalysisException: failed to find data source
-        if "avro" in str(e).lower():
-            raise RuntimeError(
-                "read_avro needs the spark-avro module on the classpath "
-                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
-            ) from e
-        raise
+        if "avro" not in str(e).lower():
+            raise
+
+    from etl_hiscox_spark.sources.avro_lite import read_container, read_container_schema
+
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
+    ) if os.path.isdir(path) else [path]
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    avro_schema = read_container_schema(files[0])
+    fields = [
+        T.StructField(f["name"], _avro_to_spark_type(f["type"]))
+        for f in avro_schema["fields"]
+    ]
+    spark_schema = T.StructType(fields)
+    names = [f.name for f in fields]
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, records = read_container(bytes(content))
+                yield pd.DataFrame(records, columns=names)
+
+    return (
+        read_binary_files(spark, path, glob="*.avro" if os.path.isdir(path) else None)
+        .select("content")
+        .mapInPandas(decode, spark_schema)
+    )
 
 
 def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Avro sink — gated exactly like :func:`read_avro`."""
+    """Avro sink — spark-avro when deployed, stdlib container writer
+    otherwise (deflate codec, one file per Arrow partition, written
+    executor-side; the tiny (file, n_rows) receipt frame is the only
+    thing collected)."""
     try:
         df.write.mode(mode).format("avro").save(path)
+        return
     except Exception as e:
-        if "avro" in str(e).lower():
-            raise RuntimeError(
-                "write_avro needs the spark-avro module on the classpath "
-                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
-            ) from e
-        raise
+        if "avro" not in str(e).lower():
+            raise
+
+    import uuid
+
+    from etl_hiscox_spark.sources.avro_lite import write_container
+
+    avro_schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": f.name, "type": ["null", _spark_to_avro_type(f.dataType)]}
+            for f in df.schema.fields
+        ],
+    }
+    if mode == "overwrite" and os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            clean = pdf.astype(object).where(pdf.notnull(), None)
+            records = []
+            for rec in clean.to_dict("records"):
+                records.append(
+                    {
+                        k: (v.to_pydatetime() if isinstance(v, pd.Timestamp) else v)
+                        for k, v in rec.items()
+                    }
+                )
+            fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+            with open(fname, "wb") as f:
+                f.write(write_container(records, avro_schema))
+            yield pd.DataFrame({"file": [fname], "n_rows": [len(records)]})
+
+    df.mapInPandas(encode, "file string, n_rows long").collect()
 
 
 def read_orc(

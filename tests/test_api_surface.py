@@ -200,6 +200,7 @@ PENDING_NEXT_WINDOW: set[str] = {
     "a18_approx_quantile_rollup",
     "g15_small_quantity_revenue",
     "m3_gif_frame_sample",
+    "s16_avro_roundtrip",
 }
 
 

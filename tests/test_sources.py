@@ -146,15 +146,31 @@ def test_latest_object(spark, tmp_path):
     assert blob is not None and blob.path.endswith("new.csv")
 
 
-def test_avro_gated_without_module(spark, tmp_path):
-    # spark-avro is an external module not deployed here: both directions
-    # must fail with actionable guidance (same policy as the Excel gate).
+def test_avro_roundtrip_via_stdlib_fallback(spark, tmp_path):
+    # spark-avro is an external module not deployed here: the fallback is
+    # the REAL stdlib container codec (avro_lite), not a gate — r6
+    # upgrade, same policy as the xlsx/BMP/WAV/GIF parsers. Types,
+    # NULLs, timestamps and binary all survive; a missing target still
+    # errors loudly.
+    from datetime import datetime
+
     from etl_hiscox_spark.sources.readers import read_avro, write_avro
 
-    with pytest.raises(RuntimeError, match="spark-avro"):
-        read_avro(spark, str(tmp_path / "in.avro"))
-    with pytest.raises(RuntimeError, match="spark-avro"):
-        write_avro(spark.range(3), str(tmp_path / "out.avro"))
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.5, datetime(2024, 1, 2, 3, 4, 5), True, None),
+            (2, None, -2.25, None, False, bytearray(b"\x00\x01")),
+        ],
+        "id long, s string, d double, ts timestamp, b boolean, raw binary",
+    )
+    path = str(tmp_path / "tbl_avro")
+    write_avro(df, path)
+    back = {r["id"]: r for r in read_avro(spark, path).collect()}
+    assert back[1]["ts"] == datetime(2024, 1, 2, 3, 4, 5)
+    assert back[2]["s"] is None and bytes(back[2]["raw"]) == b"\x00\x01"
+    assert back[1]["b"] is True and back[2]["d"] == -2.25
+    with pytest.raises(FileNotFoundError):
+        read_avro(spark, str(tmp_path / "nope"))
 
 
 def test_txn_table_append_time_travel_and_evolution(spark, tmp_path):
