@@ -316,3 +316,49 @@ def pack_sequences(
         (F.shiftrightunsigned(F.xxhash64(F.col(id_col)), 1) % n_groups).alias("__grp"),
     )
     return prepared.groupBy("__grp").applyInPandas(pack_group, schema=out_schema)
+
+
+def upsample(
+    df: DataFrame,
+    weight_col: str | Column,
+    key: str,
+    seed: int = 0,
+    copy_col: str = "copy_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Repeat-factor upsampling: each row emits ``floor(w)`` copies plus
+    one more with probability ``frac(w)`` — E[#copies] = w exactly.
+
+    The other half of mixture weighting: :func:`weighted_sample` covers
+    w ≤ 1 (downsampling); data-mixture recipes that REPEAT rare
+    high-quality sources (2-5× epochs for curated corpora) need w > 1.
+    Zero shuffle — the copy count is a scan-stage expression and copies
+    materialize via sequence+explode; ``copy_col`` (0..n-1) keeps the
+    duplicates distinguishable downstream (dedup keys, shard packing)
+    and the output a pure deterministic function of (key, seed).
+
+    NULL keys error (same policy as every sampler here); NULL/NaN
+    weights emit zero copies. ``portable=True`` draws the fractional
+    coin from the sha256 hex prefix (:func:`_portable_keep`) so any
+    engine reproduces the exact copy set — the declared t22 query runs
+    that form against its DuckDB twin.
+    """
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast("double")
+    w = F.when(w.isNull() | F.isnan(w), F.lit(0.0)).otherwise(F.greatest(w, F.lit(0.0)))
+    base = F.floor(w).cast("long")
+    frac = w - base
+    if portable:
+        extra = _portable_keep(key, frac, seed, salt=3)
+    else:
+        extra = _uniform01(key, seed, salt=3) < frac
+    n = base + extra.cast("long")
+    n = F.when(
+        F.col(key).isNull(),
+        F.raise_error(F.lit(f"upsample: NULL {key} cannot draw deterministically")),
+    ).otherwise(n)
+    return (
+        df.withColumn("__n_copies", n)
+        .filter(F.col("__n_copies") >= 1)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)))
+        .drop("__n_copies")
+    )

@@ -1835,3 +1835,39 @@ def m3_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "path", "frame_index", "height", "width", F.round("mean_intensity", 6).alias("mean_intensity")
     )
+
+
+@register(
+    "t22_upsample_mixture",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, source,
+             CAST((doc_id * 7) % 40 AS DOUBLE) / 10.0 AS wt
+      FROM documents
+    ), draws AS (
+      SELECT doc_id, lang, source, wt,
+             CAST(FLOOR(wt) AS BIGINT)
+               + CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR) || ':3:0'), 1, 13)
+                         < lpad(lower(to_hex(CAST(FLOOR((wt - FLOOR(wt)) * 16^13) AS BIGINT))), 13, '0')
+                      THEN 1 ELSE 0 END AS n
+      FROM w
+    )
+    SELECT doc_id, lang, source, CAST(UNNEST(range(0, n)) AS BIGINT) AS copy_id
+    FROM draws WHERE n >= 1
+    """,
+)
+def t22_upsample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Repeat-factor mixture weighting (the w>1 half t12's downsampler
+    # can't express): weight = (7·doc_id mod 40)/10 ∈ [0, 3.9] exercises
+    # zero-copy drops, fractional coins and multi-copy repeats in one
+    # corpus. portable=True draws the fractional coin from the sha256 hex
+    # prefix, so the DuckDB twin re-derives the EXACT copy multiset —
+    # including copy ids — from the same arithmetic.
+    from etl_hiscox_spark.operators.sampling import upsample
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "source")
+    weighted = docs.withColumn(
+        "wt", ((F.col("doc_id") * 7) % 40).cast("double") / F.lit(10.0)
+    )
+    out = upsample(weighted, "wt", key="doc_id", portable=True)
+    return out.select("doc_id", "lang", "source", F.col("copy_id").cast("long").alias("copy_id"))

@@ -201,6 +201,7 @@ PENDING_NEXT_WINDOW: set[str] = {
     "g15_small_quantity_revenue",
     "m3_gif_frame_sample",
     "s16_avro_roundtrip",
+    "t22_upsample_mixture",
 }
 
 

@@ -195,3 +195,46 @@ def test_mixture_sample_portable_matches_duckdb(spark):
     assert got == [(r[0], r[1]) for r in dd]
     # the scarce source (a: n/3 rows, target 50%) survives whole
     assert sum(1 for _, s in got if s == "a") == n // 3
+
+
+def test_upsample_expected_copies_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.operators.sampling import upsample
+
+    df = spark.range(4000).withColumnRenamed("id", "doc_id").withColumn(
+        "w", (F.col("doc_id") % 5).cast("double") / F.lit(2.0)  # 0, .5, 1, 1.5, 2
+    )
+    out = upsample(df, "w", key="doc_id", seed=1)
+    got = {r["doc_id"]: r["n"] for r in out.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    # w=0 rows never appear; integer weights are exact; E over fractional
+    assert all(d % 5 != 0 for d in got)
+    assert all(got[d] == 1 for d in got if d % 5 == 2)
+    assert all(got[d] == 2 for d in got if d % 5 == 4)
+    half = [got.get(d, 0) for d in range(4000) if d % 5 == 1]  # w = 0.5
+    assert abs(sum(half) / len(half) - 0.5) < 0.06
+    sesq = [got.get(d, 0) for d in range(4000) if d % 5 == 3]  # w = 1.5
+    assert set(sesq) <= {1, 2} and abs(sum(sesq) / len(sesq) - 1.5) < 0.06
+    # deterministic under re-partitioning, copy ids dense from 0
+    out2 = upsample(df.repartition(13), "w", key="doc_id", seed=1)
+    assert sorted(map(tuple, out.select("doc_id", "copy_id").collect())) == sorted(
+        map(tuple, out2.select("doc_id", "copy_id").collect())
+    )
+    copies = {
+        (r["doc_id"], r["copy_id"]) for r in out.filter(F.col("doc_id") % 5 == 4).collect()
+    }
+    assert all((d, 0) in copies and (d, 1) in copies for d, _ in copies)
+
+
+def test_upsample_null_handling(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.operators.sampling import upsample
+
+    df = spark.createDataFrame([(1, None), (2, float("nan")), (3, 2.0)], "doc_id long, w double")
+    got = upsample(df, "w", key="doc_id").groupBy("doc_id").count().collect()
+    assert {r["doc_id"]: r["count"] for r in got} == {3: 2}  # null/nan -> 0 copies
+    bad = spark.createDataFrame([(None, 1.0)], "doc_id long, w double")
+    with pytest.raises(Exception, match="NULL doc_id"):
+        upsample(bad, "w", key="doc_id").collect()
