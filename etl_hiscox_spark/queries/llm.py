@@ -1871,3 +1871,28 @@ def t22_upsample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = upsample(weighted, "wt", key="doc_id", portable=True)
     return out.select("doc_id", "lang", "source", F.col("copy_id").cast("long").alias("copy_id"))
+
+
+from etl_hiscox_spark.operators.bpe import bpe_segment, bpe_segment_oracle_sql  # noqa: E402
+
+
+@register(
+    "t23_bpe_segmentation",
+    oracle=bpe_segment_oracle_sql("documents", "text", "doc_id", n_merges=8),
+)
+def t23_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Train-then-apply, end-to-end: the 8 learned merges (t21) compile
+    # into ONE codegen'd projection over the corpus scan (three literal
+    # replaces per merge, un-mergeable double-space word boundary), and
+    # the declared output is per-doc BPE token counts. The oracle replays
+    # BOTH stages in SQL — training CTE chain + the same replace chain
+    # over every document — so a drifting merge order, boundary leak or
+    # overlap-semantics change breaks the hash.
+    docs = load_table(spark, "documents", sf_dir)
+    merges = [
+        (r["rank"], r["pair"]) for r in bpe_train(docs, "text", n_merges=8).collect()
+    ]
+    seg = bpe_segment(docs, "text", merges, out_col="bpe_tokens")
+    joined = F.concat_ws(" ", F.col("bpe_tokens"))
+    n = F.when(joined == "", F.lit(0)).otherwise(F.size("bpe_tokens")).cast("long")
+    return seg.select(F.col("doc_id").alias("id"), n.alias("n_bpe_tokens"))

@@ -202,6 +202,7 @@ PENDING_NEXT_WINDOW: set[str] = {
     "m3_gif_frame_sample",
     "s16_avro_roundtrip",
     "t22_upsample_mixture",
+    "t23_bpe_segmentation",
 }
 
 
