@@ -1896,3 +1896,58 @@ def t23_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = F.concat_ws(" ", F.col("bpe_tokens"))
     n = F.when(joined == "", F.lit(0)).otherwise(F.size("bpe_tokens")).cast("long")
     return seg.select(F.col("doc_id").alias("id"), n.alias("n_bpe_tokens"))
+
+
+@register(
+    "t24_heavy_hitter_terms",
+    oracle=r"""
+    WITH w AS (
+      SELECT UNNEST(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+      FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM w),
+    cnt AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word)
+    SELECT word,
+           c AS n_occurrences,
+           c > (SELECT n FROM tot) / 16.0 AS guaranteed,
+           TRUE AS summary_ok
+    FROM cnt ORDER BY c DESC, word ASC LIMIT 15
+    """,
+)
+def t24_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Misra–Gries heavy hitters with the a16 tripwire mechanism, leaning
+    # on MG's DETERMINISTIC bounds (count-min's probabilistic ones could
+    # fail a hash legitimately): for the exact top-15 words, `guaranteed`
+    # (freq > N/k — SQL-computable on both sides) flags the items MG
+    # provably retains, and `summary_ok` is Spark-side proof that every
+    # guaranteed item IS in the merged summary and every present item's
+    # estimate sits in [exact − N/k, exact] (MG only underestimates).
+    # DuckDB emits TRUE unconditionally — a broken eviction loop, merge
+    # prune or bound regression goes driver-red. k=16 is chosen BELOW the
+    # corpus vocabulary so evictions genuinely occur at every SF.
+    from etl_hiscox_spark.operators.heavy_hitters import heavy_hitters
+
+    k = 16
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word")
+    )
+    n_total = words.count()  # driver-side scalar (the N in the bound)
+    hh = heavy_hitters(words, "word", k=k)
+    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    top = exact.orderBy(F.col("n_occurrences").desc(), F.col("word").asc()).limit(15)
+    bound = F.lit(n_total) / float(k)
+    joined = top.join(hh.withColumnRenamed("item", "word"), "word", "left")
+    present = F.col("est_count").isNotNull()
+    in_bounds = present & F.col("est_count").between(
+        F.col("n_occurrences") - bound, F.col("n_occurrences")
+    )
+    guaranteed = F.col("n_occurrences") > bound
+    return joined.select(
+        "word",
+        "n_occurrences",
+        guaranteed.alias("guaranteed"),
+        (
+            (~guaranteed | in_bounds)  # guaranteed items: present + bounded
+            & (~present | in_bounds)  # any present item: bounded
+        ).alias("summary_ok"),
+    )

@@ -203,6 +203,7 @@ PENDING_NEXT_WINDOW: set[str] = {
     "s16_avro_roundtrip",
     "t22_upsample_mixture",
     "t23_bpe_segmentation",
+    "t24_heavy_hitter_terms",
 }
 
 
