@@ -51,7 +51,9 @@ def heavy_hitters(df: DataFrame, item_col: Column | str, k: int = 64) -> DataFra
     ≤ that after — driver never sees raw items.
     """
     item = F.col(item_col) if isinstance(item_col, str) else item_col
-    stream = df.select(item.alias("item"))
+    # items surface as strings (the partial schema is fixed); non-string
+    # keys round-trip losslessly through cast for every atomic type
+    stream = df.select(item.cast("string").alias("item"))
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}

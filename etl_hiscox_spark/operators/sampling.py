@@ -345,6 +345,10 @@ def upsample(
     """
     w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast("double")
     w = F.when(w.isNull() | F.isnan(w), F.lit(0.0)).otherwise(F.greatest(w, F.lit(0.0)))
+    # Hard ceiling: a buggy upstream weight (1e9 from a unit mix-up) would
+    # otherwise sequence-explode one row into a partition-killing array.
+    # 100 epochs is far beyond any real mixture recipe; raise consciously.
+    w = F.least(w, F.lit(100.0))
     base = F.floor(w).cast("long")
     frac = w - base
     if portable:

@@ -142,6 +142,15 @@ WINDOW_R6: tuple[str, ...] = (
     # staleness bound and their plan shapes are pytest-gated)
 )
 
+# WINDOW_R7 arithmetic (for the next rotation): after r6's driver check,
+# required slots = the ~11 r6 declarations in PENDING_NEXT_WINDOW (never
+# checked) + l2_simhash (output changed post-window) + the ~39 remaining
+# r4-stale greens ≈ 51 for 50 slots — one r4 green will have to slip to
+# r8 (pick one whose semantics are pinned by pytest + plan gates, e.g. a
+# canary-class query) and be listed as the explicit exception when the
+# staleness guard is rolled forward. Declaring further queries before the
+# r7 window is banked should be weighed against this debt.
+
 # Round 5 window (historical — r5 driver results in CORRECTNESS_r05.json).
 WINDOW_R5: tuple[str, ...] = (
     # output changed / newly declared this round — must (re-)check
