@@ -102,6 +102,16 @@ def decode_gif(content: bytes) -> list[np.ndarray]:
             pos += 1
             data, pos = _read_subblocks(content, pos)
             if label == 0xF9 and len(data) >= 4:  # graphic control
+                disposal = (data[0] >> 2) & 0x07
+                if disposal in (2, 3):
+                    # restore-to-background / restore-to-previous change
+                    # what the NEXT frame composites over — silently
+                    # treating them as "draw over previous" would decode
+                    # wrong pixels (module policy: loud, never wrong)
+                    raise NotImplementedError(
+                        f"GIF disposal method {disposal} (restore to "
+                        "background/previous); only none/keep supported"
+                    )
                 transparent = data[3] if data[0] & 0x01 else None
             continue
         if b != 0x2C:

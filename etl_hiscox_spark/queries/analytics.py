@@ -1030,6 +1030,12 @@ def a18_approx_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(price, F.lit(0.95)).alias("p95_exact"),
         F.count(F.lit(1)).alias("n"),
     )
+    # g feeds two plan branches (the rank join probe and the final select);
+    # without a materialization Spark would recompute the whole sketch
+    # aggregation per branch — and percentile_approx is merge-order
+    # dependent, so the branches could even disagree on a50/a95. The table
+    # is |months| rows; the checkpoint is trivial.
+    g = g.localCheckpoint(eager=True)
     ranks = (
         orders.select(month, price.alias("__v"))
         .join(g, "order_month")

@@ -664,14 +664,20 @@ def s15_corrupt_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("o_orderstatus", T.StringType()),
         ]
     )
-    good, bad = read_json_quarantine(spark, path, schema)
+    split = read_json_quarantine(spark, path, schema)
     # bad.count() is a driver-side scalar over the cached parse — the
     # quarantine count is exactly the kind of ingest metric that rides a
-    # report row, not a distributed column.
-    return good.agg(
+    # report row, not a distributed column. Both branches are consumed by
+    # the time the result frame is built, so the shared cache releases
+    # here instead of pinning a copy of the feed for the session (good
+    # recomputes fine uncached — it references real columns).
+    n_bad = split.bad.count()
+    out = split.good.agg(
         F.count(F.lit(1)).alias("n_good"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("good_value"),
-    ).select("n_good", F.lit(bad.count()).alias("n_quarantined"), "good_value")
+    ).select("n_good", F.lit(n_bad).alias("n_quarantined"), "good_value")
+    split.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

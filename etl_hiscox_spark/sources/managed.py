@@ -116,12 +116,21 @@ class ManagedTable:
         return self._txn.vacuum()
 
     def erase_keys(self, key_col: str, keys: list) -> int:
+        if not keys:
+            return 0
         if self.backend == "delta":
             from delta.tables import DeltaTable
+            from pyspark.sql import functions as F
 
             t = DeltaTable.forPath(self.spark, self.path)
-            n = self.read().filter(self.read()[key_col].isin(keys)).count()
-            t.delete(f"{key_col} IN ({', '.join(repr(k) for k in keys)})")
+            # one read() — two separate reads carry distinct attribute ids
+            # and filtering one with the other's column throws
+            # MISSING_ATTRIBUTES; and the predicate goes to delete() as a
+            # Column, never an interpolated SQL string (repr() is not SQL
+            # quoting — a key like O'Brien would mis-quote).
+            current = self.read()
+            n = current.filter(current[key_col].isin(keys)).count()
+            t.delete(F.col(key_col).isin(keys))
             # NOTE: Delta DELETE removes rows from the CURRENT version only;
             # full history purge additionally needs VACUUM past the old
             # files' retention — the txnlog backend's erase_keys does the

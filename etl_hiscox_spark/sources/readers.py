@@ -51,9 +51,30 @@ def read_json(
     return reader.json(path)
 
 
+class QuarantineSplit:
+    """Result of :func:`read_json_quarantine`: ``good``/``bad`` frames plus
+    an ``unpersist()`` handle for the shared cached parse. Unpacks like the
+    (good, bad) tuple for convenience."""
+
+    def __init__(self, good: DataFrame, bad: DataFrame, parsed: DataFrame):
+        self.good = good
+        self.bad = bad
+        self._parsed = parsed
+
+    def unpersist(self) -> None:
+        """Release the cached parse once both branches are consumed.
+        ``good`` stays computable afterwards for queries touching at least
+        one real column; ``bad`` (and an all-column-pruning count) would
+        re-trip SPARK-21610 — materialize those first."""
+        self._parsed.unpersist()
+
+    def __iter__(self):
+        return iter((self.good, self.bad))
+
+
 def read_json_quarantine(
     spark: SparkSession, path: str, schema: T.StructType
-) -> tuple[DataFrame, DataFrame]:
+) -> QuarantineSplit:
     """S6b: JSON scan with corrupt-record quarantine — (good, quarantined).
 
     Real feeds carry malformed rows; FAILFAST aborts a 100 TB job on the
@@ -66,7 +87,10 @@ def read_json_quarantine(
     Spark quirk handled here: the parsed frame is cached before filtering
     because a query that references ONLY the internal corrupt column is
     rejected by the analyzer (SPARK-21610) — and without the cache the two
-    branches would re-read the files anyway.
+    branches would re-read the files anyway. The cache is NOT
+    self-releasing (Spark has no scoped cache): call
+    :meth:`QuarantineSplit.unpersist` after consuming both branches, or
+    repeated ingests pin a copy of every feed in executor storage memory.
     """
     full = T.StructType(list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())])
     parsed = (
@@ -80,7 +104,7 @@ def read_json_quarantine(
     bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw")
     )
-    return good, bad
+    return QuarantineSplit(good, bad, parsed)
 
 
 def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
@@ -211,6 +235,18 @@ def _spark_to_avro_type(dt: T.DataType):
     raise NotImplementedError(f"spark type {dt} has no avro fallback mapping")
 
 
+def _is_missing_avro_datasource(e: Exception) -> bool:
+    """True only for the the-module-isn't-deployed failure. A substring
+    match on 'avro' alone would misroute REAL native-path failures (a path
+    or schema message containing 'avro' during disk-full / schema-mismatch
+    / executor loss) into the fallback, silently swallowing the error and
+    changing the output format mid-job."""
+    msg = str(e)
+    return (
+        "FAILED_TO_FIND_DATA_SOURCE" in msg or "Failed to find data source" in msg
+    ) and "avro" in msg.lower()
+
+
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Avro scan — the row-oriented interchange format (Kafka/Connect
     pipelines land it). Prefers the spark-avro module when its jar is on
@@ -222,8 +258,8 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     ``binaryFile`` scan — per-file parallelism, rows never hit the driver."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as e:  # AnalysisException: failed to find data source
-        if "avro" not in str(e).lower():
+    except Exception as e:
+        if not _is_missing_avro_datasource(e):
             raise
 
     from etl_hiscox_spark.sources.avro_lite import read_container, read_container_schema
@@ -265,7 +301,7 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         df.write.mode(mode).format("avro").save(path)
         return
     except Exception as e:
-        if "avro" not in str(e).lower():
+        if not _is_missing_avro_datasource(e):
             raise
 
     import uuid

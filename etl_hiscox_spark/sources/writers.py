@@ -303,6 +303,11 @@ def zorder_layout(
     lo0, hi0, lo1, hi1 = df.agg(
         F.min(c0), F.max(c0), F.min(c1), F.max(c1)
     ).first()
+    if lo0 is None or lo1 is None:
+        raise ValueError(
+            f"zorder_layout: no non-null values in {cols} (empty input?) — "
+            "nothing to cluster; write the frame directly instead"
+        )
     span0 = (hi0 - lo0) or 1.0
     span1 = (hi1 - lo1) or 1.0
     top = (1 << bits) - 1

@@ -111,3 +111,30 @@ def test_bpe_segment_respects_word_boundaries(spark):
 def test_bpe_train_short_circuits_when_no_pairs_left(spark):
     df = spark.createDataFrame([("a b c",)], "text string")  # 1-char words only
     assert bpe_train(df, "text", n_merges=4).count() == 0
+
+
+def test_oracle_matches_train_when_corpus_exhausts_merges(spark):
+    """A corpus supporting fewer merges than n_merges: bpe_train breaks
+    early; the oracle must emit exactly the same (shorter) merge table —
+    no NULL-pair rows — and the segmentation oracle must treat exhausted
+    rounds as no-ops instead of NULLing every document."""
+    import duckdb
+
+    from etl_hiscox_spark.operators.bpe import bpe_segment_oracle_sql
+
+    corpus = [("ab ab",), ("ab",)]  # only 1 possible merge ('a b')
+    df = spark.createDataFrame(corpus, "text string")
+    got = sorted((r["rank"], r["pair"]) for r in bpe_train(df, "text", n_merges=8).collect())
+    assert got == [(1, "a b")]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t[0]}')" for i, t in enumerate(corpus))
+        + ") v(doc_id, text)"
+    )
+    oracle = con.execute(bpe_oracle_sql("SELECT text FROM docs", "text", 8)).fetchall()
+    assert sorted((int(r), p) for r, p in oracle) == got
+
+    seg = con.execute(bpe_segment_oracle_sql("docs", "text", "doc_id", 8)).fetchall()
+    assert sorted(seg) == [(0, 2), (1, 1)]  # 'ab ab' -> 2 tokens, 'ab' -> 1

@@ -98,3 +98,17 @@ def test_gif_frame_features_spark(spark):
             assert (row["height"], row["width"]) == (4, 6)
             expected = float(np.mean((np.arange(24) + d * 31 + f * 7) % 256))
             assert abs(row["mean_intensity"] - expected) < 1e-9
+
+
+def test_disposal_methods_2_and_3_rejected():
+    import struct
+
+    base = np.full((3, 3), 50, dtype=np.uint8)
+    top = np.full((3, 3), 90, dtype=np.uint8)
+    raw = bytearray(encode_gif([base, top]))
+    second = _second_descriptor_pos(bytes(raw))
+    # disposal method 2 (restore to background) in the GCE packed field
+    gce = struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 2 << 2, 0, 0, 0)
+    patched = bytes(raw[:second]) + gce + bytes(raw[second:])
+    with pytest.raises(NotImplementedError, match="disposal method 2"):
+        decode_gif(patched)

@@ -478,11 +478,18 @@ def test_read_json_quarantine_splits_and_preserves_raw(spark, tmp_path):
         'not json at all\n'
     )
     schema = T.StructType([T.StructField("id", T.LongType()), T.StructField("v", T.StringType())])
-    good, bad = read_json_quarantine(spark, str(p), schema)
+    split = read_json_quarantine(spark, str(p), schema)
+    good, bad = split  # unpacks like the tuple
     assert {r["id"] for r in good.collect()} == {1, 3}
     assert "_corrupt_record" not in good.columns
     raws = {r["raw"] for r in bad.collect()}
     assert raws == {'{"id": 2, "v": BROKEN', "not json at all"}
+    from pyspark.sql import functions as F
+
+    split.unpersist()  # releases the shared cache
+    # good stays computable uncached as long as the query touches a real
+    # column (an all-column-pruning count() would re-trip SPARK-21610)
+    assert good.agg(F.sum("id")).first()[0] == 4
 
 
 def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
@@ -521,3 +528,30 @@ def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
     # the full file count (a 1-D sort on x would give ty == total)
     assert tx <= total // 2, (tx, total)
     assert ty <= total // 2, (ty, total)
+
+
+def test_zorder_layout_rejects_empty_input(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as SF
+
+    from etl_hiscox_spark.sources.writers import zorder_layout
+
+    empty = spark.range(10).filter(SF.col("id") < 0).withColumn("x", SF.col("id"))
+    with _pytest.raises(ValueError, match="no non-null values"):
+        zorder_layout(empty, str(tmp_path / "z"), ("id", "x"))
+
+
+def test_avro_fallback_only_on_missing_datasource():
+    # a genuine native failure whose message merely CONTAINS 'avro' (e.g.
+    # an output path) must propagate, not silently reroute to the fallback
+    from etl_hiscox_spark.sources.readers import _is_missing_avro_datasource
+
+    assert _is_missing_avro_datasource(
+        Exception("[FAILED_TO_FIND_DATA_SOURCE] Failed to find the data source: avro.")
+    )
+    assert not _is_missing_avro_datasource(
+        Exception("java.io.IOException: No space left on device: /data/orders_avro/part-0")
+    )
+    assert not _is_missing_avro_datasource(
+        Exception("[FAILED_TO_FIND_DATA_SOURCE] Failed to find the data source: kafka.")
+    )
