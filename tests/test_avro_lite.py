@@ -82,3 +82,41 @@ def test_unsupported_loud():
         write_container([], {"type": "enum", "name": "e", "symbols": ["A"]})
     with pytest.raises(NotImplementedError, match="snappy"):
         write_container([], SCHEMA, codec="snappy")
+
+
+def test_container_roundtrip_fuzz():
+    """Hypothesis: arbitrary records over the supported type lattice
+    round-trip bit-exactly through both codecs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    schema = {
+        "type": "record",
+        "name": "fz",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "bytes"},
+            {"name": "flags", "type": {"type": "array", "items": "boolean"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+        ],
+    }
+    rec = st.fixed_dictionaries(
+        {
+            "i": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            "s": st.one_of(st.none(), st.text(max_size=40)),
+            "d": st.floats(allow_nan=False),  # NaN != NaN breaks equality, not codec
+            "b": st.binary(max_size=30),
+            "flags": st.lists(st.booleans(), max_size=5),
+            "m": st.dictionaries(st.text(max_size=8), st.integers(-1000, 1000), max_size=4),
+        }
+    )
+
+    @settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(rec, max_size=12), st.sampled_from(["null", "deflate"]))
+    def run(rows, codec):
+        got_schema, got = read_container(write_container(rows, schema, codec=codec))
+        assert got_schema == schema and got == rows
+
+    run()
