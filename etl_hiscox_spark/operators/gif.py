@@ -92,6 +92,8 @@ def decode_gif(content: bytes) -> list[np.ndarray]:
     frames: list[np.ndarray] = []
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
     transparent: int | None = None
+    next_disposal = 0  # GCE disposal for the UPCOMING frame
+    prev_disposal = 0  # disposal of the most recently DECODED frame
     while pos < len(content):
         b = content[pos]
         pos += 1
@@ -102,20 +104,23 @@ def decode_gif(content: bytes) -> list[np.ndarray]:
             pos += 1
             data, pos = _read_subblocks(content, pos)
             if label == 0xF9 and len(data) >= 4:  # graphic control
-                disposal = (data[0] >> 2) & 0x07
-                if disposal in (2, 3):
-                    # restore-to-background / restore-to-previous change
-                    # what the NEXT frame composites over — silently
-                    # treating them as "draw over previous" would decode
-                    # wrong pixels (module policy: loud, never wrong)
-                    raise NotImplementedError(
-                        f"GIF disposal method {disposal} (restore to "
-                        "background/previous); only none/keep supported"
-                    )
+                next_disposal = (data[0] >> 2) & 0x07
                 transparent = data[3] if data[0] & 0x01 else None
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        if frames and prev_disposal in (2, 3):
+            # restore-to-background / restore-to-previous change what THIS
+            # frame composites over — silently treating them as
+            # "draw over previous" would decode wrong pixels (module
+            # policy: loud, never wrong). Checked here, not at the GCE, on
+            # purpose: a disposal flag on the FINAL (or only) frame
+            # affects nothing and real still-image encoders do emit it.
+            raise NotImplementedError(
+                f"GIF disposal method {prev_disposal} (restore to "
+                "background/previous) before a subsequent frame; only "
+                "none/keep supported"
+            )
         fx, fy, fw, fh, fflags = struct.unpack("<HHHHB", content[pos : pos + 9])
         pos += 9
         if fflags & 0x80:
@@ -138,6 +143,8 @@ def decode_gif(content: bytes) -> list[np.ndarray]:
             region[:] = rgb
         frames.append(canvas.copy())
         transparent = None
+        prev_disposal = next_disposal  # the GCE governs the frame just drawn
+        next_disposal = 0
     return frames
 
 

@@ -325,9 +325,11 @@ def upsample(
     seed: int = 0,
     copy_col: str = "copy_id",
     portable: bool = False,
+    max_weight: float = 100.0,
 ) -> DataFrame:
     """Repeat-factor upsampling: each row emits ``floor(w)`` copies plus
-    one more with probability ``frac(w)`` — E[#copies] = w exactly.
+    one more with probability ``frac(w)`` — E[#copies] = w exactly, with
+    weights above ``max_weight`` failing the job loudly (never clamped).
 
     The other half of mixture weighting: :func:`weighted_sample` covers
     w ≤ 1 (downsampling); data-mixture recipes that REPEAT rare
@@ -345,10 +347,21 @@ def upsample(
     """
     w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast("double")
     w = F.when(w.isNull() | F.isnan(w), F.lit(0.0)).otherwise(F.greatest(w, F.lit(0.0)))
-    # Hard ceiling: a buggy upstream weight (1e9 from a unit mix-up) would
-    # otherwise sequence-explode one row into a partition-killing array.
-    # 100 epochs is far beyond any real mixture recipe; raise consciously.
-    w = F.least(w, F.lit(100.0))
+    # Hard ceiling, enforced LOUDLY: a buggy upstream weight (1e9 from a
+    # unit mix-up) would sequence-explode one row into a partition-killing
+    # array — but silently clamping would break the E[#copies]=w contract
+    # (and diverge from the uncapped t22 oracle). 100 epochs is far beyond
+    # any real mixture recipe; raise max_weight consciously if you need it.
+    w = F.when(
+        w > F.lit(float(max_weight)),
+        F.raise_error(
+            F.concat(
+                F.lit(f"upsample: weight exceeds max_weight={max_weight} (got "),
+                w.cast("string"),
+                F.lit(") — a runaway weight would explode one row into a partition-killing array"),
+            )
+        ),
+    ).otherwise(w)
     base = F.floor(w).cast("long")
     frac = w - base
     if portable:

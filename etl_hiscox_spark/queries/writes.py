@@ -665,19 +665,22 @@ def s15_corrupt_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     split = read_json_quarantine(spark, path, schema)
-    # bad.count() is a driver-side scalar over the cached parse — the
-    # quarantine count is exactly the kind of ingest metric that rides a
-    # report row, not a distributed column. Both branches are consumed by
-    # the time the result frame is built, so the shared cache releases
-    # here instead of pinning a copy of the feed for the session (good
-    # recomputes fine uncached — it references real columns).
+    # Materialize EVERYTHING before releasing the shared cache: a
+    # post-unpersist recompute of `good` is column-pruning-dependent
+    # (PERMISSIVE re-parses only the required fields, so a row corrupt in
+    # a pruned field would reclassify as clean and double-count) — the
+    # report row is collected first, then the cache drops, then the tiny
+    # result is re-wrapped as a cache-independent frame.
     n_bad = split.bad.count()
-    out = split.good.agg(
+    row = split.good.agg(
         F.count(F.lit(1)).alias("n_good"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("good_value"),
-    ).select("n_good", F.lit(n_bad).alias("n_quarantined"), "good_value")
+    ).first()
     split.unpersist()
-    return out
+    return spark.createDataFrame(
+        [(row["n_good"], n_bad, row["good_value"])],
+        "n_good long, n_quarantined long, good_value double",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -62,10 +62,14 @@ class QuarantineSplit:
         self._parsed = parsed
 
     def unpersist(self) -> None:
-        """Release the cached parse once both branches are consumed.
-        ``good`` stays computable afterwards for queries touching at least
-        one real column; ``bad`` (and an all-column-pruning count) would
-        re-trip SPARK-21610 — materialize those first."""
+        """Release the cached parse AFTER materializing everything you
+        need from BOTH branches. Post-unpersist recomputes are
+        column-pruning-dependent: PERMISSIVE re-parses only the required
+        fields, so a row that is corrupt in a pruned field reclassifies
+        as clean — counts taken before and after can disagree (this
+        pruning-dependence is the reason SPARK-21610 added the
+        corrupt-column analyzer check). ``bad`` and all-column-pruning
+        counts additionally re-trip that analyzer error outright."""
         self._parsed.unpersist()
 
     def __iter__(self):
@@ -242,9 +246,13 @@ def _is_missing_avro_datasource(e: Exception) -> bool:
     / executor loss) into the fallback, silently swallowing the error and
     changing the output format mid-job."""
     msg = str(e)
-    return (
-        "FAILED_TO_FIND_DATA_SOURCE" in msg or "Failed to find data source" in msg
-    ) and "avro" in msg.lower()
+    markers = (
+        "FAILED_TO_FIND_DATA_SOURCE",        # error-class form
+        "DATA_SOURCE_NOT_FOUND",             # current non-legacy class
+        "Failed to find data source",        # _LEGACY_ERROR_TEMP_1139 text
+        "Failed to find the data source",    # non-legacy catalog text
+    )
+    return any(m in msg for m in markers) and "avro" in msg.lower()
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:

@@ -100,15 +100,26 @@ def test_gif_frame_features_spark(spark):
             assert abs(row["mean_intensity"] - expected) < 1e-9
 
 
-def test_disposal_methods_2_and_3_rejected():
+def test_disposal_methods_2_and_3_rejected_only_when_consequential():
     import struct
 
+    gce2 = struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 2 << 2, 0, 0, 0)
     base = np.full((3, 3), 50, dtype=np.uint8)
     top = np.full((3, 3), 90, dtype=np.uint8)
+
+    # disposal=2 on the FIRST frame changes what the second composites
+    # over -> loud rejection at the second descriptor
     raw = bytearray(encode_gif([base, top]))
-    second = _second_descriptor_pos(bytes(raw))
-    # disposal method 2 (restore to background) in the GCE packed field
-    gce = struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 2 << 2, 0, 0, 0)
-    patched = bytes(raw[:second]) + gce + bytes(raw[second:])
+    patched = gce_before_first = bytes(raw[:_BODY]) + gce2 + bytes(raw[_BODY:])
     with pytest.raises(NotImplementedError, match="disposal method 2"):
         decode_gif(patched)
+
+    # disposal=2 on the FINAL (or only) frame affects nothing — real
+    # still-image encoders emit it; must decode normally
+    single = bytearray(encode_gif([base]))
+    ok = bytes(single[:_BODY]) + gce2 + bytes(single[_BODY:])
+    np.testing.assert_array_equal(decode_gif(ok)[0], _gray(base))
+    two = bytearray(encode_gif([base, top]))
+    second = _second_descriptor_pos(bytes(two))
+    ok2 = bytes(two[:second]) + gce2 + bytes(two[second:])
+    assert len(decode_gif(ok2)) == 2

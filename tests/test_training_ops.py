@@ -238,3 +238,17 @@ def test_upsample_null_handling(spark):
     bad = spark.createDataFrame([(None, 1.0)], "doc_id long, w double")
     with pytest.raises(Exception, match="NULL doc_id"):
         upsample(bad, "w", key="doc_id").collect()
+
+
+def test_upsample_rejects_runaway_weights(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.operators.sampling import upsample
+
+    df = spark.createDataFrame([(1, 1e9)], "doc_id long, w double")
+    with pytest.raises(Exception, match="max_weight"):
+        upsample(df, "w", key="doc_id").collect()
+    # raising the ceiling consciously works
+    df2 = spark.createDataFrame([(1, 150.0)], "doc_id long, w double")
+    assert upsample(df2, "w", key="doc_id", max_weight=200.0).count() == 150
