@@ -11,6 +11,7 @@ they stay inside whole-stage codegen at 100 TB — no Python in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves PEP-563 string hints in module globals
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -219,3 +220,42 @@ def shingles(c: Column | str, k: int = 3) -> Column:
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
         ).otherwise(F.array(F.concat_ws(" ", toks)))
     )
+
+
+def normalize_unicode_udf(form: str = "NFKC", strip_controls: bool = True):
+    """Arrow-vectorized Unicode normalizer: ``unicodedata.normalize(form)``
+    plus optional C0/C1 control-char and zero-width stripping.
+
+    The canonicalization step BEFORE :func:`normalize_text` in multilingual
+    corpora: full-width compatibility forms (ｈｅｌｌｏ), ligatures (ﬁ) and
+    zero-width joiners otherwise defeat exact/near dedup — two visually
+    identical documents hash apart. Deliberately NOT folded into
+    ``normalize_text`` (every declared oracle mirrors that expression
+    byte-for-byte in SQL; NFKC has no SQL twin) — apply it as an explicit
+    opt-in stage: ``df.withColumn("text", normalize_unicode_udf()("text"))``.
+
+    Spark has no Unicode-normalization expression, so this is the one
+    justified scalar pandas_udf in the text tier (Arrow batches, a C
+    library call per string — no per-row Python object churn beyond the
+    call itself).
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form must be NFC/NFKC/NFD/NFKD, got {form!r}")
+    zw = dict.fromkeys([0x200B, 0x200C, 0x200D, 0xFEFF])
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize(form, t)
+            if strip_controls:
+                t = t.translate(zw)
+                t = "".join(ch for ch in t if unicodedata.category(ch) != "Cc" or ch in "\n\t")
+            return t
+
+        return s.map(one)
+
+    return _norm

@@ -123,3 +123,15 @@ def test_disposal_methods_2_and_3_rejected_only_when_consequential():
     second = _second_descriptor_pos(bytes(two))
     ok2 = bytes(two[:second]) + gce2 + bytes(two[second:])
     assert len(decode_gif(ok2)) == 2
+
+
+def test_gif_frame_features_fails_loudly_on_non_gif(spark):
+    from etl_hiscox_spark.operators.multimodal import gif_frame_features
+
+    df = spark.createDataFrame(
+        [("a.gif", bytearray(encode_gif([np.zeros((2, 2), dtype=np.uint8)]))),
+         ("b.png", bytearray(b"\x89PNG not a gif"))],
+        "path string, content binary",
+    )
+    with pytest.raises(Exception, match="not a GIF"):
+        gif_frame_features(df).collect()
