@@ -59,3 +59,48 @@ def test_heavy_hitters_exact_when_vocab_fits(spark):
     df = spark.createDataFrame(rows, "word string").repartition(4)
     est = {r["item"]: r["est_count"] for r in heavy_hitters(df, "word", k=64).collect()}
     assert est == {f"w{i}": 200 for i in range(5)}
+
+
+def test_merge_bounds_hold_under_random_splits():
+    """Hypothesis: for ANY partitioning of any stream into summaries merged
+    pairwise, every item with true freq > N/k survives and estimates only
+    underestimate, by at most N/k."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=400),
+        st.integers(min_value=2, max_value=10),
+        st.data(),
+    )
+    def run(stream, k, data):
+        n = len(stream)
+        # random split into 1-4 chunks
+        n_chunks = data.draw(st.integers(min_value=1, max_value=4))
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=n), min_size=n_chunks - 1, max_size=n_chunks - 1
+                )
+            )
+        )
+        chunks, prev = [], 0
+        for c in cuts + [n]:
+            chunks.append(stream[prev:c])
+            prev = c
+        merged: dict = {}
+        for ch in chunks:
+            merged = _merge_into(merged, _misra_gries(iter(ch), k), k)
+        exact: dict = {}
+        for x in stream:
+            exact[x] = exact.get(x, 0) + 1
+        bound = n / k
+        for item, cnt in exact.items():
+            if cnt > bound:
+                assert item in merged, (item, cnt, bound, k)
+        for item, est in merged.items():
+            assert est <= exact.get(item, 0)
+            assert est >= exact.get(item, 0) - bound
+
+    run()

@@ -555,3 +555,12 @@ def test_avro_fallback_only_on_missing_datasource():
     assert not _is_missing_avro_datasource(
         Exception("[FAILED_TO_FIND_DATA_SOURCE] Failed to find the data source: kafka.")
     )
+
+
+def test_managed_erase_keys_empty_list_is_noop(spark, tmp_path):
+    from etl_hiscox_spark.sources.managed import ManagedTable
+
+    t = ManagedTable(spark, str(tmp_path / "m"))
+    t.write(spark.createDataFrame([(1, "a")], "id int, v string"))
+    assert t.erase_keys("id", []) == 0
+    assert t.read().count() == 1
