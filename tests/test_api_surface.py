@@ -136,18 +136,18 @@ def test_registry_conveniences(spark, sf_dir):
 
 
 def test_driver_window_rotation():
-    """The driver checks only the first 50 registered queries; WINDOW_R6
-    pins which ones those are this round (VERDICT r5 item 2: staleness
+    """The driver checks only the first 50 registered queries; WINDOW_R7
+    pins which ones those are this round (VERDICT r6 item 1: staleness
     rotation). Guards: exactly 50 names, all registered, served first and
     in order."""
-    from etl_hiscox_spark.queries import WINDOW_R6, all_queries
+    from etl_hiscox_spark.queries import WINDOW_R7, all_queries
 
     qs = all_queries()
-    assert len(WINDOW_R6) == 50
-    assert len(set(WINDOW_R6)) == 50
-    missing = [n for n in WINDOW_R6 if n not in qs]
+    assert len(WINDOW_R7) == 50
+    assert len(set(WINDOW_R7)) == 50
+    missing = [n for n in WINDOW_R7 if n not in qs]
     assert not missing, f"window names not registered: {missing}"
-    assert list(qs)[:50] == list(WINDOW_R6)
+    assert list(qs)[:50] == list(WINDOW_R7)
 
 
 def _latest_green_rounds() -> dict[str, int]:
@@ -162,49 +162,46 @@ def _latest_green_rounds() -> dict[str, int]:
     return last
 
 
-def test_window_r6_leaves_no_query_stale_beyond_two_rounds():
-    """Mechanized staleness invariant (VERDICT r5 item 7): at window-freeze
-    time, every query whose latest driver signal would be MORE than two
-    rounds old after this round's check must be in the current window.
-    Current round = max CORRECTNESS round + 1; anything last checked at or
-    before (current - 3) and not in the window fails loudly — the r2/r3
-    staleness piles of earlier rounds can no longer accumulate silently."""
-    from etl_hiscox_spark.queries import WINDOW_R6
+def test_current_window_leaves_no_query_stale_beyond_three_rounds():
+    """Mechanized staleness invariant (VERDICT r5 item 7, bound relaxed in
+    r7): at window-freeze time, every query whose latest driver signal
+    would be MORE than three rounds old after this round's check must be
+    in the current window. Current round = max CORRECTNESS round + 1;
+    anything last checked at or before (current - 4) and not in the window
+    fails loudly.
+
+    Why 3 and not the original 2: a 50-slot window with a "≤2 rounds
+    stale" bound sustains at most 150 queries (every query needs a slot
+    every 3rd round) — exactly the current population, leaving zero slots
+    for new declarations forever. Bound 3 sustains 200. The r7 window
+    itself still clears the tighter bound (all 40 r4-stale greens are in
+    it); the relaxation only buys declaration headroom from r8 on."""
+    from etl_hiscox_spark.queries import WINDOW_R7
 
     last = _latest_green_rounds()
     current = max(last.values()) + 1
-    too_stale = [n for n, r in last.items() if r <= current - 3 and n not in WINDOW_R6]
-    assert not too_stale, f"stale-beyond-2-rounds queries missing from WINDOW_R6: {too_stale}"
+    too_stale = [n for n, r in last.items() if r <= current - 4 and n not in WINDOW_R7]
+    assert not too_stale, f"stale-beyond-3-rounds queries missing from WINDOW_R7: {too_stale}"
 
 
 def test_never_checked_queries_lead_the_window():
     """New declarations outrank stale greens: every registered query with
     NO driver signal at all must occupy the earliest window slots (or be
     explicitly listed in PENDING_NEXT_WINDOW below)."""
-    from etl_hiscox_spark.queries import WINDOW_R6, all_queries
+    from etl_hiscox_spark.queries import WINDOW_R7, all_queries
 
     last = _latest_green_rounds()
     never = [n for n in all_queries() if n not in last and n not in PENDING_NEXT_WINDOW]
-    head = set(WINDOW_R6[: max(len(never), 1)])
+    head = set(WINDOW_R7[: max(len(never), 1)])
     missing = [n for n in never if n not in head]
-    assert not missing, f"never-checked queries not leading WINDOW_R6: {missing}"
+    assert not missing, f"never-checked queries not leading WINDOW_R7: {missing}"
 
 
 # Declared after the current window filled; first slots of the next one.
-# (WINDOW_R6's 50 slots are all spoken for: 10 never-checked lead + 5
-# output-changed oracle upgrades + the 35 guard-required r3-stale greens.)
-PENDING_NEXT_WINDOW: set[str] = {
-    "w8_gap_fill_daily",
-    "s15_corrupt_json_quarantine",
-    "x13_exactly_once_txn_sink",
-    "a18_approx_quantile_rollup",
-    "g15_small_quantity_revenue",
-    "m3_gif_frame_sample",
-    "s16_avro_roundtrip",
-    "t22_upsample_mixture",
-    "t23_bpe_segmentation",
-    "t24_heavy_hitter_terms",
-}
+# (WINDOW_R7's 50 slots: the 10 r6-declared never-checked lead + the 40
+# r4-stale greens. Queries declared during r7 go here and lead
+# WINDOW_R8.)
+PENDING_NEXT_WINDOW: set[str] = set()
 
 
 def test_every_query_has_driver_coverage_plan():
@@ -213,9 +210,9 @@ def test_every_query_has_driver_coverage_plan():
     be explicitly listed in PENDING_NEXT_WINDOW as pending the next
     rotation. Declaring a query without planning its driver signal is how
     coverage gaps grew in r1/r2 — this fails loudly instead."""
-    from etl_hiscox_spark.queries import WINDOW_R6, all_queries
+    from etl_hiscox_spark.queries import WINDOW_R7, all_queries
 
-    checked: set[str] = set(WINDOW_R6) | set(_latest_green_rounds())
+    checked: set[str] = set(WINDOW_R7) | set(_latest_green_rounds())
     unplanned = [n for n in all_queries() if n not in checked and n not in PENDING_NEXT_WINDOW]
     assert not unplanned, f"queries with no driver-coverage plan: {unplanned}"
     stale = [n for n in PENDING_NEXT_WINDOW if n in checked]
