@@ -60,12 +60,29 @@ def test_broadcast_hint_policy_no_forced_sf_scaling_dims():
         "customer", "part", "supplier", "orders", "lineitem", "li",
         "events", "documents", "embeddings", "docs", "fact",
     }
+    # Corpus-DERIVED frames that also scale with the data (VERDICT r6
+    # item 2: a raw web-corpus vocab is billions of distinct tokens, so
+    # idf / word-weight / n-gram-model tables are GBs, not MBs). Forced
+    # broadcasts of these must be opt-in flags, never unconditional —
+    # a site is exempt only when gated by an `if broadcast_*` flag on the
+    # match line or within the two lines above it (ternary or guard).
+    derived_names = {
+        "idf", "word_weights", "probs", "uni", "bigram_counts",
+        "unigram_counts", "model", "weights", "vocab_table",
+    }
     offenders = []
     for path in pkg.rglob("*.py"):
-        for i, line in enumerate(path.read_text().splitlines(), 1):
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines, 1):
             for arg in re.findall(r"F\.broadcast\(\s*(\w+)", line):
                 if arg in scaling_names:
                     offenders.append(f"{path.name}:{i} F.broadcast({arg})")
+                elif arg in derived_names:
+                    window = "\n".join(lines[max(0, i - 3) : i])
+                    if not re.search(r"if broadcast_\w+", window):
+                        offenders.append(
+                            f"{path.name}:{i} ungated F.broadcast({arg}) — corpus-derived"
+                        )
     assert not offenders, f"forced broadcast of SF-scaling frames: {offenders}"
 
 
