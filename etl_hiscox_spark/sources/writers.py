@@ -128,6 +128,7 @@ def incremental_refresh(
     source: DataFrame,
     path: str,
     partition_col: str,
+    files_per_partition: int = 8,
 ) -> DataFrame:
     """S14: dbt ``materialized='incremental'`` parity
     (dbt_project.yml:32-46 model groups; insert_overwrite strategy).
@@ -161,12 +162,21 @@ def incremental_refresh(
             # type so the pushed-down comparison never mixes types.
             wm = F.lit(watermark_row["wm"]).cast(source.schema[partition_col].dataType)
             source = source.filter(F.col(partition_col) >= wm)
-    # Cluster rows by partition value before the partitioned write: without
-    # this every upstream task writes a sliver into every partition dir
-    # (n_partitions × n_tasks small files — a scan-planning and object-
-    # store-LIST tax on every downstream reader at scale).
+    # Cluster rows by (partition value, salt) before the partitioned
+    # write. Partition value alone kills the small-file spray (every
+    # upstream task writing a sliver into every partition dir) but
+    # collapses each day onto ONE task — at the 100 TB/day design point a
+    # single task would write the whole day (VERDICT r6 item 3). The salt
+    # — a deterministic row hash mod ``files_per_partition`` — fans each
+    # partition across up to that many tasks/files: bounded file count
+    # per partition AND bounded bytes per task. The salt is a repartition
+    # expression only; it never lands in the schema or the files.
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in source.columns]),
+        F.lit(int(files_per_partition)),
+    )
     overwrite_partitions_dynamic(
-        source.repartition(F.col(partition_col)), path, (partition_col,)
+        source.repartition(F.col(partition_col), salt), path, (partition_col,)
     )
     return spark.read.parquet(path)
 
