@@ -58,6 +58,16 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
             if code == end_code:
                 return out
             if prev is None:
+                # First code after a CLEAR must be a literal root. A code
+                # beyond the table would raise a bare IndexError and a code
+                # hitting the empty clear/end placeholder slots would emit
+                # nothing silently — both are the same corruption, so both
+                # get the documented loud error.
+                if code >= len(table) or not table[code]:
+                    raise ValueError(
+                        f"corrupt LZW stream: first code {code} after clear "
+                        "is not a literal"
+                    )
                 entry = table[code]
             elif code < len(table) and table[code]:
                 entry = table[code]

@@ -93,6 +93,19 @@ def _check_supported(schema) -> None:
     if t in _PRIMITIVES:
         return
     if t == "union":
+        # Only ["null", T] (either order) maps onto a nullable Spark column,
+        # and _encode selects the branch purely by null-ness — a union with
+        # two non-null branches (e.g. ["string","long"]) would silently
+        # funnel every non-null value through the first branch (5 -> "5"),
+        # exactly the silent corruption this module's policy forbids.
+        non_null = [s for s in schema if _type_of(s) != "null"]
+        if len(non_null) > 1:
+            raise NotImplementedError(
+                "avro_lite does not support unions with more than one "
+                f"non-null branch (got {schema!r}); no Spark column type "
+                "maps to a multi-type union and branch selection by "
+                "null-ness would corrupt values silently"
+            )
         for s in schema:
             _check_supported(s)
     elif t == "record":

@@ -290,7 +290,19 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
 
         for pdf in batches:
             for content in pdf["content"]:
-                _, records = read_container(bytes(content))
+                file_schema, records = read_container(bytes(content))
+                # Each container carries its own embedded schema; the scan
+                # schema was probed from ONE file's header. A directory
+                # mixing schemas must fail loudly here — otherwise
+                # pd.DataFrame(records, columns=names) silently drops the
+                # extra fields and NaN-fills the missing ones.
+                file_names = [f["name"] for f in file_schema["fields"]]
+                if file_names != names:
+                    raise ValueError(
+                        "avro container schema mismatch: probed fields "
+                        f"{names} but a file decodes {file_names}; "
+                        "read_avro requires one schema per directory"
+                    )
                 yield pd.DataFrame(records, columns=names)
 
     return (

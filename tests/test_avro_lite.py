@@ -120,3 +120,24 @@ def test_container_roundtrip_fuzz():
         assert got_schema == schema and got == rows
 
     run()
+
+
+def test_multi_nonnull_union_rejected():
+    """ADVICE r6: _encode picks a union branch solely by null-ness, so a
+    ["string","long"] union would silently encode 5 as "5". Both read and
+    write paths must reject multi-non-null unions loudly instead."""
+    schema = {
+        "type": "record",
+        "name": "u",
+        "fields": [{"name": "x", "type": ["string", "long"]}],
+    }
+    with pytest.raises(NotImplementedError, match="non-null branch"):
+        write_container([{"x": 5}], schema)
+    # ["null", T] in either order stays supported
+    ok = {
+        "type": "record",
+        "name": "u2",
+        "fields": [{"name": "x", "type": ["long", "null"]}],
+    }
+    _, got = read_container(write_container([{"x": 5}, {"x": None}], ok))
+    assert got == [{"x": 5}, {"x": None}]

@@ -135,3 +135,14 @@ def test_gif_frame_features_fails_loudly_on_non_gif(spark):
     )
     with pytest.raises(Exception, match="not a GIF"):
         gif_frame_features(df).collect()
+
+
+def test_corrupt_first_code_after_clear_is_loud():
+    """ADVICE r6: with prev=None (first code after CLEAR) a code beyond the
+    table raised a bare IndexError instead of the documented corrupt-stream
+    ValueError. min_code_size=2 -> table has 6 slots (4 roots + clear/end);
+    code 7 as the very first code is corruption either way."""
+    from etl_hiscox_spark.operators.gif import _lzw_decode
+
+    with pytest.raises(ValueError, match="corrupt LZW"):
+        _lzw_decode(bytes([0b00000111]), 2)  # 3-bit code 7, prev=None

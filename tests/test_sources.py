@@ -173,6 +173,25 @@ def test_avro_roundtrip_via_stdlib_fallback(spark, tmp_path):
         read_avro(spark, str(tmp_path / "nope"))
 
 
+def test_avro_mixed_schema_directory_fails_loudly(spark, tmp_path):
+    # ADVICE r6: the fallback probes column names from ONE file's header
+    # but decodes each container with its own embedded schema — a
+    # directory mixing schemas must raise, not NaN-fill/drop columns.
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from etl_hiscox_spark.sources.avro_lite import write_container
+    from etl_hiscox_spark.sources.readers import read_avro
+
+    d = tmp_path / "mixed_avro"
+    d.mkdir()
+    s1 = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]}
+    s2 = {"type": "record", "name": "r", "fields": [{"name": "b", "type": "long"}]}
+    (d / "0.avro").write_bytes(write_container([{"a": 1}], s1))
+    (d / "1.avro").write_bytes(write_container([{"b": 2}], s2))
+    with pytest.raises(PythonException, match="schema mismatch"):
+        read_avro(spark, str(d)).collect()
+
+
 def test_txn_table_append_time_travel_and_evolution(spark, tmp_path):
     """Manifest-log table: atomic versions, time travel, schema widening
     (the Delta semantics the reference relies on, without delta-spark)."""
