@@ -109,10 +109,15 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 
 def decode_image(content: bytes) -> np.ndarray:
-    """Dispatch decoder: real BMP path; PIL for other formats when
-    deployed; deterministic stub otherwise (honestly fake, tests pin it)."""
+    """Dispatch decoder: real BMP and PNG paths; PIL for other formats
+    when deployed; deterministic stub otherwise (honestly fake, tests pin
+    it)."""
     if content[:2] == b"BM":
         return decode_bmp(content)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        from etl_hiscox_spark.operators.png import decode_png
+
+        return decode_png(content)
     try:
         import io
 
@@ -158,6 +163,51 @@ def image_features(df: DataFrame, content_col: str = "content", path_col: str = 
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
 
     return df.select(path_col, content_col).mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+
+
+CHANNEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def image_channel_stats(
+    df: DataFrame, content_col: str = "content", path_col: str = "path"
+) -> DataFrame:
+    """Per-channel mean intensities — the normalization-statistics pass of
+    an image training pipeline (channel means/stds feed the transform
+    spec). Same Arrow mapInPandas contract as :func:`image_features`;
+    grayscale images report their single channel in all three columns."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                arr = decode_image(bytes(content) if content is not None else b"")
+                means = [float(arr[:, :, c].mean()) for c in range(arr.shape[2])]
+                while len(means) < 3:
+                    means.append(means[0])
+                rows.append(
+                    {
+                        "path": path,
+                        "width": int(arr.shape[1]),
+                        "height": int(arr.shape[0]),
+                        "n_channels": int(arr.shape[2]),
+                        "mean_r": means[0],
+                        "mean_g": means[1],
+                        "mean_b": means[2],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in CHANNEL_STATS_SCHEMA.fields])
+
+    return df.select(path_col, content_col).mapInPandas(extract, CHANNEL_STATS_SCHEMA)
 
 
 def resize_images(df: DataFrame, target: tuple[int, int] = (8, 8)) -> DataFrame:

@@ -1838,6 +1838,77 @@ def m3_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m4_png_features",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id,
+             4 + doc_id % 11 AS w,
+             4 + doc_id % 5 AS h,
+             doc_id % 256 AS base
+      FROM documents
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS path,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           3 AS n_channels,
+           ROUND(list_avg(list_transform(range(0, w * h),
+                 i -> CAST((base + i) % 256 AS DOUBLE))), 6) AS mean_r,
+           ROUND(list_avg(list_transform(range(0, w * h),
+                 i -> CAST((base + i + 17) % 256 AS DOUBLE))), 6) AS mean_g,
+           ROUND(list_avg(list_transform(range(0, w * h),
+                 i -> CAST((base + i + 34) % 256 AS DOUBLE))), 6) AS mean_b
+    FROM imgs
+    """,
+)
+def m4_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L7 image tier, PNG leg (VERDICT r6 missing #2): one deterministic
+    # 8-bit RGB PNG per document — dims, base intensity AND the scanline
+    # filter type (doc_id % 5: None/Sub/Up/Average/Paeth) all arithmetic
+    # in doc_id, so the driver check exercises every filter decode path.
+    # Encoded then decoded by the stdlib zlib+filters codec
+    # (operators/png.py) through the decode_image dispatch inside Arrow
+    # mapInPandas; the oracle recomputes per-channel means from the same
+    # arithmetic — a wrong Paeth predictor, filter offset or channel
+    # order corrupts a mean. The per-channel means are the normalization
+    # statistics an image training pipeline feeds its transform spec.
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from etl_hiscox_spark.operators.multimodal import image_channel_stats
+    from etl_hiscox_spark.operators.png import encode_png
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h, base = 4 + i % 11, 4 + i % 5, i % 256
+                idx = np.arange(h * w)
+                arr = np.stack(
+                    [((idx + base + c * 17) % 256).astype(np.uint8) for c in range(3)],
+                    axis=1,
+                ).reshape(h, w, 3)
+                out.append({"path": str(i), "content": encode_png(arr, filter_type=i % 5)})
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    media = docs.mapInPandas(gen, "path string, content binary")
+    out = image_channel_stats(media)
+    return out.select(
+        "path",
+        "width",
+        "height",
+        "n_channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@register(
     "t22_upsample_mixture",
     oracle="""
     WITH w AS (

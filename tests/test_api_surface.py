@@ -201,7 +201,9 @@ def test_never_checked_queries_lead_the_window():
 # (WINDOW_R7's 50 slots: the 10 r6-declared never-checked lead + the 40
 # r4-stale greens. Queries declared during r7 go here and lead
 # WINDOW_R8.)
-PENDING_NEXT_WINDOW: set[str] = set()
+PENDING_NEXT_WINDOW: set[str] = {
+    "m4_png_features",
+}
 
 
 def test_every_query_has_driver_coverage_plan():
