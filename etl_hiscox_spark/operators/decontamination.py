@@ -125,6 +125,19 @@ def semantic_contamination_report(
 
     from etl_hiscox_spark.operators.similarity import _stack_embeddings
 
+    # Driver-side guard on the eval-sets-are-small premise (VERDICT r6
+    # item 7): this collect is bounded BY DESIGN (eval suites are 1e3-1e5
+    # items), but nothing upstream stops someone passing the corpus as
+    # `test`. Count first (cheap aggregate) and refuse loudly rather than
+    # OOM the driver collecting billions of embeddings.
+    max_eval = 1_000_000
+    n_eval = test.count()
+    if n_eval > max_eval:
+        raise ValueError(
+            f"semantic decontamination collects the eval set driver-side; "
+            f"got {n_eval} eval rows (> {max_eval}). The `test` side must "
+            "be the bounded eval suite — swap the arguments or pre-sample."
+        )
     ev = sorted(
         (r[0], r[1]) for r in test.select(id_col, embedding_col).collect()
     )

@@ -137,3 +137,20 @@ def test_semantic_report_all_eval_malformed_yields_empty(spark):
     tr = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
     ev = spark.createDataFrame([(10, None)], "vec_id long, embedding array<double>")
     assert semantic_contamination_report(tr, ev, "embedding", "vec_id").count() == 0
+
+
+def test_semantic_eval_set_size_guard(spark):
+    """The eval-side collect is bounded by design; passing an oversized
+    frame as `test` must refuse loudly (count-first) instead of OOMing the
+    driver. The count is a cheap aggregate, so the guard itself is lazy-
+    safe even on a billion-row frame."""
+    import pytest
+
+    from etl_hiscox_spark.operators.decontamination import semantic_contamination_report
+
+    train = spark.range(3).selectExpr("id AS vec_id", "array(1.0d, 0.0d) AS embedding")
+    oversized = spark.range(1_000_001).selectExpr(
+        "id AS vec_id", "array(1.0d, 0.0d) AS embedding"
+    )
+    with pytest.raises(ValueError, match="bounded eval suite"):
+        semantic_contamination_report(train, oversized, "embedding", "vec_id")
