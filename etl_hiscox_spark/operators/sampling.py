@@ -379,3 +379,55 @@ def upsample(
         .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)))
         .drop("__n_copies")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    token_count: Column,
+    key: str,
+    budget: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group token-budget selection — the "data recipe" primitive: take
+    documents from each group (source/domain/language) in a deterministic
+    pseudo-random priority order until the group's cumulative token count
+    reaches ``budget``, then stop. A training mix spec like "50 B tokens
+    of web, 5 B of code" is one call per line of the recipe.
+
+    Priority is the sha256 hex prefix of "key:tb:seed" (engine-portable:
+    any engine with sha256 reproduces the SAME selection — the
+    :func:`hash_split` story), with the key itself as tiebreak. A doc is
+    kept while the RUNNING total through it stays ≤ budget; the first doc
+    that would cross the line is dropped, as is everything after it
+    (greedy prefix, no partial documents — deterministic, unlike
+    "fill to exactly budget" which would need doc splitting).
+
+    Plan at 100 TB: token counts ride the scan stage (expression);
+    selection is ONE window shuffle on ``group_col`` — no global sort, no
+    driver state. Skewed groups are inherent (the window must see a whole
+    group ordered); recipes with few giant groups should pre-split
+    sources into finer shards upstream.
+
+    Output: input columns + ``n_tokens``, ``cum_tokens`` (running total
+    through this row), filtered to the kept prefix.
+    """
+    from pyspark.sql import Window
+
+    prio = F.substring(
+        F.sha2(
+            F.concat_ws(":", F.col(key).cast("string"), F.lit("tb"), F.lit(str(seed))), 256
+        ),
+        1,
+        16,
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(prio.asc(), F.col(key).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("n_tokens", token_count.cast("bigint"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= F.lit(int(budget)))
+    )

@@ -1909,6 +1909,133 @@ def m4_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t25_token_budget_sample",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+                  AS BIGINT) AS n_tokens,
+             substr(sha256(CAST(doc_id AS VARCHAR) || ':tb:0'), 1, 16) AS prio
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY prio, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM cum WHERE cum_tokens <= 1000
+    """,
+)
+def t25_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The "data recipe" primitive: fill each source's slice of the
+    # training mix up to a token budget, in an engine-portable
+    # deterministic priority order (sha256 prefix — the hash_split
+    # story). One window shuffle on source; counts ride the scan stage.
+    from etl_hiscox_spark.operators.sampling import token_budget_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = token_budget_sample(
+        docs, "source", F.size(tokens("text")), key="doc_id", budget=1000, seed=0
+    )
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+@register(
+    "t26_dsir_weights",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(sha256(w), 1, 8)) AS BIGINT) % 64 AS bucket
+      FROM (SELECT doc_id, lang, UNNEST(t) AS w FROM toks)
+    ), tgt AS (SELECT bucket, COUNT(*) AS c FROM occ WHERE lang = 'en' GROUP BY bucket),
+    rawh AS (SELECT bucket, COUNT(*) AS c FROM occ GROUP BY bucket),
+    tgt_tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS T FROM occ WHERE lang = 'en'),
+    raw_tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS T FROM occ),
+    spine AS (SELECT CAST(UNNEST(range(0, 64)) AS BIGINT) AS bucket),
+    ratio AS (
+      SELECT s.bucket,
+             ln((COALESCE(t.c, 0) + 1.0) / ((SELECT T FROM tgt_tot) + 64.0))
+             - ln((COALESCE(r.c, 0) + 1.0) / ((SELECT T FROM raw_tot) + 64.0)) AS ln_ratio
+      FROM spine s LEFT JOIN tgt t USING (bucket) LEFT JOIN rawh r USING (bucket)
+    ), scored AS (
+      SELECT occ.doc_id, COUNT(*) AS n_tokens, SUM(ln_ratio) AS lw
+      FROM occ JOIN ratio USING (bucket) GROUP BY occ.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           ROUND(COALESCE(s.lw, 0.0), 6) AS log_weight
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def t26_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR importance weighting (Xie et al. 2023): score every raw doc by
+    # how much its hashed-token-bucket features favor the target corpus
+    # (here: the lang='en' slice) over the raw corpus. Two fixed-64-row
+    # smoothed histograms, one broadcast of their log-ratio back onto the
+    # token stream, one per-doc reduce. The oracle replays both
+    # histograms and the per-doc sum exactly (6-dp rounding absorbs
+    # summation-order noise in the ~25-term float sums).
+    from etl_hiscox_spark.operators.dsir import importance_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    out = importance_weights(docs, target, "text", "doc_id", n_buckets=64, alpha=1.0)
+    return out.select(
+        "doc_id", "n_tokens", F.round("log_weight", 6).alias("log_weight")
+    )
+
+
+@register(
+    "t27_boilerplate_lines",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, CAST(i AS INT) AS pos, array_to_string(t[i*4+1:i*4+4], ' ') AS line
+      FROM norm, UNNEST(range(0, CAST(ceil(len(t)/4.0) AS BIGINT))) AS u(i)
+    ), ldf AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM lines GROUP BY line
+    ), keep AS (
+      SELECT l.doc_id, l.pos, l.line FROM lines l JOIN ldf USING (line) WHERE line_df < 5
+    ), reb AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+             array_to_string(list(line ORDER BY pos), chr(10)) AS text_clean
+      FROM keep GROUP BY doc_id
+    ), tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lines GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_lines, COALESCE(r.n_lines_kept, 0) AS n_lines_kept,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def t27_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4-style boilerplate removal (Raffel et al. 2020): drop lines
+    # occurring verbatim in >= 5 docs, rebuild the rest in order. The
+    # corpus has no newlines, so lines are PLANTED deterministically —
+    # 4-token chunks of the normalized text — and the oracle replays the
+    # chunking, the line document-frequency, the threshold, and the
+    # exact '\n'-rebuild. A wrong position sort or a dropped
+    # fully-boilerplate doc hash-fails on text_clean.
+    from etl_hiscox_spark.operators.boilerplate import remove_boilerplate_lines
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = tokens("text")
+    n_chunks = F.ceil(F.size(t) / F.lit(4.0)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(t, i * 4 + 1, 4), " "),
+    )
+    with_lines = docs.select("doc_id", F.array_join(lines_arr, "\n").alias("text_nl"))
+    return remove_boilerplate_lines(with_lines, "text_nl", "doc_id", min_docs=5)
+
+
+@register(
     "t22_upsample_mixture",
     oracle="""
     WITH w AS (

@@ -203,6 +203,9 @@ def test_never_checked_queries_lead_the_window():
 # WINDOW_R8.)
 PENDING_NEXT_WINDOW: set[str] = {
     "m4_png_features",
+    "t25_token_budget_sample",
+    "t26_dsir_weights",
+    "t27_boilerplate_lines",
 }
 
 

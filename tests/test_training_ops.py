@@ -252,3 +252,81 @@ def test_upsample_rejects_runaway_weights(spark):
     # raising the ceiling consciously works
     df2 = spark.createDataFrame([(1, 150.0)], "doc_id long, w double")
     assert upsample(df2, "w", key="doc_id", max_weight=200.0).count() == 150
+
+
+def test_token_budget_sample_greedy_prefix_and_determinism(spark):
+    from etl_hiscox_spark.operators.sampling import token_budget_sample
+
+    df = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("src"),
+        F.lit(10).alias("nt"),
+    )
+    out = token_budget_sample(df, "src", F.col("nt"), key="doc_id", budget=55)
+    rows = out.collect()
+    # 10-token docs, budget 55 -> exactly 5 per group fit (50 <= 55 < 60)
+    per = {r["src"]: 0 for r in rows}
+    for r in rows:
+        per[r["src"]] += 1
+        assert r["cum_tokens"] <= 55
+    assert per == {"0": 5, "1": 5}
+    # deterministic under repartitioning
+    out2 = token_budget_sample(df.repartition(7), "src", F.col("nt"), key="doc_id", budget=55)
+    assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in out2.collect())
+    # budget below the smallest doc keeps nothing
+    assert token_budget_sample(df, "src", F.col("nt"), key="doc_id", budget=9).count() == 0
+
+
+def test_token_budget_sample_first_crossing_doc_dropped(spark):
+    from etl_hiscox_spark.operators.sampling import token_budget_sample
+
+    # one group, doc sizes chosen so the greedy prefix stops mid-list:
+    # whichever order the hash picks, a 100-token doc can never fit a
+    # 50-token budget, and smaller docs after a crossing are NOT back-filled
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 30), (3, "a", 30)], "doc_id long, src string, nt int"
+    )
+    rows = token_budget_sample(df, "src", F.col("nt"), key="doc_id", budget=50).collect()
+    kept = sorted(r["doc_id"] for r in rows)
+    # the 100-token doc is always excluded; at most one 30-token doc fits,
+    # and only if it precedes the 100-token doc in priority order
+    assert 1 not in kept and len(kept) <= 1
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from etl_hiscox_spark.operators.dsir import importance_weights
+
+    raw = spark.createDataFrame(
+        [(1, "alpha beta alpha beta"), (2, "gamma delta gamma delta"), (3, "alpha delta")],
+        "doc_id long, text string",
+    )
+    target = raw.filter(F.col("doc_id") == 1)  # target distribution = alpha/beta
+    out = {r["doc_id"]: r for r in importance_weights(raw, target, "text", "doc_id").collect()}
+    # absolute signs are unreliable at toy scale (smoothing + 64-bucket
+    # collisions dominate); the ORDERING is the invariant
+    assert out[1]["log_weight"] > out[3]["log_weight"] > out[2]["log_weight"]
+    assert all(out[i]["n_tokens"] in (2, 4) for i in (1, 2, 3))
+    # determinism under repartitioning (fixed 6-dp contract)
+    out2 = {
+        r["doc_id"]: round(r["log_weight"], 6)
+        for r in importance_weights(raw.repartition(5), target, "text", "doc_id").collect()
+    }
+    assert out2 == {i: round(out[i]["log_weight"], 6) for i in (1, 2, 3)}
+
+
+def test_remove_boilerplate_lines_rebuild_and_empty_doc(spark):
+    from etl_hiscox_spark.operators.boilerplate import remove_boilerplate_lines
+
+    chrome = "accept cookies"
+    docs = [(i, f"{chrome}\nunique body {i}\nfooter") for i in range(4)]
+    docs.append((99, f"{chrome}\nfooter"))  # fully boilerplate
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(df, "text", "doc_id", min_docs=4).collect()}
+    assert len(out) == 5  # fully-boilerplate doc still present
+    assert out[99]["n_lines_kept"] == 0 and out[99]["text_clean"] == ""
+    assert out[0]["text_clean"] == "unique body 0"  # chrome + footer dropped, order kept
+    assert out[0]["n_lines"] == 3 and out[0]["n_lines_kept"] == 1
+    # line order preserved when multiple lines survive
+    df2 = spark.createDataFrame([(1, "keep one\nkeep two\nkeep three")], "doc_id long, text string")
+    got = remove_boilerplate_lines(df2, "text", "doc_id", min_docs=4).first()
+    assert got["text_clean"] == "keep one\nkeep two\nkeep three"
