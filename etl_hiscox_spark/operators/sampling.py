@@ -431,3 +431,51 @@ def token_budget_sample(
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= F.lit(int(budget)))
     )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    weight: Column,
+    key: str,
+    k: int,
+    seed: int = 0,
+    key_col: str = "gumbel_key",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement as a top-k: the Gumbel-max
+    trick (public folklore; equivalently Efraimidis-Spirakis A-Res keys).
+    Each row draws an engine-portable uniform from its sha256 prefix and
+    scores ``ln(w) + gumbel(u)``; the global top-k by that score is an
+    exact weighted sample without replacement.
+
+    Why this shape at 100 TB: "sample 1M docs proportional to quality
+    weight" becomes TakeOrderedAndProject — no global sort, no multi-pass
+    reservoir, no driver state; every engine with sha256+ln reproduces
+    the same selection. Zero-weight (or negative/NULL) rows are excluded
+    up front — ln would reject them, and P(select)=0 anyway.
+
+    Output: input columns + ``key_col``; exactly k rows (fewer if the
+    positive-weight population is smaller).
+    """
+    w = weight.cast("double")
+    h = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat_ws(
+                    ":", F.col(key).cast("string"), F.lit("gum"), F.lit(str(seed))
+                ),
+                256,
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(_HEX13)  # strictly inside (0,1)
+    g = -F.log(-F.log(u))
+    return (
+        df.filter(w > 0)
+        .withColumn(key_col, F.log(w) + g)
+        .orderBy(F.col(key_col).desc(), F.col(key).asc())
+        .limit(int(k))
+    )

@@ -130,3 +130,35 @@ def global_window(order_by: Sequence[Column | str], descending: bool = False) ->
     """Un-partitioned window — single-task at scale; use only on small or
     pre-aggregated data (documented limitation, not a hot path)."""
     return Window.orderBy(*_ordering(order_by, descending))
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    fraction: float,
+    descending: bool = True,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Top ``fraction`` of each group's rows under an explicit tiebroken
+    ordering — the per-domain quality-percentile gate of a curation
+    pipeline ("keep the best 30% of every source by classifier score":
+    an absolute threshold would empty low-quality domains entirely and
+    keep boilerplate from high-quality ones).
+
+    Keeps ``row_number <= ceil(fraction * group_size)`` — every non-empty
+    group keeps at least one row, and the boundary is deterministic
+    because callers must tiebreak ``order_by`` (same row_number contract
+    as :func:`top_k_per_group`). One window shuffle; the count rides the
+    same window, no second pass.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    w = Window.partitionBy(*keys).orderBy(*_ordering(order_by, descending))
+    wc = Window.partitionBy(*keys)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .filter(F.col(rank_col) <= F.ceil(F.col("__n") * F.lit(float(fraction))))
+        .drop("__n")
+    )

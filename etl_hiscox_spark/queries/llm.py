@@ -2036,6 +2036,87 @@ def t27_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t28_domain_quality_gate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS diversity
+      FROM toks
+    ), ranked AS (
+      SELECT doc_id, source, diversity,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY diversity DESC, doc_id ASC) AS INT) AS rnk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM feats
+    )
+    SELECT doc_id, source, ROUND(diversity, 6) AS diversity, rnk
+    FROM ranked WHERE rnk <= CAST(ceil(n * 0.5) AS BIGINT)
+    """,
+)
+def t28_domain_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-domain percentile gating: keep each source's best half by
+    # lexical diversity (distinct/total tokens, doc_id tiebreak). An
+    # absolute threshold would empty low-quality domains and keep
+    # boilerplate from high-quality ones; the per-group fraction is the
+    # standard curation gate. One window shuffle; the ordering ratio is
+    # exact integer division in double, so both engines rank identically.
+    from etl_hiscox_spark.operators.windows import top_fraction_per_group
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = tokens("text")
+    feats = docs.select(
+        "doc_id",
+        "source",
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("diversity"),
+    )
+    # descending=True maps every order_by column through .desc(), so the
+    # ASC doc_id tiebreak rides in pre-negated
+    out = top_fraction_per_group(
+        feats,
+        keys=["source"],
+        order_by=[F.col("diversity"), -F.col("doc_id")],
+        fraction=0.5,
+        descending=True,
+        rank_col="rnk",
+    )
+    return out.select("doc_id", "source", F.round("diversity", 6).alias("diversity"), "rnk")
+
+
+@register(
+    "t29_gumbel_weighted_topk",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, CAST((doc_id * 7) % 40 AS DOUBLE) / 10.0 AS wt FROM documents
+    ), keyed AS (
+      SELECT doc_id, wt,
+             ln(wt) - ln(-ln(
+               (CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':gum:0'), 1, 13))
+                     AS BIGINT) + 0.5) / 16 ^ 13)) AS gumbel_key
+      FROM w WHERE wt > 0
+    )
+    SELECT doc_id, wt, ROUND(gumbel_key, 6) AS gumbel_key
+    FROM keyed ORDER BY gumbel_key DESC, doc_id ASC LIMIT 50
+    """,
+)
+def t29_gumbel_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weighted sampling without replacement as a global top-k (Gumbel-max
+    # / Efraimidis-Spirakis): "sample 50 docs proportional to weight"
+    # compiles to TakeOrderedAndProject — no global sort, no reservoir
+    # state, and the sha256-uniform makes the selection engine-portable.
+    # Zero-weight docs are excluded by construction on both sides.
+    from etl_hiscox_spark.operators.sampling import gumbel_topk
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    wt = ((F.col("doc_id") * 7) % 40).cast("double") / F.lit(10.0)
+    out = gumbel_topk(docs.withColumn("wt", wt), F.col("wt"), "doc_id", k=50, seed=0)
+    return out.select("doc_id", "wt", F.round("gumbel_key", 6).alias("gumbel_key"))
+
+
+@register(
     "t22_upsample_mixture",
     oracle="""
     WITH w AS (

@@ -206,6 +206,8 @@ PENDING_NEXT_WINDOW: set[str] = {
     "t25_token_budget_sample",
     "t26_dsir_weights",
     "t27_boilerplate_lines",
+    "t28_domain_quality_gate",
+    "t29_gumbel_weighted_topk",
 }
 
 

@@ -330,3 +330,39 @@ def test_remove_boilerplate_lines_rebuild_and_empty_doc(spark):
     df2 = spark.createDataFrame([(1, "keep one\nkeep two\nkeep three")], "doc_id long, text string")
     got = remove_boilerplate_lines(df2, "text", "doc_id", min_docs=4).first()
     assert got["text_clean"] == "keep one\nkeep two\nkeep three"
+
+
+def test_top_fraction_per_group_boundaries(spark):
+    from etl_hiscox_spark.operators.windows import top_fraction_per_group
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(10)] + [("b", 100, 1.0)],
+        "grp string, doc_id long, score double",
+    )
+    out = top_fraction_per_group(
+        df, keys=["grp"], order_by=[F.col("score"), -F.col("doc_id")], fraction=0.3
+    ).collect()
+    got = {r["grp"]: sorted(r2["doc_id"] for r2 in out if r2["grp"] == r["grp"]) for r in out}
+    assert got["a"] == [7, 8, 9]  # ceil(10 * 0.3) = 3, best scores
+    assert got["b"] == [100]  # singleton group always keeps its row
+    with pytest.raises(ValueError, match="fraction"):
+        top_fraction_per_group(df, ["grp"], [F.col("score")], fraction=0.0)
+
+
+def test_gumbel_topk_is_weight_monotone_and_portable(spark):
+    """Statistical sanity: across disjoint seed draws, heavy rows win more
+    often; exact selection is pinned by the t29 oracle, so here we check
+    determinism, the zero-weight exclusion, and the k contract."""
+    from etl_hiscox_spark.operators.sampling import gumbel_topk
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, 0.0).otherwise(5.0).alias("wt"),
+    )
+    out = gumbel_topk(df, F.col("wt"), "doc_id", k=30, seed=1).collect()
+    assert len(out) == 30
+    assert all(r["doc_id"] >= 100 for r in out)  # zero-weight never sampled
+    out2 = gumbel_topk(df.repartition(9), F.col("wt"), "doc_id", k=30, seed=1).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+    # k larger than the positive-weight population: returns all of it
+    assert gumbel_topk(df, F.col("wt"), "doc_id", k=500).count() == 100
