@@ -721,3 +721,44 @@ def s16_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_value"),
         F.min("o_orderdate").alias("first_order"),
     )
+
+
+@register(
+    "s17_training_shards",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), tot AS (
+      SELECT (SUM(n_tokens) + 1999) // 2000 AS n_shards FROM toks
+    ), asg AS (
+      SELECT doc_id, n_tokens,
+             CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % greatest((SELECT n_shards FROM tot), 1) AS shard_id
+      FROM toks
+    )
+    SELECT CAST(shard_id AS INT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           sha256(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS docs_hash
+    FROM asg GROUP BY shard_id
+    """,
+)
+def s17_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The pipeline's last mile: shard the curated corpus into ~2000-token
+    # training shards (sha256-mod assignment — parallel, portable, no
+    # global prefix sum) written partitionBy(shard_id), and return the
+    # manifest the dataloader indexes by. The oracle recomputes the
+    # assignment arithmetic AND the per-shard integrity hash over sorted
+    # doc ids — a doc dropped or duplicated anywhere in the write path
+    # changes docs_hash.
+    from etl_hiscox_spark.functions.text import tokens
+    from etl_hiscox_spark.sources.writers import write_training_shards
+
+    docs = load_table(spark, "documents", sf_dir)
+    path = os.path.join(_scratch("s17_shards", sf_dir), "shards")
+    return write_training_shards(
+        spark, docs, path, "doc_id", F.size(tokens("text")), shard_tokens=2000
+    )

@@ -338,3 +338,70 @@ def zorder_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_training_shards(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    token_count,
+    shard_tokens: int,
+) -> DataFrame:
+    """Shard a curated corpus into ~``shard_tokens``-sized training shards
+    and return a verifiable manifest — the last mile of a training-data
+    pipeline (the trainer's dataloader reads shards, not a lake table).
+
+    Shard assignment is sha256(id) mod n_shards with
+    ``n_shards = ceil(total_tokens / shard_tokens)``: fully parallel (no
+    global prefix-sum — a global cumsum would serialize 100 TB through
+    one window partition), engine-portable, and balanced to the law of
+    large numbers (each shard holds ~total/n docs drawn uniformly;
+    token-count variance across shards shrinks as shards grow — real
+    pipelines accept ±few-% shard skew for a zero-coordination assign).
+    The total-token count is a 1-row aggregate broadcast back onto the
+    scan, so assignment adds no corpus shuffle beyond the partitioned
+    write's own clustering.
+
+    The manifest (one row per shard: n_docs, n_tokens, and the sha256 of
+    the comma-joined ascending doc ids) is both the dataloader's index
+    and an end-to-end integrity check: a dropped/duplicated doc anywhere
+    upstream changes ``docs_hash``.
+    """
+    total_row = df.select(F.sum(token_count.cast("bigint")).alias("t")).collect()[0]
+    total = int(total_row["t"] or 0)
+    n_shards = max(1, -(-total // int(shard_tokens)))  # ceil
+    assigned = df.select(
+        F.col(id_col),
+        token_count.cast("bigint").alias("n_tokens"),
+        (
+            F.conv(F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 8), 16, 10)
+            .cast("long")
+            % n_shards
+        ).alias("shard_id"),
+    )
+    (
+        assigned.repartition(F.col("shard_id"))
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sha2(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.col(id_col))),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+                256,
+            ).alias("docs_hash"),
+        )
+        .select(F.col("shard_id").cast("int").alias("shard_id"), "n_docs", "n_tokens", "docs_hash")
+    )

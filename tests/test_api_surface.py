@@ -208,6 +208,7 @@ PENDING_NEXT_WINDOW: set[str] = {
     "t27_boilerplate_lines",
     "t28_domain_quality_gate",
     "t29_gumbel_weighted_topk",
+    "s17_training_shards",
 }
 
 

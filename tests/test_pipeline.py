@@ -535,3 +535,37 @@ def test_resample_ffill_semantics(spark):
         ("a", "2024-01-04"): (7.0, False),
         ("b", "2024-01-02"): (5.0, False),
     }
+
+
+def test_write_training_shards_manifest_integrity(spark, tmp_path):
+    """Every doc lands in exactly one shard; the manifest's docs_hash is an
+    end-to-end integrity check (a duplicated doc changes it); shard count
+    follows ceil(total/budget)."""
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.sources.writers import write_training_shards
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 30 + 1).alias("nt")
+    )
+    path = str(tmp_path / "shards")
+    # budget chosen so ceil(total/budget) is stable under a one-doc
+    # duplication (total 3000 -> 3001 stays 6 shards at 512) — otherwise
+    # n_shards shifts and EVERY assignment legitimately rehashes
+    man = write_training_shards(spark, df, path, "doc_id", F.col("nt"), shard_tokens=512)
+    rows = man.collect()
+    total = sum(i % 30 + 1 for i in range(200))
+    assert sum(r["n_docs"] for r in rows) == 200
+    assert sum(r["n_tokens"] for r in rows) == total
+    assert len(rows) <= -(-total // 512)  # empty shards may be absent
+    # shards on disk partition-prune by shard_id
+    one = spark.read.parquet(path).filter(F.col("shard_id") == rows[0]["shard_id"])
+    assert one.count() == rows[0]["n_docs"]
+    # integrity: duplicating one doc changes that shard's hash
+    dup = df.union(df.limit(1))
+    man2 = {r["shard_id"]: r["docs_hash"] for r in
+            write_training_shards(spark, dup, str(tmp_path / "s2"), "doc_id", F.col("nt"), 512).collect()}
+    first_id = spark.read.parquet(path).filter(F.col("shard_id") == rows[0]["shard_id"]) \
+        .select("doc_id").first()
+    changed = [r for r in rows if man2.get(r["shard_id"]) != r["docs_hash"]]
+    assert len(changed) == 1  # exactly the duplicated doc's shard drifts
