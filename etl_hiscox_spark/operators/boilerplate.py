@@ -42,21 +42,26 @@ def remove_boilerplate_lines(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
     docfreq = ln.groupBy("line").agg(F.countDistinct("doc").alias("line_df"))
-    kept = ln.join(docfreq, "line").filter(F.col("line_df") < F.lit(int(min_docs)))
-    rebuilt = kept.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n_lines_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-            "\n",
-        ).alias("text_clean"),
-    )
-    totals = ln.groupBy("doc").agg(F.count(F.lit(1)).alias("n_lines"))
-    return totals.join(rebuilt, "doc", "left").select(
-        F.col("doc").alias(id_col),
-        "n_lines",
-        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
-        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    # ONE per-doc aggregate over the tagged lines: kept-ness rides as a
+    # conditional inside count/collect_list (NULL entries are skipped by
+    # collect_list), so fully-boilerplate docs fall out naturally with
+    # kept=0 / empty text — no second per-doc shuffle, no rebuild join.
+    keep = F.col("line_df") < F.lit(int(min_docs))
+    return (
+        ln.join(docfreq, "line")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(keep, 1)).alias("n_lines_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(keep, F.struct("pos", "line")))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+        )
+        .select(
+            F.col("doc").alias(id_col), "n_lines", "n_lines_kept", "text_clean"
+        )
     )

@@ -192,6 +192,11 @@ def image_channel_stats(
             for path, content in zip(pdf[path_col], pdf[content_col]):
                 arr = decode_image(bytes(content) if content is not None else b"")
                 means = [float(arr[:, :, c].mean()) for c in range(arr.shape[2])]
+                # 2-channel = gray+alpha: padding the raw list would report
+                # the ALPHA mean as mean_g — replicate the gray channel
+                # instead (alpha is not an intensity)
+                if len(means) == 2:
+                    means = [means[0]]
                 while len(means) < 3:
                     means.append(means[0])
                 rows.append(

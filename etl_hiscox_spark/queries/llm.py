@@ -2098,8 +2098,10 @@ def t28_domain_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS BIGINT) + 0.5) / 16 ^ 13)) AS gumbel_key
       FROM w WHERE wt > 0
     )
-    SELECT doc_id, wt, ROUND(gumbel_key, 6) AS gumbel_key
-    FROM keyed ORDER BY gumbel_key DESC, doc_id ASC LIMIT 50
+    SELECT doc_id, wt, ROUND(gumbel_key, 6) AS gumbel_key FROM (
+      SELECT doc_id, wt, gumbel_key
+      FROM keyed ORDER BY gumbel_key DESC, doc_id ASC LIMIT 50
+    )
     """,
 )
 def t29_gumbel_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -296,12 +296,17 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                 # mixing schemas must fail loudly here — otherwise
                 # pd.DataFrame(records, columns=names) silently drops the
                 # extra fields and NaN-fills the missing ones.
-                file_names = [f["name"] for f in file_schema["fields"]]
-                if file_names != names:
+                # Full field comparison (names AND types): same-named
+                # fields of different types would pass a name-only check
+                # and then be silently coerced by the Arrow conversion
+                # (5.5 -> 5 under the probed long type).
+                if file_schema["fields"] != avro_schema["fields"]:
+                    file_names = [f["name"] for f in file_schema["fields"]]
                     raise ValueError(
                         "avro container schema mismatch: probed fields "
-                        f"{names} but a file decodes {file_names}; "
-                        "read_avro requires one schema per directory"
+                        f"{names} but a file declares {file_names} (or "
+                        "same names with different types); read_avro "
+                        "requires one schema per directory"
                     )
                 yield pd.DataFrame(records, columns=names)
 

@@ -386,7 +386,10 @@ def write_training_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
-    back = spark.read.parquet(path)
+    # Explicit schema on the read-back: an EMPTY corpus writes only
+    # _SUCCESS, and schema inference over zero files would raise an
+    # unrelated AnalysisException instead of returning an empty manifest.
+    back = spark.read.schema(assigned.schema).parquet(path)
     return (
         back.groupBy("shard_id")
         .agg(

@@ -565,7 +565,19 @@ def test_write_training_shards_manifest_integrity(spark, tmp_path):
     dup = df.union(df.limit(1))
     man2 = {r["shard_id"]: r["docs_hash"] for r in
             write_training_shards(spark, dup, str(tmp_path / "s2"), "doc_id", F.col("nt"), 512).collect()}
-    first_id = spark.read.parquet(path).filter(F.col("shard_id") == rows[0]["shard_id"]) \
-        .select("doc_id").first()
     changed = [r for r in rows if man2.get(r["shard_id"]) != r["docs_hash"]]
     assert len(changed) == 1  # exactly the duplicated doc's shard drifts
+
+
+def test_write_training_shards_empty_corpus(spark, tmp_path):
+    # review fix: schema inference over a fileless write raised an
+    # unrelated AnalysisException; an empty corpus must yield an empty
+    # manifest with the right schema
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.sources.writers import write_training_shards
+
+    df = spark.range(0).select(F.col("id").alias("doc_id"), F.lit(1).alias("nt"))
+    man = write_training_shards(spark, df, str(tmp_path / "e"), "doc_id", F.col("nt"), 100)
+    assert man.columns == ["shard_id", "n_docs", "n_tokens", "docs_hash"]
+    assert man.count() == 0

@@ -164,3 +164,21 @@ def test_decode_image_dispatches_png(spark):
     expect = float(_gradient(4, 6, 3, base=7).mean())
     assert abs(got["p0"]["mean_intensity"] - expect) < 1e-9
     assert got["p1"]["mean_intensity"] == 9.0
+
+
+def test_channel_stats_gray_alpha_reports_gray_not_alpha(spark):
+    # review fix: padding the raw means list reported the ALPHA mean as
+    # mean_g for 2-channel gray+alpha images
+    import pandas as pd
+
+    from etl_hiscox_spark.operators.multimodal import image_channel_stats
+
+    ga = np.zeros((2, 2, 2), dtype=np.uint8)
+    ga[:, :, 0] = 128  # gray
+    ga[:, :, 1] = 255  # alpha, fully opaque
+    df = spark.createDataFrame(
+        pd.DataFrame([("g", encode_png(ga))], columns=["path", "content"])
+    )
+    row = image_channel_stats(df).first()
+    assert row["n_channels"] == 2
+    assert row["mean_r"] == row["mean_g"] == row["mean_b"] == 128.0
