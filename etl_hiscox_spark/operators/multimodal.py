@@ -151,13 +151,18 @@ def image_features(df: DataFrame, content_col: str = "content", path_col: str = 
             rows = []
             for path, content in zip(pdf[path_col], pdf[content_col]):
                 arr = decode_image(bytes(content) if content is not None else b"")
+                # alpha is coverage, not intensity: exclude it from the
+                # mean for 2-channel (gray+alpha) and 4-channel (RGBA)
+                # arrays — same policy as image_channel_stats
+                c = int(arr.shape[2])
+                intensity = arr[:, :, : 1 if c == 2 else (3 if c == 4 else c)]
                 rows.append(
                     {
                         "path": path,
                         "width": int(arr.shape[1]),
                         "height": int(arr.shape[0]),
-                        "n_channels": int(arr.shape[2]),
-                        "mean_intensity": float(arr.mean()),
+                        "n_channels": c,
+                        "mean_intensity": float(intensity.mean()),
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])

@@ -285,6 +285,33 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     spark_schema = T.StructType(fields)
     names = [f.name for f in fields]
 
+    def _norm_type(t):
+        # Canonical (name-free) type shape for cross-writer comparison:
+        # unwrap {"type": "long"} spellings, keep logicalType (a
+        # timestamp-micros long is NOT a plain long), drop documentation
+        # attributes (doc/default/aliases), recurse into containers.
+        if isinstance(t, list):
+            return ("union", tuple(_norm_type(b) for b in t))
+        if isinstance(t, dict):
+            base = t.get("type")
+            if base == "record":
+                return ("record", tuple(
+                    (f["name"], _norm_type(f["type"])) for f in t.get("fields", ())
+                ))
+            if base == "array":
+                return ("array", _norm_type(t["items"]))
+            if base == "map":
+                return ("map", _norm_type(t["values"]))
+            if "logicalType" in t:
+                return (str(base), t["logicalType"])
+            return _norm_type(base)
+        return str(t)
+
+    def _norm_fields(schema):
+        return [(f["name"], _norm_type(f["type"])) for f in schema["fields"]]
+
+    probed_fields = _norm_fields(avro_schema)
+
     def decode(batches):
         import pandas as pd
 
@@ -295,18 +322,18 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                 # schema was probed from ONE file's header. A directory
                 # mixing schemas must fail loudly here — otherwise
                 # pd.DataFrame(records, columns=names) silently drops the
-                # extra fields and NaN-fills the missing ones.
-                # Full field comparison (names AND types): same-named
-                # fields of different types would pass a name-only check
-                # and then be silently coerced by the Arrow conversion
-                # (5.5 -> 5 under the probed long type).
-                if file_schema["fields"] != avro_schema["fields"]:
-                    file_names = [f["name"] for f in file_schema["fields"]]
+                # extra fields and NaN-fills the missing ones, and a
+                # same-named field of a DIFFERENT type would be silently
+                # coerced by the Arrow conversion (5.5 -> 5 under a probed
+                # long). Comparison is over (name, canonical type) pairs —
+                # writer-specific spellings ({"type":"long"} vs "long")
+                # and doc/default/alias attributes don't count as drift.
+                got = _norm_fields(file_schema)
+                if got != probed_fields:
                     raise ValueError(
-                        "avro container schema mismatch: probed fields "
-                        f"{names} but a file declares {file_names} (or "
-                        "same names with different types); read_avro "
-                        "requires one schema per directory"
+                        "avro container schema mismatch: probed "
+                        f"{probed_fields} but a file declares {got}; "
+                        "read_avro requires one schema per directory"
                     )
                 yield pd.DataFrame(records, columns=names)
 

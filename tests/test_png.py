@@ -182,3 +182,25 @@ def test_channel_stats_gray_alpha_reports_gray_not_alpha(spark):
     row = image_channel_stats(df).first()
     assert row["n_channels"] == 2
     assert row["mean_r"] == row["mean_g"] == row["mean_b"] == 128.0
+
+
+def test_image_features_excludes_alpha_from_intensity(spark):
+    import pandas as pd
+
+    from etl_hiscox_spark.operators.multimodal import image_features
+
+    ga = np.zeros((2, 2, 2), dtype=np.uint8)
+    ga[:, :, 0] = 128
+    ga[:, :, 1] = 255  # opaque alpha must not lift the intensity
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    rgba[:, :, :3] = 10
+    rgba[:, :, 3] = 255
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [("ga", encode_png(ga)), ("rgba", encode_png(rgba))],
+            columns=["path", "content"],
+        )
+    )
+    got = {r["path"]: r["mean_intensity"] for r in image_features(df).collect()}
+    assert got["ga"] == 128.0
+    assert got["rgba"] == 10.0

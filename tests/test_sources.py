@@ -190,6 +190,28 @@ def test_avro_mixed_schema_directory_fails_loudly(spark, tmp_path):
     (d / "1.avro").write_bytes(write_container([{"b": 2}], s2))
     with pytest.raises(PythonException, match="schema mismatch"):
         read_avro(spark, str(d)).collect()
+    # same NAME, different TYPE — the silent-Arrow-coercion case (5.5
+    # would truncate to 5 under the probed long type); a name-only check
+    # passes this, the (name, type) check must not
+    d2 = tmp_path / "mixed_types"
+    d2.mkdir()
+    s3 = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "double"}]}
+    (d2 / "0.avro").write_bytes(write_container([{"a": 1}], s1))
+    (d2 / "1.avro").write_bytes(write_container([{"a": 5.5}], s3))
+    with pytest.raises(PythonException, match="schema mismatch"):
+        read_avro(spark, str(d2)).collect()
+    # writer-spelling variants and doc attributes are NOT drift
+    d3 = tmp_path / "same_logical"
+    d3.mkdir()
+    s1_spelled = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": {"type": "long"}, "doc": "id"}],
+    }
+    (d3 / "0.avro").write_bytes(write_container([{"a": 1}], s1))
+    (d3 / "1.avro").write_bytes(write_container([{"a": 2}], s1_spelled))
+    got = sorted(r["a"] for r in read_avro(spark, str(d3)).collect())
+    assert got == [1, 2]
 
 
 def test_txn_table_append_time_travel_and_evolution(spark, tmp_path):
