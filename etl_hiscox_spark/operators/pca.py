@@ -39,6 +39,7 @@ class PCAModel:
     explained_variance_ratio: np.ndarray  # (k,)
     mean: np.ndarray  # (d,) column means used for centering
     n_rows: int
+    total_variance: float = 0.0  # trace of the covariance (sum of ALL eigenvalues)
 
 
 def _gram_partials(embedding_col: str, d: int):
@@ -105,6 +106,7 @@ def pca_fit(df: DataFrame, embedding_col: str, k: int, dim: int | None = None) -
         explained_variance_ratio=ev / total_var if total_var > 0 else np.zeros(k),
         mean=mean,
         n_rows=n,
+        total_variance=total_var,
     )
 
 

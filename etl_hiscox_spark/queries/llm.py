@@ -1754,22 +1754,67 @@ def t21_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 from etl_hiscox_spark.operators.pca import pca_fit, pca_project  # noqa: E402
 
 
-@register("v4_pca_projection")
+@register(
+    "v4_pca_projection",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(i AS INT) AS i, CAST(embedding[i + 1] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(len(embedding))) AS u(i)
+    ), dims AS (
+      SELECT i, SUM(x) AS s, SUM(x * x) AS q FROM pos GROUP BY i
+    ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings)
+    SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_vecs,
+           ROUND(SUM(q - s * s / (SELECT n FROM nn)) / ((SELECT n FROM nn) - 1), 6)
+             AS total_var,
+           TRUE AS components_orthonormal,
+           TRUE AS projection_centered,
+           TRUE AS pc_variance_equals_eigenvalue,
+           TRUE AS explained_le_total
+    FROM dims
+    """,
+)
 def v4_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Partial-invariant oracle (the a16 mechanism, upgrading r6's
+    # rows-only): the eigendecomposition itself has no SQL twin, but the
+    # COVARIANCE TRACE does — DuckDB recomputes total_var exactly from the
+    # raw embeddings (per-dim sum/sum-of-squares), so a wrong Gram
+    # accumulation, mean-centering or (n-1) denominator hash-fails. The
+    # booleans are Spark-side proofs DuckDB emits as TRUE:
+    # row-orthonormality of the eigenvector matrix, per-component
+    # projection mean ~ 0 (centering ran), DISTRIBUTED projection variance
+    # equal to each eigenvalue (ties the Arrow matmul path to the driver
+    # eigh), and sum(top-k eigenvalues) <= trace. Exact per-label moments
+    # stay pinned by the numpy-equality pytest (tests/test_pca.py).
+    import numpy as np
+
     emb = load_table(spark, "embeddings", sf_dir)
     model = pca_fit(emb, "embedding", k=4)
     proj = pca_project(emb, "embedding", model, out_col="pc")
-    # per-label second moments of the projected coords — label-level
-    # structure a classifier downstream would consume
-    return (
-        proj.groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            *[
-                F.round(F.avg(F.element_at("pc", i + 1) ** 2), 6).alias(f"ms_pc{i + 1}")
-                for i in range(4)
-            ],
+    comps = model.components
+    orth = bool(np.abs(comps @ comps.T - np.eye(comps.shape[0])).max() < 1e-9)
+    expl_le = bool(model.explained_variance.sum() <= model.total_variance + 1e-9)
+    ev = [float(x) for x in model.explained_variance]
+    mom = proj.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[F.sum(F.element_at("pc", i + 1)).alias(f"s{i}") for i in range(4)],
+        *[F.sum(F.element_at("pc", i + 1) ** 2).alias(f"q{i}") for i in range(4)],
+    )
+    n = F.col("n_vecs").cast("double")
+    centered = F.lit(True)
+    var_ok = F.lit(True)
+    for i in range(4):
+        centered = centered & (F.abs(F.col(f"s{i}") / n) < F.lit(1e-6))
+        var_ok = var_ok & (
+            F.abs(F.col(f"q{i}") / (n - 1) - F.lit(ev[i]))
+            <= F.lit(max(1.0, abs(ev[i])) * 1e-6)
         )
+    return mom.select(
+        "n_vecs",
+        F.round(F.lit(float(model.total_variance)), 6).alias("total_var"),
+        F.lit(orth).alias("components_orthonormal"),
+        centered.alias("projection_centered"),
+        var_ok.alias("pc_variance_equals_eigenvalue"),
+        F.lit(expl_le).alias("explained_le_total"),
     )
 
 
