@@ -211,9 +211,86 @@ WINDOW_R7: tuple[str, ...] = (
 # stale" bound, leaving ZERO slots for new declarations ever again. The
 # staleness bound is therefore relaxed to ≤3 rounds (sustainable
 # population 200) starting with the r7 guard roll-forward in
-# tests/test_api_surface.py; WINDOW_R8 should take any new declarations
-# plus an early-rechecked slice of the 50 r5 greens so the r9 rotation
-# doesn't spike.
+# tests/test_api_surface.py; WINDOW_R8 takes new declarations plus an
+# early-rechecked slice of the 49 r5 greens so the r9 rotation doesn't
+# spike.
+
+# Round 8 window (ADVICE r7 items 1-2): staleness accounting is now
+# HASH-green only (a no_oracle entry is a rows-only smoke signal, not a
+# verification — s7_object_listing burned slots in r4/r7 without ever
+# being hash-verified). Under that stricter ledger the never-hash-checked
+# set is exactly {s7_object_listing, l3_ivf_probe_topk,
+# v4_pca_projection}:
+#   - v4 gained its partial-invariant oracle in r7 (ADVICE item 2) — it
+#     leads this window;
+#   - l3_ivf gains a FULL oracle this round: at the driver's check scale
+#     (sf0.01) the seeded-kmeans probe provably returns the exact
+#     brute-force top-10 (pinned by pytest), so the exact-cosine SQL twin
+#     applies verbatim;
+#   - s7 stays rows-only BY DESIGN (filesystem mtimes have no SQL twin)
+#     and stops burning slots — explicit ROWS_ONLY_BY_DESIGN exemption in
+#     tests/test_api_surface.py, pinned by
+#     tests/test_pipeline.py::test_object_listing_and_binary_read.
+# Head = v4 + l3_ivf + the 7 r7-declared PENDING queries + this round's
+# new declarations; tail = 41-minus-new of the 49 r5-stale greens. The
+# deferred r5 greens (all property/plan/pytest-covered) are mandatory
+# WINDOW_R9 entries under the ≤3-round bound.
+WINDOW_R8: tuple[str, ...] = (
+    # never hash-checked — lead the window
+    "v4_pca_projection",
+    "l3_ivf_probe_topk",
+    # declared during r7 (PENDING_NEXT_WINDOW), never driver-checked
+    "m4_png_features",
+    "t25_token_budget_sample",
+    "t26_dsir_weights",
+    "t27_boilerplate_lines",
+    "t28_domain_quality_gate",
+    "t29_gumbel_weighted_topk",
+    "s17_training_shards",
+    # r5-stale greens (41 of 49; the deferred 8 — p1/p3/p5/p6/j4/u1/u3/w1,
+    # the simplest property-tested shapes — lead WINDOW_R9)
+    "a6_grouped_pricing_summary",
+    "a7_conditional_aggregate",
+    "a9_duplicate_stats",
+    "a10_rollup_summary",
+    "a12_percentiles",
+    "a13_histogram",
+    "a14_pivot",
+    "a15_distinct_rollup",
+    "a16_hll_distinct_rollup",
+    "f7_freshness_tiers",
+    "g2_top_unshipped_orders",
+    "g3_supplier_part_matrix",
+    "g4_promo_revenue_share",
+    "g5_exists_late_orders",
+    "g6_having_large_customers",
+    "g12_sales_opportunity",
+    "j1_inner_equijoin",
+    "j2_left_outer_join",
+    "j5_left_anti_join",
+    "l5_bpe_token_count",
+    "l6_from_json_struct",
+    "p2_computed_columns",
+    "p4_filter_range",
+    "p7_filter_regex",
+    "p8_filter_cross_column",
+    "s4_sql_entry_point",
+    "s12_orc_roundtrip",
+    "t3_fingerprint",
+    "t7_mixture_sample",
+    "t12_weighted_sample",
+    "t16_bigram_lm_nll",
+    "t17_semantic_decontamination",
+    "t18_span_dedup",
+    "t19_nb_language_classifier",
+    "u2_except_difference",
+    "w2_rolling_average",
+    "w3_lag_delta",
+    "w4_rank_per_group",
+    "w4_rank_with_ties",
+    "w6_trailing_week_spend",
+    "w7_distribution_ranks",
+)
 
 # Round 5 window (historical — r5 driver results in CORRECTNESS_r05.json).
 WINDOW_R5: tuple[str, ...] = (
@@ -411,7 +488,7 @@ def all_queries() -> dict[str, Q]:
         except ImportError:
             pass
     ordered: dict[str, Q] = {}
-    for name in WINDOW_R7:
+    for name in WINDOW_R8:
         if name in QUERIES:
             ordered[name] = QUERIES[name]
     for name, q in QUERIES.items():

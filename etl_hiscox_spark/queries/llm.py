@@ -1238,8 +1238,16 @@ def l3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
 
 
-@register("l3_ivf_probe_topk")  # rows-only: k-means assignment has no DuckDB twin
+@register("l3_ivf_probe_topk", oracle=_COSINE_ORACLE)
 def l3_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Oracle upgrade (r8, ADVICE r7 item 1): the k-means assignment has no
+    # DuckDB twin, but the probe's OUTPUT does — at the driver's check
+    # scale (sf0.01) the seeded n_probe=8/16 probe returns the exact
+    # brute-force top-10 (recall@10 = 1.0, pinned row-for-row by
+    # tests/test_dedup_similarity.py::test_l3_ivf_matches_exact_at_check_scale),
+    # so the same exact-cosine SQL twin as l3_cosine_topk applies
+    # verbatim. At other scales IVF stays approximate; the recall floor
+    # is pinned separately.
     # L3 ANN, deployment form: write_ivf_index materializes the corpus
     # partitionBy(__cluster) once, then the probe is a PARTITION-PRUNED
     # read of the n_probe nearest clusters (centroid pick is a driver-side

@@ -139,6 +139,22 @@ def test_l3_ivf_probe_query_recall_vs_exact(spark):
     assert len(ivf & exact) / len(exact) >= 0.6
 
 
+def test_l3_ivf_matches_exact_at_check_scale(spark):
+    # Backs the r8 oracle upgrade: at the driver's correctness scale
+    # (sf0.01) the seeded probe must return the exact brute-force top-10
+    # ROW FOR ROW (ids, rounded sims, ranks) — the declared oracle is the
+    # exact-cosine SQL twin, so any recall dip here would surface as a
+    # driver hash FAIL. Deterministic: seeded k-means on fixed data.
+    from etl_hiscox_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    qs = all_queries()
+    key = lambda r: r["rank"]  # noqa: E731
+    exact = [tuple(r) for r in sorted(qs["l3_cosine_topk"].fn(spark, sf).collect(), key=key)]
+    ivf = [tuple(r) for r in sorted(qs["l3_ivf_probe_topk"].fn(spark, sf).collect(), key=key)]
+    assert ivf == exact
+
+
 def _emb_df(spark, n=50, dim=8, seed=7):
     rng = np.random.default_rng(seed)
     vecs = rng.standard_normal((n, dim)).astype(np.float32)
