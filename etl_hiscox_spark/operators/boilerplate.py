@@ -35,11 +35,16 @@ def remove_boilerplate_lines(
     Output: (id, n_lines, n_lines_kept, text_clean) — one row per input
     document, including fully-boilerplate documents (kept = 0, empty
     text): silently dropping them would skew downstream token budgets,
-    and the caller decides whether an emptied doc survives.
+    and the caller decides whether an emptied doc survives. NULL text is
+    normalized to '' first (one empty line) — split(NULL) yields no
+    explode rows, which would silently drop the document and break the
+    one-row-per-doc contract (ADVICE r7 item 3).
     """
     ln = df.select(
         F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
     )
     docfreq = ln.groupBy("line").agg(F.countDistinct("doc").alias("line_df"))
     # ONE per-doc aggregate over the tagged lines: kept-ness rides as a

@@ -123,6 +123,21 @@ def seed_load(spark: SparkSession, csv_path: str, target_path: str) -> DataFrame
     return df
 
 
+def _xxhashable(dt) -> bool:
+    """True if ``xxhash64`` accepts the type: MapType is unhashable at any
+    nesting depth (Spark's HashExpression rejects it because map iteration
+    order is undefined)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _xxhashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_xxhashable(f.dataType) for f in dt.fields)
+    return True
+
+
 def incremental_refresh(
     spark: SparkSession,
     source: DataFrame,
@@ -171,10 +186,21 @@ def incremental_refresh(
     # partition across up to that many tasks/files: bounded file count
     # per partition AND bounded bytes per task. The salt is a repartition
     # expression only; it never lands in the schema or the files.
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in source.columns]),
-        F.lit(int(files_per_partition)),
-    )
+    # xxhash64 rejects MapType (anywhere in the nesting) — hash only the
+    # hashable payload columns; if none remain, fall back to a row-id
+    # spread (ADVICE r7 item 5; determinism of the salt is a file-layout
+    # nicety, not a correctness requirement). The partition column is
+    # excluded: it is constant within a partition, so it adds no spread —
+    # and alone it would collapse the fan-out to one file.
+    hashable = [
+        c
+        for c in source.columns
+        if c != partition_col and _xxhashable(source.schema[c].dataType)
+    ]
+    if hashable:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(int(files_per_partition)))
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(int(files_per_partition)))
     overwrite_partitions_dynamic(
         source.repartition(F.col(partition_col), salt), path, (partition_col,)
     )
@@ -359,26 +385,35 @@ def write_training_shards(
     large numbers (each shard holds ~total/n docs drawn uniformly;
     token-count variance across shards shrinks as shards grow — real
     pipelines accept ±few-% shard skew for a zero-coordination assign).
-    The total-token count is a 1-row aggregate broadcast back onto the
-    scan, so assignment adds no corpus shuffle beyond the partitioned
-    write's own clustering.
+    The total-token count rides IN-PLAN as a broadcast 1-row aggregate
+    (cross-join, not a driver collect — ADVICE r7 item 4): one job, no
+    driver round-trip, and the aggregate subtree scans only the pruned
+    token column.
 
     The manifest (one row per shard: n_docs, n_tokens, and the sha256 of
     the comma-joined ascending doc ids) is both the dataloader's index
     and an end-to-end integrity check: a dropped/duplicated doc anywhere
     upstream changes ``docs_hash``.
     """
-    total_row = df.select(F.sum(token_count.cast("bigint")).alias("t")).collect()[0]
-    total = int(total_row["t"] or 0)
-    n_shards = max(1, -(-total // int(shard_tokens)))  # ceil
-    assigned = df.select(
-        F.col(id_col),
-        token_count.cast("bigint").alias("n_tokens"),
-        (
-            F.conv(F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 8), 16, 10)
-            .cast("long")
-            % n_shards
-        ).alias("shard_id"),
+    totals = df.agg(
+        F.coalesce(F.sum(token_count.cast("bigint")), F.lit(0)).alias("__total_tokens")
+    )
+    n_shards = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("__total_tokens") / F.lit(int(shard_tokens))).cast("long"),
+    )
+    assigned = (
+        df.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            token_count.cast("bigint").alias("n_tokens"),
+            (
+                F.conv(
+                    F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 8), 16, 10
+                ).cast("long")
+                % n_shards
+            ).alias("shard_id"),
+        )
     )
     (
         assigned.repartition(F.col("shard_id"))

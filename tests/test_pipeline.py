@@ -459,6 +459,30 @@ def test_incremental_refresh_fans_large_partition_across_files(spark, tmp_path):
     assert out.columns == ["id", "amount", "month"]
 
 
+def test_incremental_refresh_handles_map_columns(spark, tmp_path):
+    # ADVICE r7 item 5: the write salt hashed every column with xxhash64,
+    # which throws AnalysisException for MapType — a schema the plain
+    # repartition(partition_col) handled fine. Map columns must round-trip.
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.sources.writers import incremental_refresh
+
+    path = str(tmp_path / "incr_map")
+    df = spark.range(100).select(
+        F.lit("2024-01").alias("month"),
+        F.col("id"),
+        F.create_map(F.lit("k"), F.col("id").cast("string")).alias("attrs"),
+    )
+    out = incremental_refresh(spark, df, path, "month")
+    assert out.count() == 100
+    assert dict(out.filter(F.col("id") == 7).first()["attrs"]) == {"k": "7"}
+    # all-map payload (only the partition col is hashable alongside it):
+    # falls back to the row-id spread without raising
+    df2 = df.select("month", "attrs")
+    out2 = incremental_refresh(spark, df2, str(tmp_path / "incr_map2"), "month")
+    assert out2.count() == 100
+
+
 def test_pipeline_incremental_materialization_mode(spark, tmp_path):
     """Model(materialization='incremental') routes through
     incremental_refresh: two pipeline runs over a growing source produce

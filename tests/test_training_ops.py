@@ -332,6 +332,21 @@ def test_remove_boilerplate_lines_rebuild_and_empty_doc(spark):
     assert got["text_clean"] == "keep one\nkeep two\nkeep three"
 
 
+def test_remove_boilerplate_lines_null_text_doc_survives(spark):
+    # ADVICE r7 item 3: split(NULL) explodes to zero rows, which silently
+    # dropped NULL-text docs. They must survive as one empty line
+    # (NULL normalized to ''), keeping the one-row-per-doc contract.
+    from etl_hiscox_spark.operators.boilerplate import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(1, "body one"), (2, None), (3, "body three")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(df, "text", "doc_id", min_docs=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["n_lines"] == 1  # the normalized empty line
+    assert out[2]["text_clean"] == ""
+
+
 def test_top_fraction_per_group_boundaries(spark):
     from etl_hiscox_spark.operators.windows import top_fraction_per_group
 
