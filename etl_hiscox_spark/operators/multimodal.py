@@ -118,6 +118,13 @@ def decode_image(content: bytes) -> np.ndarray:
         from etl_hiscox_spark.operators.png import decode_png
 
         return decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        from etl_hiscox_spark.operators.jpeg import decode_jpeg
+
+        arr = decode_jpeg(content)
+        # grayscale JFIF decodes to (h,w); normalize to the (h,w,c)
+        # contract every other decode path returns
+        return arr[:, :, None] if arr.ndim == 2 else arr
     try:
         import io
 

