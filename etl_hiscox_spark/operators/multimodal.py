@@ -406,6 +406,61 @@ def audio_features(df: DataFrame, content_col: str = "content", path_col: str = 
     return df.select(path_col, content_col).mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
 
 
+SPECTRAL_PEAK_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("peak_bin", T.IntegerType()),
+        T.StructField("peak_freq_hz", T.DoubleType()),
+        T.StructField("peak_mag", T.DoubleType()),
+    ]
+)
+
+
+def audio_spectral_peak(
+    df: DataFrame, content_col: str = "content", path_col: str = "path"
+) -> DataFrame:
+    """Dominant-frequency extraction: decode PCM WAV, rfft the (channel-
+    downmixed) clip, report the strongest non-DC bin and its frequency.
+
+    The DSP pass a speech/music curation pipeline runs to drop silence,
+    hum, and test tones. DC (bin 0) is excluded — a constant offset is
+    level, not pitch. peak_freq_hz = peak_bin * rate / n (exact arithmetic
+    from the integers, so an oracle can replay it); peak_mag is the raw
+    |rfft| magnitude for pytest-side physics checks. Non-WAV bytes yield a
+    NULL-featured row (quarantine semantics, as :func:`audio_features`).
+    Per-file numpy FFT (n log n) inside Arrow mapInPandas — same
+    irreducible-Python batching as every codec path."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                try:
+                    samples, rate = decode_wav(bytes(content) if content is not None else b"")
+                    x = samples.astype(np.float64).mean(axis=1)  # downmix
+                    n = x.shape[0]
+                    if n < 4:
+                        raise ValueError("clip too short for a spectrum")
+                    mag = np.abs(np.fft.rfft(x))
+                    pk = 1 + int(np.argmax(mag[1:]))
+                    rows.append(
+                        {
+                            "path": path,
+                            "n_samples": n,
+                            "peak_bin": pk,
+                            "peak_freq_hz": pk * float(rate) / n,
+                            "peak_mag": float(mag[pk]),
+                        }
+                    )
+                except ValueError:
+                    rows.append({"path": path, "n_samples": None, "peak_bin": None,
+                                 "peak_freq_hz": None, "peak_mag": None})
+            yield pd.DataFrame(rows, columns=[f.name for f in SPECTRAL_PEAK_SCHEMA.fields])
+
+    return df.select(path_col, content_col).mapInPandas(extract, SPECTRAL_PEAK_SCHEMA)
+
+
 AUDIO_WINDOWS_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),

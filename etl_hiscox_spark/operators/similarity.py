@@ -475,3 +475,91 @@ def semantic_dedup(
         F.col("node").alias(id_col)
     )
     return df.join(drops, on=id_col, how="left_anti")
+
+
+def quantized_topk(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    rerank_factor: int = 3,
+) -> DataFrame:
+    """Int8 scalar-quantized ANN: integer-dot candidate scan + exact rerank.
+
+    Stage 1 scores EVERY row with the quantized cosine: codes are symmetric
+    per-vector int8 (``vectors.quantize_int8`` — round(x / (max|x|/127)),
+    HALF_UP), and dot/norms over codes are exact integer folds, so the
+    candidate ranking is bit-reproducible across engines (no float
+    summation-order noise). Stage 2 re-scores only ``rerank_factor * k``
+    candidates with the exact float cosine and emits the final top-k.
+
+    Output: (id, approx_cos, exact_cos, rank) — approx_cos kept so recall
+    regressions are visible in the result itself.
+
+    At 100 TB this split is the point: the int8 codes are what the
+    deployment stores and scans (4x less IO than float32, SIMD-friendly
+    integer dot in an Arrow/BLAS tier), while the float vectors are fetched
+    for a constant rerank_factor*k rows only. Plan here: scan → project →
+    filter → TakeOrderedAndProject(rerank_factor*k) → single tiny-task
+    rerank — no shuffle of the corpus, no driver collect of candidates.
+    """
+    from etl_hiscox_spark.operators.vectors import quantize_int8
+
+    import decimal
+    import math
+
+    q = [float(x) for x in query_vec]
+    qscale = max((abs(x) for x in q), default=0.0) / 127.0
+    if qscale == 0:
+        qcodes = [0] * len(q)
+    else:
+        # Decimal HALF_UP on the exact binary value — identical to Spark's
+        # F.round and DuckDB's round(); floor(x+0.5) would misround doubles
+        # just below a half (the +0.5 addition itself rounds up).
+        qcodes = [
+            int(
+                decimal.Decimal(x / qscale).quantize(
+                    decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            for x in q
+        ]
+    nq = sum(c * c for c in qcodes)
+
+    v = F.col(embedding_col).cast("array<double>")
+    codes, _scale = quantize_int8(v)
+    qlit = F.array(*[F.lit(int(c)).cast("long") for c in qcodes])
+    dotq = F.aggregate(
+        F.zip_with(codes, qlit, lambda a, b: a.cast("long") * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nc = F.aggregate(
+        F.transform(codes, lambda c: c.cast("long") * c.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        F.try_divide(
+            dotq.cast("double"),
+            F.sqrt(nc.cast("double")) * F.lit(math.sqrt(float(nq))),
+        ).alias("approx_cos"),
+    ).filter(F.col("approx_cos").isNotNull())
+    cand = scored.orderBy(F.col("approx_cos").desc(), F.col(id_col).asc()).limit(
+        rerank_factor * k
+    )
+    qdlit = _as_double_literal_array(q)
+    rer = cand.select(
+        id_col,
+        "approx_cos",
+        cosine(F.col("_v"), qdlit).alias("exact_cos"),
+    )
+    w = Window.orderBy(F.col("exact_cos").desc(), F.col(id_col).asc())
+    return (
+        rer.orderBy(F.col("exact_cos").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "approx_cos", "exact_cos", F.row_number().over(w).alias("rank"))
+    )

@@ -250,6 +250,8 @@ WINDOW_R8: tuple[str, ...] = (
     "s17_training_shards",
     # declared during r8 — JPEG codec leg, quantized ANN, audio FFT
     "m5_jpeg_features",
+    "l3_quantized_topk",
+    "m6_audio_spectral_peak",
     # r5-stale greens (38 of 49; the deferred 11 — p1/p3/p5/p6/j4/u1/u3/w1
     # plus the three displaced by the r8 declarations (w6/w7/w4_ties), all
     # property/plan/pytest-covered simple shapes — lead WINDOW_R9)
@@ -291,8 +293,6 @@ WINDOW_R8: tuple[str, ...] = (
     "w2_rolling_average",
     "w3_lag_delta",
     "w4_rank_per_group",
-    "w4_rank_with_ties",
-    "w6_trailing_week_spend",
 )
 
 # Round 5 window (historical — r5 driver results in CORRECTNESS_r05.json).

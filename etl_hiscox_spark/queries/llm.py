@@ -251,6 +251,84 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l3_quantized_topk",
+    oracle="""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id = 0
+    ), qc AS (
+      SELECT qe,
+             CASE WHEN list_max(list_transform(qe, x -> abs(x))) = 0
+                  THEN list_transform(qe, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(qe, x -> CAST(round(
+                       x / (list_max(list_transform(qe, y -> abs(y))) / 127.0))
+                       AS BIGINT)) END AS qcodes
+      FROM q
+    ), e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), codes AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(round(
+                       x / (list_max(list_transform(v, y -> abs(y))) / 127.0))
+                       AS BIGINT)) END AS c
+      FROM e
+    ), scored AS (
+      SELECT vec_id, v,
+             CAST(list_sum(list_transform(range(1, len(c) + 1),
+                  i -> c[i] * qc.qcodes[i])) AS BIGINT) AS dotq,
+             CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS nc,
+             CAST(list_sum(list_transform(qc.qcodes, x -> x * x)) AS BIGINT) AS nq
+      FROM codes, qc
+    ), approx AS (
+      SELECT vec_id, v,
+             CAST(dotq AS DOUBLE) / (sqrt(CAST(nc AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE)))
+               AS approx_cos
+      FROM scored WHERE nc > 0 AND nq > 0
+    ), cand AS (
+      SELECT * FROM approx ORDER BY approx_cos DESC, vec_id ASC LIMIT 30
+    ), rer AS (
+      SELECT c.vec_id, c.approx_cos,
+             list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * q.qe[i]))
+               / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.qe, x -> x * x)))) AS exact_cos
+      FROM cand c, q
+    )
+    SELECT vec_id, ROUND(approx_cos, 6) AS approx_cos,
+           ROUND(exact_cos, 6) AS exact_cos,
+           ROW_NUMBER() OVER (ORDER BY exact_cos DESC, vec_id ASC) AS rank
+    FROM rer ORDER BY exact_cos DESC, vec_id ASC LIMIT 10
+    """,
+)
+def l3_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L3 scale path: int8 scalar-quantized ANN (operators/similarity.
+    # quantized_topk). The candidate scan runs on integer codes — exact
+    # integer dot/norm folds, so the candidate set and ordering are
+    # bit-reproducible in DuckDB (no float-summation noise, unlike raw
+    # cosine) — then a constant 3k-candidate exact rerank emits the final
+    # top-k. approx_cos rides in the output so quantization-recall
+    # regressions are hash-visible, not silent. At 100 TB the int8 codes
+    # are the stored/scanned representation (4x less IO than float32);
+    # the float vectors are touched for 30 rows.
+    from etl_hiscox_spark.operators.similarity import quantized_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    out = quantized_topk(emb, "embedding", "vec_id", qvec, k=10, rerank_factor=3)
+    return out.select(
+        "vec_id",
+        F.round("approx_cos", 6).alias("approx_cos"),
+        F.round("exact_cos", 6).alias("exact_cos"),
+        "rank",
+    )
+
+
+@register(
     "l3_embedding_near_pairs",
     oracle="""
     WITH e AS (
@@ -2033,6 +2111,67 @@ def m5_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "n_channels",
         F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
+@register(
+    "m6_audio_spectral_peak",
+    oracle="""
+    WITH clips AS (
+      SELECT doc_id,
+             128 + 64 * (doc_id % 3) AS n,
+             3 + doc_id % 50 AS tone_bin
+      FROM documents
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS path,
+           CAST(n AS INT) AS n_samples,
+           CAST(tone_bin AS INT) AS peak_bin,
+           ROUND(tone_bin * 8000.0 / n, 6) AS peak_freq_hz
+    FROM clips
+    """,
+)
+def m6_audio_spectral_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Audio DSP leg: each doc gets a deterministic PCM16 pure tone at an
+    # exact integer bin (tone_bin integer cycles in an n-sample window, so
+    # the rfft concentrates at that bin; int16 rounding noise is ~5 orders
+    # of magnitude below the peak). The clip is encoded to real WAV bytes,
+    # decoded by the real codec, and FFT'd (operators/multimodal.
+    # audio_spectral_peak); the oracle replays the planted bin and the
+    # bin→Hz arithmetic — a wrong FFT length, off-by-one bin index,
+    # rate/duration mixup, or sample-order codec bug shifts the argmax and
+    # hash-fails. peak magnitude physics (≈ amplitude·n/2) is pinned in
+    # tests/test_audio_spectral.py, not here (FFT floats have no SQL
+    # twin).
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from etl_hiscox_spark.operators.multimodal import audio_spectral_peak, encode_wav
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 128 + 64 * (i % 3)
+                tone_bin = 3 + i % 50
+                t = np.arange(n, dtype=np.float64)
+                v = np.round(1000.0 * np.sin(2.0 * np.pi * tone_bin * t / n)).astype(
+                    np.int16
+                )
+                out.append({"path": str(i), "content": encode_wav(v, 8000)})
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    media = docs.mapInPandas(gen, "path string, content binary")
+    out = audio_spectral_peak(media)
+    return out.select(
+        "path",
+        "n_samples",
+        "peak_bin",
+        F.round("peak_freq_hz", 6).alias("peak_freq_hz"),
     )
 
 

@@ -312,3 +312,43 @@ def test_simhash_portable_and_fast_modes_agree_on_planted_dups(spark):
         found = len(planted & pairs)
         assert found >= 15, f"portable={portable} found only {found}/20 planted dups"
         assert pairs <= planted, f"portable={portable} paired unrelated docs: {pairs - planted}"
+
+
+def test_quantized_topk_matches_exact_topk(spark):
+    """Int8 candidate scan + exact rerank must return the exact top-k on
+    well-conditioned data: the rerank stage is exact, so equality holds iff
+    the true top-k all survive the 3x quantized candidate cut — the recall
+    property the operator exists to provide."""
+    from etl_hiscox_spark.operators.similarity import quantized_topk
+
+    df, vecs = _emb_df(spark, n=80)
+    q = [float(x) for x in vecs[0]]
+    exact = cosine_topk(df, "embedding", "vec_id", q, k=5).collect()
+    quant = quantized_topk(df, "embedding", "vec_id", q, k=5, rerank_factor=3).collect()
+    assert [r["vec_id"] for r in quant] == [r["vec_id"] for r in exact]
+    assert [r["rank"] for r in quant] == [1, 2, 3, 4, 5]
+    for qr, er in zip(quant, exact):
+        assert abs(qr["exact_cos"] - er["cosine_sim"]) < 1e-9
+        # int8 quantization keeps the approximate score within ~1/127-ish
+        assert abs(qr["approx_cos"] - er["cosine_sim"]) < 0.05
+
+
+def test_quantized_topk_zero_rows_filtered(spark):
+    from etl_hiscox_spark.operators.similarity import quantized_topk
+
+    df, vecs = _emb_df(spark, n=20)
+    zero = spark.createDataFrame(
+        [(999, [0.0] * vecs.shape[1])], "vec_id long, embedding array<float>"
+    )
+    out = quantized_topk(
+        df.union(zero), "embedding", "vec_id", [float(x) for x in vecs[0]], k=21
+    ).collect()
+    assert 999 not in [r["vec_id"] for r in out]  # zero-norm row filtered
+
+
+def test_quantized_topk_zero_query_empty(spark):
+    from etl_hiscox_spark.operators.similarity import quantized_topk
+
+    df, _ = _emb_df(spark, n=10)
+    out = quantized_topk(df, "embedding", "vec_id", [0.0] * 8, k=3).collect()
+    assert out == []
