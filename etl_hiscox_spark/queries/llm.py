@@ -2289,16 +2289,21 @@ def t27_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chunking, the line document-frequency, the threshold, and the
     # exact '\n'-rebuild. A wrong position sort or a dropped
     # fully-boilerplate doc hash-fails on text_clean.
+    from etl_hiscox_spark.functions.text import normalize_text
     from etl_hiscox_spark.operators.boilerplate import remove_boilerplate_lines
 
     docs = load_table(spark, "documents", sf_dir)
-    t = tokens("text")
-    n_chunks = F.ceil(F.size(t) / F.lit(4.0)).cast("int")
-    lines_arr = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(t, i * 4 + 1, 4), " "),
+    # Plant the newline after every 4th token with ONE codegen regex pass
+    # instead of transform(sequence)+slice+array_join — Spark 4 runs array
+    # lambdas interpreted per element, and this projection sits under BOTH
+    # plan branches (line-df aggregate + tag join), so the r7 form paid the
+    # interpreted build twice: 10 of t27's 23 s at sf1. Byte-identical to
+    # the slice chunking (regexp_replace consumes non-overlapping 4-token
+    # groups left to right; the <4-token tail keeps its spaces).
+    text_nl = F.regexp_replace(
+        normalize_text(F.col("text")), r"((\S+ ){3}\S+) ", "$1\n"
     )
-    with_lines = docs.select("doc_id", F.array_join(lines_arr, "\n").alias("text_nl"))
+    with_lines = docs.select("doc_id", text_nl.alias("text_nl"))
     return remove_boilerplate_lines(with_lines, "text_nl", "doc_id", min_docs=5)
 
 
