@@ -670,16 +670,22 @@ def t4_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t5_bigram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Word-bigram frequency (language-model n-gram stats). All occurrences
     # (not per-doc distinct), matching the oracle's list_transform walk.
+    # explode(sequence)+element_at over a materialized token column stays
+    # whole-stage-codegen'd; the transform-lambda form runs interpreted
+    # AND re-splits the text per element (the t27 r8 finding).
     docs = load_table(spark, "documents", sf_dir)
-    toks = tokens("text")
-    n = F.size(toks)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    t = docs.select(tokens("text").alias("__t")).filter(F.size("__t") >= 2)
+    idx = t.select(
+        "__t", F.explode(F.sequence(F.lit(1), F.size("__t") - 1)).alias("__i")
     )
     return (
-        docs.filter(n >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+        idx.select(
+            F.concat_ws(
+                " ",
+                F.element_at("__t", F.col("__i")),
+                F.element_at("__t", F.col("__i") + F.lit(1)),
+            ).alias("bigram")
+        )
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
