@@ -477,6 +477,22 @@ def semantic_dedup(
     return df.join(drops, on=id_col, how="left_anti")
 
 
+def _half_up(y: np.ndarray) -> np.ndarray:
+    """Exact vectorized ROUND_HALF_UP (away from zero) for |y| < 2^52.
+
+    frac = |y| - floor(|y|) is EXACT in float64 (both operands lie on the
+    same binade grid), so the >= 0.5 comparison is the true tie-break —
+    matching Spark's F.round and DuckDB's round() on the exact binary
+    value. np.round would be half-even; floor(|y|+0.5) misrounds doubles
+    one ulp below a half (the +0.5 addition itself rounds up). Parity
+    pinned in tests/test_dedup_similarity.py.
+    """
+    a = np.abs(y)
+    fl = np.floor(a)
+    r = fl + (a - fl >= 0.5)
+    return (np.sign(y) * r).astype(np.int64)
+
+
 def quantized_topk(
     df: DataFrame,
     embedding_col: str,
@@ -488,11 +504,12 @@ def quantized_topk(
     """Int8 scalar-quantized ANN: integer-dot candidate scan + exact rerank.
 
     Stage 1 scores EVERY row with the quantized cosine: codes are symmetric
-    per-vector int8 (``vectors.quantize_int8`` — round(x / (max|x|/127)),
-    HALF_UP), and dot/norms over codes are exact integer folds, so the
-    candidate ranking is bit-reproducible across engines (no float
-    summation-order noise). Stage 2 re-scores only ``rerank_factor * k``
-    candidates with the exact float cosine and emits the final top-k.
+    per-vector int8 (round(x / (max|x|/127)), HALF_UP — the
+    ``vectors.quantize_int8`` formula, vectorized in the Arrow tier), and
+    dot/norms over codes are exact int64 arithmetic, so the candidate
+    ranking is bit-reproducible across engines (no float summation-order
+    noise). Stage 2 re-scores only ``rerank_factor * k`` candidates with
+    the exact float cosine and emits the final top-k.
 
     Output: (id, approx_cos, exact_cos, rank) — approx_cos kept so recall
     regressions are visible in the result itself.
@@ -504,8 +521,6 @@ def quantized_topk(
     filter → TakeOrderedAndProject(rerank_factor*k) → single tiny-task
     rerank — no shuffle of the corpus, no driver collect of candidates.
     """
-    from etl_hiscox_spark.operators.vectors import quantize_int8
-
     import decimal
     import math
 
@@ -527,27 +542,43 @@ def quantized_topk(
         ]
     nq = sum(c * c for c in qcodes)
 
+    # Stage-1 scoring runs in the Arrow tier (one numpy pass per batch) —
+    # the expression-tier fold form re-evaluated the O(d) scale fold per
+    # element (interpreted lambdas + no CSE: the t27 finding, O(d²)/row)
+    # and even staged projections get re-collapsed by CollapseProject.
+    # Integer arithmetic is exact in numpy int64, so the candidate ranking
+    # stays bit-reproducible vs the SQL oracle; only the rounding needs
+    # care — see _half_up below.
+    qarr = np.asarray(qcodes, dtype=np.int64)
+    sqrt_nq = math.sqrt(float(nq))
+
+    @F.pandas_udf("double")
+    def _qscore(embs: pd.Series) -> pd.Series:
+        if not len(embs):
+            return pd.Series([], dtype="float64")
+        mat = _stack_embeddings(embs, dim=qarr.size)  # NaN rows for garbage
+        scale = np.max(np.abs(mat), axis=1) / 127.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            y = mat / scale[:, None]
+        ok = np.isfinite(y).all(axis=1)
+        codes = np.zeros_like(mat, dtype=np.int64)
+        if ok.any():
+            codes[ok] = _half_up(y[ok])
+        dotq = codes @ qarr
+        nc = np.einsum("ij,ij->i", codes, codes)
+        denom = np.sqrt(nc.astype(np.float64)) * sqrt_nq
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(ok & (denom > 0), dotq / denom, np.nan)
+        return pd.Series(out)
+
     v = F.col(embedding_col).cast("array<double>")
-    codes, _scale = quantize_int8(v)
-    qlit = F.array(*[F.lit(int(c)).cast("long") for c in qcodes])
-    dotq = F.aggregate(
-        F.zip_with(codes, qlit, lambda a, b: a.cast("long") * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    nc = F.aggregate(
-        F.transform(codes, lambda c: c.cast("long") * c.cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
     scored = df.select(
         F.col(id_col),
         v.alias("_v"),
-        F.try_divide(
-            dotq.cast("double"),
-            F.sqrt(nc.cast("double")) * F.lit(math.sqrt(float(nq))),
-        ).alias("approx_cos"),
-    ).filter(F.col("approx_cos").isNotNull())
+        # asNondeterministic: same reason as cosine_scores_pandas — stop
+        # Catalyst cloning the Arrow eval under both Filter and Project.
+        _qscore.asNondeterministic()(v).alias("approx_cos"),
+    ).filter(F.col("approx_cos").isNotNull() & ~F.isnan("approx_cos"))
     cand = scored.orderBy(F.col("approx_cos").desc(), F.col(id_col).asc()).limit(
         rerank_factor * k
     )

@@ -352,3 +352,26 @@ def test_quantized_topk_zero_query_empty(spark):
     df, _ = _emb_df(spark, n=10)
     out = quantized_topk(df, "embedding", "vec_id", [0.0] * 8, k=3).collect()
     assert out == []
+
+
+def test_half_up_matches_decimal_half_up():
+    """The Arrow-tier quantizer's tie-break must equal ROUND_HALF_UP on the
+    exact binary value — including representable halves and doubles a ulp
+    below them (where floor(x+0.5) misrounds)."""
+    import decimal
+
+    import numpy as np
+
+    from etl_hiscox_spark.operators.similarity import _half_up
+
+    def ref(x):
+        return int(
+            decimal.Decimal(x).quantize(decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP)
+        )
+
+    grid = [0.0, 0.5, -0.5, 1.5, -1.5, 2.5, 126.5, -126.5,
+            np.nextafter(0.5, 0), np.nextafter(0.5, 1),
+            np.nextafter(-0.5, 0), np.nextafter(-0.5, -1),
+            0.49999999999999994, 1.9999999999999998, 37.25, -37.75]
+    got = _half_up(np.array(grid, dtype=np.float64))
+    assert got.tolist() == [ref(x) for x in grid]
