@@ -259,3 +259,20 @@ def normalize_unicode_udf(form: str = "NFKC", strip_controls: bool = True):
         return s.map(one)
 
     return _norm
+
+
+def url_host(c: Column | str) -> Column:
+    """Lowercased host of a URL: ``scheme://[userinfo@]host[:port]/...``.
+
+    One codegen ``regexp_extract`` — scheme per RFC 3986 (letter then
+    letter/digit/+/-/.), optional userinfo (anything before @ that isn't a
+    path/query delimiter), host ends at ``:`` (port), ``/`` (path), ``?``
+    or ``#``. Non-URL strings yield '' (regexp_extract's no-match value),
+    which downstream suffix matching treats as unmatched — quarantine-by-
+    passthrough, same policy as the codec tiers."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.lower(
+        F.regexp_extract(
+            c, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1
+        )
+    )

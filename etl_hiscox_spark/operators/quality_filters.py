@@ -136,3 +136,65 @@ def compression_ratio(
             yield pdf
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def domain_blocklist_tags(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    blocklist: DataFrame,
+    rule_col: str = "rule",
+) -> DataFrame:
+    """Wildcard-domain blocklist tagging via SUFFIX EQUI-JOIN — the scale
+    form of "block ads.example.com and every subdomain".
+
+    A rule matches a host when it equals the host or any parent-domain
+    suffix (``a.b.c`` is checked as ``a.b.c``, ``b.c``, ``c``). Each host
+    explodes to its <= label-count suffixes in the scan stage, equi-joins
+    the blocklist, and one tiny (id, host) aggregate picks MIN(rule) as
+    the deterministic match witness. No ``LIKE '%suffix'`` scan (which
+    can't use join machinery at all), no per-rule OR chain.
+
+    Output: (id, host, is_blocked, matched_rule) — one row per input row,
+    non-blocked rows carry NULL matched_rule.
+
+    At 100 TB: blocklists are curated bounded sets (10^5-10^6 rows — the
+    eval-set broadcast class, hinted), the suffix explode multiplies the
+    corpus by ~4 fixed-width short strings inside the scan, and the only
+    shuffle is the (id, host) reduce. AQE handles the 'com'-suffix skew
+    the same way it handles every heavy-hitter join key.
+    """
+    from etl_hiscox_spark.functions.text import url_host
+
+    base = df.select(
+        F.col(id_col), url_host(F.col(url_col)).alias("host")
+    ).select(id_col, "host", F.split(F.col("host"), r"\.").alias("_p"))
+    n = F.size("_p")
+    sfx = base.select(
+        id_col,
+        "host",
+        "_p",
+        F.explode(F.sequence(F.lit(1), n)).alias("_i"),
+    ).select(
+        id_col,
+        "host",
+        F.array_join(
+            F.slice(F.col("_p"), F.col("_i"), F.size("_p") - F.col("_i") + F.lit(1)),
+            ".",
+        ).alias("_s"),
+    )
+    tagged = sfx.join(
+        F.broadcast(blocklist.select(F.col(rule_col).alias("_rule"))),
+        sfx["_s"] == F.col("_rule"),
+        "left",
+    )
+    return (
+        tagged.groupBy(id_col, "host")
+        .agg(F.min("_rule").alias("matched_rule"))
+        .select(
+            id_col,
+            "host",
+            F.col("matched_rule").isNotNull().alias("is_blocked"),
+            "matched_rule",
+        )
+    )

@@ -2182,6 +2182,74 @@ def m6_audio_spectral_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t30_domain_blocklist",
+    oracle="""
+    WITH hosts AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id % 7 AS VARCHAR) || '.' ||
+             CASE doc_id % 5 WHEN 0 THEN 'ads' WHEN 1 THEN 'news'
+                  WHEN 2 THEN 'blog' WHEN 3 THEN 'spam' ELSE 'shop' END ||
+             '.com' AS host
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, host, string_split(host, '.') AS p FROM hosts
+    ), sfx AS (
+      SELECT doc_id, host,
+             array_to_string(list_slice(p, CAST(u.i AS INT), len(p)), '.') AS s
+      FROM parts, UNNEST(range(1, len(p) + 1)) AS u(i)
+    ), bl(rule) AS (
+      SELECT * FROM (VALUES ('ads.com'), ('spam.com'), ('h3.news.com'))
+    ), m AS (
+      SELECT doc_id, host, MIN(rule) AS matched_rule
+      FROM sfx LEFT JOIN bl ON sfx.s = bl.rule
+      GROUP BY doc_id, host
+    )
+    SELECT doc_id, host, matched_rule IS NOT NULL AS is_blocked, matched_rule
+    FROM m
+    """,
+)
+def t30_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wildcard-domain blocklist filtering (the FineWeb/C4 URL-hygiene
+    # pass) via suffix equi-join (operators/quality_filters.
+    # domain_blocklist_tags) — never a LIKE '%suffix' scan. The corpus has
+    # no URLs, so each doc gets a deterministic one (the t14 PII-planting
+    # pattern) with userinfo and port variants salted in by doc_id so the
+    # host-extraction regex is driver-checked: the oracle regenerates the
+    # HOST directly from arithmetic, so a regex that mishandles
+    # user@/:port/path boundaries, a wrong suffix walk, or a
+    # non-deterministic match witness all hash-fail.
+    from etl_hiscox_spark.operators.quality_filters import domain_blocklist_tags
+
+    docs = load_table(spark, "documents", sf_dir)
+    host = F.concat(
+        F.lit("h"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("."),
+        F.element_at(
+            F.array(F.lit("ads"), F.lit("news"), F.lit("blog"), F.lit("spam"), F.lit("shop")),
+            (F.col("doc_id") % 5).cast("int") + 1,
+        ),
+        F.lit(".com"),
+    )
+    userinfo = F.when(
+        F.col("doc_id") % 3 == 1,
+        F.concat(F.lit("u"), F.col("doc_id").cast("string"), F.lit("@")),
+    ).otherwise(F.lit(""))
+    port = F.when(F.col("doc_id") % 3 == 0, F.lit(":8443")).otherwise(F.lit(""))
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), userinfo, host, port,
+            F.lit("/p/"), F.col("doc_id").cast("string"), F.lit("?ref=x"),
+        ).alias("url"),
+    )
+    blocklist = spark.createDataFrame(
+        [("ads.com",), ("spam.com",), ("h3.news.com",)], "rule string"
+    )
+    return domain_blocklist_tags(urls, "url", "doc_id", blocklist)
+
+
+@register(
     "t25_token_budget_sample",
     oracle=r"""
     WITH toks AS (

@@ -81,3 +81,52 @@ def test_compression_ratio_orders_text_classes(spark):
     # deterministic + schema passthrough
     again = {r["doc_id"]: r["compression_ratio"] for r in compression_ratio(df).collect()}
     assert got == again
+
+
+def test_url_host_extraction_edges(spark):
+    from etl_hiscox_spark.functions.text import url_host
+
+    cases = [
+        ("https://A.B.com/x?y#z", "a.b.com"),
+        ("http://user:pw@Host.Net:8080/p", "host.net"),
+        ("ftp://files.example.org", "files.example.org"),
+        ("https://example.com?q=1", "example.com"),
+        ("not a url", ""),
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(url_host("url")).collect()]
+    assert got == [h for _, h in cases]
+
+
+def test_domain_blocklist_suffix_semantics(spark):
+    from etl_hiscox_spark.operators.quality_filters import domain_blocklist_tags
+
+    rows = [
+        (1, "https://x.ads.com/a"),      # parent-suffix match: ads.com
+        (2, "https://ads.com/b"),        # exact match
+        (3, "https://badads.com/c"),     # NOT a match: label boundary
+        (4, "https://deep.x.ads.com/d"), # multi-level subdomain
+        (5, "https://clean.org/e"),      # no match
+        (6, "https://u@spam.net:99/f"),  # userinfo+port stripped, exact
+    ]
+    bl = spark.createDataFrame([("ads.com",), ("spam.net",)], "rule string")
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in domain_blocklist_tags(df, "url", "doc_id", bl).collect()}
+    assert len(out) == 6
+    assert [out[i]["is_blocked"] for i in (1, 2, 3, 4, 5, 6)] == [
+        True, True, False, True, False, True
+    ]
+    assert out[1]["matched_rule"] == "ads.com"
+    assert out[3]["matched_rule"] is None
+    assert out[6]["host"] == "spam.net"
+
+
+def test_domain_blocklist_deterministic_witness(spark):
+    from etl_hiscox_spark.operators.quality_filters import domain_blocklist_tags
+
+    # host matches BOTH rules -> witness is the MIN rule, stable across runs
+    bl = spark.createDataFrame([("b.ads.com",), ("ads.com",)], "rule string")
+    df = spark.createDataFrame([(1, "https://a.b.ads.com/")], "doc_id long, url string")
+    out = domain_blocklist_tags(df, "url", "doc_id", bl).collect()
+    assert out[0]["matched_rule"] == "ads.com"
