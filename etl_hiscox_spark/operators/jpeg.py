@@ -30,6 +30,7 @@ symbols per block.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -154,7 +155,17 @@ def _idct(coef: np.ndarray) -> np.ndarray:
 
 
 def build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length).
+
+    Memoized on the table content — encode/decode call this per component
+    per file, and the Annex-K tables never change."""
+    return _build_huffman_codes_cached(tuple(bits), tuple(vals))
+
+
+@functools.lru_cache(maxsize=64)
+def _build_huffman_codes_cached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> dict[int, tuple[int, int]]:
     if len(bits) != 16 or sum(bits) != len(vals):
         raise ValueError("corrupt JPEG: Huffman BITS/HUFFVAL count mismatch")
     codes: dict[int, tuple[int, int]] = {}
@@ -171,6 +182,13 @@ def build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int
 
 
 def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    return _decode_table_cached(tuple(bits), tuple(vals))
+
+
+@functools.lru_cache(maxsize=64)
+def _decode_table_cached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> dict[tuple[int, int], int]:
     # keyed (length, code) to match _BitReader.read_symbol's probe order
     return {(ln, code): sym for sym, (code, ln) in build_huffman_codes(bits, vals).items()}
 

@@ -1357,6 +1357,19 @@ def l3_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
 
 
+
+def _media_id_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id frame spread across the session's cores for the synthetic
+    media queries: the ids come from ONE small parquet split, so without
+    this the whole per-file Python codec stage (encode+decode inside
+    mapInPandas) runs as a single serial task — measured as ~90% of
+    m3/m4/m5 wall time at sf0.1. The exchange moves 8-byte ids only; a
+    real binary corpus spans many file splits and needs no fan-out.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
 @register(
     "m1_multimodal_features",
     oracle="""
@@ -1384,7 +1397,7 @@ def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_hiscox_spark.operators.multimodal import encode_bmp, image_features
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    docs = _media_id_fanout(spark, sf_dir)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1799,7 +1812,7 @@ def m2_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append({"path": str(int(doc_id)), "content": encode_wav(v, 8000)})
             yield pd.DataFrame(rows, columns=["path", "content"])
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    docs = _media_id_fanout(spark, sf_dir)
     wavs = docs.mapInPandas(gen, "path string, content binary")
     feats = audio_features(wavs)
     return feats.select(
@@ -1950,7 +1963,7 @@ def m3_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_hiscox_spark.operators.gif import encode_gif
     from etl_hiscox_spark.operators.multimodal import gif_frame_features
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    docs = _media_id_fanout(spark, sf_dir)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2016,7 +2029,7 @@ def m4_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_hiscox_spark.operators.multimodal import image_channel_stats
     from etl_hiscox_spark.operators.png import encode_png
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    docs = _media_id_fanout(spark, sf_dir)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2087,7 +2100,7 @@ def m5_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_hiscox_spark.operators.jpeg import encode_jpeg
     from etl_hiscox_spark.operators.multimodal import image_features
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    docs = _media_id_fanout(spark, sf_dir)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2155,7 +2168,7 @@ def m6_audio_spectral_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_hiscox_spark.operators.multimodal import audio_spectral_peak, encode_wav
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    docs = _media_id_fanout(spark, sf_dir)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
