@@ -1097,3 +1097,39 @@ def g15_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_yearly")
         )
     )
+
+
+@register(
+    "a19_key_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT COALESCE(CAST(l_returnflag AS VARCHAR), 'NULL') AS key,
+             COUNT(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    ), t AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS total, COUNT(*) AS d FROM c
+    )
+    SELECT key, n_rows,
+           ROUND(n_rows / t.total, 6) AS share,
+           ROUND(n_rows / (t.total / t.d), 6) AS x_mean
+    FROM c, t ORDER BY n_rows DESC, key ASC LIMIT 10
+    """,
+)
+def a19_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shuffle-planning diagnostics (operators/diagnostics.key_skew_profile):
+    # the decision input for broadcast-vs-salt-vs-plain before a big join
+    # ships at 100 TB. Per-key counts (map-side combined; shuffle =
+    # |distinct| fixed-width rows), 1-row totals broadcast back, top-k via
+    # TakeOrderedAndProject. l_returnflag is the corpus's naturally skewed
+    # key (A/N/R with N ~ half the rows); share and x_mean are single
+    # double divisions, bit-identical across engines.
+    from etl_hiscox_spark.operators.diagnostics import key_skew_profile
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = key_skew_profile(li, "l_returnflag", top_k=10)
+    return out.select(
+        "key",
+        "n_rows",
+        F.round("share", 6).alias("share"),
+        F.round("x_mean", 6).alias("x_mean"),
+    )
