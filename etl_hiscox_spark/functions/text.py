@@ -266,13 +266,17 @@ def url_host(c: Column | str) -> Column:
 
     One codegen ``regexp_extract`` — scheme per RFC 3986 (letter then
     letter/digit/+/-/.), optional userinfo (anything before @ that isn't a
-    path/query delimiter), host ends at ``:`` (port), ``/`` (path), ``?``
-    or ``#``. Non-URL strings yield '' (regexp_extract's no-match value),
-    which downstream suffix matching treats as unmatched — quarantine-by-
-    passthrough, same policy as the codec tiers."""
+    path/query delimiter), host is either a bracketed IPv6 literal
+    (``[::1]``, kept with its brackets so it can never collide with a
+    domain name) or a reg-name/IPv4 ending at ``:`` (port), ``/`` (path),
+    ``?`` or ``#``. Non-URL strings yield '' (regexp_extract's no-match
+    value), which downstream suffix matching treats as unmatched —
+    quarantine-by-passthrough, same policy as the codec tiers."""
     c = F.col(c) if isinstance(c, str) else c
     return F.lower(
         F.regexp_extract(
-            c, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1
+            c,
+            r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?(\[[^\]/?#]*\]|[^/:?#]+)",
+            1,
         )
     )

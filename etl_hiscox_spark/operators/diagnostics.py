@@ -26,15 +26,19 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
     key load.
 
     Output: (key string, n_rows, share, x_mean) ordered by n_rows desc
-    with key as the deterministic tiebreak. ``share`` = n_rows / total;
-    ``x_mean`` = n_rows / (total / distinct_keys) — how many times an
-    average key's load this key carries. NULL keys profile as the literal
-    'NULL' bucket: at scale NULL is routinely THE heavy hitter (failed
-    parses, absent foreign keys), hiding it would defeat the tool.
+    with key as the deterministic tiebreak (NULL first among ties).
+    ``share`` = n_rows / total; ``x_mean`` = n_rows / (total /
+    distinct_keys) — how many times an average key's load this key
+    carries. NULL keys profile as their own bucket with key NULL in the
+    output: at scale NULL is routinely THE heavy hitter (failed parses,
+    absent foreign keys), and a string sentinel would collide with a
+    genuine 'NULL' key value.
     """
-    counts = df.select(
-        F.coalesce(F.col(key_col).cast("string"), F.lit("NULL")).alias("key")
-    ).groupBy("key").agg(F.count(F.lit(1)).alias("n_rows"))
+    counts = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
     totals = counts.agg(
         F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_distinct")
     )
@@ -49,6 +53,6 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
                 / (F.col("_total") / F.col("_distinct"))
             ).alias("x_mean"),
         )
-        .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc_nulls_first())
         .limit(top_k)
     )

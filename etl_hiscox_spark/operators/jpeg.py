@@ -507,9 +507,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = _decode_table(bits, vals)
                 o += 17 + n
         elif marker == 0xDD:  # DRI
+            if len(seg) != 2:
+                raise ValueError("corrupt JPEG: DRI segment must be 4 bytes")
             (restart_interval,) = struct.unpack(">H", seg)
         elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+            if len(seg) < 6:
+                raise ValueError("corrupt JPEG: SOF segment truncated")
             prec, fh, fw, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("corrupt JPEG: SOF component specs truncated")
             if prec != 8:
                 raise ValueError(f"unsupported JPEG: {prec}-bit precision")
             if nc not in (1, 3):
@@ -556,6 +562,8 @@ def _entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
         if m == 0x00:  # stuffed 0xFF data byte
             cur.append(0xFF)
             i += 2
+        elif m == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            i += 1
         elif 0xD0 <= m <= 0xD7:  # RSTn
             segs.append(bytes(cur))
             cur = bytearray()
@@ -598,6 +606,16 @@ def _decode_scan(data, start, frame, sel, quant, huff_dc, huff_ac, restart_inter
             f"corrupt JPEG: {len(segs)} entropy segments, expected {expected_segs}"
         )
 
+    # Hoist everything loop-invariant out of the per-block hot path: the
+    # zigzag-ordered dequant vector, Huffman tables, and sampling factors
+    # per component (the inner loop previously rebuilt the 64-entry
+    # dequant vector with a reshape + fancy-index per 8x8 block).
+    comp_ctx = []
+    for cid, hi, vi, tq in comps:
+        td, ta = sel[cid]
+        qvec = quant[tq].reshape(64)[ZIGZAG].astype(np.int32)
+        comp_ctx.append((hi, vi, huff_dc[td], huff_ac[ta], qvec))
+
     seg_i = 0
     reader = _BitReader(segs[0])
     preds = [0] * len(comps)
@@ -608,19 +626,17 @@ def _decode_scan(data, start, frame, sel, quant, huff_dc, huff_ac, restart_inter
                 seg_i += 1
                 reader = _BitReader(segs[seg_i])
                 preds = [0] * len(comps)
-            for ci, (cid, hi, vi, tq) in enumerate(comps):
-                td, ta = sel[cid]
-                qtbl = quant[tq]
+            for ci, (hi, vi, dc_tbl, ac_tbl, qvec) in enumerate(comp_ctx):
                 for by in range(vi):
                     for bx in range(hi):
                         zz = np.zeros(64, dtype=np.int32)
-                        cat = reader.read_symbol(huff_dc[td])
+                        cat = reader.read_symbol(dc_tbl)
                         diff = _extend(reader.read_bits(cat), cat)
                         preds[ci] += diff
                         zz[0] = preds[ci]
                         k = 1
                         while k < 64:
-                            sym = reader.read_symbol(huff_ac[ta])
+                            sym = reader.read_symbol(ac_tbl)
                             r, s = sym >> 4, sym & 0x0F
                             if s == 0:
                                 if r == 15:
@@ -633,7 +649,7 @@ def _decode_scan(data, start, frame, sel, quant, huff_dc, huff_ac, restart_inter
                             zz[k] = _extend(reader.read_bits(s), s)
                             k += 1
                         coef = np.zeros(64, dtype=np.float64)
-                        coef[ZIGZAG] = zz * qtbl.reshape(64)[ZIGZAG]
+                        coef[ZIGZAG] = zz * qvec
                         blk = _idct(coef.reshape(8, 8)) + 128.0
                         y0 = (my * vi + by) * 8
                         x0 = (mx * hi + bx) * 8

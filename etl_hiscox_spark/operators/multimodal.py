@@ -149,29 +149,37 @@ def image_features(df: DataFrame, content_col: str = "content", path_col: str = 
     """Decode + feature-extract via mapInPandas (Arrow-batched).
 
     Each batch decodes to numpy once and emits one feature row per input
-    row. At scale: repartition upstream so batches are even; the binary
-    column never shuffles after this projection (features are tiny).
+    row; undecodable bytes (corrupt files, loudly-rejected variants like
+    progressive JPEG or interlaced PNG) yield a NULL-featured row — the
+    quarantine semantics of the audio tier, because at corpus scale ONE
+    bad file must not fail the task. At scale: repartition upstream so
+    batches are even; the binary column never shuffles after this
+    projection (features are tiny).
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for path, content in zip(pdf[path_col], pdf[content_col]):
-                arr = decode_image(bytes(content) if content is not None else b"")
-                # alpha is coverage, not intensity: exclude it from the
-                # mean for 2-channel (gray+alpha) and 4-channel (RGBA)
-                # arrays — same policy as image_channel_stats
-                c = int(arr.shape[2])
-                intensity = arr[:, :, : 1 if c == 2 else (3 if c == 4 else c)]
-                rows.append(
-                    {
-                        "path": path,
-                        "width": int(arr.shape[1]),
-                        "height": int(arr.shape[0]),
-                        "n_channels": c,
-                        "mean_intensity": float(intensity.mean()),
-                    }
-                )
+                try:
+                    arr = decode_image(bytes(content) if content is not None else b"")
+                    # alpha is coverage, not intensity: exclude it from the
+                    # mean for 2-channel (gray+alpha) and 4-channel (RGBA)
+                    # arrays — same policy as image_channel_stats
+                    c = int(arr.shape[2])
+                    intensity = arr[:, :, : 1 if c == 2 else (3 if c == 4 else c)]
+                    rows.append(
+                        {
+                            "path": path,
+                            "width": int(arr.shape[1]),
+                            "height": int(arr.shape[0]),
+                            "n_channels": c,
+                            "mean_intensity": float(intensity.mean()),
+                        }
+                    )
+                except ValueError:
+                    rows.append({"path": path, "width": None, "height": None,
+                                 "n_channels": None, "mean_intensity": None})
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
 
     return df.select(path_col, content_col).mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
@@ -195,33 +203,39 @@ def image_channel_stats(
 ) -> DataFrame:
     """Per-channel mean intensities — the normalization-statistics pass of
     an image training pipeline (channel means/stds feed the transform
-    spec). Same Arrow mapInPandas contract as :func:`image_features`;
-    grayscale images report their single channel in all three columns."""
+    spec). Same Arrow mapInPandas contract as :func:`image_features`,
+    including the NULL-row quarantine for undecodable bytes; grayscale
+    images report their single channel in all three columns."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for path, content in zip(pdf[path_col], pdf[content_col]):
-                arr = decode_image(bytes(content) if content is not None else b"")
-                means = [float(arr[:, :, c].mean()) for c in range(arr.shape[2])]
-                # 2-channel = gray+alpha: padding the raw list would report
-                # the ALPHA mean as mean_g — replicate the gray channel
-                # instead (alpha is not an intensity)
-                if len(means) == 2:
-                    means = [means[0]]
-                while len(means) < 3:
-                    means.append(means[0])
-                rows.append(
-                    {
-                        "path": path,
-                        "width": int(arr.shape[1]),
-                        "height": int(arr.shape[0]),
-                        "n_channels": int(arr.shape[2]),
-                        "mean_r": means[0],
-                        "mean_g": means[1],
-                        "mean_b": means[2],
-                    }
-                )
+                try:
+                    arr = decode_image(bytes(content) if content is not None else b"")
+                    means = [float(arr[:, :, c].mean()) for c in range(arr.shape[2])]
+                    # 2-channel = gray+alpha: padding the raw list would report
+                    # the ALPHA mean as mean_g — replicate the gray channel
+                    # instead (alpha is not an intensity)
+                    if len(means) == 2:
+                        means = [means[0]]
+                    while len(means) < 3:
+                        means.append(means[0])
+                    rows.append(
+                        {
+                            "path": path,
+                            "width": int(arr.shape[1]),
+                            "height": int(arr.shape[0]),
+                            "n_channels": int(arr.shape[2]),
+                            "mean_r": means[0],
+                            "mean_g": means[1],
+                            "mean_b": means[2],
+                        }
+                    )
+                except ValueError:
+                    rows.append({"path": path, "width": None, "height": None,
+                                 "n_channels": None, "mean_r": None,
+                                 "mean_g": None, "mean_b": None})
             yield pd.DataFrame(rows, columns=[f.name for f in CHANNEL_STATS_SCHEMA.fields])
 
     return df.select(path_col, content_col).mapInPandas(extract, CHANNEL_STATS_SCHEMA)
@@ -240,10 +254,13 @@ def resize_images(df: DataFrame, target: tuple[int, int] = (8, 8)) -> DataFrame:
         for pdf in batches:
             out = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                arr = decode_image(bytes(content) if content is not None else b"")
-                thumb = resize_nearest(arr, (th, tw))
+                try:
+                    arr = decode_image(bytes(content) if content is not None else b"")
+                    thumb = encode_bmp(resize_nearest(arr, (th, tw)))
+                except ValueError:  # undecodable -> NULL thumbnail, row kept
+                    thumb = None
                 out.append(
-                    {"path": path, "thumbnail": encode_bmp(thumb), "thumb_h": th, "thumb_w": tw}
+                    {"path": path, "thumbnail": thumb, "thumb_h": th, "thumb_w": tw}
                 )
             yield pd.DataFrame(out, columns=["path", "thumbnail", "thumb_h", "thumb_w"])
 

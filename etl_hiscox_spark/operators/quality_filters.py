@@ -155,8 +155,11 @@ def domain_blocklist_tags(
     the deterministic match witness. No ``LIKE '%suffix'`` scan (which
     can't use join machinery at all), no per-rule OR chain.
 
-    Output: (id, host, is_blocked, matched_rule) — one row per input row,
-    non-blocked rows carry NULL matched_rule.
+    Output: (id, host, is_blocked, matched_rule) — one row per DISTINCT
+    (id, host) pair (duplicate input rows collapse; join the result back
+    on both columns to preserve input multiplicity). Non-blocked rows
+    carry NULL matched_rule. Rules are lowercased to mirror the host
+    normalization — mixed-case blocklist entries must still match.
 
     At 100 TB: blocklists are curated bounded sets (10^5-10^6 rows — the
     eval-set broadcast class, hinted), the suffix explode multiplies the
@@ -184,7 +187,7 @@ def domain_blocklist_tags(
         ).alias("_s"),
     )
     tagged = sfx.join(
-        F.broadcast(blocklist.select(F.col(rule_col).alias("_rule"))),
+        F.broadcast(blocklist.select(F.lower(F.col(rule_col)).alias("_rule"))),
         sfx["_s"] == F.col("_rule"),
         "left",
     )

@@ -1103,7 +1103,7 @@ def g15_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a19_key_skew_profile",
     oracle="""
     WITH c AS (
-      SELECT COALESCE(CAST(l_returnflag AS VARCHAR), 'NULL') AS key,
+      SELECT CAST(l_returnflag AS VARCHAR) AS key,
              COUNT(*) AS n_rows
       FROM lineitem GROUP BY 1
     ), t AS (
@@ -1112,7 +1112,7 @@ def g15_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT key, n_rows,
            ROUND(n_rows / t.total, 6) AS share,
            ROUND(n_rows / (t.total / t.d), 6) AS x_mean
-    FROM c, t ORDER BY n_rows DESC, key ASC LIMIT 10
+    FROM c, t ORDER BY n_rows DESC, key ASC NULLS FIRST LIMIT 10
     """,
 )
 def a19_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

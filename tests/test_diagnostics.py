@@ -9,7 +9,9 @@ def test_skew_profile_shares_and_null_bucket(spark):
     rows = [("a",)] * 6 + [("b",)] * 3 + [(None,)] * 1
     df = spark.createDataFrame(rows, "k string")
     out = key_skew_profile(df, "k", top_k=10).collect()
-    assert [(r["key"], r["n_rows"]) for r in out] == [("a", 6), ("b", 3), ("NULL", 1)]
+    # NULL keys form their own bucket (key None) — a string sentinel would
+    # collide with a genuine 'NULL' value
+    assert [(r["key"], r["n_rows"]) for r in out] == [("a", 6), ("b", 3), (None, 1)]
     a = out[0]
     assert abs(a["share"] - 0.6) < 1e-12
     # mean key load = 10/3 rows; 'a' carries 6 -> 1.8x the mean

@@ -301,3 +301,103 @@ def test_composed_samplers_draw_independently(spark):
     kept = weighted_sample(half.withColumn("w", F.lit(0.5)), "w", key="doc_id")
     frac = kept.count() / half.count()
     assert abs(frac - 0.5) < 0.05  # min(p,q) correlation would give ~1.0
+
+
+# --- round-8 review findings -----------------------------------------------
+
+
+def test_jpeg_fill_byte_before_rst_decodes():
+    """T.81 B.1.1.2: markers may be preceded by 0xFF fill bytes — a fill
+    byte before RSTn must not terminate the scan (r8 finding 1)."""
+    import numpy as np
+
+    from etl_hiscox_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:16, 0:32]
+    img = ((y * 3 + x * 2) % 256).astype(np.uint8)
+    enc = encode_jpeg(img, restart_interval=2)
+    plain = decode_jpeg(enc)
+    # inject a fill byte before the first RST marker
+    for m in range(8):
+        i = enc.find(bytes([0xFF, 0xD0 + m]))
+        if i > 0:
+            patched = enc[:i] + b"\xff" + enc[i:]
+            assert np.array_equal(decode_jpeg(patched), plain)
+            return
+    pytest.fail("no RST marker found in restart-interval stream")
+
+
+def test_image_features_quarantines_undecodable_rows(spark):
+    """One corrupt/unsupported image must yield a NULL-featured row, not
+    fail the task (r8 finding 2 — the audio-tier quarantine policy)."""
+    import numpy as np
+
+    from etl_hiscox_spark.operators.jpeg import encode_jpeg
+    from etl_hiscox_spark.operators.multimodal import image_channel_stats, image_features
+
+    good = encode_jpeg(np.full((8, 8), 100, dtype=np.uint8))
+    progressive = b"\xff\xd8\xff\xc2" + bytes([0, 9, 8, 0, 16, 0, 16, 1, 1, 0x11, 0])
+    truncated = good[: len(good) // 2]
+    df = spark.createDataFrame(
+        [("ok", bytearray(good)), ("prog", bytearray(progressive)),
+         ("trunc", bytearray(truncated))],
+        "path string, content binary",
+    )
+    feats = {r["path"]: r for r in image_features(df).collect()}
+    assert feats["ok"]["mean_intensity"] is not None
+    assert feats["prog"]["width"] is None and feats["trunc"]["width"] is None
+    stats = {r["path"]: r for r in image_channel_stats(df).collect()}
+    assert stats["ok"]["mean_r"] is not None and stats["prog"]["mean_r"] is None
+
+
+def test_blocklist_rules_lowercased(spark):
+    """Mixed-case blocklist entries must match lowercased hosts (r8
+    finding 3)."""
+    from etl_hiscox_spark.operators.quality_filters import domain_blocklist_tags
+
+    bl = spark.createDataFrame([("Ads.COM",)], "rule string")
+    df = spark.createDataFrame([(1, "https://x.ADS.com/")], "doc_id long, url string")
+    out = domain_blocklist_tags(df, "url", "doc_id", bl).collect()
+    assert out[0]["is_blocked"] is True
+    assert out[0]["matched_rule"] == "ads.com"
+
+
+def test_url_host_ipv6_bracketed(spark):
+    """IPv6 authorities keep their brackets instead of truncating at the
+    first colon (r8 finding 6)."""
+    from etl_hiscox_spark.functions.text import url_host
+
+    df = spark.createDataFrame(
+        [("https://[::1]:8080/x",), ("https://[2001:db8::2]/y",)], "url string"
+    )
+    got = [r[0] for r in df.select(url_host("url")).collect()]
+    assert got == ["[::1]", "[2001:db8::2]"]
+
+
+def test_skew_profile_null_vs_literal_null_string(spark):
+    """SQL NULL keys and the string 'NULL' must profile as DIFFERENT
+    buckets (r8 finding 5)."""
+    from etl_hiscox_spark.operators.diagnostics import key_skew_profile
+
+    rows = [(None,)] * 3 + [("NULL",)] * 2 + [("x",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_profile(df, "k", top_k=10).collect()
+    assert [(r["key"], r["n_rows"]) for r in out] == [(None, 3), ("NULL", 2), ("x", 1)]
+
+
+def test_jpeg_truncated_dri_sof_raise_value_error():
+    """Corrupt segment lengths raise ValueError (the quarantine contract),
+    never struct.error/IndexError (r8 finding 7)."""
+    import struct as _s
+
+    from etl_hiscox_spark.operators.jpeg import decode_jpeg
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + _s.pack(">H", len(payload) + 2) + payload
+
+    with pytest.raises(ValueError, match="DRI"):
+        decode_jpeg(b"\xff\xd8" + seg(0xDD, b"\x01"))
+    with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(b"\xff\xd8" + seg(0xC0, bytes([8, 0, 16])))
+    with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(b"\xff\xd8" + seg(0xC0, bytes([8, 0, 16, 0, 16, 3, 1, 0x11, 0])))
