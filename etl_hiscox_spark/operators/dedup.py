@@ -20,6 +20,8 @@ in whole-stage codegen.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -194,6 +196,33 @@ def minhash_signature_table(
     return hashed.groupBy("doc").agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
 
 
+def _banded_buckets(sig: DataFrame, num_hashes: int, num_bands: int) -> DataFrame:
+    """(doc, band, bucket) rows from a signature table — the LSH index form.
+
+    Bucket = variadic xxhash64 over the band's signature longs + band id —
+    no string concat (the cast-to-string + concat_ws form costs an order
+    of magnitude more codegen and byte traffic for identical recall).
+    """
+    rows_per_band = num_hashes // num_bands
+    return sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                            F.lit(b),
+                        ).alias("bucket"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str,
@@ -215,28 +244,8 @@ def minhash_candidates(
             f"num_hashes ({num_hashes}) must be divisible by num_bands "
             f"({num_bands}) — trailing hashes would be computed but never banded"
         )
-    rows_per_band = num_hashes // num_bands
     sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_k, _shingle_hashes)
-    # Bucket = variadic xxhash64 over the band's signature longs + band id —
-    # no string concat (the cast-to-string + concat_ws form costs an order
-    # of magnitude more codegen and byte traffic for identical recall).
-    banded = sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-                            F.lit(b),
-                        ).alias("bucket"),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _banded_buckets(sig, num_hashes, num_bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -647,4 +656,120 @@ def simhash_candidates(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dedup: a persisted LSH index the daily ingest probes.
+# Everything above dedups ONE batch against itself; real corpus ingestion
+# is "is today's crawl a near-dup of anything we already hold?" — which
+# must not re-shingle the historical corpus per batch. The index stores
+# the banded (doc, band, bucket) table; a probe shingles ONLY the new
+# batch and equi-joins the index.
+# ---------------------------------------------------------------------------
+
+
+def write_minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    num_hashes: int = 24,
+    num_bands: int = 6,
+    shingle_k: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the banded LSH bucket table as the near-dedup index.
+
+    Layout: ``path/buckets`` = (doc, band, bucket) parquet; ``path/meta``
+    = a 1-row parquet pinning (num_hashes, num_bands, shingle_k). Probes
+    read their banding parameters FROM the meta — a probe banded
+    differently from its index silently misses every duplicate, so the
+    parameters travel with the data, never with the caller.
+    ``mode="append"`` adds a new batch's buckets to an existing index
+    (parameters must already match — validated against meta).
+
+    At 100 TB: the index is |corpus| × num_bands fixed-width rows; the
+    probe join shuffles on (band, bucket) 16-byte keys. Bucketing the
+    parquet on ``bucket`` (``save_as_catalog_table`` + bucketBy) upgrades
+    the probe to a shuffle-free sort-merge — layout choice, same contract.
+    """
+    spark = df.sparkSession
+    meta_path = os.path.join(path, "meta")
+    if mode == "append":
+        meta = spark.read.parquet(meta_path).collect()[0]
+        if (meta["num_hashes"], meta["num_bands"], meta["shingle_k"]) != (
+            num_hashes,
+            num_bands,
+            shingle_k,
+        ):
+            raise ValueError(
+                "minhash index parameter mismatch: index has "
+                f"{(meta['num_hashes'], meta['num_bands'], meta['shingle_k'])}, "
+                f"append asked for {(num_hashes, num_bands, shingle_k)}"
+            )
+    sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_k)
+    _banded_buckets(sig, num_hashes, num_bands).write.mode(mode).parquet(
+        os.path.join(path, "buckets")
+    )
+    spark.createDataFrame(
+        [(num_hashes, num_bands, shingle_k)],
+        "num_hashes int, num_bands int, shingle_k int",
+    ).write.mode("overwrite").parquet(meta_path)
+
+
+def probe_minhash_index(
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    verify_df: DataFrame | None = None,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicates of a NEW batch against a written index.
+
+    Candidates: shingle+sign the new batch only (the historical corpus is
+    never re-read), equi-join the index's (band, bucket) table, distinct
+    (new_id, dup_of) with self-matches dropped (re-ingesting an indexed
+    doc must not flag it as its own duplicate). Without ``verify_df`` the
+    candidate pairs return as-is (recall-oriented). With ``verify_df`` (a
+    frame resolving BOTH sides' texts, e.g. corpus ∪ new batch) every
+    candidate is confirmed by exact shingle Jaccard >= ``threshold`` and
+    the pair carries its score — the precision gate of
+    :func:`near_dedup_minhash`, applied cross-batch.
+
+    Banding parameters come from the index meta (see
+    :func:`write_minhash_index`).
+    """
+    spark = new_df.sparkSession
+    meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    num_hashes, num_bands, shingle_k = (
+        int(meta["num_hashes"]),
+        int(meta["num_bands"]),
+        int(meta["shingle_k"]),
+    )
+    sig = minhash_signature_table(new_df, text_col, id_col, num_hashes, shingle_k)
+    new_banded = _banded_buckets(sig, num_hashes, num_bands).alias("n")
+    idx = spark.read.parquet(os.path.join(path, "buckets")).alias("i")
+    cand = (
+        new_banded.join(
+            idx,
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bucket") == F.col("i.bucket"))
+            & (F.col("n.doc") != F.col("i.doc")),
+        )
+        .select(F.col("n.doc").alias("id_a"), F.col("i.doc").alias("id_b"))
+        .distinct()
+    )
+    if verify_df is None:
+        return cand.select(
+            F.col("id_a").alias("new_id"), F.col("id_b").alias("dup_of")
+        )
+    scored = jaccard_pairs(
+        verify_df, cand, text_col, id_col, shingle_k, threshold=threshold
+    )
+    return scored.select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("dup_of"),
+        "jaccard",
     )

@@ -249,16 +249,19 @@ WINDOW_R8: tuple[str, ...] = (
     "t29_gumbel_weighted_topk",
     "s17_training_shards",
     # declared during r8 — JPEG codec leg, quantized ANN, audio FFT,
-    # wildcard-domain blocklist, key-skew diagnostics
+    # wildcard-domain blocklist, key-skew diagnostics, incremental
+    # LSH-index probe
     "m5_jpeg_features",
     "l3_quantized_topk",
     "m6_audio_spectral_peak",
     "t30_domain_blocklist",
     "a19_key_skew_profile",
-    # r5-stale greens (36 of 49; the deferred 13 — p1/p3/p5/p6/j4/u1/u3/w1
-    # plus the five displaced by the r8 declarations (w6/w7/w4_ties/
-    # w4_rank_per_group/w3_lag_delta), all property/plan/pytest-covered
-    # simple shapes — lead WINDOW_R9 as mandatory entries)
+    "l2_incremental_probe",
+    # r5-stale greens (35 of 49; the deferred 14 — p1/p3/p5/p6/j4/u1/u3/w1
+    # plus the six displaced by the r8 declarations (w6/w7/w4_ties/
+    # w4_rank_per_group/w3_lag_delta/w2_rolling_average), all
+    # property/plan/pytest-covered simple shapes — lead WINDOW_R9 as
+    # mandatory entries)
     "a6_grouped_pricing_summary",
     "a7_conditional_aggregate",
     "a9_duplicate_stats",
@@ -294,7 +297,6 @@ WINDOW_R8: tuple[str, ...] = (
     "t18_span_dedup",
     "t19_nb_language_classifier",
     "u2_except_difference",
-    "w2_rolling_average",
 )
 
 # Round 5 window (historical — r5 driver results in CORRECTNESS_r05.json).

@@ -121,6 +121,67 @@ def l2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l2_incremental_probe",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                                    i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS s
+      FROM toks
+    ), grams AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS dup_of, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT new_id, dup_of,
+           ROUND(i / CAST(na.n + nb.n - i AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN n na ON new_id = na.doc_id JOIN n nb ON dup_of = nb.doc_id
+    WHERE 5 * i >= 4 * (na.n + nb.n - i)
+    """,
+)
+def l2_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental ingestion dedup: the "historical" half of the corpus
+    # (even doc_ids) is persisted as a banded LSH index
+    # (operators/dedup.write_minhash_index — banding parameters travel in
+    # the index meta, never with the caller), then the "new batch" (odd
+    # doc_ids) probes it WITHOUT re-shingling the history and every
+    # candidate is confirmed by exact cross-batch Jaccard >= 0.8. The
+    # DuckDB twin brute-forces exact 3-gram Jaccard over all new x old
+    # pairs — the same hard-equality recall tripwire as
+    # l2_minhash_near_dup, applied to the index round-trip: a banding
+    # drift between write and probe, a bucket-table corruption, or a
+    # missed true pair goes driver-red. (Float j >= 0.8 and integer
+    # 5i >= 4u agree exactly — 4/5 rounds to the same double on both
+    # sides.)
+    import os as _os
+
+    from etl_hiscox_spark.operators.dedup import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.queries.writes import _scratch
+
+    docs = load_table(spark, "documents", sf_dir)
+    path = _os.path.join(_scratch("l2_incr_index", sf_dir), "minhash_index")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    write_minhash_index(old, "text", "doc_id", path, num_hashes=24, num_bands=6)
+    out = probe_minhash_index(
+        new, "text", "doc_id", path, verify_df=docs, threshold=0.8
+    )
+    return out.select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
     "l2_ngram_jaccard_pairs",
     oracle=r"""
     WITH toks AS (

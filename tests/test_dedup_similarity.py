@@ -375,3 +375,50 @@ def test_half_up_matches_decimal_half_up():
             0.49999999999999994, 1.9999999999999998, 37.25, -37.75]
     got = _half_up(np.array(grid, dtype=np.float64))
     assert got.tolist() == [ref(x) for x in grid]
+
+
+def test_minhash_index_roundtrip_probe(spark, tmp_path):
+    """write_minhash_index + probe_minhash_index: the probe must find the
+    planted cross-batch near-dup, never self-matches, and confirmed pairs
+    carry exact Jaccard."""
+    from etl_hiscox_spark.operators.dedup import probe_minhash_index, write_minhash_index
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    old_rows = [(0, base), (2, "totally different words entirely here now")]
+    # 101 = near-dup of 0 (one token changed); 103 = unrelated; 0 re-ingested
+    new_rows = [(101, base.replace("kappa", "lambda")), (103, "nothing shared at all whatsoever"), (0, base)]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_minhash_index(old, "text", "doc_id", path, num_hashes=24, num_bands=6)
+
+    cand = probe_minhash_index(new, "text", "doc_id", path).collect()
+    pairs = {(r["new_id"], r["dup_of"]) for r in cand}
+    assert (101, 0) in pairs
+    assert (0, 0) not in pairs  # re-ingested doc is not its own duplicate
+
+    confirmed = probe_minhash_index(
+        new, "text", "doc_id", path, verify_df=old.union(new), threshold=0.5
+    ).collect()
+    by_pair = {(r["new_id"], r["dup_of"]): r["jaccard"] for r in confirmed}
+    assert (101, 0) in by_pair and 0.5 <= by_pair[(101, 0)] < 1.0
+    assert all(nid != 103 for nid, _ in by_pair)
+
+
+def test_minhash_index_append_and_param_guard(spark, tmp_path):
+    from etl_hiscox_spark.operators.dedup import probe_minhash_index, write_minhash_index
+
+    d1 = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+    d2 = spark.createDataFrame([(2, "p q r s t u v w")], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_minhash_index(d1, "text", "doc_id", path, num_hashes=24, num_bands=6)
+    # append with matching params extends the index
+    write_minhash_index(d2, "text", "doc_id", path, num_hashes=24, num_bands=6, mode="append")
+    probe = spark.createDataFrame([(9, "p q r s t u v w")], "doc_id long, text string")
+    got = probe_minhash_index(probe, "text", "doc_id", path).collect()
+    assert {(r["new_id"], r["dup_of"]) for r in got} == {(9, 2)}
+    # append with different banding must fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="parameter mismatch"):
+        write_minhash_index(d2, "text", "doc_id", path, num_hashes=32, num_bands=8, mode="append")
