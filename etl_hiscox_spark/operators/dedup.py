@@ -765,8 +765,20 @@ def probe_minhash_index(
         return cand.select(
             F.col("id_a").alias("new_id"), F.col("id_b").alias("dup_of")
         )
+    # Verify only what the candidates touch: semi-join the resolver down to
+    # candidate ids BEFORE shingling — at 100 TB verify_df is the whole
+    # corpus and re-shingling it would dwarf the probe itself (measured
+    # ~2x the query at sf0.1). cand feeds two branches (the id set and the
+    # pair list); lazy persist so the banded join runs once.
+    cand = cand.persist()
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    resolved = verify_df.join(ids, id_col, "left_semi")
     scored = jaccard_pairs(
-        verify_df, cand, text_col, id_col, shingle_k, threshold=threshold
+        resolved, cand, text_col, id_col, shingle_k, threshold=threshold
     )
     return scored.select(
         F.col("id_a").alias("new_id"),
