@@ -234,3 +234,56 @@ def test_m5_query_matches_synthesis(spark, sf_dir):
         assert row["width"] == bw * 8 and row["height"] == bh * 8
         assert row["n_channels"] == 1
         assert abs(row["mean_intensity"] - round(float(vals.mean()), 6)) < 1e-9
+
+
+# --- property fuzz (hypothesis): total robustness of the decode path -------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    color=st.booleans(),
+    interval=st.integers(min_value=0, max_value=3),
+)
+def test_fuzz_roundtrip_never_crashes(h, w, seed, color, interval):
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, size=shape).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, restart_interval=interval))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    # quantization noise is zero-mean-ish: the global mean survives
+    assert abs(float(dec.mean()) - float(img.mean())) < 24.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=300))
+def test_fuzz_garbage_bytes_raise_value_error(junk):
+    # arbitrary bytes (with and without a forced SOI prefix) must raise
+    # ValueError — never IndexError/struct.error/KeyError or a hang
+    for data in (junk, b"\xff\xd8" + junk):
+        try:
+            decode_jpeg(data)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(pos=st.integers(min_value=2, max_value=10_000), delta=st.integers(min_value=1, max_value=255))
+def test_fuzz_single_byte_corruption_contained(pos, delta):
+    # flipping one byte of a valid stream either still decodes to the right
+    # shape or raises ValueError — no other exception class escapes
+    img = _gradient(16, 24)
+    enc = bytearray(encode_jpeg(img))
+    pos %= len(enc) - 2
+    enc[2 + pos] = (enc[2 + pos] + delta) % 256
+    try:
+        out = decode_jpeg(bytes(enc))
+        assert isinstance(out, np.ndarray)
+    except ValueError:
+        pass
