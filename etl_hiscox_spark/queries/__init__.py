@@ -250,18 +250,19 @@ WINDOW_R8: tuple[str, ...] = (
     "s17_training_shards",
     # declared during r8 — JPEG codec leg, quantized ANN, audio FFT,
     # wildcard-domain blocklist, key-skew diagnostics, incremental
-    # LSH-index probe
+    # LSH-index probe, CCNet perplexity buckets
     "m5_jpeg_features",
     "l3_quantized_topk",
     "m6_audio_spectral_peak",
     "t30_domain_blocklist",
     "a19_key_skew_profile",
     "l2_incremental_probe",
-    # r5-stale greens (35 of 49; the deferred 14 — p1/p3/p5/p6/j4/u1/u3/w1
-    # plus the six displaced by the r8 declarations (w6/w7/w4_ties/
-    # w4_rank_per_group/w3_lag_delta/w2_rolling_average), all
-    # property/plan/pytest-covered simple shapes — lead WINDOW_R9 as
-    # mandatory entries)
+    "t31_perplexity_buckets",
+    # r5-stale greens (34 of 49; the deferred 15 — p1/p3/p5/p6/j4/u1/u3/w1
+    # plus the seven displaced by the r8 declarations (w6/w7/w4_ties/
+    # w4_rank_per_group/w3_lag_delta/w2_rolling_average/
+    # u2_except_difference), all property/plan/pytest-covered simple
+    # shapes — lead WINDOW_R9 as mandatory entries)
     "a6_grouped_pricing_summary",
     "a7_conditional_aggregate",
     "a9_duplicate_stats",
@@ -296,7 +297,6 @@ WINDOW_R8: tuple[str, ...] = (
     "t17_semantic_decontamination",
     "t18_span_dedup",
     "t19_nb_language_classifier",
-    "u2_except_difference",
 )
 
 # Round 5 window (historical — r5 driver results in CORRECTNESS_r05.json).

@@ -813,6 +813,71 @@ def t16_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t31_perplexity_buckets",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), bi AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(t)), i -> {'w1': t[i], 'w2': t[i+1]}),
+                    recursive := true)
+      FROM toks WHERE len(t) >= 2
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2
+    ), uc AS (
+      SELECT w, COUNT(*) AS c1
+      FROM (SELECT UNNEST(t) AS w FROM toks) GROUP BY w
+    ), scored AS (
+      SELECT doc_id,
+             ROUND(AVG(-ln((c2 + 1.0) / (c1 + 1.0 * (SELECT COUNT(*) FROM uc)))), 6) AS avg_nll
+      FROM bi JOIN bc USING (w1, w2) JOIN uc ON bi.w1 = uc.w
+      GROUP BY doc_id
+    )
+    SELECT doc_id, avg_nll,
+           CAST(NTILE(3) OVER (ORDER BY avg_nll ASC, doc_id ASC) AS INT) AS ppl_bucket
+    FROM scored
+    """,
+)
+def t31_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet's head/middle/tail perplexity split (Wenzek et al. 2020): rank
+    # every doc by its self-trained bigram-LM NLL (the t16 scorer) and
+    # NTILE into three equal buckets — the standard "keep head, sample
+    # middle, drop tail" curation input. The window orders by the ROUNDED
+    # score with doc_id as tiebreak: rounded-6 NLLs are the values t16
+    # proves cross-engine equal, while unrounded doubles carry
+    # summation-order ulps that could flip an NTILE boundary between
+    # engines. One extra window shuffle over |docs| rows on top of the
+    # scoring plan.
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents_v")
+    return spark.sql(
+        r"""
+        WITH toks AS (
+          SELECT doc_id, split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' ') AS t
+          FROM documents_v
+        ), bi AS (
+          SELECT doc_id, element_at(t, i) AS w1, element_at(t, i + 1) AS w2
+          FROM (SELECT * FROM toks WHERE size(t) >= 2)
+          LATERAL VIEW explode(sequence(1, size(t) - 1)) AS i
+        ), bc AS (
+          SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2
+        ), uc AS (
+          SELECT w, COUNT(*) AS c1
+          FROM (SELECT explode(t) AS w FROM toks) GROUP BY w
+        ), scored AS (
+          SELECT doc_id,
+                 ROUND(AVG(-ln((c2 + 1.0) / (c1 + 1.0 * (SELECT COUNT(*) FROM uc)))), 6) AS avg_nll
+          FROM bi JOIN bc USING (w1, w2) JOIN uc ON bi.w1 = uc.w
+          GROUP BY doc_id
+        )
+        SELECT doc_id, avg_nll,
+               NTILE(3) OVER (ORDER BY avg_nll ASC, doc_id ASC) AS ppl_bucket
+        FROM scored
+        """
+    )
+
+
+@register(
     "t17_semantic_decontamination",
     oracle="""
     WITH e AS (

@@ -107,3 +107,21 @@ def test_oov_bigrams_get_the_smoothing_floor_not_dropped(spark):
     assert abs(got[8]["avg_nll"] - round(-math.log(p_qq_ww), 6)) < 1e-6
     # and the OOV doc scores WORSE than an in-vocabulary doc
     assert got[8]["avg_nll"] > got[9]["avg_nll"] > 0
+
+
+def test_perplexity_buckets_balanced_and_monotone(spark):
+    """t31: NTILE(3) yields near-equal buckets and head NLL < tail NLL."""
+    from etl_hiscox_spark.queries.llm import t31_perplexity_buckets
+
+    rows = t31_perplexity_buckets(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no scored docs"
+    from collections import defaultdict
+
+    by_bucket = defaultdict(list)
+    for r in rows:
+        by_bucket[r["ppl_bucket"]].append(r["avg_nll"])
+    assert set(by_bucket) == {1, 2, 3}
+    sizes = [len(by_bucket[b]) for b in (1, 2, 3)]
+    assert max(sizes) - min(sizes) <= 1  # NTILE balance
+    assert max(by_bucket[1]) <= min(by_bucket[3])  # head strictly easier than tail
+    assert sum(sizes) == len(rows)
