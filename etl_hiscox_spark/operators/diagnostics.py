@@ -38,6 +38,12 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
         df.select(F.col(key_col).cast("string").alias("key"))
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("n_rows"))
+        # counts feeds two branches (the totals reduce and the top-k);
+        # without the lazy persist each branch re-scans and re-aggregates
+        # the full input — a double corpus scan at the design point
+        # (ReuseExchange does not dedupe the identical subtrees here).
+        # Same precedent as dedup.jaccard_pairs' shingle stem.
+        .persist()
     )
     totals = counts.agg(
         F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_distinct")
