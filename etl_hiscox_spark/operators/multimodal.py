@@ -241,6 +241,68 @@ def image_channel_stats(
     return df.select(path_col, content_col).mapInPandas(extract, CHANNEL_STATS_SCHEMA)
 
 
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dhash", T.StringType()),
+    ]
+)
+
+
+def image_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) — the image near-dedup signature.
+
+    decode → intensity plane (alpha excluded, channels averaged) →
+    nearest-neighbor resize to (hash_size, hash_size+1) → one bit per
+    horizontally adjacent pair (left > right), row-major. Output ``dhash``
+    is the bit string ('0'/'1', hash_size² chars): integer-free so the
+    64th bit never fights BIGINT sign conventions across engines, and
+    Hamming distance is a character-compare away. Visually-near images
+    (crops, recompressions, small edits) land within a few bits, so the
+    SimHash block-bucket machinery (``dedup.simhash_blocks`` pigeonhole)
+    applies verbatim for pairing at scale — never all-pairs. Undecodable
+    bytes quarantine to a NULL-hash row, as every media path."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                try:
+                    arr = decode_image(bytes(content) if content is not None else b"")
+                    c = int(arr.shape[2])
+                    gray = (
+                        arr[:, :, : 1 if c == 2 else (3 if c == 4 else c)]
+                        .astype(np.float64)
+                        .mean(axis=2)
+                    )
+                    small = resize_nearest(gray, (hash_size, hash_size + 1))
+                    bits = small[:, :-1] > small[:, 1:]
+                    rows.append(
+                        {
+                            "path": path,
+                            "width": int(arr.shape[1]),
+                            "height": int(arr.shape[0]),
+                            "dhash": "".join(
+                                "1" if b else "0" for b in bits.ravel()
+                            ),
+                        }
+                    )
+                except ValueError:
+                    rows.append(
+                        {"path": path, "width": None, "height": None, "dhash": None}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in DHASH_SCHEMA.fields])
+
+    return df.select(path_col, content_col).mapInPandas(extract, DHASH_SCHEMA)
+
+
 def resize_images(df: DataFrame, target: tuple[int, int] = (8, 8)) -> DataFrame:
     """Resize to fixed-size BMP thumbnails (binary out, same rows).
 

@@ -250,7 +250,7 @@ WINDOW_R8: tuple[str, ...] = (
     "s17_training_shards",
     # declared during r8 — JPEG codec leg, quantized ANN, audio FFT,
     # wildcard-domain blocklist, key-skew diagnostics, incremental
-    # LSH-index probe, CCNet perplexity buckets
+    # LSH-index probe, CCNet perplexity buckets, image dHash
     "m5_jpeg_features",
     "l3_quantized_topk",
     "m6_audio_spectral_peak",
@@ -258,11 +258,12 @@ WINDOW_R8: tuple[str, ...] = (
     "a19_key_skew_profile",
     "l2_incremental_probe",
     "t31_perplexity_buckets",
-    # r5-stale greens (34 of 49; the deferred 15 — p1/p3/p5/p6/j4/u1/u3/w1
-    # plus the seven displaced by the r8 declarations (w6/w7/w4_ties/
+    "m7_image_dhash",
+    # r5-stale greens (33 of 49; the deferred 16 — p1/p3/p5/p6/j4/u1/u3/w1
+    # plus the eight displaced by the r8 declarations (w6/w7/w4_ties/
     # w4_rank_per_group/w3_lag_delta/w2_rolling_average/
-    # u2_except_difference), all property/plan/pytest-covered simple
-    # shapes — lead WINDOW_R9 as mandatory entries)
+    # u2_except_difference/t19_nb), all property/plan/pytest-covered
+    # simple shapes — lead WINDOW_R9 as mandatory entries)
     "a6_grouped_pricing_summary",
     "a7_conditional_aggregate",
     "a9_duplicate_stats",
@@ -296,7 +297,6 @@ WINDOW_R8: tuple[str, ...] = (
     "t16_bigram_lm_nll",
     "t17_semantic_decontamination",
     "t18_span_dedup",
-    "t19_nb_language_classifier",
 )
 
 # Round 5 window (historical — r5 driver results in CORRECTNESS_r05.json).

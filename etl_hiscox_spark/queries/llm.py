@@ -2389,6 +2389,79 @@ def t30_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m7_image_dhash",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id, r.r, c.c,
+             (29 * (d.doc_id % 16) + 7 * ((r.r * 16) // 8) + 3 * ((c.c * 16) // 9)
+              + CASE WHEN ((((c.c * 16) // 9) * 16 + ((r.r * 16) // 8)) % 11)
+                          = (d.doc_id // 16) % 8
+                     THEN 40 ELSE 0 END) % 256 AS v
+      FROM documents d, UNNEST(range(8)) r(r), UNNEST(range(9)) c(c)
+    ), bits AS (
+      SELECT a.doc_id, a.r, a.c,
+             CASE WHEN a.v > b.v THEN '1' ELSE '0' END AS bit
+      FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+      WHERE a.c < 8
+    )
+    SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           string_agg(bit, '' ORDER BY r, c) AS dhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def m7_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Image near-dedup signature (operators/multimodal.image_dhash): each
+    # doc gets a deterministic 16x16 grayscale PNG — a base gradient
+    # (doc_id % 16 of them) with a variant-specific +40 bump on a sparse
+    # pixel lattice — encoded losslessly (filter type cycles by doc_id so
+    # the PNG unfilter paths stay exercised), decoded through the
+    # dispatch, and dHashed. The oracle replays pixel synthesis, the
+    # nearest-neighbor index maps ((i*16)//8, (j*16)//9), and every
+    # left>right comparison to the full 64-char bit string — a wrong
+    # resize map, transposed axes, channel mishandling, or bit order
+    # hash-fails. Docs sharing (base, variant) hash identically; same
+    # base, different variant lands a few bits away — the structure the
+    # simhash-block pairing machinery mines (pytest-pinned).
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from etl_hiscox_spark.operators.multimodal import image_dhash
+    from etl_hiscox_spark.operators.png import encode_png
+
+    docs = _media_id_fanout(spark, sf_dir)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                y, x = np.mgrid[0:16, 0:16]
+                img = (
+                    29 * (i % 16)
+                    + 7 * y
+                    + 3 * x
+                    + np.where((x * 16 + y) % 11 == (i // 16) % 8, 40, 0)
+                ) % 256
+                out.append(
+                    {
+                        "path": str(i),
+                        "content": encode_png(
+                            img.astype(np.uint8), filter_type=i % 5
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    media = docs.mapInPandas(gen, "path string, content binary")
+    out = image_dhash(media)
+    return out.select(
+        F.col("path").cast("long").alias("doc_id"), "width", "height", "dhash"
+    )
+
+
+@register(
     "t25_token_budget_sample",
     oracle=r"""
     WITH toks AS (

@@ -401,3 +401,86 @@ def test_jpeg_truncated_dri_sof_raise_value_error():
         decode_jpeg(b"\xff\xd8" + seg(0xC0, bytes([8, 0, 16])))
     with pytest.raises(ValueError, match="SOF"):
         decode_jpeg(b"\xff\xd8" + seg(0xC0, bytes([8, 0, 16, 0, 16, 3, 1, 0x11, 0])))
+
+
+def test_image_dhash_locality_and_quarantine(spark):
+    """dHash: identical images hash identically, a small edit moves few
+    bits, unrelated images are far, and garbage quarantines to NULL."""
+    import numpy as np
+
+    from etl_hiscox_spark.operators.multimodal import encode_bmp, image_dhash
+    from etl_hiscox_spark.operators.png import encode_png
+
+    y, x = np.mgrid[0:32, 0:32]
+    base = ((y * 5 + x * 3) % 256).astype(np.uint8)
+    near = base.copy()
+    near[0:2, 0:2] = 255  # tiny edit
+    # genuinely unstructured content — another smooth gradient would share
+    # most left>right comparisons with `base` by construction
+    far = np.random.default_rng(5).integers(0, 256, size=(32, 32)).astype(np.uint8)
+    rows = [
+        ("a", bytearray(encode_png(base))),
+        ("a2", bytearray(encode_png(base, filter_type=4))),  # same pixels, other filter
+        ("n", bytearray(encode_png(near))),
+        ("f", bytearray(encode_png(far))),
+        ("rgb", bytearray(encode_bmp(np.stack([base] * 3, axis=-1)))),  # gray-as-RGB
+        # recognized-but-corrupt: PNG signature, garbage body -> ValueError
+        # -> NULL quarantine (unrecognized formats hit the deterministic
+        # stub instead, by the decode_image dispatch contract)
+        ("bad", bytearray(b"\x89PNG\r\n\x1a\n" + b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = {r["path"]: r["dhash"] for r in image_dhash(df).collect()}
+
+    def ham(p, q):
+        return sum(c1 != c2 for c1, c2 in zip(out[p], out[q]))
+
+    assert out["a"] == out["a2"]  # encoding filter must not affect the hash
+    assert out["a"] == out["rgb"]  # channel-averaged RGB of gray == gray
+    assert 0 < ham("a", "n") <= 8  # local edit -> few bits
+    assert ham("a", "f") > 12  # unrelated -> far
+    assert out["bad"] is None  # quarantine
+
+
+def test_image_dhash_pairs_via_block_buckets(spark):
+    """The simhash pigeonhole machinery pairs near dhashes without
+    all-pairs: split the 64-bit string into 4 blocks; any pair within
+    Hamming 3 shares a block."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.operators.multimodal import image_dhash
+    from etl_hiscox_spark.operators.png import encode_png
+
+    y, x = np.mgrid[0:16, 0:16]
+    imgs = {}
+    for v in range(4):  # four variants of one base image
+        im = ((y * 7 + x * 3) % 256).astype(np.uint8).copy()
+        im[v, v] = 250
+        imgs[f"v{v}"] = im
+    imgs["other"] = ((y * 13 + x * 17 + 9) % 256).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(k, bytearray(encode_png(v))) for k, v in imgs.items()],
+        "path string, content binary",
+    )
+    h = image_dhash(df)
+    blocks = h.select(
+        "path",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("blk"),
+                               F.substring("dhash", 1 + 16 * b, 16).alias("bits"))
+                      for b in range(4)])
+        ).alias("bb"),
+    ).select("path", "bb.blk", "bb.bits")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.bits") == F.col("b.bits"))
+               & (F.col("a.path") < F.col("b.path")))
+        .select(F.col("a.path").alias("pa"), F.col("b.path").alias("pb"))
+        .distinct()
+        .collect()
+    )
+    pairs = {(r["pa"], r["pb"]) for r in cand}
+    assert ("v0", "v1") in pairs or ("v1", "v0") in pairs
+    assert not any("other" in p for pair in pairs for p in pair)
