@@ -299,6 +299,16 @@ WINDOW_R8: tuple[str, ...] = (
     "t18_span_dedup",
 )
 
+# WINDOW_R9 planning (write it first thing in r9, before declaring):
+# mandatory head = the 16 deferred r5 greens (p1/p3/p5/p6, j4, u1/u2/u3,
+# w1/w2/w3, w4_rank_per_group/w4_rank_with_ties, w6/w7, t19) — their r5
+# signals hit the 3-round staleness bound at current=9. Remaining ~34
+# slots: new r9 declarations plus an early-rechecked slice of WINDOW_R6's
+# 50 r6 greens, sized so the r10 rotation (where ALL remaining r6 greens
+# become mandatory) still leaves room for r10 declarations. All eight r8
+# declarations and the r7 batch get their first driver signal from THIS
+# window, so none of them are r9-mandatory.
+
 # Round 5 window (historical — r5 driver results in CORRECTNESS_r05.json).
 WINDOW_R5: tuple[str, ...] = (
     # output changed / newly declared this round — must (re-)check
