@@ -540,6 +540,63 @@ def audio_spectral_peak(
     return df.select(path_col, content_col).mapInPandas(extract, SPECTRAL_PEAK_SCHEMA)
 
 
+FINGERPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("fingerprint", T.StringType()),
+    ]
+)
+
+
+def audio_band_fingerprint(
+    df: DataFrame,
+    bands: list[tuple[int, int]],
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """Spectral-band energy fingerprint — the audio near-dedup signature
+    (the chromaprint/echoprint family shape, one frame per clip here).
+
+    decode → downmix → rfft → per-band energy (sum |X[k]|² over each
+    [lo, hi) bin range) → one bit per adjacent band pair (left > right),
+    emitted as a '0'/'1' string of len(bands)-1 chars. Re-encodes,
+    level shifts, and codec round-trips preserve band-energy ORDER far
+    better than absolute values, which is why fingerprints compare
+    ordinal bits, not magnitudes — and the bit-string form pairs at scale
+    through the same block-bucket pigeonhole as image dHash / SimHash.
+    Undecodable or too-short clips quarantine to a NULL-fingerprint row.
+    """
+    if len(bands) < 2:
+        raise ValueError("audio_band_fingerprint needs at least two bands")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                try:
+                    samples, _rate = decode_wav(
+                        bytes(content) if content is not None else b""
+                    )
+                    x = samples.astype(np.float64).mean(axis=1)
+                    n = x.shape[0]
+                    if n < 2 * max(hi for _, hi in bands):
+                        raise ValueError("clip too short for the band plan")
+                    mag2 = np.abs(np.fft.rfft(x)) ** 2
+                    e = np.array([mag2[lo:hi].sum() for lo, hi in bands])
+                    bits = "".join(
+                        "1" if e[i] > e[i + 1] else "0" for i in range(len(e) - 1)
+                    )
+                    rows.append({"path": path, "n_samples": n, "fingerprint": bits})
+                except ValueError:
+                    rows.append({"path": path, "n_samples": None, "fingerprint": None})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FINGERPRINT_SCHEMA.fields]
+            )
+
+    return df.select(path_col, content_col).mapInPandas(extract, FINGERPRINT_SCHEMA)
+
+
 AUDIO_WINDOWS_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),

@@ -250,7 +250,8 @@ WINDOW_R8: tuple[str, ...] = (
     "s17_training_shards",
     # declared during r8 — JPEG codec leg, quantized ANN, audio FFT,
     # wildcard-domain blocklist, key-skew diagnostics, incremental
-    # LSH-index probe, CCNet perplexity buckets, image dHash
+    # LSH-index probe, CCNet perplexity buckets, image dHash, audio
+    # band fingerprint
     "m5_jpeg_features",
     "l3_quantized_topk",
     "m6_audio_spectral_peak",
@@ -259,11 +260,12 @@ WINDOW_R8: tuple[str, ...] = (
     "l2_incremental_probe",
     "t31_perplexity_buckets",
     "m7_image_dhash",
-    # r5-stale greens (33 of 49; the deferred 16 — p1/p3/p5/p6/j4/u1/u3/w1
-    # plus the eight displaced by the r8 declarations (w6/w7/w4_ties/
+    "m8_audio_fingerprint",
+    # r5-stale greens (32 of 49; the deferred 17 — p1/p3/p5/p6/j4/u1/u3/w1
+    # plus the nine displaced by the r8 declarations (w6/w7/w4_ties/
     # w4_rank_per_group/w3_lag_delta/w2_rolling_average/
-    # u2_except_difference/t19_nb), all property/plan/pytest-covered
-    # simple shapes — lead WINDOW_R9 as mandatory entries)
+    # u2_except_difference/t19_nb/t18_span_dedup), all property/plan/
+    # pytest-covered simple shapes — lead WINDOW_R9 as mandatory entries)
     "a6_grouped_pricing_summary",
     "a7_conditional_aggregate",
     "a9_duplicate_stats",
@@ -296,13 +298,13 @@ WINDOW_R8: tuple[str, ...] = (
     "t12_weighted_sample",
     "t16_bigram_lm_nll",
     "t17_semantic_decontamination",
-    "t18_span_dedup",
 )
 
 # WINDOW_R9 planning (write it first thing in r9, before declaring):
-# mandatory head = the 16 deferred r5 greens (p1/p3/p5/p6, j4, u1/u2/u3,
-# w1/w2/w3, w4_rank_per_group/w4_rank_with_ties, w6/w7, t19) — their r5
-# signals hit the 3-round staleness bound at current=9. Remaining ~34
+# mandatory head = the 17 deferred r5 greens (p1/p3/p5/p6, j4, u1/u2/u3,
+# w1/w2/w3, w4_rank_per_group/w4_rank_with_ties, w6/w7, t19, t18) —
+# their r5 signals hit the 3-round staleness bound at current=9.
+# Remaining ~33
 # slots: new r9 declarations plus an early-rechecked slice of WINDOW_R6's
 # 50 r6 greens, sized so the r10 rotation (where ALL remaining r6 greens
 # become mandatory) still leaves room for r10 declarations. All eight r8

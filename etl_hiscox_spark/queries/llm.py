@@ -2462,6 +2462,74 @@ def m7_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m8_audio_fingerprint",
+    oracle="""
+    WITH amps AS (
+      SELECT d.doc_id, b.b,
+             300 + 150 * ((d.doc_id + 3 * b.b) % 8) AS amp
+      FROM documents d, UNNEST(range(8)) b(b)
+    ), bits AS (
+      SELECT a.doc_id, a.b,
+             CASE WHEN a.amp > c.amp THEN '1' ELSE '0' END AS bit
+      FROM amps a JOIN amps c ON a.doc_id = c.doc_id AND c.b = a.b + 1
+    )
+    SELECT doc_id,
+           CAST(128 + 128 * (doc_id % 2) AS INT) AS n_samples,
+           string_agg(bit, '' ORDER BY b) AS fingerprint
+    FROM bits GROUP BY doc_id
+    """,
+)
+def m8_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Audio near-dedup signature (operators/multimodal.
+    # audio_band_fingerprint) — the audio twin of m7's image dHash. Each
+    # doc gets a deterministic 8-tone clip: one integer-bin tone per
+    # spectral band, tone amplitudes planted by doc arithmetic with
+    # adjacent amplitudes always >=150 apart (the +3 stride never lands
+    # on 0 mod 8), so the band-energy ORDERING the
+    # fingerprint encodes is exactly the planted amplitude ordering —
+    # int16 rounding noise is orders of magnitude below the margin. The
+    # oracle replays amplitude synthesis and every adjacent comparison;
+    # a wrong band range, energy formula, rfft length, or bit order
+    # hash-fails. Clip length alternates 128/256 so band bins are checked
+    # against both rfft sizes.
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from etl_hiscox_spark.operators.multimodal import (
+        audio_band_fingerprint,
+        encode_wav,
+    )
+
+    bands = [(4, 11), (11, 18), (18, 25), (25, 32), (32, 39), (39, 46), (46, 53), (53, 60)]
+    docs = _media_id_fanout(spark, sf_dir)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 128 + 128 * (i % 2)
+                t = np.arange(n, dtype=np.float64)
+                v = np.zeros(n)
+                for b, (lo, hi) in enumerate(bands):
+                    amp = 300.0 + 150.0 * ((i + 3 * b) % 8)
+                    tone_bin = lo + 2
+                    v += amp * np.sin(2.0 * np.pi * tone_bin * t / n)
+                out.append(
+                    {"path": str(i), "content": encode_wav(np.round(v).astype(np.int16), 8000)}
+                )
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    media = docs.mapInPandas(gen, "path string, content binary")
+    out = audio_band_fingerprint(media, bands)
+    return out.select(
+        F.col("path").cast("long").alias("doc_id"), "n_samples", "fingerprint"
+    )
+
+
+@register(
     "t25_token_budget_sample",
     oracle=r"""
     WITH toks AS (

@@ -69,3 +69,49 @@ def test_m6_query_matches_synthesis(spark, sf_dir):
         assert r["n_samples"] == n
         assert r["peak_bin"] == b
         assert abs(r["peak_freq_hz"] - round(b * 8000.0 / n, 6)) < 1e-9
+
+
+def test_band_fingerprint_ordering_and_invariance(spark):
+    """Fingerprint bits follow planted band-energy order; amplitude
+    scaling (volume change) leaves the fingerprint unchanged; garbage and
+    too-short clips quarantine."""
+    import numpy as np
+
+    from etl_hiscox_spark.operators.multimodal import (
+        audio_band_fingerprint,
+        encode_wav,
+    )
+
+    bands = [(4, 11), (11, 18), (18, 25), (25, 32)]
+    n = 128
+    t = np.arange(n, dtype=np.float64)
+
+    def clip(amps, scale=1.0):
+        v = np.zeros(n)
+        for b, (lo, _hi) in enumerate(bands):
+            v += scale * amps[b] * np.sin(2.0 * np.pi * (lo + 2) * t / n)
+        return bytearray(encode_wav(np.round(v).astype(np.int16), 8000))
+
+    amps = [1500, 400, 900, 1200]  # expected bits: 1>0? yes; 0>2? no; 2>3? no -> '100'
+    rows = [
+        ("a", clip(amps)),
+        ("half", clip(amps, scale=0.5)),  # volume change
+        ("bad", bytearray(b"not audio")),
+        ("short", bytearray(encode_wav(np.zeros(16, dtype=np.int16), 8000))),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = {r["path"]: r for r in audio_band_fingerprint(df, bands).collect()}
+    assert out["a"]["fingerprint"] == "100"
+    assert out["half"]["fingerprint"] == "100"  # ordinal bits survive volume
+    assert out["bad"]["fingerprint"] is None
+    assert out["short"]["fingerprint"] is None
+
+
+def test_band_fingerprint_rejects_degenerate_plan(spark):
+    import pytest
+
+    from etl_hiscox_spark.operators.multimodal import audio_band_fingerprint
+
+    df = spark.createDataFrame([("x", bytearray(b""))], "path string, content binary")
+    with pytest.raises(ValueError, match="at least two bands"):
+        audio_band_fingerprint(df, [(0, 4)])
