@@ -300,14 +300,17 @@ WINDOW_R8: tuple[str, ...] = (
     "t17_semantic_decontamination",
 )
 
-# WINDOW_R9 planning (write it first thing in r9, before declaring):
-# mandatory head = the 17 deferred r5 greens (p1/p3/p5/p6, j4, u1/u2/u3,
-# w1/w2/w3, w4_rank_per_group/w4_rank_with_ties, w6/w7, t19, t18) —
-# their r5 signals hit the 3-round staleness bound at current=9.
-# Remaining ~33
-# slots: new r9 declarations plus an early-rechecked slice of WINDOW_R6's
-# 50 r6 greens, sized so the r10 rotation (where ALL remaining r6 greens
-# become mandatory) still leaves room for r10 declarations. All eight r8
+# WINDOW_R9 planning (write it first thing in r9, before declaring).
+# Computed from CORRECTNESS_r01-r07 + this window banking as r8, the
+# latest-green histogram is {r5: 17, r6: 49, r7: 49, r8: 50} over 166
+# queries (s7 exempt). Mandatory r9 head = the 17 deferred r5 greens
+# (p1/p3/p5/p6, j4, u1/u2/u3, w1/w2/w3, w4_rank_per_group/
+# w4_rank_with_ties, w6/w7, t19, t18). The remaining 33 slots MUST go
+# mostly to r6-green prechecks: without them r10's mandatory load is
+# 49 r6 greens + the r9 leftovers = overflow. Sizing rule: with k new
+# r9 declarations, precheck 33-k of the 49 r6 greens, leaving r10
+# mandatory = 16+k (fits, with room for r10's own declarations and the
+# 49 r7 greens that telescope into r11). Keep k <= ~15. All nine r8
 # declarations and the r7 batch get their first driver signal from THIS
 # window, so none of them are r9-mandatory.
 
