@@ -695,6 +695,14 @@ def write_minhash_index(
     the probe to a shuffle-free sort-merge — layout choice, same contract.
     """
     spark = df.sparkSession
+    if num_hashes % num_bands != 0:
+        # same guard as minhash_candidates: trailing signature hashes
+        # would be computed but never banded — a silent recall loss the
+        # meta would then propagate to every probe
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by num_bands "
+            f"({num_bands}) — trailing hashes would be computed but never banded"
+        )
     if mode == "append":
         meta = _read_index_meta(spark, path)
         if meta != (num_hashes, num_bands, shingle_k):
@@ -709,10 +717,24 @@ def write_minhash_index(
     _write_index_meta(spark, path, num_hashes, num_bands, shingle_k)
 
 
-def _meta_is_local(path: str) -> bool:
-    # scheme-less or file:// paths take the driver-side pyarrow shortcut;
-    # remote filesystems (hdfs://, s3a://...) go through Spark
-    return "://" not in path or path.startswith("file://")
+def _meta_is_local(spark, path: str) -> bool:
+    """True only when the path resolves to the DRIVER's local filesystem.
+
+    An explicit remote scheme (hdfs://, s3a://, ...) is never local; a
+    scheme-less path is local only if Spark's fs.defaultFS is file: —
+    on a cluster with defaultFS=hdfs://, '/warehouse/idx' goes to HDFS
+    via Spark while a naive driver-side shortcut would write the meta to
+    the driver's local disk, splitting the index (and a STALE local meta
+    could then band a probe differently from its index — the exact drift
+    the meta exists to prevent)."""
+    if path.startswith("file://"):
+        return True
+    if "://" in path:
+        return False
+    default_fs = (
+        spark.sparkContext._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+    )
+    return default_fs.startswith("file:")
 
 
 def _write_index_meta(spark, path: str, num_hashes: int, num_bands: int, shingle_k: int) -> None:
@@ -721,7 +743,7 @@ def _write_index_meta(spark, path: str, num_hashes: int, num_bands: int, shingle
     probe path (~0.5 s/round trip at bench scale); the contract (parquet
     at <path>/meta) is identical either way."""
     meta_path = os.path.join(path, "meta")
-    if _meta_is_local(path):
+    if _meta_is_local(spark, path):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -746,7 +768,7 @@ def _write_index_meta(spark, path: str, num_hashes: int, num_bands: int, shingle
 
 def _read_index_meta(spark, path: str) -> tuple[int, int, int]:
     meta_path = os.path.join(path, "meta")
-    if _meta_is_local(path):
+    if _meta_is_local(spark, path):
         import pyarrow.parquet as pq
 
         local = meta_path[len("file://"):] if meta_path.startswith("file://") else meta_path
@@ -774,7 +796,10 @@ def probe_minhash_index(
     frame resolving BOTH sides' texts, e.g. corpus ∪ new batch) every
     candidate is confirmed by exact shingle Jaccard >= ``threshold`` and
     the pair carries its score — the precision gate of
-    :func:`near_dedup_minhash`, applied cross-batch.
+    :func:`near_dedup_minhash`, applied cross-batch. Candidates whose ids
+    ``verify_df`` does NOT resolve come back with ``jaccard`` NULL
+    instead of silently vanishing — "zero duplicates" because the caller
+    resolved half the corpus is this operator's worst failure mode.
 
     Banding parameters come from the index meta (see
     :func:`write_minhash_index`).
@@ -810,10 +835,17 @@ def probe_minhash_index(
         .distinct()
     )
     resolved = verify_df.join(ids, id_col, "left_semi")
-    scored = jaccard_pairs(
-        resolved, cand, text_col, id_col, shingle_k, threshold=threshold
+    scored = jaccard_pairs(resolved, cand, text_col, id_col, shingle_k, threshold=0.0)
+    # A candidate whose id is missing from verify_df would silently drop
+    # out of jaccard_pairs' count joins — and "zero duplicates found"
+    # because the caller resolved only half the corpus is the worst
+    # failure mode this operator can have. Left-join the scores back so
+    # unresolvable candidates surface as jaccard NULL rows; the threshold
+    # applies only to scored pairs.
+    out = cand.join(scored, ["id_a", "id_b"], "left").filter(
+        F.col("jaccard").isNull() | (F.col("jaccard") >= F.lit(threshold))
     )
-    return scored.select(
+    return out.select(
         F.col("id_a").alias("new_id"),
         F.col("id_b").alias("dup_of"),
         "jaccard",

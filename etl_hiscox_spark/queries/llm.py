@@ -848,32 +848,15 @@ def t31_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # proves cross-engine equal, while unrounded doubles carry
     # summation-order ulps that could flip an NTILE boundary between
     # engines. One extra window shuffle over |docs| rows on top of the
-    # scoring plan.
-    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents_v")
-    return spark.sql(
-        r"""
-        WITH toks AS (
-          SELECT doc_id, split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' ') AS t
-          FROM documents_v
-        ), bi AS (
-          SELECT doc_id, element_at(t, i) AS w1, element_at(t, i + 1) AS w2
-          FROM (SELECT * FROM toks WHERE size(t) >= 2)
-          LATERAL VIEW explode(sequence(1, size(t) - 1)) AS i
-        ), bc AS (
-          SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2
-        ), uc AS (
-          SELECT w, COUNT(*) AS c1
-          FROM (SELECT explode(t) AS w FROM toks) GROUP BY w
-        ), scored AS (
-          SELECT doc_id,
-                 ROUND(AVG(-ln((c2 + 1.0) / (c1 + 1.0 * (SELECT COUNT(*) FROM uc)))), 6) AS avg_nll
-          FROM bi JOIN bc USING (w1, w2) JOIN uc ON bi.w1 = uc.w
-          GROUP BY doc_id
-        )
-        SELECT doc_id, avg_nll,
-               NTILE(3) OVER (ORDER BY avg_nll ASC, doc_id ASC) AS ppl_bucket
-        FROM scored
-        """
+    # scoring plan. Scores come from t16's query function DIRECTLY — one
+    # scoring definition; a smoothing/tokenization fix there cannot
+    # silently diverge from these buckets.
+    from pyspark.sql import Window
+
+    scored = t16_bigram_lm_nll(spark, sf_dir).select("doc_id", "avg_nll")
+    w = Window.orderBy(F.col("avg_nll").asc(), F.col("doc_id").asc())
+    return scored.select(
+        "doc_id", "avg_nll", F.ntile(3).over(w).alias("ppl_bucket")
     )
 
 

@@ -422,3 +422,37 @@ def test_minhash_index_append_and_param_guard(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="parameter mismatch"):
         write_minhash_index(d2, "text", "doc_id", path, num_hashes=32, num_bands=8, mode="append")
+
+
+def test_minhash_index_rejects_unbandable_width(spark, tmp_path):
+    """write side enforces the same divisibility guard as
+    minhash_candidates — an index with silently-truncated bands would
+    propagate its recall loss to every probe via the meta (r8 review)."""
+    import pytest as _pytest
+
+    from etl_hiscox_spark.operators.dedup import write_minhash_index
+
+    d = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="divisible"):
+        write_minhash_index(d, "text", "doc_id", str(tmp_path / "idx"), num_hashes=24, num_bands=5)
+
+
+def test_probe_unresolved_candidates_surface_as_null(spark, tmp_path):
+    """Candidates whose ids verify_df cannot resolve must come back with
+    jaccard NULL — not silently vanish from the report (r8 review)."""
+    from etl_hiscox_spark.operators.dedup import probe_minhash_index, write_minhash_index
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    old = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    new = spark.createDataFrame([(101, base)], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_minhash_index(old, "text", "doc_id", path)
+    # verify_df resolves only the NEW side — the old doc's counts are missing
+    out = probe_minhash_index(new, "text", "doc_id", path, verify_df=new, threshold=0.5).collect()
+    assert [(r["new_id"], r["dup_of"], r["jaccard"]) for r in out] == [(101, 0, None)]
+    # a fully-resolving verify_df scores the same pair exactly
+    full = probe_minhash_index(
+        new, "text", "doc_id", path, verify_df=old.union(new), threshold=0.5
+    ).collect()
+    assert [(r["new_id"], r["dup_of"]) for r in full] == [(101, 0)]
+    assert abs(full[0]["jaccard"] - 1.0) < 1e-12
