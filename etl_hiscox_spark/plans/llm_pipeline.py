@@ -2,7 +2,11 @@
 
 Composes the §2.11 operators into the canonical corpus-prep flow:
 
-    raw docs → quality gates (Gopher/C4) → repetition filter
+    raw docs → [opt] URL blocklist (suffix equi-join — cheapest gate first)
+             → quality gates (Gopher/C4) → repetition filter
+             → [opt] C4 boilerplate-line removal (corpus-frequency lines
+               dropped BEFORE dedup, so shared chrome can't mask real
+               near-duplicate bodies or create false ones)
              → exact dedup → MinHash near-dedup
              → [opt] span-level dedup (RefinedWeb repeated-block removal)
              → [opt] LM-NLL gate (CCNet-style bigram perplexity filter)
@@ -61,14 +65,26 @@ def prepare_corpus(
     count_stages: bool = True,
     span_dedup_words: int | None = None,
     lm_nll_cutoff: float | None = None,
+    blocklist: DataFrame | None = None,
+    url_col: str | None = None,
+    boilerplate_min_docs: int | None = None,
 ) -> CorpusPrepResult:
     """Run the full corpus-prep flow; see module docstring for staging.
 
     ``count_stages=False`` skips the per-stage counts (each is an extra
     action) — the production setting; counts are for reports and tests.
 
-    Opt-in hygiene stages (both default OFF so the declared t13 output is
+    Opt-in hygiene stages (all default OFF so the declared t13 output is
     stable):
+    - ``blocklist`` + ``url_col``: drop documents whose URL host matches
+      a wildcard-domain blocklist rule (suffix equi-join) — runs FIRST,
+      it is the cheapest gate and real pipelines never pay quality
+      scoring for blocked domains.
+    - ``boilerplate_min_docs``: C4 corpus-frequency line removal between
+      the gates and dedup — each doc's text is replaced by its
+      boilerplate-stripped rebuild, fully-emptied docs drop (their
+      content is pure chrome). Runs BEFORE dedup so shared chrome can't
+      mask real near-duplicate bodies or manufacture false ones.
     - ``span_dedup_words``: after near-dedup, remove repeated
       ``span_dedup_words``-token blocks corpus-wide (RefinedWeb pass);
       documents whose every span was seen earlier drop out entirely and
@@ -77,6 +93,8 @@ def prepare_corpus(
       and drop documents whose avg negative log-likelihood exceeds the
       cutoff (gibberish/boilerplate tail, CCNet-style).
     """
+    if (blocklist is None) != (url_col is None):
+        raise ValueError("blocklist and url_col must be provided together")
     weights = split_weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     counts: dict[str, int] = {}
 
@@ -87,6 +105,14 @@ def prepare_corpus(
 
     note("raw", docs)
 
+    # 0. optional URL blocklist — the cheapest gate runs before anything
+    if blocklist is not None:
+        from etl_hiscox_spark.operators.quality_filters import domain_blocklist_tags
+
+        tags = domain_blocklist_tags(docs, url_col, id_col, blocklist)
+        blocked = tags.filter(F.col("is_blocked")).select(id_col)
+        docs = note("blocklist_gated", docs.join(blocked, id_col, "left_anti"))
+
     # 1-2. zero-shuffle quality gates, then the (one-shuffle) repetition gate
     flags = gopher_flags(docs, text_col, id_col).filter(F.col("keep")).select(id_col)
     gated = note("quality_gated", docs.join(flags, id_col, "left_semi"))
@@ -95,6 +121,25 @@ def prepare_corpus(
         F.lit(100) * F.col("top_ngram_count") <= F.lit(max_top_ngram_share_pct) * F.col("total_ngrams")
     ).select(id_col)
     unrepetitive = note("repetition_gated", gated.join(ok_rep, id_col, "left_semi"))
+
+    # 2b. optional C4 boilerplate-line removal: strip corpus-frequent
+    #     lines and carry the rebuilt text into dedup; fully-emptied docs
+    #     (kept = 0) are pure chrome and drop here
+    if boilerplate_min_docs is not None:
+        from etl_hiscox_spark.operators.boilerplate import remove_boilerplate_lines
+
+        rebuilt = remove_boilerplate_lines(
+            unrepetitive, text_col, id_col, min_docs=boilerplate_min_docs
+        )
+        unrepetitive = note(
+            "boilerplate_stripped",
+            unrepetitive.drop(text_col).join(
+                rebuilt.filter(F.col("n_lines_kept") > 0).select(
+                    id_col, F.col("text_clean").alias(text_col)
+                ),
+                id_col,
+            ),
+        )
 
     # 3-4. dedup: exact first (cheap, uniform hash), then MinHash near-dup
     exact = note("exact_deduped", exact_dedup(unrepetitive, text_col, id_col))
