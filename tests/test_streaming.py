@@ -277,3 +277,57 @@ def test_foreach_batch_txn_append_multibatch_replay(spark, tmp_path):
     run("ckpt2")  # same app_id, fresh checkpoint -> every batch id skipped
     assert len(t.history()) == n_versions
     assert sorted(r["id"] for r in t.read().collect()) == got
+
+
+def test_streaming_ingest_probes_minhash_index(spark, tmp_path):
+    """Streaming ingestion dedup: a file stream of new documents probes
+    the persisted LSH index inside foreachBatch — the daily-crawl shape
+    with the incremental index as the stateful side. Each micro-batch
+    shingles only itself; matches append to a report; matched batches
+    also extend the index (append mode), so a near-dup arriving in a
+    LATER batch is caught against an earlier batch's docs."""
+    from etl_hiscox_spark.operators.dedup import probe_minhash_index, write_minhash_index
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    hist = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    write_minhash_index(hist, "text", "doc_id", idx, num_hashes=24, num_bands=6)
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    report = str(tmp_path / "report")
+    # batch A: near-dup of history + fresh doc; batch B: near-dup of A's fresh doc
+    spark.createDataFrame(
+        [(101, base.replace("kappa", "lambda")),
+         (102, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(str(inbox))
+
+    def probe_and_extend(batch_df, batch_id):
+        matches = probe_minhash_index(batch_df, "text", "doc_id", idx)
+        matches.write.mode("append").parquet(report)
+        write_minhash_index(batch_df, "text", "doc_id", idx, num_hashes=24, num_bands=6, mode="append")
+
+    def run_stream():
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(inbox))
+            .writeStream.foreachBatch(probe_and_extend)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    got = {(r["new_id"], r["dup_of"]) for r in spark.read.parquet(report).collect()}
+    assert (101, 0) in got and all(nid != 102 for nid, _ in got)
+
+    # batch B arrives later: near-dup of 102, which only the EXTENDED index knows
+    spark.createDataFrame(
+        [(201, "one two three four five six seven eight nine eleven")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(str(inbox))
+    run_stream()
+    got = {(r["new_id"], r["dup_of"]) for r in spark.read.parquet(report).collect()}
+    assert (201, 102) in got
