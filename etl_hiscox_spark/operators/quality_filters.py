@@ -167,25 +167,7 @@ def domain_blocklist_tags(
     shuffle is the (id, host) reduce. AQE handles the 'com'-suffix skew
     the same way it handles every heavy-hitter join key.
     """
-    from etl_hiscox_spark.functions.text import url_host
-
-    base = df.select(
-        F.col(id_col), url_host(F.col(url_col)).alias("host")
-    ).select(id_col, "host", F.split(F.col("host"), r"\.").alias("_p"))
-    n = F.size("_p")
-    sfx = base.select(
-        id_col,
-        "host",
-        "_p",
-        F.explode(F.sequence(F.lit(1), n)).alias("_i"),
-    ).select(
-        id_col,
-        "host",
-        F.array_join(
-            F.slice(F.col("_p"), F.col("_i"), F.size("_p") - F.col("_i") + F.lit(1)),
-            ".",
-        ).alias("_s"),
-    )
+    sfx = _host_suffixes(df, url_col, id_col)
     tagged = sfx.join(
         F.broadcast(blocklist.select(F.lower(F.col(rule_col)).alias("_rule"))),
         sfx["_s"] == F.col("_rule"),
@@ -200,4 +182,54 @@ def domain_blocklist_tags(
             F.col("matched_rule").isNotNull().alias("is_blocked"),
             "matched_rule",
         )
+    )
+
+
+def _host_suffixes(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """(id, host, _s) — one row per parent-domain suffix of each URL's
+    host; the shared stem of the tagging and gating forms. Rides the scan
+    stage (explode of <= label-count short strings), zero shuffles."""
+    from etl_hiscox_spark.functions.text import url_host
+
+    base = df.select(
+        F.col(id_col), url_host(F.col(url_col)).alias("host")
+    ).select(id_col, "host", F.split(F.col("host"), r"\.").alias("_p"))
+    n = F.size("_p")
+    return base.select(
+        id_col,
+        "host",
+        "_p",
+        F.explode(F.sequence(F.lit(1), n)).alias("_i"),
+    ).select(
+        id_col,
+        "host",
+        F.array_join(
+            F.slice(F.col("_p"), F.col("_i"), F.size("_p") - F.col("_i") + F.lit(1)),
+            ".",
+        ).alias("_s"),
+    )
+
+
+def blocked_ids(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    blocklist: DataFrame,
+    rule_col: str = "rule",
+) -> DataFrame:
+    """Just the ids whose host matches any blocklist rule — the GATING
+    form. Unlike :func:`domain_blocklist_tags` (the per-row diagnostic
+    report, which pays a corpus-wide (id, host) reduce for its MIN-rule
+    witness), this inner-joins the suffix stem against the broadcast
+    rules and distincts only the MATCHED rows — at 100 TB that is a
+    reduce over the blocked minority, not the whole corpus (r8 review).
+    Feed it to a left-anti join, as ``plans.llm_pipeline`` does."""
+    sfx = _host_suffixes(df, url_col, id_col)
+    return (
+        sfx.join(
+            F.broadcast(blocklist.select(F.lower(F.col(rule_col)).alias("_rule"))),
+            sfx["_s"] == F.col("_rule"),
+        )
+        .select(id_col)
+        .distinct()
     )

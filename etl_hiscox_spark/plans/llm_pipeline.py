@@ -95,6 +95,13 @@ def prepare_corpus(
     """
     if (blocklist is None) != (url_col is None):
         raise ValueError("blocklist and url_col must be provided together")
+    if boilerplate_min_docs is not None and boilerplate_min_docs < 2:
+        # min_docs <= 1 means "drop every line that occurs in >= 1 doc" —
+        # i.e. ALL of them: a silent full-corpus wipe, not a filter
+        raise ValueError(
+            f"boilerplate_min_docs must be >= 2 (got {boilerplate_min_docs}): "
+            "1 would drop every line of every document"
+        )
     weights = split_weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     counts: dict[str, int] = {}
 
@@ -105,13 +112,16 @@ def prepare_corpus(
 
     note("raw", docs)
 
-    # 0. optional URL blocklist — the cheapest gate runs before anything
+    # 0. optional URL blocklist — the cheapest gate runs before anything.
+    #    blocked_ids, not domain_blocklist_tags: the gate needs only the
+    #    matched minority, never the corpus-wide per-host report
     if blocklist is not None:
-        from etl_hiscox_spark.operators.quality_filters import domain_blocklist_tags
+        from etl_hiscox_spark.operators.quality_filters import blocked_ids
 
-        tags = domain_blocklist_tags(docs, url_col, id_col, blocklist)
-        blocked = tags.filter(F.col("is_blocked")).select(id_col)
-        docs = note("blocklist_gated", docs.join(blocked, id_col, "left_anti"))
+        docs = note(
+            "blocklist_gated",
+            docs.join(blocked_ids(docs, url_col, id_col, blocklist), id_col, "left_anti"),
+        )
 
     # 1-2. zero-shuffle quality gates, then the (one-shuffle) repetition gate
     flags = gopher_flags(docs, text_col, id_col).filter(F.col("keep")).select(id_col)

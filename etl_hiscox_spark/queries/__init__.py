@@ -374,13 +374,18 @@ WINDOW_R9: tuple[str, ...] = (
 WINDOWS: dict[int, tuple[str, ...]] = {8: WINDOW_R8, 9: WINDOW_R9}
 
 
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 def _banked_rounds() -> list[int]:
     import glob
     import os
 
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     out = []
-    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    for p in glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json")):
         try:
             out.append(int(os.path.basename(p).split("_r")[1].split(".")[0]))
         except (IndexError, ValueError):
@@ -388,17 +393,54 @@ def _banked_rounds() -> list[int]:
     return out
 
 
+def latest_green_rounds() -> dict[str, int]:
+    """Latest round each query was HASH-verified (rows+schema+values).
+
+    The ONE parser of the CORRECTNESS artifacts — the staleness/coverage
+    guards in tests/test_api_surface.py consume this; keeping a second
+    copy there diverged on path anchoring (CWD-relative vs repo-root).
+    no_oracle entries are deliberately excluded (ADVICE r7 item 1):
+    counting them let rows-only checks masquerade as greens.
+    """
+    import glob
+    import json
+    import os
+
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        except (IndexError, ValueError):
+            continue
+        for name, res in json.load(open(path)).items():
+            if isinstance(res, dict) and res.get("hash_match") is True:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def active_window() -> tuple[int, tuple[str, ...]]:
     """The rotation list the driver's NEXT correctness check should see.
 
-    Current round = max banked CORRECTNESS round + 1; the registry serves
-    the window defined for that round, falling back to the newest defined
-    one (the next round's builder extends WINDOWS before the driver's
-    check, so the fallback only covers a builder that crashed before
-    doing so — re-banking a known-good window is harmless)."""
+    Current round = max banked CORRECTNESS round + 1 (file existence, not
+    green-ness: the driver writes the file once per round regardless of
+    failures, and a failed round's re-check belongs to the NEXT window,
+    where the never-checked/staleness guards force the failures back in).
+    The registry serves the window defined for that round; out-of-range
+    rounds fall back to the nearest defined window, and an artifact-less
+    checkout (no CORRECTNESS files at all — pruned clone, installed
+    package) serves the OLDEST defined window: re-banking a known-good
+    rotation is harmless, silently skipping the newest declarations'
+    first-ever verification is not."""
     banked = _banked_rounds()
-    current = (max(banked) + 1) if banked else max(WINDOWS)
-    key = current if current in WINDOWS else max(k for k in WINDOWS if k <= current)
+    if not banked:
+        key = min(WINDOWS)
+    else:
+        current = max(banked) + 1
+        if current in WINDOWS:
+            key = current
+        else:
+            lower = [k for k in WINDOWS if k <= current]
+            key = max(lower) if lower else min(WINDOWS)
     return key, WINDOWS[key]
 
 # Round 5 window (historical — r5 driver results in CORRECTNESS_r05.json).

@@ -165,22 +165,13 @@ ROWS_ONLY_BY_DESIGN: set[str] = {"s7_object_listing"}
 
 
 def _latest_green_rounds() -> dict[str, int]:
-    """Latest round each query was HASH-verified (rows+schema+values).
+    """Shared parser in queries/__init__ — repo-root-anchored, so these
+    guards work from any cwd and cannot diverge from active_window()'s
+    view of the artifacts (r8 review: two copies had already diverged on
+    path anchoring)."""
+    from etl_hiscox_spark.queries import latest_green_rounds
 
-    no_oracle entries are deliberately excluded (ADVICE r7 item 1):
-    counting them let rows-only checks masquerade as greens and hide
-    never-verified queries from the staleness rotation.
-    """
-    import glob
-    import json
-
-    last: dict[str, int] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        rnd = int(path.split("_r")[1].split(".")[0])
-        for name, res in json.load(open(path)).items():
-            if isinstance(res, dict) and res.get("hash_match") is True:
-                last[name] = max(last.get(name, 0), rnd)
-    return last
+    return latest_green_rounds()
 
 
 def test_current_window_leaves_no_query_stale_beyond_three_rounds():

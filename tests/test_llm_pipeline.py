@@ -99,3 +99,13 @@ def test_pipeline_blocklist_requires_url_col(spark):
     bl = spark.createDataFrame([("x.com",)], "rule string")
     with pytest.raises(ValueError, match="together"):
         prepare_corpus(docs, blocklist=bl)
+
+
+def test_pipeline_rejects_corpus_wiping_boilerplate_threshold(spark):
+    import pytest
+
+    from etl_hiscox_spark.plans.llm_pipeline import prepare_corpus
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must be >= 2"):
+        prepare_corpus(docs, boilerplate_min_docs=1)

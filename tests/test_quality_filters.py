@@ -130,3 +130,25 @@ def test_domain_blocklist_deterministic_witness(spark):
     df = spark.createDataFrame([(1, "https://a.b.ads.com/")], "doc_id long, url string")
     out = domain_blocklist_tags(df, "url", "doc_id", bl).collect()
     assert out[0]["matched_rule"] == "ads.com"
+
+
+def test_blocked_ids_matches_tag_form(spark):
+    """The gating form (no corpus-wide reduce) must select exactly the ids
+    the diagnostic tag form marks blocked."""
+    from etl_hiscox_spark.operators.quality_filters import blocked_ids, domain_blocklist_tags
+
+    rows = [
+        (1, "https://x.ads.com/a"),
+        (2, "https://clean.org/b"),
+        (3, "https://u@spam.net:99/c"),
+        (4, "https://badads.com/d"),
+    ]
+    bl = spark.createDataFrame([("ads.com",), ("spam.net",)], "rule string")
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    via_ids = {r["doc_id"] for r in blocked_ids(df, "url", "doc_id", bl).collect()}
+    via_tags = {
+        r["doc_id"]
+        for r in domain_blocklist_tags(df, "url", "doc_id", bl).collect()
+        if r["is_blocked"]
+    }
+    assert via_ids == via_tags == {1, 3}
