@@ -25,7 +25,10 @@ import os
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark.errors import AnalysisException as _SparkAnalysisError
+
 from etl_hiscox_spark.functions.text import content_hash, normalize_text, shingles
+from etl_hiscox_spark.operators.caching import adopt_caches, attach_owned_caches
 
 # ---------------------------------------------------------------------------
 # L1: exact dedup
@@ -284,6 +287,10 @@ def jaccard_pairs(
     # branches reuse it. (Not an eager localCheckpoint: that would run a
     # Spark job at DataFrame-CONSTRUCTION time — surprising for callers
     # that only .explain() — and truncate lineage, losing fault tolerance.)
+    # Lifecycle (ADVICE r8): the persisted stem is attached to the returned
+    # frame — materialize, then ``caching.release_caches(result)`` (or use
+    # the ``owned_caches`` context manager) to free the blocks.
+    owns_stem = _shingle_hashes is None
     sh = (
         _shingle_hashes
         if _shingle_hashes is not None
@@ -313,7 +320,8 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
     )
-    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+    out = out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+    return attach_owned_caches(out, [sh] if owns_stem else [])
 
 
 def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
@@ -710,6 +718,17 @@ def write_minhash_index(
                 "minhash index parameter mismatch: index has "
                 f"{meta}, append asked for {(num_hashes, num_bands, shingle_k)}"
             )
+    else:
+        # Commit protocol (ADVICE r8): meta is the index's commit record.
+        # Invalidate it BEFORE overwriting buckets and rewrite it only
+        # AFTER the bucket write succeeds — a failure in between leaves an
+        # index with buckets but no meta, and every probe then fails
+        # loudly in _read_index_meta instead of banding against a STALE
+        # meta and silently missing every duplicate (the drift the meta
+        # exists to prevent). Append mode needs no invalidation: the
+        # parameters were just validated equal, so a partial bucket append
+        # can lose rows but can never band a probe differently.
+        _invalidate_index_meta(spark, path)
     sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_k)
     _banded_buckets(sig, num_hashes, num_bands).write.mode(mode).parquet(
         os.path.join(path, "buckets")
@@ -766,15 +785,46 @@ def _write_index_meta(spark, path: str, num_hashes: int, num_bands: int, shingle
     ).write.mode("overwrite").parquet(meta_path)
 
 
-def _read_index_meta(spark, path: str) -> tuple[int, int, int]:
+def _invalidate_index_meta(spark, path: str) -> None:
+    """Remove the index meta — the 'uncommitted' state of the overwrite
+    protocol in :func:`write_minhash_index`. Local paths via shutil;
+    remote via the Hadoop FileSystem API (recursive delete)."""
     meta_path = os.path.join(path, "meta")
     if _meta_is_local(spark, path):
-        import pyarrow.parquet as pq
+        import shutil
 
         local = meta_path[len("file://"):] if meta_path.startswith("file://") else meta_path
-        row = pq.read_table(os.path.join(local, "meta.parquet")).to_pylist()[0]
-    else:
-        row = spark.read.parquet(meta_path).collect()[0].asDict()
+        shutil.rmtree(local, ignore_errors=True)
+        return
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(meta_path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
+def _read_index_meta(spark, path: str) -> tuple[int, int, int]:
+    meta_path = os.path.join(path, "meta")
+    try:
+        if _meta_is_local(spark, path):
+            import pyarrow.parquet as pq
+
+            local = meta_path[len("file://"):] if meta_path.startswith("file://") else meta_path
+            row = pq.read_table(os.path.join(local, "meta.parquet")).to_pylist()[0]
+        else:
+            row = spark.read.parquet(meta_path).collect()[0].asDict()
+    except (FileNotFoundError, OSError, IndexError, _SparkAnalysisError) as exc:
+        # Distinguish "meta missing" (interrupted overwrite — buckets may
+        # be newer than any meta ever written) from transient IO noise by
+        # failing LOUD either way: a probe without trustworthy banding
+        # parameters must never fall back to defaults and return
+        # plausible-but-empty results.
+        raise ValueError(
+            f"minhash index at {path!r} has no readable meta "
+            "(an overwrite may have been interrupted between the bucket "
+            "and meta writes — meta is written last as the commit record). "
+            "Rebuild the index with write_minhash_index(mode='overwrite')."
+        ) from exc
     return int(row["num_hashes"]), int(row["num_bands"]), int(row["shingle_k"])
 
 
@@ -827,7 +877,10 @@ def probe_minhash_index(
     # candidate ids BEFORE shingling — at 100 TB verify_df is the whole
     # corpus and re-shingling it would dwarf the probe itself (measured
     # ~2x the query at sf0.1). cand feeds two branches (the id set and the
-    # pair list); lazy persist so the banded join runs once.
+    # pair list); lazy persist so the banded join runs once. The persist
+    # (and jaccard_pairs' shingle stem below) is attached to the returned
+    # frame — callers free it with ``caching.release_caches(result)`` after
+    # materializing; the streaming foreachBatch path does this per batch.
     cand = cand.persist()
     ids = (
         cand.select(F.col("id_a").alias(id_col))
@@ -845,8 +898,9 @@ def probe_minhash_index(
     out = cand.join(scored, ["id_a", "id_b"], "left").filter(
         F.col("jaccard").isNull() | (F.col("jaccard") >= F.lit(threshold))
     )
-    return out.select(
+    out = out.select(
         F.col("id_a").alias("new_id"),
         F.col("id_b").alias("dup_of"),
         "jaccard",
     )
+    return adopt_caches(attach_owned_caches(out, [cand]), scored)

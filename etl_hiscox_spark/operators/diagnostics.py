@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_hiscox_spark.operators.caching import attach_owned_caches
+
 
 def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
     """Top-k heaviest keys with their share of rows and multiple-of-mean
@@ -42,13 +44,15 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
         # without the lazy persist each branch re-scans and re-aggregates
         # the full input — a double corpus scan at the design point
         # (ReuseExchange does not dedupe the identical subtrees here).
-        # Same precedent as dedup.jaccard_pairs' shingle stem.
+        # Same precedent as dedup.jaccard_pairs' shingle stem; same
+        # lifecycle: the cache rides the returned frame, freed by
+        # ``caching.release_caches(result)`` once materialized.
         .persist()
     )
     totals = counts.agg(
         F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_distinct")
     )
-    return (
+    out = (
         counts.crossJoin(F.broadcast(totals))
         .select(
             "key",
@@ -62,3 +66,4 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), F.col("key").asc_nulls_first())
         .limit(top_k)
     )
+    return attach_owned_caches(out, [counts])

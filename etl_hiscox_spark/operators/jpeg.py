@@ -578,6 +578,18 @@ def _decode_scan(data, start, frame, sel, quant, huff_dc, huff_ac, restart_inter
     fh, fw, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    if len(comps) == 1 and (hmax != 1 or vmax != 1):
+        # T.81 A.2.2: a single-component scan is NON-interleaved — one 8x8
+        # data unit per MCU regardless of the frame's declared sampling
+        # factors. This decoder only implements the interleaved MCU rule,
+        # so a legal grayscale baseline declaring e.g. 2x2 sampling would
+        # mis-decode (or surface as a misleading 'corrupt JPEG'). Loud
+        # rejection per the codec's policy (ADVICE r8).
+        raise ValueError(
+            "unsupported JPEG: sampled single-component scan "
+            f"(sampling {comps[0][1]}x{comps[0][2]}; T.81 decodes these "
+            "non-interleaved, which this baseline decoder does not implement)"
+        )
     for cid, hi, vi, tq in comps:
         if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
             raise ValueError(

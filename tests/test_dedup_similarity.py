@@ -456,3 +456,174 @@ def test_probe_unresolved_candidates_surface_as_null(spark, tmp_path):
     ).collect()
     assert [(r["new_id"], r["dup_of"]) for r in full] == [(101, 0)]
     assert abs(full[0]["jaccard"] - 1.0) < 1e-12
+
+
+def test_interrupted_index_overwrite_fails_loud(spark, tmp_path):
+    """Commit protocol (ADVICE r8): meta is invalidated BEFORE an
+    overwrite's bucket write and rewritten only after it succeeds, so a
+    failure in between leaves a meta-less index and every probe fails
+    LOUDLY — never a stale meta banding probes differently from the
+    buckets (which would silently return zero duplicates)."""
+    import pytest as _pytest
+
+    from etl_hiscox_spark.operators.dedup import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    old = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    new = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_minhash_index(old, "text", "doc_id", path, num_hashes=24, num_bands=6)
+    assert probe_minhash_index(new, "text", "doc_id", path).count() == 1
+
+    # an overwrite that dies mid-flight: the signature build fails (bad
+    # column) AFTER the protocol has already invalidated the meta
+    with _pytest.raises(Exception):
+        write_minhash_index(old, "no_such_col", "doc_id", path, num_hashes=24, num_bands=6)
+    with _pytest.raises(ValueError, match="no readable meta"):
+        probe_minhash_index(new, "text", "doc_id", path)
+
+    # recovery is a clean rebuild
+    write_minhash_index(old, "text", "doc_id", path, num_hashes=24, num_bands=6)
+    assert probe_minhash_index(new, "text", "doc_id", path).count() == 1
+
+
+def test_probe_with_verify_releases_owned_caches(spark, tmp_path):
+    """Cache lifecycle (ADVICE r8 / VERDICT r8 item 4): the probe's
+    internal persists (candidate set + jaccard shingle stem) ride the
+    returned frame; release_caches after materializing restores the
+    session's cached-RDD count — nothing accumulates across foreachBatch
+    invocations or long-lived pipeline sessions."""
+    from etl_hiscox_spark.operators.caching import (
+        cached_rdd_count,
+        release_caches,
+    )
+    from etl_hiscox_spark.operators.dedup import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    old = spark.createDataFrame(
+        [(0, base), (2, "one two three four five six")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, base.replace("kappa", "lambda"))], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    write_minhash_index(old, "text", "doc_id", path)
+
+    before = cached_rdd_count(spark)
+    out = probe_minhash_index(
+        new, "text", "doc_id", path, verify_df=old.union(new), threshold=0.5
+    )
+    rows = out.collect()
+    assert [(r["new_id"], r["dup_of"]) for r in rows] == [(1, 0)]
+    assert cached_rdd_count(spark) > before  # persists were real
+    released = release_caches(out)
+    assert released >= 2  # candidate set + shingle stem
+    assert cached_rdd_count(spark) == before
+    assert release_caches(out) == 0  # idempotent
+
+
+def test_skew_profile_and_jaccard_release_owned_caches(spark):
+    """Same lifecycle contract for the other two internally-persisting
+    operators: key_skew_profile's count stem and jaccard_pairs' shingle
+    stem free on release."""
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.operators.caching import (
+        cached_rdd_count,
+        owned_caches,
+        release_caches,
+    )
+    from etl_hiscox_spark.operators.dedup import jaccard_pairs
+    from etl_hiscox_spark.operators.diagnostics import key_skew_profile
+
+    before = cached_rdd_count(spark)
+    df = spark.range(100).select((F.col("id") % 7).alias("k"))
+    with owned_caches(key_skew_profile(df, "k", top_k=3)) as prof:
+        assert prof.count() == 3
+        assert cached_rdd_count(spark) == before + 1
+    assert cached_rdd_count(spark) == before
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = jaccard_pairs(docs, pairs, "text", "doc_id", shingle_k=2)
+    assert out.count() == 1
+    assert cached_rdd_count(spark) == before + 1
+    release_caches(out)
+    assert cached_rdd_count(spark) == before
+
+
+def test_incremental_probe_banding_recall_margin_pinned(spark):
+    """Pin the coupling ADVICE r8 flagged: l2_incremental_probe's oracle
+    brute-forces exact Jaccard >= 0.8 while the Spark side only returns
+    LSH candidates (24 hashes / 6 bands, r=4). A true pair at j=0.8 has
+    only P = 1-(1-0.8^4)^6 ~ 0.96 of sharing a band over a RANDOM hash
+    family — the hard-equality driver check is safe only because (a) the
+    hash family is fixed and (b) the generator's planted cross-parity
+    duplicates sit well above the threshold (measured: min j = 0.90,
+    where the random-family miss probability is ~1.7e-3/pair). Two pins:
+    the margin (min oracle-qualifying j >= 0.88 — borderline pairs at
+    ~0.80-0.85 would make the check effectively probabilistic) and the
+    EMPIRICAL determinism — the shipped probe with the pinned hashes must
+    recall every oracle-qualifying pair on the exact sf0.01 data the
+    driver compares. A future testdata-generator change that adds
+    borderline pairs fails HERE with a clear message instead of the
+    driver going probabilistically red."""
+    import duckdb
+
+    from etl_hiscox_spark.queries import all_queries
+
+    con = duckdb.connect()
+    min_j = con.execute(
+        r"""
+        WITH d AS (SELECT * FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        toks AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+          FROM d
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3
+                      THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                                        i -> array_to_string(t[i:i+2], ' ')))
+                      ELSE [array_to_string(t, ' ')] END AS s
+          FROM toks
+        ), grams AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+          FROM grams a JOIN grams b ON a.g = b.g
+          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT ia, ib, i / CAST(na.n + nb.n - i AS DOUBLE) AS j
+        FROM inter JOIN n na ON ia = na.doc_id JOIN n nb ON ib = nb.doc_id
+        WHERE 5 * i >= 4 * (na.n + nb.n - i)
+        """
+    ).fetchall()
+    oracle_pairs = {(ia, ib) for ia, ib, _ in min_j}
+    assert oracle_pairs, "generator no longer plants cross-parity near-dups"
+    lowest = min(j for _, _, j in min_j)
+    assert lowest >= 0.88, (
+        f"cross-parity true pair at jaccard={lowest:.4f} < 0.88: the "
+        "l2_incremental_probe oracle's hard-equality check is no longer "
+        "safely above the 24/6 banding-recall margin — raise num_hashes "
+        "or re-plant the generator's duplicates closer together"
+    )
+    # empirical determinism on the exact data + hash family the driver uses
+    got = {
+        (r["new_id"], r["dup_of"])
+        for r in all_queries()["l2_incremental_probe"].fn(spark, "/root/testdata/sf0.01").collect()
+    }
+    missed = oracle_pairs - got
+    assert not missed, (
+        f"pinned hash family misses true pairs {sorted(missed)[:5]} — the "
+        "driver's hard-equality check WILL go red; raise num_hashes/bands"
+    )

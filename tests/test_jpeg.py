@@ -287,3 +287,35 @@ def test_fuzz_single_byte_corruption_contained(pos, delta):
         assert isinstance(out, np.ndarray)
     except ValueError:
         pass
+
+
+def test_sampled_single_component_scan_rejected():
+    """T.81 A.2.2: a single-component scan is non-interleaved — one 8x8
+    unit per MCU regardless of declared sampling. The baseline decoder
+    only implements the interleaved rule, so a grayscale frame declaring
+    2x2 sampling must be rejected LOUDLY, not mis-decoded or surfaced as
+    a misleading 'corrupt JPEG' (ADVICE r8)."""
+    import numpy as np
+    import pytest
+
+    from etl_hiscox_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = ((np.arange(64).reshape(8, 8) * 3) % 256).astype(np.uint8)
+    data = bytearray(encode_jpeg(img))
+    # locate SOF0 and rewrite the single component's sampling byte 0x11 -> 0x22
+    i = 2
+    patched = False
+    while i + 4 <= len(data):
+        assert data[i] == 0xFF
+        marker, seglen = data[i + 1], (data[i + 2] << 8) | data[i + 3]
+        if marker == 0xC0:
+            nc = data[i + 9]
+            assert nc == 1
+            assert data[i + 11] == 0x11  # grayscale encodes 1x1
+            data[i + 11] = 0x22
+            patched = True
+            break
+        i += 2 + seglen
+    assert patched, "no SOF0 segment found to patch"
+    with pytest.raises(ValueError, match="sampled single-component"):
+        decode_jpeg(bytes(data))

@@ -286,6 +286,7 @@ def test_streaming_ingest_probes_minhash_index(spark, tmp_path):
     shingles only itself; matches append to a report; matched batches
     also extend the index (append mode), so a near-dup arriving in a
     LATER batch is caught against an earlier batch's docs."""
+    from etl_hiscox_spark.operators.caching import owned_caches
     from etl_hiscox_spark.operators.dedup import probe_minhash_index, write_minhash_index
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
@@ -304,8 +305,13 @@ def test_streaming_ingest_probes_minhash_index(spark, tmp_path):
     ).write.mode("append").parquet(str(inbox))
 
     def probe_and_extend(batch_df, batch_id):
-        matches = probe_minhash_index(batch_df, "text", "doc_id", idx)
-        matches.write.mode("append").parquet(report)
+        # owned_caches frees the probe's internal persists at the end of
+        # every foreachBatch invocation — without it cached candidate
+        # blocks accumulate per micro-batch for the stream's lifetime
+        # (ADVICE r8; cache-free invariant pinned by
+        # test_probe_with_verify_releases_owned_caches).
+        with owned_caches(probe_minhash_index(batch_df, "text", "doc_id", idx)) as matches:
+            matches.write.mode("append").parquet(report)
         write_minhash_index(batch_df, "text", "doc_id", idx, num_hashes=24, num_bands=6, mode="append")
 
     def run_stream():
