@@ -667,6 +667,147 @@ def simhash_candidates(
     )
 
 
+def bitstring_block_pairs(
+    df: DataFrame,
+    bits_col: str,
+    id_col: str,
+    n_bits: int,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs over ANY fixed-width '0'/'1' bitstring column —
+    the generic form of :func:`simhash_candidates`'s block-bucket
+    pigeonhole, usable on perceptual hashes that aren't 64-bit longs
+    (image dHash strings, audio band fingerprints, any learned binary
+    code).
+
+    Split the string into ``n_blocks`` nearly-equal substrings; any pair
+    within Hamming distance ``max_hamming`` < ``n_blocks`` differs in at
+    most ``max_hamming`` blocks, so it MATCHES exactly on at least one —
+    candidates only ever meet inside a (block_id, block_value) bucket,
+    never all-pairs. Exact Hamming distance is then a per-position
+    substring comparison (codegen'd expression sum), and the filter keeps
+    pairs at ``<= max_hamming``. Recall is exact (pigeonhole theorem),
+    precision is exact (explicit distance) — only the candidate set is
+    approximate, and only toward extra work, never missed pairs.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, distinct.
+
+    At 100 TB: the shuffle key is (block_id, block_value) — bucket sizes
+    are the data's near-dup cluster structure; the join is an equi-join
+    and AQE's skew split handles a pathological bucket. Mirrors the
+    banded-LSH scale story of :func:`minhash_candidates`.
+    """
+    if not 0 <= max_hamming < n_blocks:
+        raise ValueError(
+            f"pigeonhole recall needs max_hamming ({max_hamming}) < n_blocks ({n_blocks})"
+        )
+    if n_blocks > n_bits:
+        raise ValueError(f"n_blocks ({n_blocks}) > n_bits ({n_bits})")
+    base, rem = divmod(n_bits, n_blocks)
+    starts, lens, pos = [], [], 1  # substring() is 1-indexed
+    for i in range(n_blocks):
+        ln = base + (1 if i < rem else 0)
+        starts.append(pos)
+        lens.append(ln)
+        pos += ln
+    cols = df.select(
+        F.col(id_col).alias("doc"), F.col(bits_col).alias("bits")
+    ).filter(F.length("bits") == n_bits)
+    exploded = cols.select(
+        "doc",
+        "bits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk_id"),
+                        F.substring("bits", starts[i], lens[i]).alias("blk"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc", "bits", F.col("b.blk_id").alias("blk_id"), F.col("b.blk").alias("blk"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    ham = F.lit(0)
+    for i in range(1, n_bits + 1):
+        ham = ham + (
+            F.substring(F.col("a.bits"), i, 1) != F.substring(F.col("b.bits"), i, 1)
+        ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk_id") == F.col("b.blk_id"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def near_dedup_keep_best(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    quality: Column,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_k: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Transitive near-dedup with a SURVIVORSHIP POLICY: per duplicate
+    cluster, keep the member maximizing ``quality`` (ties broken by min
+    id) instead of :func:`near_dedup_clusters`' min-id rule — the
+    "keep the longest / highest-scoring representative" step every
+    training-corpus dedup actually wants.
+
+    Returns the per-cluster report for clusters of size >= 2:
+    (component, kept_id, n_members, best_quality). Survivor selection for
+    the full frame is then one left-anti join of (cluster members minus
+    kept ids) against ``df`` — exposed by callers that need rows, kept
+    separate so the report itself stays small (|clusters| rows).
+
+    Plan: confirmed LSH pairs → iterative min-label connected components
+    → one groupBy(component) count + one row_number window per component
+    ordered by (quality desc, id asc). Window partitions are cluster-
+    sized — bounded by the true duplicate structure, never the corpus.
+    """
+    confirmed = _confirmed_minhash_pairs(
+        df, text_col, id_col, threshold, num_hashes, num_bands, shingle_k, checkpoint_dir
+    ).select("id_a", "id_b")
+    comp = connected_components(confirmed, checkpoint_dir=checkpoint_dir)
+    members = comp.join(
+        df.select(F.col(id_col).alias("node"), quality.alias("__q")), "node"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__q").desc(), F.col("node").asc()
+    )
+    return (
+        members.select(
+            "component",
+            "node",
+            "__q",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("component")).alias("n_members"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "component",
+            F.col("node").alias("kept_id"),
+            "n_members",
+            F.col("__q").alias("best_quality"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental near-dedup: a persisted LSH index the daily ingest probes.
 # Everything above dedups ONE batch against itself; real corpus ingestion

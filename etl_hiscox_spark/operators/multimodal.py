@@ -303,6 +303,61 @@ def image_dhash(
     return df.select(path_col, content_col).mapInPandas(extract, DHASH_SCHEMA)
 
 
+FRAME_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("dhash", T.StringType()),
+    ]
+)
+
+
+def video_frame_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    every_n: int = 1,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Per-frame perceptual dHash of an animated clip — the video
+    near-dedup signature (GIF is the real decodable path; compressed
+    codecs stay loudly gated in :func:`operators.gif` / the decode
+    dispatch).
+
+    decode frames → sample every ``every_n``-th → per frame the SAME
+    intensity/resize/adjacent-compare rule as :func:`image_dhash`, so a
+    clip becomes a SET of 64-bit strings and clip-level near-dup is
+    "how many frame hashes do two clips share" — an equi-join on the
+    hash value, never all-pairs (see the m10 declared query). One
+    explode row per sampled frame; undecodable clips quarantine to a
+    single NULL-hash row (frame_index NULL), as every media path.
+    """
+    from etl_hiscox_spark.operators.gif import decode_gif
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                try:
+                    frames = decode_gif(bytes(content) if content is not None else b"")
+                    for fi in range(0, len(frames), every_n):
+                        gray = frames[fi].astype(np.float64).mean(axis=2)
+                        small = resize_nearest(gray, (hash_size, hash_size + 1))
+                        bits = small[:, :-1] > small[:, 1:]
+                        rows.append(
+                            {
+                                "path": path,
+                                "frame_index": fi,
+                                "dhash": "".join("1" if b else "0" for b in bits.ravel()),
+                            }
+                        )
+                except ValueError:
+                    rows.append({"path": path, "frame_index": None, "dhash": None})
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_DHASH_SCHEMA.fields])
+
+    return df.select(path_col, content_col).mapInPandas(extract, FRAME_DHASH_SCHEMA)
+
+
 def resize_images(df: DataFrame, target: tuple[int, int] = (8, 8)) -> DataFrame:
     """Resize to fixed-size BMP thumbnails (binary out, same rows).
 

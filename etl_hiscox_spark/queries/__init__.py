@@ -309,14 +309,23 @@ WINDOW_R8: tuple[str, ...] = (
 #
 # Composition (latest-green histogram after r8 banks:
 # {r5: 17, r6: 49, r7: 49, r8: 50} over 166 queries, s7 exempt):
-# head = the 17 mandatory r5 greens (their signals hit the 3-round bound
-# at current=9), then 33 of the 49 r6 greens as early prechecks — the
-# heavier oracle shapes; the 16 simplest (s1/s6/s8/s10 round-trips,
-# f4/f6_f9 date chains, a11, l4/l5/l6, t1/t2/t4/t6, v1/v3) defer to a
-# mandatory WINDOW_R10 head, leaving r10 load = 16 + any r9 declarations.
-# The r9 builder SWAPS prechecks for new declarations (new queries must
-# lead; prechecks move back toward r10) — keep new declarations <= ~15.
+# the 3 NEW r9 declarations lead (never-checked queries outrank stale
+# greens — guard below), then the 17 mandatory r5 greens (their signals
+# hit the 3-round bound at current=9), then 30 of the 49 r6 greens as
+# early prechecks — the heavier oracle shapes; the 16 simplest
+# (s1/s6/s8/s10 round-trips, f4/f6_f9 date chains, a11, l4/l5/l6,
+# t1/t2/t4/t6, v1/v3) plus the 3 prechecks displaced by the new
+# declarations (x3/x4/x5 — r9 swap rule: new queries lead, prechecks
+# move back) form the mandatory WINDOW_R10 head of 19.
 WINDOW_R9: tuple[str, ...] = (
+    # NEW r9 declarations — never driver-checked, must lead (locally
+    # hash-green vs DuckDB at sf0.001 AND sf0.01 before declaring):
+    # m9 = cross-modal block-bucket near-dup pairing (image dHash + audio
+    # band fingerprints through dedup.bitstring_block_pairs), m10 = video
+    # frame-hash containment join, t32 = survivorship-policy dedup.
+    "m9_media_near_dup_pairs",
+    "m10_video_frame_near_dup",
+    "t32_cluster_keep_best",
     # mandatory: latest green is r5 — stale-beyond-3 at current=9
     "j4_left_semi_join",
     "p1_column_projection",
@@ -364,14 +373,80 @@ WINDOW_R9: tuple[str, ...] = (
     "x10_click_purchase_join",
     "x11_funnel_stages",
     "x12_click_abandonment",
-    "x3_tumbling_window",
-    "x4_sliding_window",
-    "x5_session_window",
     "x8_threshold_crossing",
     "x9_stream_static_enrich",
 )
 
-WINDOWS: dict[int, tuple[str, ...]] = {8: WINDOW_R8, 9: WINDOW_R9}
+# Round 10 window — PRE-DEFINED at the end of r9 (same self-advance
+# mechanism as WINDOW_R9; ``active_window()`` serves this once
+# CORRECTNESS_r09.json exists). Composition (histogram after r9 banks,
+# assuming r9 green: {r6: 19, r7: 49, r8: 50, r9: 50} minus overlaps):
+# head = the 19 r6 greens left out of WINDOW_R9 (stale-beyond-3 at
+# current=10): the 16 deferred-by-plan simple round-trips plus the 3
+# streaming-window prechecks displaced by r9's new declarations
+# (x3/x4/x5). Then 31 of the 49 r7 greens as early prechecks — the
+# heavier oracle shapes (joins, gold analytics, media codecs, streaming
+# twins, write paths); the 18 simplest r7 greens (scalar chains, 1-pass
+# profiles, trivial oracles) defer to a mandatory WINDOW_R11 head,
+# leaving r11 load = 18 + any r10 declarations. The r10 builder SWAPS
+# prechecks for new declarations (new queries must lead; prechecks move
+# toward r11) — keep new declarations <= ~15.
+WINDOW_R10: tuple[str, ...] = (
+    # mandatory: latest green r6 — stale-beyond-3 at current=10
+    "a11_table_stats",
+    "f4_multiformat_dates",
+    "f6_f9_date_math",
+    "l4_text_stats",
+    "l5_token_stats",
+    "l6_json_extraction",
+    "s10_seed_load",
+    "s1_csv_roundtrip",
+    "s6_json_roundtrip",
+    "s8_ctas_roundtrip",
+    "t1_language_id",
+    "t2_quality_score",
+    "t4_vocabulary",
+    "t6_train_test_split",
+    "v1_embedding_norms",
+    "v3_random_projection",
+    "x3_tumbling_window",
+    "x4_sliding_window",
+    "x5_session_window",
+    # r7-green prechecks (31 of 49) — smooths the r11 rotation
+    "a17_order_items_array",
+    "a18_approx_quantile_rollup",
+    "f_string_cleaning",
+    "g10_volume_shipping",
+    "g11_disjunctive_brackets",
+    "g1_star_join_revenue",
+    "j3_broadcast_dim_join",
+    "j6_range_interval_join",
+    "j7_asof_join",
+    "l2_connected_clusters",
+    "l2_ngram_jaccard_pairs",
+    "l2_simhash_candidates",
+    "l3_cosine_topk",
+    "l3_semantic_dedup",
+    "m1_multimodal_features",
+    "m2_audio_features",
+    "m3_gif_frame_sample",
+    "q6_observe_metrics",
+    "s11_snapshot_diff",
+    "s15_corrupt_json_quarantine",
+    "s16_avro_roundtrip",
+    "s5_xlsx_roundtrip",
+    "s9_scd2_snapshot",
+    "t15_decontamination",
+    "t22_upsample_mixture",
+    "t23_bpe_segmentation",
+    "t24_heavy_hitter_terms",
+    "w8_gap_fill_daily",
+    "x13_exactly_once_txn_sink",
+    "x1_x2_stream_roundtrip",
+    "x6_stateful_dedup_batch_twin",
+)
+
+WINDOWS: dict[int, tuple[str, ...]] = {8: WINDOW_R8, 9: WINDOW_R9, 10: WINDOW_R10}
 
 
 def _repo_root() -> str:

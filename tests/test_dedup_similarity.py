@@ -627,3 +627,110 @@ def test_incremental_probe_banding_recall_margin_pinned(spark):
         f"pinned hash family misses true pairs {sorted(missed)[:5]} — the "
         "driver's hard-equality check WILL go red; raise num_hashes/bands"
     )
+
+
+def test_bitstring_block_pairs_exact_recall_vs_bruteforce(spark):
+    """Pigeonhole guarantee: for ANY bitstring set, block-bucket pairing
+    returns EXACTLY the pairs within max_hamming (recall is a theorem,
+    precision is the explicit distance filter). Checked against a driver-
+    side brute force on 40 random 24-bit strings, plus length quarantine
+    and parameter validation."""
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_hiscox_spark.operators.dedup import bitstring_block_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 2, size=24)
+    rows = []
+    for i in range(40):
+        b = base.copy()
+        flips = rng.choice(24, size=rng.integers(0, 6), replace=False)
+        b[flips] ^= 1
+        rows.append((i, "".join(map(str, b))))
+    rows.append((99, "0" * 10))  # wrong length -> quarantined, never paired
+    df = spark.createDataFrame(rows, "doc_id long, bits string")
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in bitstring_block_pairs(df, "bits", "doc_id", n_bits=24, n_blocks=4, max_hamming=3).collect()
+    }
+    want = set()
+    for i in range(40):
+        for j in range(i + 1, 40):
+            h = sum(x != y for x, y in zip(rows[i][1], rows[j][1]))
+            if h <= 3:
+                want.add((i, j, h))
+    assert got == want and want  # non-trivial case
+    assert not any(99 in (a, b) for a, b, _ in got)
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        bitstring_block_pairs(df, "bits", "doc_id", n_bits=24, n_blocks=4, max_hamming=4)
+    with _pytest.raises(ValueError, match="n_blocks"):
+        bitstring_block_pairs(df, "bits", "doc_id", n_bits=3, n_blocks=4)
+
+
+def test_bitstring_block_pairs_uneven_blocks(spark):
+    """n_bits not divisible by n_blocks: blocks split nearly-equal and
+    still cover every position — a pair differing only in the LAST bit
+    (the short tail block) must still be found."""
+    from etl_hiscox_spark.operators.dedup import bitstring_block_pairs
+
+    df = spark.createDataFrame(
+        [(1, "1010101"), (2, "1010100")], "doc_id long, bits string"
+    )
+    got = bitstring_block_pairs(df, "bits", "doc_id", n_bits=7, n_blocks=4, max_hamming=1).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 1)]
+
+
+def test_near_dedup_keep_best_prefers_quality_over_min_id(spark):
+    """Survivorship policy: the kept member is argmax(quality, tiebreak
+    min id) — NOT the component's min id (near_dedup_clusters' rule)."""
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.operators.dedup import near_dedup_keep_best
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                                     # cluster A, shorter
+            (2, base + " lambda mu"),                      # cluster A, LONGEST -> kept
+            (3, base + " lambda"),                         # cluster A
+            (10, "one two three four five six seven"),     # singleton: no pairs
+        ],
+        "doc_id long, text string",
+    )
+    out = near_dedup_keep_best(
+        docs, "text", "doc_id", quality=F.length("text").cast("long"), threshold=0.5
+    ).collect()
+    assert len(out) == 1  # singletons excluded from the cluster report
+    r = out[0]
+    assert (r["component"], r["kept_id"], r["n_members"]) == (1, 2, 3)
+    assert r["best_quality"] == len(base + " lambda mu")
+
+
+def test_video_frame_dhash_sampling_and_quarantine(spark):
+    """video_frame_dhash: one row per sampled frame (every_n honored),
+    same dhash rule as image_dhash per frame, undecodable clips
+    quarantine to a single NULL row."""
+    import numpy as np
+
+    from etl_hiscox_spark.operators.gif import encode_gif
+    from etl_hiscox_spark.operators.multimodal import video_frame_dhash
+
+    y, x = np.mgrid[0:16, 0:16]
+    f0 = ((y * 7 + x * 13) % 256).astype(np.uint8)
+    f1 = ((y * 3 + x * 29 + 5) % 256).astype(np.uint8)
+    clip = encode_gif([f0, f1, f0, f1])
+    df = spark.createDataFrame(
+        [("a", bytearray(clip)), ("bad", bytearray(b"not a gif"))],
+        "path string, content binary",
+    )
+    out = video_frame_dhash(df, every_n=2).collect()
+    by_path = {}
+    for r in out:
+        by_path.setdefault(r["path"], []).append((r["frame_index"], r["dhash"]))
+    assert sorted(i for i, _ in by_path["a"]) == [0, 2]  # every 2nd frame
+    hashes = dict(by_path["a"])
+    assert hashes[0] == hashes[2] and len(hashes[0]) == 64  # identical frames
+    assert by_path["bad"] == [(None, None)]
