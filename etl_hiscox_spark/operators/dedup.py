@@ -395,6 +395,24 @@ def _confirmed_minhash_pairs(
     )
 
 
+def confirmed_minhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_k: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Public form of the LSH-candidates → exact-Jaccard-confirmed pair
+    graph (id_a, id_b, jaccard) — the edge set every composition consumes
+    (cluster dedup, survivorship, leakage-safe splits)."""
+    return _confirmed_minhash_pairs(
+        df, text_col, id_col, threshold, num_hashes, num_bands, shingle_k, checkpoint_dir
+    )
+
+
 def near_dedup_minhash(
     df: DataFrame,
     text_col: str,

@@ -156,6 +156,107 @@ def cosine_topk(
     return topk.select(id_col, "cosine_sim", F.row_number().over(w).alias("rank"))
 
 
+def _round6_engine_parity(x: float) -> float:
+    """ROUND(x, 6) exactly as Spark's F.round AND DuckDB's round() compute
+    it for doubles: HALF_UP on the SHORTEST DECIMAL REPR of the value
+    (java BigDecimal.valueOf / duckdb both go through the decimal string),
+    NOT on the exact binary expansion — 0.1234565 (binary ~...64999) rounds
+    UP to 0.123457 in both engines. Parity pinned over 50k random doubles
+    in tests/test_dedup_similarity.py."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def mmr_topk(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    shortlist: int = 50,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> DataFrame:
+    """Maximal Marginal Relevance: top-k that balances query relevance
+    against redundancy — the diversified selection step of retrieval /
+    data-curation pipelines (dedup-aware example picking).
+
+    Two stages with an explicit scale split:
+
+    1. DISTRIBUTED shortlist — exact cosine against the full corpus,
+       ordered by (round(sim, 6) DESC, id): scan → project →
+       TakeOrderedAndProject, no shuffle, any corpus size.
+    2. BOUNDED re-rank — the classic greedy loop over the ``shortlist``
+       rows only (collected; ``shortlist`` × dim doubles — a few KB, the
+       same bounded-collect class as watermark scalars). Each step picks
+       argmax of ``lam·rel − mu·max_sim_to_selected``; step 1 is argmax
+       relevance (empty selected set scores 0 redundancy). ``mu`` is an
+       EXPLICIT literal, never derived as ``1 − lam``: the IEEE double
+       ``1.0 - 0.7`` is 0.30000000000000004, which is NOT the SQL literal
+       ``0.3`` — deriving it would desync every objective from a SQL
+       replay by 4e-17 · redundancy, occasionally across a rounding edge.
+
+    Engine-portable determinism: relevance and pairwise similarities are
+    rounded to 6 dp (``_round6_engine_parity``) BEFORE any comparison and
+    the objective re-rounded after the affine combine, with id as the
+    tiebreak — so ulp-level float noise can never flip a greedy choice
+    against the SQL replay oracle (the chained-CTE unroll pattern, same
+    family as the BPE training-loop replay).
+
+    Output: (id, mmr_rank 1..k, relevance, objective).
+    """
+    if k > shortlist:
+        raise ValueError(f"k ({k}) must be <= shortlist ({shortlist})")
+    scored = df.select(
+        F.col(id_col),
+        F.col(embedding_col).alias("__emb"),
+        F.round(
+            cosine_scores_pandas(F.col(embedding_col), query_vec), 6
+        ).alias("__rel"),
+    )
+    scored = scored.filter(F.col("__rel").isNotNull() & ~F.isnan("__rel"))
+    short = (
+        scored.orderBy(F.col("__rel").desc(), F.col(id_col).asc())
+        .limit(shortlist)
+        .collect()
+    )
+    if not short:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, mmr_rank int, relevance double, objective double"
+        )
+    ids = [r[id_col] for r in short]
+    rel = {r[id_col]: float(r["__rel"]) for r in short}
+    vecs = {
+        r[id_col]: np.asarray(r["__emb"], dtype=np.float64) for r in short
+    }
+    norms = {i: float(np.sqrt(np.dot(v, v))) for i, v in vecs.items()}
+
+    def sim(a: int, b: int) -> float:
+        return _round6_engine_parity(
+            float(np.dot(vecs[a], vecs[b])) / (norms[a] * norms[b])
+        )
+
+    selected: list[tuple[int, float]] = []
+    remaining = list(ids)
+    while remaining and len(selected) < k:
+        best_id, best_obj = None, None
+        for i in remaining:
+            redundancy = max((sim(i, s) for s, _ in selected), default=0.0)
+            obj = _round6_engine_parity(lam * rel[i] - mu * redundancy)
+            if best_obj is None or obj > best_obj or (obj == best_obj and i < best_id):
+                best_id, best_obj = i, obj
+        selected.append((best_id, best_obj))
+        remaining.remove(best_id)
+    return df.sparkSession.createDataFrame(
+        [
+            (int(i), rank + 1, rel[i], obj)
+            for rank, (i, obj) in enumerate(selected)
+        ],
+        f"{id_col} long, mmr_rank int, relevance double, objective double",
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

@@ -301,6 +301,76 @@ _COSINE_ORACLE = """
 """
 
 
+def _mmr_oracle() -> str:
+    """DuckDB replay of the full MMR greedy loop (operators/similarity.
+    mmr_topk): shortlist by rounded relevance, then TEN chained
+    MATERIALIZED CTEs, each selecting the argmax of
+    ROUND(0.7·rel − 0.3·max_sim_to_selected, 6) with vec_id tiebreak —
+    the same unrolled-iteration pattern as the BPE training-loop replay
+    (plain CTEs re-inline exponentially; MATERIALIZED is load-bearing)."""
+    head = """
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ), q AS MATERIALIZED (SELECT v AS qe FROM e WHERE vec_id = 0),
+    rel AS MATERIALIZED (
+      SELECT e.vec_id, e.v,
+             ROUND(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * q.qe[i]))
+               / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.qe, x -> x * x)))), 6) AS rel
+      FROM e, q
+    ), short AS MATERIALIZED (
+      SELECT vec_id, rel, v FROM rel ORDER BY rel DESC, vec_id LIMIT 50
+    ), sims AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             ROUND(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS s
+      FROM short a JOIN short b ON a.vec_id <> b.vec_id
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT vec_id, rel, ROUND(0.7 * rel, 6) AS obj, 1 AS mmr_rank
+      FROM short ORDER BY ROUND(0.7 * rel, 6) DESC, vec_id LIMIT 1
+    )"""
+    steps = []
+    for t in range(2, 11):
+        steps.append(
+            f""",
+    sel{t} AS MATERIALIZED (
+      SELECT * FROM sel{t - 1}
+      UNION ALL
+      SELECT * FROM (
+        SELECT c.vec_id, c.rel,
+               ROUND(0.7 * c.rel - 0.3 * (SELECT MAX(s.s) FROM sims s
+                      WHERE s.ia = c.vec_id
+                        AND s.ib IN (SELECT vec_id FROM sel{t - 1})), 6) AS obj,
+               {t} AS mmr_rank
+        FROM short c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+        ORDER BY obj DESC, c.vec_id LIMIT 1
+      )
+    )"""
+        )
+    tail = """
+    SELECT vec_id, mmr_rank, rel AS relevance, obj AS objective
+    FROM sel10 ORDER BY mmr_rank
+    """
+    return head + "".join(steps) + tail
+
+
+@register("l3_mmr_topk", oracle=_mmr_oracle())
+def l3_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Diversified retrieval: MMR top-10 for query vec_id 0 over the
+    # embeddings table (operators/similarity.mmr_topk — distributed
+    # rounded-relevance shortlist via TakeOrderedAndProject, then the
+    # bounded 50-row greedy re-rank). The oracle replays the ENTIRE
+    # greedy loop step by step; a wrong shortlist cut, redundancy max,
+    # objective weight, rounding boundary, or tiebreak hash-fails.
+    from etl_hiscox_spark.operators.similarity import mmr_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return mmr_topk(emb, "embedding", "vec_id", qvec, k=10, shortlist=50)
+
+
 @register("l3_cosine_topk", oracle=_COSINE_ORACLE)
 def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # L3 baseline: exact brute-force cosine top-k for one query vector
@@ -1749,6 +1819,106 @@ def t32_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return near_dedup_keep_best(
         docs, "text", "doc_id", quality=F.length("text").cast("long"), threshold=0.8
+    )
+
+
+@register(
+    "t33_leakage_safe_split",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                                    i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS s
+      FROM toks
+    ), grams AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT ia, ib FROM inter
+      JOIN n na ON ia = na.doc_id JOIN n nb ON ib = nb.doc_id
+      WHERE 5 * i >= 4 * (na.n + nb.n - i)
+    ),
+    edges AS (SELECT ia AS src, ib AS dst FROM pairs UNION SELECT ib, ia FROM pairs),
+    closure AS (
+      SELECT src AS node, src AS reach FROM edges
+      UNION
+      SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src
+    ),
+    comp AS (SELECT node, MIN(reach) AS component FROM closure GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_key,
+             CASE WHEN substring(sha256(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 5) < 'ccccc' THEN 'train'
+                  WHEN substring(sha256(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 5) < 'e6666' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    cross_pairs AS (
+      SELECT COUNT(*) AS cross_split_pairs
+      FROM pairs p JOIN assigned sa ON p.ia = sa.doc_id
+                   JOIN assigned sb ON p.ib = sb.doc_id
+      WHERE sa.split <> sb.split
+    )
+    SELECT a.split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT a.group_key) AS n_groups,
+           MAX(cp.cross_split_pairs) AS cross_split_pairs
+    FROM assigned a CROSS JOIN cross_pairs cp
+    GROUP BY a.split ORDER BY a.split
+    """,
+)
+def t33_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DEDUP-AWARE train/val/test split: t6's deterministic sha-prefix
+    # assignment, but keyed by the near-dup CLUSTER representative
+    # (connected component of the confirmed LSH pair graph) instead of
+    # the doc id — so two near-duplicate documents can never straddle
+    # train/test (the contamination vector plain per-doc splits leave
+    # open; same leakage rule the chunking pipeline applies per-doc).
+    # The declared output carries the proof: cross_split_pairs counts
+    # confirmed near-dup pairs whose endpoints landed in different
+    # splits — 0 by construction, and BOTH engines recompute it from
+    # their own independent pair graph + assignment, so a leak in either
+    # pipeline surfaces as a nonzero (and a hash fail).
+    from etl_hiscox_spark.operators.dedup import (
+        confirmed_minhash_pairs,
+        connected_components,
+    )
+    from etl_hiscox_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    confirmed = confirmed_minhash_pairs(docs, "text", "doc_id", threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(confirmed)
+    with_grp = docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("group_key")
+    )
+    assigned = hash_split(
+        with_grp, key="group_key", weights={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    sa = assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("__sa"))
+    sb = assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("__sb"))
+    cross = (
+        confirmed.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("__sa") != F.col("__sb"))
+        .agg(F.count(F.lit(1)).alias("cross_split_pairs"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("group_key").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(cross))
+        .orderBy("split")
     )
 
 

@@ -762,3 +762,66 @@ def s17_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return write_training_shards(
         spark, docs, path, "doc_id", F.size(tokens("text")), shard_tokens=2000
     )
+
+
+# ---------------------------------------------------------------------------
+# S18: bucketed catalog tables + co-located join — the layout choice that
+# removes the join shuffle entirely. At 100 TB the fact-fact join
+# (orders x lineitem) is THE dominant exchange; persisting both sides
+# bucketed+sorted by the join key turns every later join on that key into
+# a zero-exchange sort-merge (bucket pruning included). This query proves
+# the full path: bucketBy write -> catalog read -> join WITHOUT Exchange
+# (plan-gated in tests/test_plans.py) -> aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s18_bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_custkey AS custkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    ORDER BY revenue DESC, custkey
+    LIMIT 100
+    """,
+)
+def s18_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bucketed-table round-trip: project the two join sides, saveAsTable
+    # with bucketBy(8, join key) + sortBy, then join the CATALOG tables.
+    # Matching bucket counts and keys mean Catalyst plans the sort-merge
+    # join with zero Exchange on either side — the co-location survives in
+    # the table layout, not the session. The oracle recomputes the joined
+    # aggregate straight from the source parquet, checking the whole
+    # bucketed write -> catalog read -> join path byte-for-byte.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders, t_line = f"s18_orders_{tag}", f"s18_lineitem_{tag}"
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    line = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_extendedprice")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    for name, df, key in ((t_orders, orders, "o_orderkey"), (t_line, line, "l_orderkey")):
+        # idempotent across SESSIONS, not just reruns: a managed-table
+        # location left by a previous process is unknown to this catalog,
+        # and saveAsTable refuses to adopt it (LOCATION_ALREADY_EXISTS) —
+        # drop the catalog entry AND the orphan dir before writing
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if warehouse.startswith("file:"):
+            orphan = os.path.join(warehouse[len("file:"):], name)
+            if os.path.isdir(orphan):
+                shutil.rmtree(orphan, ignore_errors=True)
+        df.write.mode("overwrite").format("parquet").bucketBy(8, key).sortBy(
+            key
+        ).saveAsTable(name)
+    o, l = spark.table(t_orders), spark.table(t_line)  # noqa: E741
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), "custkey")
+        .limit(100)
+    )

@@ -734,3 +734,71 @@ def test_video_frame_dhash_sampling_and_quarantine(spark):
     hashes = dict(by_path["a"])
     assert hashes[0] == hashes[2] and len(hashes[0]) == 64  # identical frames
     assert by_path["bad"] == [(None, None)]
+
+
+def test_round6_engine_parity_pinned(spark):
+    """_round6_engine_parity (the MMR greedy loop's rounding) must agree
+    with BOTH engines' ROUND(x, 6) — which round the shortest decimal
+    repr HALF_UP, not the exact binary value (0.1234565 stores as
+    ...64999 yet rounds UP in Spark and DuckDB alike). Pinned over 20k
+    random doubles + the adversarial literals."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.operators.similarity import _round6_engine_parity
+
+    rng = np.random.default_rng(3)
+    xs = [float(x) for x in rng.uniform(-1, 1, 20000)] + [
+        0.1234565, 0.1234575, -0.9999995, 5e-7, -5e-7, 1.0000005,
+    ]
+    con = duckdb.connect()
+    duck = [
+        r[0]
+        for r in con.execute(
+            "SELECT round(x, 6) FROM (SELECT UNNEST(?::DOUBLE[]) AS x)", [xs]
+        ).fetchall()
+    ]
+    ours = [_round6_engine_parity(x) for x in xs]
+    assert duck == ours
+    sdf = spark.createDataFrame([(x,) for x in xs[:2000] + xs[-6:]], "x double")
+    got = [r[0] for r in sdf.select(F.round("x", 6)).collect()]
+    assert got == [_round6_engine_parity(x) for x in xs[:2000] + xs[-6:]]
+
+
+def test_mmr_topk_diversifies_and_validates(spark):
+    """Behavioral MMR check: a near-duplicate of the rank-1 hit is
+    RELEVANT but REDUNDANT — plain cosine top-k ranks it #2, MMR pushes
+    it behind a less-similar-but-novel vector. Plus the k<=shortlist
+    guard and empty-input path."""
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_hiscox_spark.operators.similarity import cosine_topk, mmr_topk
+
+    rng = np.random.default_rng(11)
+    e1 = np.zeros(16); e1[0] = 1.0
+    e2 = np.zeros(16); e2[1] = 1.0
+    diag = (e1 + e2) / np.sqrt(2.0)  # id 3: relevant AND novel
+    rows = [(1, e1), (2, e1.copy()), (3, diag)] + [
+        (10 + i, 0.05 * e1 + rng.standard_normal(16) * (np.arange(16) >= 2))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+    qv = [float(x) for x in e1]
+    cos_order = [r["vec_id"] for r in cosine_topk(df, "embedding", "vec_id", qv, k=3).collect()]
+    assert cos_order[:2] == [1, 2]  # plain top-k keeps the exact twin at #2
+    # diversity-heavy weighting: the exact twin's redundancy (sim=1.0)
+    # must push it out of the MMR top ranks entirely
+    mmr = mmr_topk(df, "embedding", "vec_id", qv, k=3, shortlist=13, lam=0.3, mu=0.7).collect()
+    mmr_order = [r["vec_id"] for r in mmr]
+    assert mmr_order[0] == 1  # relevance argmax, min-id tiebreak over the twin
+    assert 2 not in mmr_order, f"MMR kept the exact twin in the top 3: {mmr_order}"
+    assert [r["mmr_rank"] for r in mmr] == [1, 2, 3]
+
+    with _pytest.raises(ValueError, match="shortlist"):
+        mmr_topk(df, "embedding", "vec_id", qv, k=20, shortlist=10)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert mmr_topk(empty, "embedding", "vec_id", qv, k=3).count() == 0

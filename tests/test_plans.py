@@ -303,3 +303,38 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_bucketed_colocated_join_has_no_exchange(spark, sf_dir):
+    # S18's whole point: both sides persisted bucketBy(8, join key) means
+    # the sort-merge join consumes bucket layout directly — ZERO Exchange
+    # anywhere below the join. A regression (bucket count mismatch,
+    # bucketing conf off, projection dropping the bucket column) silently
+    # reintroduces the full fact-fact shuffle — at 100 TB the single most
+    # expensive exchange this layout exists to remove.
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.queries import all_queries
+
+    all_queries()["s18_bucketed_colocated_join"].fn(spark, sf_dir)  # writes tables
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # At test scale the planner would rather broadcast the small side (an
+    # Exchange of a different kind); disable it to assert the layout claim
+    # the bucketing makes at the 100 TB design point, where NEITHER
+    # fact-table side is broadcastable and SMJ-over-buckets is the plan.
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o, l = spark.table(f"s18_orders_{tag}"), spark.table(f"s18_lineitem_{tag}")  # noqa: E741
+        j = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+            "o_custkey", "l_extendedprice"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:1500]
+        assert "Exchange" not in plan, plan[:1500]
+        assert "Bucketed: true" in plan, plan[:1500]
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
