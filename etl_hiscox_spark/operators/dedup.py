@@ -748,12 +748,13 @@ def bitstring_block_pairs(
         ).alias("b"),
     ).select("doc", "bits", F.col("b.blk_id").alias("blk_id"), F.col("b.blk").alias("blk"))
     a, b = exploded.alias("a"), exploded.alias("b")
-    ham = F.lit(0)
-    for i in range(1, n_bits + 1):
-        ham = ham + (
-            F.substring(F.col("a.bits"), i, 1) != F.substring(F.col("b.bits"), i, 1)
-        ).cast("int")
-    return (
+    # distinct the candidate PAIRS before computing the distance: a pair
+    # within hamming <= n_blocks-1 can match in up to n_blocks buckets,
+    # and computing the n_bits-term expression once per matched bucket
+    # row (then deduping) would do the hot work up to n_blocks times
+    # (r9 review). bits ride the distinct — functionally dependent on
+    # the ids, so the pair set is unchanged and no re-join is needed.
+    cand = (
         a.join(
             b,
             (F.col("a.blk_id") == F.col("b.blk_id"))
@@ -763,10 +764,18 @@ def bitstring_block_pairs(
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            ham.alias("hamming"),
+            F.col("a.bits").alias("__ba"),
+            F.col("b.bits").alias("__bb"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    )
+    ham = F.lit(0)
+    for i in range(1, n_bits + 1):
+        ham = ham + (
+            F.substring(F.col("__ba"), i, 1) != F.substring(F.col("__bb"), i, 1)
+        ).cast("int")
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
     )
 
 

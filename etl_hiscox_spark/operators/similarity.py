@@ -161,8 +161,9 @@ def _round6_engine_parity(x: float) -> float:
     it for doubles: HALF_UP on the SHORTEST DECIMAL REPR of the value
     (java BigDecimal.valueOf / duckdb both go through the decimal string),
     NOT on the exact binary expansion — 0.1234565 (binary ~...64999) rounds
-    UP to 0.123457 in both engines. Parity pinned over 50k random doubles
-    in tests/test_dedup_similarity.py."""
+    UP to 0.123457 in both engines. Parity pinned over 20k random doubles
+    vs DuckDB (2k of them also through Spark's F.round) in
+    tests/test_dedup_similarity.py."""
     from decimal import ROUND_HALF_UP, Decimal
 
     return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))

@@ -380,7 +380,8 @@ WINDOW_R9: tuple[str, ...] = (
 # Round 10 window — PRE-DEFINED at the end of r9 (same self-advance
 # mechanism as WINDOW_R9; ``active_window()`` serves this once
 # CORRECTNESS_r09.json exists). Composition (histogram after r9 banks,
-# assuming r9 green: {r6: 19, r7: 49, r8: 50, r9: 50} minus overlaps):
+# assuming r9 green: {r6: 22, r7: 49, r8: 50, r9: 50} — the 22 r6-latest
+# are the 16 deferred-by-plan plus the 6 r9-displaced prechecks):
 # head = the 22 r6 greens left out of WINDOW_R9 (stale-beyond-3 at
 # current=10): the 16 deferred-by-plan simple round-trips plus the 6
 # streaming prechecks displaced by r9's new declarations

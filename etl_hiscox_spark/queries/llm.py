@@ -32,7 +32,7 @@ from etl_hiscox_spark.operators.dedup import (
     simhash_candidates,
 )
 from etl_hiscox_spark.operators.similarity import cosine_topk
-from etl_hiscox_spark.queries import register
+from etl_hiscox_spark.queries import QUERIES, register
 from etl_hiscox_spark.registry import load_table
 
 def _raw_token_count() -> Column:
@@ -118,6 +118,48 @@ def l2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup_minhash(
         docs, "text", "doc_id", threshold=0.8, num_hashes=24, num_bands=6
     ).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Shared oracle fragments for the exact n-gram pair graph. FOUR oracles
+# (l2_incremental_probe, l2_transitive_clusters, t32_cluster_keep_best,
+# t33_leakage_safe_split) and the banding-recall pin test replay the same
+# shingle -> exact-Jaccard -> (closure) pipeline; the canonical fragments
+# below plus the import-time tripwire at the bottom of this module keep a
+# future change to the shingle rule or the 5i >= 4(n_a+n_b-i) threshold
+# from silently diverging one copy from the others (r9 review).
+# ---------------------------------------------------------------------------
+
+_ORACLE_SHINGLE_N_CTE = r"""toks AS (
+      SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                                    i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS s
+      FROM toks
+    ), grams AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id)"""
+
+_ORACLE_PAIR_CLOSURE_CTE = r"""inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT ia, ib FROM inter
+      JOIN n na ON ia = na.doc_id JOIN n nb ON ib = nb.doc_id
+      WHERE 5 * i >= 4 * (na.n + nb.n - i)
+    ),
+    edges AS (SELECT ia AS src, ib AS dst FROM pairs UNION SELECT ib, ia FROM pairs),
+    closure AS (
+      SELECT src AS node, src AS reach FROM edges
+      UNION
+      SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src
+    ),
+    comp AS (SELECT node, MIN(reach) AS component FROM closure GROUP BY node)"""
 
 
 @register(
@@ -3383,3 +3425,31 @@ def t24_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (~present | in_bounds)  # any present item: bounded
         ).alias("summary_ok"),
     )
+
+def _assert_oracle_fragment_consistency() -> None:
+    """Import-time tripwire for the replicated pair-graph SQL (r9 review):
+    every oracle that replays the exact n-gram pair pipeline must embed
+    the canonical fragments VERBATIM — editing one copy without the
+    others fails here, at import, instead of surfacing as a confusing
+    partial driver hash-fail. The recall-pin test reuses the same
+    constants against raw parquet via a view."""
+    shingle_users = (
+        "l2_incremental_probe",
+        "l2_transitive_clusters",
+        "t32_cluster_keep_best",
+        "t33_leakage_safe_split",
+    )
+    for name in shingle_users:
+        assert _ORACLE_SHINGLE_N_CTE in QUERIES[name].oracle, (
+            f"{name}: shingle/jaccard oracle fragment diverged from "
+            "_ORACLE_SHINGLE_N_CTE - update ALL copies together"
+        )
+    for name in shingle_users[1:]:
+        assert _ORACLE_PAIR_CLOSURE_CTE in QUERIES[name].oracle, (
+            f"{name}: pair-closure oracle fragment diverged from "
+            "_ORACLE_PAIR_CLOSURE_CTE - update ALL copies together"
+        )
+
+
+_assert_oracle_fragment_consistency()
+

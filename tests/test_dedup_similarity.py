@@ -579,24 +579,20 @@ def test_incremental_probe_banding_recall_margin_pinned(spark):
     import duckdb
 
     from etl_hiscox_spark.queries import all_queries
+    from etl_hiscox_spark.queries.llm import _ORACLE_SHINGLE_N_CTE
 
     con = duckdb.connect()
+    # same canonical shingle/count fragment the four pair-graph oracles
+    # embed (import-time tripwire in queries/llm.py) — served here over a
+    # view so the test can never drift from the declared pipeline
+    con.execute(
+        "CREATE VIEW documents AS "
+        "SELECT * FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
     min_j = con.execute(
-        r"""
-        WITH d AS (SELECT * FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-        toks AS (
-          SELECT doc_id,
-                 string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
-          FROM d
-        ), sh AS (
-          SELECT doc_id,
-                 CASE WHEN len(t) >= 3
-                      THEN list_distinct(list_transform(range(1, len(t) - 1),
-                                                        i -> array_to_string(t[i:i+2], ' ')))
-                      ELSE [array_to_string(t, ' ')] END AS s
-          FROM toks
-        ), grams AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
-        n AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        "WITH "
+        + _ORACLE_SHINGLE_N_CTE
+        + r""",
         inter AS (
           SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
           FROM grams a JOIN grams b ON a.g = b.g

@@ -283,16 +283,24 @@ def test_streaming_ingest_probes_minhash_index(spark, tmp_path):
     """Streaming ingestion dedup: a file stream of new documents probes
     the persisted LSH index inside foreachBatch — the daily-crawl shape
     with the incremental index as the stateful side. Each micro-batch
-    shingles only itself; matches append to a report; matched batches
-    also extend the index (append mode), so a near-dup arriving in a
-    LATER batch is caught against an earlier batch's docs."""
-    from etl_hiscox_spark.operators.caching import owned_caches
+    shingles only itself; candidates are exact-Jaccard VERIFIED against a
+    corpus store the stream maintains alongside the index; matches append
+    to a report; batches then extend both index and corpus, so a near-dup
+    arriving in a LATER batch is caught against an earlier batch's docs.
+    The verify path persists internally, so the per-batch owned_caches
+    release is load-bearing: the cached-RDD count must return to its
+    baseline after every stream run (r9 review — the candidates-only
+    probe path has no persists, and wrapping it made the release a
+    no-op that pinned nothing)."""
+    from etl_hiscox_spark.operators.caching import cached_rdd_count, owned_caches
     from etl_hiscox_spark.operators.dedup import probe_minhash_index, write_minhash_index
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     hist = spark.createDataFrame([(0, base)], "doc_id long, text string")
     idx = str(tmp_path / "idx")
+    corpus = str(tmp_path / "corpus")
     write_minhash_index(hist, "text", "doc_id", idx, num_hashes=24, num_bands=6)
+    hist.write.mode("overwrite").parquet(corpus)
 
     inbox = tmp_path / "inbox"
     inbox.mkdir()
@@ -305,16 +313,23 @@ def test_streaming_ingest_probes_minhash_index(spark, tmp_path):
     ).write.mode("append").parquet(str(inbox))
 
     def probe_and_extend(batch_df, batch_id):
-        # owned_caches frees the probe's internal persists at the end of
-        # every foreachBatch invocation — without it cached candidate
-        # blocks accumulate per micro-batch for the stream's lifetime
-        # (ADVICE r8; cache-free invariant pinned by
-        # test_probe_with_verify_releases_owned_caches).
-        with owned_caches(probe_minhash_index(batch_df, "text", "doc_id", idx)) as matches:
+        # owned_caches frees the probe's internal persists (candidate set
+        # + jaccard shingle stem) at the end of every foreachBatch
+        # invocation — without it cached blocks accumulate per
+        # micro-batch for the stream's lifetime (ADVICE r8).
+        s = batch_df.sparkSession
+        resolver = s.read.parquet(corpus).unionByName(batch_df)
+        with owned_caches(
+            probe_minhash_index(
+                batch_df, "text", "doc_id", idx, verify_df=resolver, threshold=0.5
+            )
+        ) as matches:
             matches.write.mode("append").parquet(report)
         write_minhash_index(batch_df, "text", "doc_id", idx, num_hashes=24, num_bands=6, mode="append")
+        batch_df.write.mode("append").parquet(corpus)
 
     def run_stream():
+        before = cached_rdd_count(spark)
         q = (
             spark.readStream.schema("doc_id long, text string")
             .parquet(str(inbox))
@@ -324,10 +339,13 @@ def test_streaming_ingest_probes_minhash_index(spark, tmp_path):
             .start()
         )
         q.awaitTermination(120)
+        assert cached_rdd_count(spark) == before, "stream leaked probe caches"
 
     run_stream()
-    got = {(r["new_id"], r["dup_of"]) for r in spark.read.parquet(report).collect()}
+    rows = spark.read.parquet(report).collect()
+    got = {(r["new_id"], r["dup_of"]) for r in rows}
     assert (101, 0) in got and all(nid != 102 for nid, _ in got)
+    assert all(r["jaccard"] is not None for r in rows), "corpus store failed to resolve a side"
 
     # batch B arrives later: near-dup of 102, which only the EXTENDED index knows
     spark.createDataFrame(
