@@ -17,6 +17,7 @@ A pandas_udf batch-scoring variant is provided for many-query workloads
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 import numpy as np
@@ -394,8 +395,17 @@ def write_ivf_index(
     train_fraction: float = 1.0,
 ) -> np.ndarray:
     """Materialize the IVF index as a cluster-partitioned parquet table;
-    returns the centroid matrix (persist it beside the table — it is the
-    entire 'index structure', a (n_clusters, dim) array).
+    returns the centroid matrix and ALSO persists it inside the index
+    (``<path>/_centroids`` — the leading underscore hides it from the
+    partitioned data scan), so probes and appends read their geometry
+    FROM the index, never from the caller — the same params-travel-with-
+    the-data rule as the minhash index meta.
+
+    Commit protocol for free: the partitioned overwrite clears ``path``
+    (including any previous ``_centroids``) and the centroids are written
+    LAST — a failure in between leaves an index without centroids, which
+    :func:`load_ivf_centroids` rejects loudly instead of probing with
+    stale geometry.
 
     This is the 100 TB deployment form of :func:`ivf_topk`: the one-time
     k-means assignment is written ``partitionBy(__cluster)``, so every
@@ -406,13 +416,72 @@ def write_ivf_index(
         df, embedding_col, id_col, n_clusters, seed, train_fraction
     )
     assigned.write.partitionBy("__cluster").mode("overwrite").parquet(path)
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "_centroids"))
     return centroids
+
+
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
+    """Centroid matrix persisted by :func:`write_ivf_index`. Missing or
+    empty centroids mean an interrupted index write — fail loudly, never
+    probe with default/stale geometry."""
+    try:
+        rows = spark.read.parquet(os.path.join(path, "_centroids")).collect()
+    except Exception as exc:
+        raise ValueError(
+            f"IVF index at {path!r} has no readable centroids (an index "
+            "write may have been interrupted — centroids are written last "
+            "as the commit record). Rebuild with write_ivf_index."
+        ) from exc
+    if not rows:
+        raise ValueError(f"IVF index at {path!r} has an empty centroid table")
+    rows.sort(key=lambda r: r["cluster"])
+    return np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+
+
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    embedding_col: str,
+    id_col: str,
+) -> None:
+    """Incremental ingest for a written IVF index: assign NEW vectors to
+    the EXISTING centroids (read from the index — appending never
+    re-trains; centroid geometry is pinned at build time, exactly like
+    the minhash index's banding parameters) and append them to their
+    cluster partitions.
+
+    Assignment replicates Spark ML ``KMeansModel.transform``: nearest
+    centroid by squared Euclidean distance, first index on a tie
+    (parity pinned in tests against model.predict on the same vectors).
+    One Arrow batch pass over the new rows; the write touches only the
+    partitions the new vectors land in. At 100 TB the daily embedding
+    batch appends in O(batch), the historical corpus is never re-read —
+    re-clustering (centroid drift repair) is an explicit rebuild, not a
+    side effect.
+    """
+    C = load_ivf_centroids(df.sparkSession, path)
+    c_sq = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def assign(embs: pd.Series) -> pd.Series:
+        mat = _stack_embeddings(embs, dim=C.shape[1])
+        valid = ~np.isnan(mat).any(axis=1)
+        m = np.nan_to_num(mat)
+        d = (m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ C.T) + c_sq
+        return pd.Series(np.where(valid, d.argmin(axis=1), -1).astype(np.int32))
+
+    assigned = df.withColumn("__cluster", assign(F.col(embedding_col)))
+    assigned.write.partitionBy("__cluster").mode("append").parquet(path)
 
 
 def ivf_probe_topk(
     spark,
     path: str,
-    centroids: np.ndarray,
+    centroids: np.ndarray | None,
     embedding_col: str,
     id_col: str,
     query_vec: Sequence[float],
@@ -423,7 +492,13 @@ def ivf_probe_topk(
     centroids driver-side ((n_clusters, dim) matvec — microseconds), then
     scan ONLY those cluster partitions. The ``__cluster`` IN-filter is a
     partition filter, so unprobed partitions are never opened (plan-gated
-    in tests — the same pruning a date-partitioned fact table gets)."""
+    in tests — the same pruning a date-partitioned fact table gets).
+
+    ``centroids=None`` loads the geometry persisted INSIDE the index
+    (:func:`load_ivf_centroids`) — the deployment form: probes read their
+    parameters from the index, never from the caller."""
+    if centroids is None:
+        centroids = load_ivf_centroids(spark, path)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / np.linalg.norm(q)
     cn = centroids / np.clip(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12, None)

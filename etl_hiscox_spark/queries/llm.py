@@ -1578,6 +1578,42 @@ def l3_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
 
 
+@register("l3_ivf_append_probe", oracle=_COSINE_ORACLE)
+def l3_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental vector ingest — the embedding twin of the minhash
+    # index's daily-crawl story: the index is built on HALF the corpus
+    # (even vec_ids, seeded k-means), the other half arrives later and is
+    # APPENDED via operators/similarity.append_to_ivf_index — assigned to
+    # the PINNED centroids read from the index (never re-trained, never
+    # re-reading history; assignment parity with KMeansModel.predict is
+    # test-pinned), landing only in the partitions it belongs to. The
+    # probe then reads centroids FROM the index (caller passes none) and
+    # must return the exact brute-force top-10 over the FULL corpus —
+    # n_probe = n_clusters here so the oracle claim is recall-exact by
+    # construction (partition pruning itself is l3_ivf_probe_topk's
+    # plan-gated claim; THIS query's claim is the append path): a wrong
+    # append assignment, a dropped/duplicated appended row, or stale
+    # centroid geometry hash-fails against the same exact-cosine SQL twin.
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_probe_topk,
+        write_ivf_index,
+    )
+    from etl_hiscox_spark.queries.writes import _scratch
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    path = os.path.join(_scratch("l3_ivf_append", sf_dir), "ivf_index")
+    write_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
+        n_clusters=16, seed=42,
+    )
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path, "embedding", "vec_id")
+    out = ivf_probe_topk(
+        spark, path, None, "embedding", "vec_id", qvec, k=10, n_probe=16
+    )
+    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+
 
 def _media_id_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id frame spread across the session's cores for the synthetic

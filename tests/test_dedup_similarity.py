@@ -798,3 +798,68 @@ def test_mmr_topk_diversifies_and_validates(spark):
         mmr_topk(df, "embedding", "vec_id", qv, k=20, shortlist=10)
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert mmr_topk(empty, "embedding", "vec_id", qv, k=3).count() == 0
+
+
+def test_ivf_append_assignment_matches_kmeans_predict(spark, tmp_path):
+    """append_to_ivf_index must place new vectors EXACTLY where the
+    trained KMeansModel would (nearest centroid, squared Euclidean,
+    first index on tie) — drift here silently corrupts probe recall for
+    every appended batch. Also: centroids persist inside the index, the
+    probe loads them when the caller passes none, and a centroid-less
+    index (interrupted write) is rejected loudly."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_probe_topk,
+        load_ivf_centroids,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((120, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    old = df.filter(F.col("vec_id") < 60)
+    new = df.filter(F.col("vec_id") >= 60)
+    path = str(tmp_path / "ivf")
+    centroids = write_ivf_index(old, path, "embedding", "vec_id", n_clusters=4, seed=7)
+    assert np.allclose(load_ivf_centroids(spark, path), centroids)
+
+    append_to_ivf_index(new, path, "embedding", "vec_id")
+    stored = {
+        r["vec_id"]: r["__cluster"]
+        for r in spark.read.parquet(path).filter(F.col("vec_id") >= 60).collect()
+    }
+    # the model the index was built from, applied to the SAME new vectors
+    model = KMeans(k=4, seed=7, featuresCol="__v", predictionCol="__c").fit(
+        old.withColumn("__v", array_to_vector(F.transform("embedding", lambda x: x.cast("double"))))
+    )
+    want = {
+        r["vec_id"]: r["__c"]
+        for r in model.transform(
+            new.withColumn("__v", array_to_vector(F.transform("embedding", lambda x: x.cast("double"))))
+        ).collect()
+    }
+    assert stored == want and len(stored) == 60
+
+    # probe with centroids=None reads index geometry; full probe == exact
+    q = [float(x) for x in vecs[0]]
+    got = [r["vec_id"] for r in ivf_probe_topk(spark, path, None, "embedding", "vec_id", q, k=5, n_probe=4).collect()]
+    from etl_hiscox_spark.operators.similarity import cosine_topk
+
+    want_ids = [r["vec_id"] for r in cosine_topk(df, "embedding", "vec_id", q, k=5).collect()]
+    assert got == want_ids
+
+    # interrupted write -> loud rejection
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ivf" / "_centroids"))
+    with _pytest.raises(ValueError, match="no readable centroids"):
+        ivf_probe_topk(spark, path, None, "embedding", "vec_id", q, k=5)
