@@ -160,7 +160,6 @@ WINDOW_R7: tuple[str, ...] = (
     "s16_avro_roundtrip",
     "t22_upsample_mixture",
     "t23_bpe_segmentation",
-    "t24_heavy_hitter_terms",
     # all 40 queries whose latest driver green is r4 (includes the
     # l2_simhash oracle upgrade, which re-banks with its full SQL twin)
     "a10_grouping_sets",
@@ -309,14 +308,14 @@ WINDOW_R8: tuple[str, ...] = (
 #
 # Composition (latest-green histogram after r8 banks:
 # {r5: 17, r6: 49, r7: 49, r8: 50} over 166 queries, s7 exempt):
-# the 7 NEW r9 declarations lead (never-checked queries outrank stale
+# the 8 NEW r9 declarations lead (never-checked queries outrank stale
 # greens — guard below), then the 17 mandatory r5 greens (their signals
-# hit the 3-round bound at current=9), then 26 of the 49 r6 greens as
+# hit the 3-round bound at current=9), then 25 of the 49 r6 greens as
 # early prechecks — the heavier oracle shapes; the 16 simplest
 # (s1/s6/s8/s10 round-trips, f4/f6_f9 date chains, a11, l4/l5/l6,
-# t1/t2/t4/t6, v1/v3) plus the 7 prechecks displaced by the new
-# declarations (x3/x4/x5/x8/x9/x11/x12 — r9 swap rule: new queries
-# lead, prechecks move back) form the mandatory WINDOW_R10 head of 23.
+# t1/t2/t4/t6, v1/v3) plus the 8 prechecks displaced by the new
+# declarations (x3/x4/x5/x8/x9/x10/x11/x12 — r9 swap rule: new queries
+# lead, prechecks move back) form the mandatory WINDOW_R10 head of 24.
 WINDOW_R9: tuple[str, ...] = (
     # NEW r9 declarations — never driver-checked, must lead (locally
     # hash-green vs DuckDB at sf0.001 AND sf0.01 before declaring):
@@ -330,6 +329,7 @@ WINDOW_R9: tuple[str, ...] = (
     "s18_bucketed_colocated_join",
     "l3_mmr_topk",
     "l3_ivf_append_probe",
+    "q8_median_imputation",
     # mandatory: latest green is r5 — stale-beyond-3 at current=9
     "j4_left_semi_join",
     "p1_column_projection",
@@ -374,23 +374,22 @@ WINDOW_R9: tuple[str, ...] = (
     "t5_bigram_frequency",
     "t8_pack_sequences",
     "v2_quantize_int8",
-    "x10_click_purchase_join",
 )
 
 # Round 10 window — PRE-DEFINED at the end of r9 (same self-advance
 # mechanism as WINDOW_R9; ``active_window()`` serves this once
 # CORRECTNESS_r09.json exists). Composition (histogram after r9 banks,
-# assuming r9 green: {r6: 23, r7: 49, r8: 50, r9: 50} — the 23 r6-latest
-# are the 16 deferred-by-plan plus the 7 r9-displaced prechecks):
-# head = the 23 r6 greens left out of WINDOW_R9 (stale-beyond-3 at
-# current=10): the 16 deferred-by-plan simple round-trips plus the 7
+# assuming r9 green: {r6: 24, r7: 49, r8: 50, r9: 50} — the 24 r6-latest
+# are the 16 deferred-by-plan plus the 8 r9-displaced prechecks):
+# head = the 24 r6 greens left out of WINDOW_R9 (stale-beyond-3 at
+# current=10): the 16 deferred-by-plan simple round-trips plus the 8
 # streaming prechecks displaced by r9's new declarations
-# (x3/x4/x5/x8/x9/x11/x12). Then 27 of the 49 r7 greens as early prechecks —
+# (x3/x4/x5/x8/x9/x10/x11/x12). Then 26 of the 49 r7 greens as early prechecks —
 # the heavier oracle shapes (joins, gold analytics, media codecs,
-# streaming twins, write paths); the 22 simplest r7 greens (scalar
-# chains, 1-pass profiles, round-trip seams s5/s16, t15/t22's samplers)
-# defer to a mandatory WINDOW_R11 head, leaving r11 load = 22 + any r10
-# declarations. The r10 builder SWAPS
+# streaming twins, write paths); the 23 simplest r7 greens (scalar
+# chains, 1-pass profiles, round-trip seams s5/s16, t15/t22/t24's
+# samplers and sketches) defer to a mandatory WINDOW_R11 head, leaving
+# r11 load = 23 + any r10 declarations. The r10 builder SWAPS
 # prechecks for new declarations (new queries must lead; prechecks move
 # toward r11) — keep new declarations <= ~15.
 WINDOW_R10: tuple[str, ...] = (
@@ -416,9 +415,10 @@ WINDOW_R10: tuple[str, ...] = (
     "x5_session_window",
     "x8_threshold_crossing",
     "x9_stream_static_enrich",
+    "x10_click_purchase_join",
     "x11_funnel_stages",
     "x12_click_abandonment",
-    # r7-green prechecks (27 of 49) — smooths the r11 rotation
+    # r7-green prechecks (26 of 49) — smooths the r11 rotation
     "a17_order_items_array",
     "a18_approx_quantile_rollup",
     "f_string_cleaning",
@@ -441,7 +441,6 @@ WINDOW_R10: tuple[str, ...] = (
     "s15_corrupt_json_quarantine",
     "s9_scd2_snapshot",
     "t23_bpe_segmentation",
-    "t24_heavy_hitter_terms",
     "w8_gap_fill_daily",
     "x13_exactly_once_txn_sink",
     "x1_x2_stream_roundtrip",

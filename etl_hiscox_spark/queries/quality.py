@@ -525,3 +525,47 @@ def q7_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(F.abs(z) > 1.5).select(
         "o_orderkey", "o_orderpriority", F.round(z, 6).alias("z")
     )
+
+
+@register(
+    "q8_median_imputation",
+    oracle="""
+    WITH masked AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS v
+      FROM documents
+    ), med AS (
+      SELECT lang, source, quantile_cont(v, 0.5) AS m
+      FROM masked GROUP BY lang, source
+    ), gmed AS (SELECT quantile_cont(v, 0.5) AS g FROM masked)
+    SELECT m2.doc_id, m2.lang, m2.source,
+           ROUND(COALESCE(med.m, gmed.g), 6) AS n_chars_filled
+    FROM masked m2
+    LEFT JOIN med ON med.lang = m2.lang AND med.source = m2.source
+    CROSS JOIN gmed
+    WHERE m2.v IS NULL
+    """,
+)
+def q8_median_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DQ REPAIR tier (operators/imputation.impute_by_group_median): Q1-Q7
+    # detect violations; this closes the loop — missing numerics repaired
+    # from the finest grouping that observed data (group median, global
+    # fallback, flagged-never-invented). Missingness is PLANTED
+    # deterministically (doc_id % 7 == 0 masked, the s15 corrupt-rows
+    # pattern) so the oracle replays mask -> exact interpolated median ->
+    # coalesce for every repaired row; a wrong percentile interpolation,
+    # null handling in the aggregate, or fallback order hash-fails.
+    # Median parity: Spark percentile(col, 0.5) and DuckDB quantile_cont
+    # both average the two middle values in double arithmetic.
+    from etl_hiscox_spark.operators.imputation import impute_by_group_median
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("n_chars")).alias("v"),
+    )
+    out = impute_by_group_median(docs, "v", ["lang", "source"], filled_col="n_chars_filled")
+    return out.filter(F.col("was_missing")).select(
+        "doc_id", "lang", "source", F.round("n_chars_filled", 6).alias("n_chars_filled")
+    )

@@ -125,3 +125,33 @@ def test_zscore_moments_are_exact_and_flag_symmetric(spark):
     sd = (sum((v - mu) ** 2 for v in xs) / len(xs)) ** 0.5
     assert abs(got[4] - round((100 - mu) / sd, 6)) < 1e-6
     assert abs(sum(got.values())) < 1e-6  # z-scores sum to ~0
+
+
+def test_impute_by_group_median_fallback_ladder(spark):
+    """Repair ladder: observed rows untouched; NULLs take the group
+    median of OBSERVED values; a group with nothing observed falls back
+    to the global median; an all-NULL frame stays NULL but flagged —
+    repaired values are derived, never invented."""
+    from etl_hiscox_spark.operators.imputation import impute_by_group_median
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10), ("a", 2, 20), ("a", 3, None),   # group median 15.0
+            ("b", 4, 7), ("b", 5, None),                  # odd obs -> 7.0
+            ("c", 6, None),                               # no obs -> global
+        ],
+        "g string, id int, v int",
+    )
+    out = {
+        r["id"]: (r["v_filled"], r["was_missing"])
+        for r in impute_by_group_median(df, "v", ["g"]).collect()
+    }
+    assert out[1] == (10.0, False) and out[2] == (20.0, False)
+    assert out[3] == (15.0, True)       # interpolated even-count median
+    assert out[5] == (7.0, True)
+    # global median of observed [10, 20, 7] = 10.0
+    assert out[6] == (10.0, True)
+
+    allnull = spark.createDataFrame([("a", 1, None)], "g string, id int, v int")
+    row = impute_by_group_median(allnull, "v", ["g"]).collect()[0]
+    assert row["v_filled"] is None and row["was_missing"] is True

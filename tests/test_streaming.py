@@ -355,3 +355,62 @@ def test_streaming_ingest_probes_minhash_index(spark, tmp_path):
     run_stream()
     got = {(r["new_id"], r["dup_of"]) for r in spark.read.parquet(report).collect()}
     assert (201, 102) in got
+
+
+def test_streaming_ingest_appends_ivf_index(spark, tmp_path):
+    """Streaming embedding ingest — the vector twin of the LSH
+    probe-and-extend stream: each micro-batch is assigned to the PINNED
+    centroids of a written IVF index and appended partition-wise inside
+    foreachBatch; after the stream drains, a full-probe query over the
+    index equals exact brute force over history + every ingested batch."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        cosine_topk,
+        ivf_probe_topk,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((90, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(90)]
+    hist = spark.createDataFrame(rows[:30], "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(hist, idx, "embedding", "vec_id", n_clusters=4, seed=3)
+
+    inbox = tmp_path / "vin"
+    inbox.mkdir()
+    spark.createDataFrame(rows[30:60], "vec_id long, embedding array<float>").write.mode(
+        "append"
+    ).parquet(str(inbox))
+    spark.createDataFrame(rows[60:], "vec_id long, embedding array<float>").write.mode(
+        "append"
+    ).parquet(str(inbox))
+
+    def ingest(batch_df, batch_id):
+        append_to_ivf_index(batch_df, idx, "embedding", "vec_id")
+
+    q = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .parquet(str(inbox))
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert spark.read.parquet(idx).count() == 90
+    full = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = [float(x) for x in vecs[0]]
+    got = [
+        (r["vec_id"], round(r["cosine_sim"], 9))
+        for r in ivf_probe_topk(spark, idx, None, "embedding", "vec_id", qv, k=5, n_probe=4).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["cosine_sim"], 9))
+        for r in cosine_topk(full, "embedding", "vec_id", qv, k=5).collect()
+    ]
+    assert got == want
