@@ -475,7 +475,27 @@ def append_to_ivf_index(
         return pd.Series(np.where(valid, d.argmin(axis=1), -1).astype(np.int32))
 
     assigned = df.withColumn("__cluster", assign(F.col(embedding_col)))
-    assigned.write.partitionBy("__cluster").mode("append").parquet(path)
+    # Reject malformed rows LOUDLY before anything lands on disk (r9
+    # review): assign() marks NULL / wrong-dim / NaN embeddings as -1,
+    # and writing them would create a __cluster=-1 partition no probe
+    # ever reads — stored-but-unsearchable forever, silently. The build
+    # path fails on the same input (KMeansModel.transform throws on null
+    # vectors); append must be symmetric. The persist makes the validity
+    # check and the write one computation of the assignment, released
+    # before returning.
+    assigned = assigned.persist()
+    try:
+        bad = assigned.filter(F.col("__cluster") < 0).count()
+        if bad:
+            raise ValueError(
+                f"append_to_ivf_index: {bad} embedding(s) are NULL, empty, "
+                f"NaN, or not {C.shape[1]}-dimensional — repair or drop them "
+                "before appending (a written -1 partition would be invisible "
+                "to every probe)"
+            )
+        assigned.write.partitionBy("__cluster").mode("append").parquet(path)
+    finally:
+        assigned.unpersist(blocking=False)
 
 
 def ivf_probe_topk(

@@ -160,6 +160,7 @@ WINDOW_R7: tuple[str, ...] = (
     "s16_avro_roundtrip",
     "t22_upsample_mixture",
     "t23_bpe_segmentation",
+    "t24_heavy_hitter_terms",
     # all 40 queries whose latest driver green is r4 (includes the
     # l2_simhash oracle upgrade, which re-banks with its full SQL twin)
     "a10_grouping_sets",

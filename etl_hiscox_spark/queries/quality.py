@@ -541,7 +541,8 @@ def q7_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT m2.doc_id, m2.lang, m2.source,
            ROUND(COALESCE(med.m, gmed.g), 6) AS n_chars_filled
     FROM masked m2
-    LEFT JOIN med ON med.lang = m2.lang AND med.source = m2.source
+    LEFT JOIN med ON med.lang IS NOT DISTINCT FROM m2.lang
+                 AND med.source IS NOT DISTINCT FROM m2.source
     CROSS JOIN gmed
     WHERE m2.v IS NULL
     """,
@@ -556,7 +557,9 @@ def q8_median_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coalesce for every repaired row; a wrong percentile interpolation,
     # null handling in the aggregate, or fallback order hash-fails.
     # Median parity: Spark percentile(col, 0.5) and DuckDB quantile_cont
-    # both average the two middle values in double arithmetic.
+    # both average the two middle values in double arithmetic. Both sides
+    # join medians back NULL-SAFELY (<=> / IS NOT DISTINCT FROM) so a
+    # NULL group key keeps its own group's median (r9 review).
     from etl_hiscox_spark.operators.imputation import impute_by_group_median
 
     docs = load_table(spark, "documents", sf_dir).select(

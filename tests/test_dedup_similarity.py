@@ -863,3 +863,35 @@ def test_ivf_append_assignment_matches_kmeans_predict(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "ivf" / "_centroids"))
     with _pytest.raises(ValueError, match="no readable centroids"):
         ivf_probe_topk(spark, path, None, "embedding", "vec_id", q, k=5)
+
+
+def test_ivf_append_rejects_malformed_embeddings(spark, tmp_path):
+    """Append must fail LOUDLY on NULL/wrong-dim embeddings — never write
+    a __cluster=-1 partition no probe reads (r9 review); the index is
+    untouched on rejection."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((20, 4)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(df, path, "embedding", "vec_id", n_clusters=2, seed=1)
+    n0 = spark.read.parquet(path).count()
+
+    bad = spark.createDataFrame(
+        [(100, [1.0, 2.0, 3.0, 4.0]), (101, None), (102, [1.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="NULL, empty, NaN"):
+        append_to_ivf_index(bad, path, "embedding", "vec_id")
+    assert spark.read.parquet(path).count() == n0  # nothing landed

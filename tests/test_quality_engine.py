@@ -155,3 +155,17 @@ def test_impute_by_group_median_fallback_ladder(spark):
     allnull = spark.createDataFrame([("a", 1, None)], "g string, id int, v int")
     row = impute_by_group_median(allnull, "v", ["g"]).collect()[0]
     assert row["v_filled"] is None and row["was_missing"] is True
+
+
+def test_impute_null_group_key_gets_own_group_median(spark):
+    """NULL group KEYS are real groups (r9 review): the null-safe join
+    must hand a NULL-keyed missing row ITS group's observed median, not
+    the global fallback."""
+    from etl_hiscox_spark.operators.imputation import impute_by_group_median
+
+    df = spark.createDataFrame(
+        [(None, 1, 10), (None, 2, 20), (None, 3, None), ("b", 4, 100), ("b", 5, 200)],
+        "g string, id int, v int",
+    )
+    out = {r["id"]: r["v_filled"] for r in impute_by_group_median(df, "v", ["g"]).collect()}
+    assert out[3] == 15.0, f"NULL-keyed group got {out[3]} instead of its own median"
