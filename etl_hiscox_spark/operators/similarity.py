@@ -333,6 +333,7 @@ def ivf_index(
     n_clusters: int = 16,
     seed: int = 42,
     train_fraction: float = 1.0,
+    max_iter: int | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF (inverted-file) index: k-means centroids + cluster assignment.
 
@@ -354,9 +355,13 @@ def ivf_index(
         "__vec", array_to_vector(F.transform(F.col(embedding_col), lambda x: x.cast("double")))
     )
     train = vdf if train_fraction >= 1.0 else vdf.sample(train_fraction, seed=seed)
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="__vec", predictionCol="__cluster").fit(
-        train
-    )
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="__vec", predictionCol="__cluster")
+    if max_iter is not None:
+        # centroid quality saturates in a handful of iterations; callers
+        # whose OUTPUT does not depend on centroid placement (full-probe
+        # index lifecycles) cap the fit instead of paying the default 20
+        km = km.setMaxIter(max_iter)
+    model = km.fit(train)
     assigned = model.transform(vdf).drop("__vec")
     centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
     return assigned, centroids
@@ -393,6 +398,7 @@ def write_ivf_index(
     n_clusters: int = 16,
     seed: int = 42,
     train_fraction: float = 1.0,
+    max_iter: int | None = None,
 ) -> np.ndarray:
     """Materialize the IVF index as a cluster-partitioned parquet table;
     returns the centroid matrix and ALSO persists it inside the index
@@ -413,7 +419,7 @@ def write_ivf_index(
     the data — the layout does the indexing, no server, no side-structure.
     """
     assigned, centroids = ivf_index(
-        df, embedding_col, id_col, n_clusters, seed, train_fraction
+        df, embedding_col, id_col, n_clusters, seed, train_fraction, max_iter
     )
     assigned.write.partitionBy("__cluster").mode("overwrite").parquet(path)
     spark = df.sparkSession

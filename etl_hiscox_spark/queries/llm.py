@@ -1604,9 +1604,12 @@ def l3_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     path = os.path.join(_scratch("l3_ivf_append", sf_dir), "ivf_index")
+    # max_iter=4: THIS query's output is centroid-independent (full
+    # probe), so the k-means fit is capped — l3_ivf_probe_topk, whose
+    # pruned output does depend on centroid placement, keeps the default
     write_ivf_index(
         emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
-        n_clusters=16, seed=42,
+        n_clusters=16, seed=42, max_iter=4,
     )
     append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path, "embedding", "vec_id")
     out = ivf_probe_topk(
