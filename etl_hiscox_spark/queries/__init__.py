@@ -309,14 +309,15 @@ WINDOW_R8: tuple[str, ...] = (
 #
 # Composition (latest-green histogram after r8 banks:
 # {r5: 17, r6: 49, r7: 49, r8: 50} over 166 queries, s7 exempt):
-# the 8 NEW r9 declarations lead (never-checked queries outrank stale
+# the 9 NEW r9 declarations lead (never-checked queries outrank stale
 # greens — guard below), then the 17 mandatory r5 greens (their signals
-# hit the 3-round bound at current=9), then 25 of the 49 r6 greens as
+# hit the 3-round bound at current=9), then 24 of the 49 r6 greens as
 # early prechecks — the heavier oracle shapes; the 16 simplest
 # (s1/s6/s8/s10 round-trips, f4/f6_f9 date chains, a11, l4/l5/l6,
-# t1/t2/t4/t6, v1/v3) plus the 8 prechecks displaced by the new
-# declarations (x3/x4/x5/x8/x9/x10/x11/x12 — r9 swap rule: new queries
-# lead, prechecks move back) form the mandatory WINDOW_R10 head of 24.
+# t1/t2/t4/t6, v1/v3) plus the 9 prechecks displaced by the new
+# declarations (x3/x4/x5/x8/x9/x10/x11/x12/v2 — r9 swap rule: new
+# queries lead, prechecks move back) form the mandatory WINDOW_R10 head
+# of 25.
 WINDOW_R9: tuple[str, ...] = (
     # NEW r9 declarations — never driver-checked, must lead (locally
     # hash-green vs DuckDB at sf0.001 AND sf0.01 before declaring):
@@ -331,6 +332,7 @@ WINDOW_R9: tuple[str, ...] = (
     "l3_mmr_topk",
     "l3_ivf_append_probe",
     "q8_median_imputation",
+    "t34_ngram_novelty_score",
     # mandatory: latest green is r5 — stale-beyond-3 at current=9
     "j4_left_semi_join",
     "p1_column_projection",
@@ -374,23 +376,22 @@ WINDOW_R9: tuple[str, ...] = (
     "t21_bpe_merges",
     "t5_bigram_frequency",
     "t8_pack_sequences",
-    "v2_quantize_int8",
 )
 
 # Round 10 window — PRE-DEFINED at the end of r9 (same self-advance
 # mechanism as WINDOW_R9; ``active_window()`` serves this once
 # CORRECTNESS_r09.json exists). Composition (histogram after r9 banks,
-# assuming r9 green: {r6: 24, r7: 49, r8: 50, r9: 50} — the 24 r6-latest
-# are the 16 deferred-by-plan plus the 8 r9-displaced prechecks):
-# head = the 24 r6 greens left out of WINDOW_R9 (stale-beyond-3 at
-# current=10): the 16 deferred-by-plan simple round-trips plus the 8
-# streaming prechecks displaced by r9's new declarations
-# (x3/x4/x5/x8/x9/x10/x11/x12). Then 26 of the 49 r7 greens as early prechecks —
+# assuming r9 green: {r6: 25, r7: 49, r8: 50, r9: 50} — the 25 r6-latest
+# are the 16 deferred-by-plan plus the 9 r9-displaced prechecks):
+# head = the 25 r6 greens left out of WINDOW_R9 (stale-beyond-3 at
+# current=10): the 16 deferred-by-plan simple round-trips plus the 9
+# prechecks displaced by r9's new declarations
+# (x3/x4/x5/x8/x9/x10/x11/x12/v2). Then 25 of the 49 r7 greens as early prechecks —
 # the heavier oracle shapes (joins, gold analytics, media codecs,
-# streaming twins, write paths); the 23 simplest r7 greens (scalar
+# streaming twins, write paths); the 24 simplest r7 greens (scalar
 # chains, 1-pass profiles, round-trip seams s5/s16, t15/t22/t24's
-# samplers and sketches) defer to a mandatory WINDOW_R11 head, leaving
-# r11 load = 23 + any r10 declarations. The r10 builder SWAPS
+# samplers and sketches, f_string_cleaning) defer to a mandatory
+# WINDOW_R11 head, leaving r11 load = 24 + any r10 declarations. The r10 builder SWAPS
 # prechecks for new declarations (new queries must lead; prechecks move
 # toward r11) — keep new declarations <= ~15.
 WINDOW_R10: tuple[str, ...] = (
@@ -410,6 +411,7 @@ WINDOW_R10: tuple[str, ...] = (
     "t4_vocabulary",
     "t6_train_test_split",
     "v1_embedding_norms",
+    "v2_quantize_int8",
     "v3_random_projection",
     "x3_tumbling_window",
     "x4_sliding_window",
@@ -419,10 +421,9 @@ WINDOW_R10: tuple[str, ...] = (
     "x10_click_purchase_join",
     "x11_funnel_stages",
     "x12_click_abandonment",
-    # r7-green prechecks (26 of 49) — smooths the r11 rotation
+    # r7-green prechecks (25 of 49) — smooths the r11 rotation
     "a17_order_items_array",
     "a18_approx_quantile_rollup",
-    "f_string_cleaning",
     "g10_volume_shipping",
     "g11_disjunctive_brackets",
     "g1_star_join_revenue",

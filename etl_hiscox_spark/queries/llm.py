@@ -3477,18 +3477,73 @@ def _assert_oracle_fragment_consistency() -> None:
         "l2_transitive_clusters",
         "t32_cluster_keep_best",
         "t33_leakage_safe_split",
+        "t34_ngram_novelty_score",
     )
     for name in shingle_users:
         assert _ORACLE_SHINGLE_N_CTE in QUERIES[name].oracle, (
             f"{name}: shingle/jaccard oracle fragment diverged from "
             "_ORACLE_SHINGLE_N_CTE - update ALL copies together"
         )
-    for name in shingle_users[1:]:
+    for name in shingle_users[1:4]:
         assert _ORACLE_PAIR_CLOSURE_CTE in QUERIES[name].oracle, (
             f"{name}: pair-closure oracle fragment diverged from "
             "_ORACLE_PAIR_CLOSURE_CTE - update ALL copies together"
         )
 
 
-_assert_oracle_fragment_consistency()
 
+
+
+
+@register(
+    "t34_ngram_novelty_score",
+    oracle="WITH "
+    + _ORACLE_SHINGLE_N_CTE
+    + """,
+    first AS (SELECT g, MIN(doc_id) AS fd FROM grams GROUP BY g)
+    SELECT g2.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.fd = g2.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.fd = g2.doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM grams g2 JOIN first f ON g2.g = f.g
+    GROUP BY g2.doc_id
+    """,
+)
+def t34_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus NOVELTY signal — the curation dual of dedup: per document,
+    # the share of its distinct 3-gram shingles that FIRST appear in it
+    # (min doc_id over the corpus ordering). Boilerplate-heavy docs score
+    # near 0, fresh content near 1 — the weighting signal
+    # novelty-sampling recipes feed (and an early-exit cheaper than
+    # pairwise near-dedup for "mostly seen before" rejection). Reuses the
+    # exact shingle rule of the whole dedup stack (canonical fragment,
+    # import-time tripwire). Plan: one distinct-shingle stem -> min agg
+    # on the shingle string -> equi-join back -> per-doc agg; every
+    # shuffle is on shingle/doc keys. At 100 TB swap the string join for
+    # the 8-byte shingle-hash stream (exploded_shingle_hashes) — same
+    # shape, narrower payload; strings here keep the oracle exact.
+    from etl_hiscox_spark.operators.dedup import exploded_shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = exploded_shingles(docs, "text", "doc_id", shingle_k=3)
+    first = sh.groupBy("shingle").agg(F.min("doc").alias("__first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("__first_doc") == F.col("doc")).cast("int"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles").cast("double"), 6).alias("novelty"),
+        )
+    )
+
+
+_assert_oracle_fragment_consistency()

@@ -381,3 +381,37 @@ def test_gumbel_topk_is_weight_monotone_and_portable(spark):
     assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
     # k larger than the positive-weight population: returns all of it
     assert gumbel_topk(df, F.col("wt"), "doc_id", k=500).count() == 100
+
+
+def test_ngram_novelty_orders_boilerplate_below_fresh(spark):
+    """Novelty semantics: a doc repeating an earlier doc's shingles scores
+    ~0; unique content scores 1.0; first occurrence owns its shingles."""
+    from etl_hiscox_spark.queries import all_queries
+    import tempfile, os
+    import pyarrow as pa, pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "web", 1),
+        (1, "alpha beta gamma delta epsilon zeta", "en", "web", 1),  # full repeat
+        (2, "one two three four five six seven", "en", "web", 1),    # fresh
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": [r[1] for r in docs],
+                "lang": [r[2] for r in docs],
+                "source": [r[3] for r in docs],
+                "n_chars": pa.array([r[4] for r in docs], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    out = {
+        r["doc_id"]: (r["n_novel"], r["novelty"])
+        for r in all_queries()["t34_ngram_novelty_score"].fn(spark, d).collect()
+    }
+    assert out[0][1] == 1.0          # first occurrence owns everything
+    assert out[1] == (0, 0.0)        # verbatim repeat: zero novelty
+    assert out[2][1] == 1.0          # disjoint fresh content
