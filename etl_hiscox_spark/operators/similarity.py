@@ -210,6 +210,24 @@ def mmr_topk(
     """
     if k > shortlist:
         raise ValueError(f"k ({k}) must be <= shortlist ({shortlist})")
+    # Result schema carries the caller's actual id type (string doc ids,
+    # ints, …) — hardcoding `long` + int() casts would crash or corrupt
+    # non-long ids despite the generic signature (ADVICE r9).
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("mmr_rank", IntegerType(), True),
+            StructField("relevance", DoubleType(), True),
+            StructField("objective", DoubleType(), True),
+        ]
+    )
     scored = df.select(
         F.col(id_col),
         F.col(embedding_col).alias("__emb"),
@@ -224,9 +242,7 @@ def mmr_topk(
         .collect()
     )
     if not short:
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, mmr_rank int, relevance double, objective double"
-        )
+        return df.sparkSession.createDataFrame([], out_schema)
     ids = [r[id_col] for r in short]
     rel = {r[id_col]: float(r["__rel"]) for r in short}
     vecs = {
@@ -234,12 +250,12 @@ def mmr_topk(
     }
     norms = {i: float(np.sqrt(np.dot(v, v))) for i, v in vecs.items()}
 
-    def sim(a: int, b: int) -> float:
+    def sim(a, b) -> float:
         return _round6_engine_parity(
             float(np.dot(vecs[a], vecs[b])) / (norms[a] * norms[b])
         )
 
-    selected: list[tuple[int, float]] = []
+    selected: list[tuple[object, float]] = []
     remaining = list(ids)
     while remaining and len(selected) < k:
         best_id, best_obj = None, None
@@ -252,10 +268,10 @@ def mmr_topk(
         remaining.remove(best_id)
     return df.sparkSession.createDataFrame(
         [
-            (int(i), rank + 1, rel[i], obj)
+            (i, rank + 1, rel[i], obj)
             for rank, (i, obj) in enumerate(selected)
         ],
-        f"{id_col} long, mmr_rank int, relevance double, objective double",
+        out_schema,
     )
 
 
@@ -421,7 +437,16 @@ def write_ivf_index(
     assigned, centroids = ivf_index(
         df, embedding_col, id_col, n_clusters, seed, train_fraction, max_iter
     )
-    assigned.write.partitionBy("__cluster").mode("overwrite").parquet(path)
+    # The commit protocol below REQUIRES the overwrite to clear the whole
+    # path (stale cluster partitions and the previous _centroids must not
+    # survive a rebuild). Under the session config
+    # spark.sql.sources.partitionOverwriteMode=dynamic an overwrite only
+    # replaces partitions present in the new data — so pin static mode on
+    # THIS writer; the safety invariant must not depend on session config
+    # (ADVICE r9).
+    assigned.write.partitionBy("__cluster").mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).parquet(path)
     spark = df.sparkSession
     spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],

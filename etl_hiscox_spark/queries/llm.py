@@ -164,19 +164,10 @@ _ORACLE_PAIR_CLOSURE_CTE = r"""inter AS (
 
 @register(
     "l2_incremental_probe",
-    oracle=r"""
-    WITH toks AS (
-      SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
-      FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             CASE WHEN len(t) >= 3
-                  THEN list_distinct(list_transform(range(1, len(t) - 1),
-                                                    i -> array_to_string(t[i:i+2], ' ')))
-                  ELSE [array_to_string(t, ' ')] END AS s
-      FROM toks
-    ), grams AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
-    n AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    # Composed from the canonical shingle fragment — see l2_transitive_clusters.
+    oracle="\n    WITH "
+    + _ORACLE_SHINGLE_N_CTE
+    + r""",
     inter AS (
       SELECT a.doc_id AS new_id, b.doc_id AS dup_of, COUNT(*) AS i
       FROM grams a JOIN grams b ON a.g = b.g
@@ -1783,36 +1774,14 @@ def t13_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l2_transitive_clusters",
-    oracle=r"""
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
-      FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             CASE WHEN len(t) >= 3
-                  THEN list_distinct(list_transform(range(1, len(t) - 1),
-                                                    i -> array_to_string(t[i:i+2], ' ')))
-                  ELSE [array_to_string(t, ' ')] END AS s
-      FROM toks
-    ), grams AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
-    n AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
-      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
-    pairs AS (
-      SELECT ia, ib FROM inter
-      JOIN n na ON ia = na.doc_id JOIN n nb ON ib = nb.doc_id
-      WHERE 5 * i >= 4 * (na.n + nb.n - i)
-    ),
-    edges AS (SELECT ia AS src, ib AS dst FROM pairs UNION SELECT ib, ia FROM pairs),
-    closure AS (
-      SELECT src AS node, src AS reach FROM edges
-      UNION
-      SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src
-    ),
-    comp AS (SELECT node, MIN(reach) AS component FROM closure GROUP BY node),
+    # Composed from the canonical fragments (never a verbatim copy) so the
+    # shingle rule / pair threshold literally CANNOT diverge between the
+    # oracles that share them (ADVICE r9).
+    oracle="\n    WITH RECURSIVE "
+    + _ORACLE_SHINGLE_N_CTE
+    + ",\n    "
+    + _ORACLE_PAIR_CLOSURE_CTE
+    + r""",
     drops AS (SELECT node FROM comp WHERE node <> component)
     SELECT lang, source, COUNT(*) AS n_docs FROM documents
     WHERE doc_id NOT IN (SELECT node FROM drops)
@@ -1841,36 +1810,12 @@ def l2_transitive_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t32_cluster_keep_best",
-    oracle=r"""
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
-      FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             CASE WHEN len(t) >= 3
-                  THEN list_distinct(list_transform(range(1, len(t) - 1),
-                                                    i -> array_to_string(t[i:i+2], ' ')))
-                  ELSE [array_to_string(t, ' ')] END AS s
-      FROM toks
-    ), grams AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
-    n AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
-      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
-    pairs AS (
-      SELECT ia, ib FROM inter
-      JOIN n na ON ia = na.doc_id JOIN n nb ON ib = nb.doc_id
-      WHERE 5 * i >= 4 * (na.n + nb.n - i)
-    ),
-    edges AS (SELECT ia AS src, ib AS dst FROM pairs UNION SELECT ib, ia FROM pairs),
-    closure AS (
-      SELECT src AS node, src AS reach FROM edges
-      UNION
-      SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src
-    ),
-    comp AS (SELECT node, MIN(reach) AS component FROM closure GROUP BY node),
+    # Composed from the canonical fragments — see l2_transitive_clusters.
+    oracle="\n    WITH RECURSIVE "
+    + _ORACLE_SHINGLE_N_CTE
+    + ",\n    "
+    + _ORACLE_PAIR_CLOSURE_CTE
+    + r""",
     memb AS (
       SELECT c.component, c.node, CAST(length(d.text) AS BIGINT) AS q
       FROM comp c JOIN documents d ON d.doc_id = c.node
@@ -1905,36 +1850,12 @@ def t32_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t33_leakage_safe_split",
-    oracle=r"""
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
-      FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             CASE WHEN len(t) >= 3
-                  THEN list_distinct(list_transform(range(1, len(t) - 1),
-                                                    i -> array_to_string(t[i:i+2], ' ')))
-                  ELSE [array_to_string(t, ' ')] END AS s
-      FROM toks
-    ), grams AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
-    n AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
-      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
-    pairs AS (
-      SELECT ia, ib FROM inter
-      JOIN n na ON ia = na.doc_id JOIN n nb ON ib = nb.doc_id
-      WHERE 5 * i >= 4 * (na.n + nb.n - i)
-    ),
-    edges AS (SELECT ia AS src, ib AS dst FROM pairs UNION SELECT ib, ia FROM pairs),
-    closure AS (
-      SELECT src AS node, src AS reach FROM edges
-      UNION
-      SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src
-    ),
-    comp AS (SELECT node, MIN(reach) AS component FROM closure GROUP BY node),
+    # Composed from the canonical fragments — see l2_transitive_clusters.
+    oracle="\n    WITH RECURSIVE "
+    + _ORACLE_SHINGLE_N_CTE
+    + ",\n    "
+    + _ORACLE_PAIR_CLOSURE_CTE
+    + r""",
     assigned AS (
       SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_key,
              CASE WHEN substring(sha256(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 5) < 'ccccc' THEN 'train'
@@ -3468,9 +3389,13 @@ def t24_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _assert_oracle_fragment_consistency() -> None:
     """Import-time tripwire for the replicated pair-graph SQL (r9 review):
     every oracle that replays the exact n-gram pair pipeline must embed
-    the canonical fragments VERBATIM — editing one copy without the
-    others fails here, at import, instead of surfacing as a confusing
-    partial driver hash-fail. The recall-pin test reuses the same
+    the canonical fragments — editing one without the others fails here,
+    at import, instead of surfacing as a confusing partial driver
+    hash-fail. All five oracles are now COMPOSED from the fragments
+    (ADVICE r9), so divergence is impossible by construction; the check
+    stays as a guard against a future verbatim re-inline, and raises
+    ValueError (bare asserts are stripped under ``python -O``, silently
+    disabling the tripwire). The recall-pin test reuses the same
     constants against raw parquet via a view."""
     shingle_users = (
         "l2_incremental_probe",
@@ -3480,15 +3405,17 @@ def _assert_oracle_fragment_consistency() -> None:
         "t34_ngram_novelty_score",
     )
     for name in shingle_users:
-        assert _ORACLE_SHINGLE_N_CTE in QUERIES[name].oracle, (
-            f"{name}: shingle/jaccard oracle fragment diverged from "
-            "_ORACLE_SHINGLE_N_CTE - update ALL copies together"
-        )
+        if _ORACLE_SHINGLE_N_CTE not in QUERIES[name].oracle:
+            raise ValueError(
+                f"{name}: shingle/jaccard oracle fragment diverged from "
+                "_ORACLE_SHINGLE_N_CTE - compose from the canonical fragment"
+            )
     for name in shingle_users[1:4]:
-        assert _ORACLE_PAIR_CLOSURE_CTE in QUERIES[name].oracle, (
-            f"{name}: pair-closure oracle fragment diverged from "
-            "_ORACLE_PAIR_CLOSURE_CTE - update ALL copies together"
-        )
+        if _ORACLE_PAIR_CLOSURE_CTE not in QUERIES[name].oracle:
+            raise ValueError(
+                f"{name}: pair-closure oracle fragment diverged from "
+                "_ORACLE_PAIR_CLOSURE_CTE - compose from the canonical fragment"
+            )
 
 
 

@@ -800,6 +800,76 @@ def test_mmr_topk_diversifies_and_validates(spark):
     assert mmr_topk(empty, "embedding", "vec_id", qv, k=3).count() == 0
 
 
+def test_mmr_topk_generic_id_types(spark):
+    """The result schema must carry the CALLER's id type (ADVICE r9):
+    string doc ids used to crash on the hardcoded `long` schema +
+    int() cast. Same geometry as the long-id test, string ids."""
+    import numpy as np
+
+    from etl_hiscox_spark.operators.similarity import mmr_topk
+
+    e1 = np.zeros(8); e1[0] = 1.0
+    e2 = np.zeros(8); e2[1] = 1.0
+    diag = (e1 + e2) / np.sqrt(2.0)
+    df = spark.createDataFrame(
+        [("doc-a", [float(x) for x in e1]),
+         ("doc-b", [float(x) for x in e1]),
+         ("doc-c", [float(x) for x in diag])],
+        "doc_id string, embedding array<float>",
+    )
+    out = mmr_topk(df, "embedding", "doc_id", [float(x) for x in e1],
+                   k=2, shortlist=3, lam=0.3, mu=0.7)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    rows = out.collect()
+    # relevance argmax with min-id tiebreak ('doc-a' < 'doc-b'), then the
+    # novel diagonal beats the redundant exact twin
+    assert [r["doc_id"] for r in rows] == ["doc-a", "doc-c"]
+    # empty-input path carries the string schema too
+    empty = spark.createDataFrame([], "doc_id string, embedding array<float>")
+    eout = mmr_topk(empty, "embedding", "doc_id", [1.0] * 8, k=2)
+    assert dict(eout.dtypes)["doc_id"] == "string" and eout.count() == 0
+
+
+def test_ivf_rebuild_clears_stale_partitions_under_dynamic_mode(spark, tmp_path):
+    """write_ivf_index's commit protocol requires the overwrite to clear
+    the WHOLE index path. Under the session config
+    spark.sql.sources.partitionOverwriteMode=dynamic a plain overwrite
+    only replaces partitions present in the new data, so a rebuild that
+    lands in fewer clusters would leave stale cluster partitions (and
+    stale rows) a probe silently reads (ADVICE r9). The writer pins
+    static mode, so this must hold regardless of session config."""
+    import numpy as np
+
+    from etl_hiscox_spark.operators.similarity import write_ivf_index
+
+    path = str(tmp_path / "ivf")
+    rng = np.random.default_rng(7)
+    big = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(4)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    small = spark.createDataFrame(
+        [(100 + i, [float(x) for x in rng.standard_normal(4)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_ivf_index(big, path, "embedding", "vec_id", n_clusters=8, max_iter=2)
+        # rebuild with a tiny corpus in fewer clusters — every old row and
+        # every old cluster partition must be gone
+        write_ivf_index(small, path, "embedding", "vec_id", n_clusters=2, max_iter=2)
+        back = spark.read.parquet(path)
+        ids = {r["vec_id"] for r in back.select("vec_id").collect()}
+        assert ids == {100 + i for i in range(8)}, (
+            f"stale rows survived the rebuild: {sorted(ids - set(range(100, 108)))[:5]}"
+        )
+        clusters = {r["__cluster"] for r in back.select("__cluster").distinct().collect()}
+        assert clusters <= {0, 1}, f"stale cluster partitions survived: {clusters}"
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+
 def test_ivf_append_assignment_matches_kmeans_predict(spark, tmp_path):
     """append_to_ivf_index must place new vectors EXACTLY where the
     trained KMeansModel would (nearest centroid, squared Euclidean,
