@@ -904,6 +904,35 @@ def write_minhash_index(
     _write_index_meta(spark, path, num_hashes, num_bands, shingle_k)
 
 
+def compact_minhash_index(spark, path: str, target_file_mb: int = 256) -> int:
+    """Rewrite a minhash index's bucket table into ~target-sized files.
+
+    ``write_minhash_index(mode="append")`` adds one file set per batch —
+    at daily-ingest cadence the bucket table fragments into thousands of
+    small files and every probe's (band, bucket) join pays an open/LIST
+    tax (VERDICT r9). Compaction rewrites ``<path>/buckets`` range-
+    partitioned AND sorted on (band, bucket) — beyond defragmenting, the
+    layout now clusters each probe key into one file-contiguous run.
+
+    Bucket CONTENT is untouched, so probe results are equal by
+    construction (pinned by test and by the l2_lsh_compact_probe oracle).
+    The rewrite runs under the index's own commit protocol: meta is
+    invalidated first and rewritten (unchanged) only after the bucket
+    rewrite lands — an interrupted compaction leaves a meta-less index
+    every probe rejects loudly, never a half-rewritten bucket table read
+    silently. Returns the post-compaction bucket file count.
+    """
+    from etl_hiscox_spark.sources.writers import compact_small_files
+
+    meta = _read_index_meta(spark, path)  # loud on an uncommitted index
+    _invalidate_index_meta(spark, path)
+    n = compact_small_files(
+        spark, os.path.join(path, "buckets"), target_file_mb, sort_by=("band", "bucket")
+    )
+    _write_index_meta(spark, path, *meta)
+    return n
+
+
 def _meta_is_local(spark, path: str) -> bool:
     """True only when the path resolves to the DRIVER's local filesystem.
 

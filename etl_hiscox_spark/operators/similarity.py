@@ -406,6 +406,25 @@ def ivf_topk(
     return cosine_topk(candidates, embedding_col, id_col, query_vec, k)
 
 
+def _nearest_centroid_col(C: np.ndarray, embedding_col: Column) -> Column:
+    """Cluster id of each embedding's nearest centroid (squared Euclidean,
+    first index on a tie — KMeansModel.transform parity, test-pinned).
+    One Arrow batch pass, the distance grid a single BLAS matmul.
+    NULL / wrong-dim / NaN embeddings map to -1 so callers can reject
+    them loudly before anything lands on disk."""
+    c_sq = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def assign(embs: pd.Series) -> pd.Series:
+        mat = _stack_embeddings(embs, dim=C.shape[1])
+        valid = ~np.isnan(mat).any(axis=1)
+        m = np.nan_to_num(mat)
+        d = (m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ C.T) + c_sq
+        return pd.Series(np.where(valid, d.argmin(axis=1), -1).astype(np.int32))
+
+    return assign(embedding_col)
+
+
 def write_ivf_index(
     df: DataFrame,
     path: str,
@@ -415,6 +434,7 @@ def write_ivf_index(
     seed: int = 42,
     train_fraction: float = 1.0,
     max_iter: int | None = None,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Materialize the IVF index as a cluster-partitioned parquet table;
     returns the centroid matrix and ALSO persists it inside the index
@@ -429,16 +449,50 @@ def write_ivf_index(
     :func:`load_ivf_centroids` rejects loudly instead of probing with
     stale geometry.
 
+    ``centroids`` pins EXPLICIT geometry instead of fitting k-means — the
+    rebuild-preserving-geometry path (re-materialize a fragmented or
+    schema-migrated index without moving a single vector across clusters)
+    and the deterministic-geometry path the drift diagnostic's SQL twin
+    replays literal-for-literal. Explicit-geometry builds reject
+    malformed embeddings loudly, exactly like the append path (the
+    k-means branch throws on them inside ML's transform).
+
     This is the 100 TB deployment form of :func:`ivf_topk`: the one-time
     k-means assignment is written ``partitionBy(__cluster)``, so every
     subsequent probe is a PARTITION-PRUNED read of n_probe/n_clusters of
     the data — the layout does the indexing, no server, no side-structure.
     """
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        assigned = df.withColumn(
+            "__cluster", _nearest_centroid_col(C, F.col(embedding_col))
+        )
+        assigned = assigned.persist()
+        try:
+            bad = assigned.filter(F.col("__cluster") < 0).count()
+            if bad:
+                raise ValueError(
+                    f"write_ivf_index: {bad} embedding(s) are NULL, empty, NaN, "
+                    f"or not {C.shape[1]}-dimensional — repair or drop them "
+                    "before indexing (a written -1 partition would be "
+                    "invisible to every probe)"
+                )
+            _write_ivf_partitions(assigned, path)
+        finally:
+            assigned.unpersist(blocking=False)
+        _write_ivf_centroids(df.sparkSession, path, C)
+        return C
     assigned, centroids = ivf_index(
         df, embedding_col, id_col, n_clusters, seed, train_fraction, max_iter
     )
-    # The commit protocol below REQUIRES the overwrite to clear the whole
-    # path (stale cluster partitions and the previous _centroids must not
+    _write_ivf_partitions(assigned, path)
+    _write_ivf_centroids(df.sparkSession, path, centroids)
+    return centroids
+
+
+def _write_ivf_partitions(assigned: DataFrame, path: str) -> None:
+    # The commit protocol REQUIRES the overwrite to clear the whole path
+    # (stale cluster partitions and the previous _centroids must not
     # survive a rebuild). Under the session config
     # spark.sql.sources.partitionOverwriteMode=dynamic an overwrite only
     # replaces partitions present in the new data — so pin static mode on
@@ -447,12 +501,13 @@ def write_ivf_index(
     assigned.write.partitionBy("__cluster").mode("overwrite").option(
         "partitionOverwriteMode", "static"
     ).parquet(path)
-    spark = df.sparkSession
+
+
+def _write_ivf_centroids(spark, path: str, centroids: np.ndarray) -> None:
     spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cluster int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "_centroids"))
-    return centroids
 
 
 def load_ivf_centroids(spark, path: str) -> np.ndarray:
@@ -495,17 +550,7 @@ def append_to_ivf_index(
     side effect.
     """
     C = load_ivf_centroids(df.sparkSession, path)
-    c_sq = (C * C).sum(axis=1)
-
-    @F.pandas_udf("int")
-    def assign(embs: pd.Series) -> pd.Series:
-        mat = _stack_embeddings(embs, dim=C.shape[1])
-        valid = ~np.isnan(mat).any(axis=1)
-        m = np.nan_to_num(mat)
-        d = (m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ C.T) + c_sq
-        return pd.Series(np.where(valid, d.argmin(axis=1), -1).astype(np.int32))
-
-    assigned = df.withColumn("__cluster", assign(F.col(embedding_col)))
+    assigned = df.withColumn("__cluster", _nearest_centroid_col(C, F.col(embedding_col)))
     # Reject malformed rows LOUDLY before anything lands on disk (r9
     # review): assign() marks NULL / wrong-dim / NaN embeddings as -1,
     # and writing them would create a __cluster=-1 partition no probe
@@ -527,6 +572,140 @@ def append_to_ivf_index(
         assigned.write.partitionBy("__cluster").mode("append").parquet(path)
     finally:
         assigned.unpersist(blocking=False)
+
+
+def compact_ivf_index(spark, path: str, target_file_mb: int = 256) -> int:
+    """Rewrite an IVF index's cluster partitions into ~target-sized files.
+
+    :func:`append_to_ivf_index` adds ONE parquet file per touched
+    partition per batch — at daily-ingest cadence the index fragments
+    into thousands of KB-scale files and every probe pays an open/LIST
+    tax (VERDICT r9). Compaction rewrites each ``__cluster`` partition
+    into ``ceil(bytes / target)`` files (1 at typical partition sizes)
+    while preserving BOTH index contracts: the ``partitionBy(__cluster)``
+    layout (partition pruning untouched) and the ``_centroids`` commit
+    record byte-for-byte (geometry is pinned at build time — maintenance
+    must never drift it). Probe results are therefore equal by
+    construction; pinned by test and by the l3_ivf_compact_probe oracle.
+
+    Per-cluster file counts come from the actual on-disk bytes; rows are
+    salted ``hash(payload) % n_files[cluster]`` so each output file is a
+    deterministic subset. Write-to-tmp + swap, same recipe as
+    ``compact_small_files`` (the plan lazily reads ``path``; an in-place
+    overwrite would delete its own input mid-job). Local-filesystem swap
+    here; on a cluster the identical rewrite is table-format ``OPTIMIZE``.
+    Returns the post-compaction data file count.
+    """
+    import shutil
+
+    # validate the commit record first — compacting an interrupted index
+    # must fail loudly, not re-materialize a centroid-less layout
+    load_ivf_centroids(spark, path)
+    sizes: dict[int, int] = {}
+    for entry in os.listdir(path):
+        if not entry.startswith("__cluster="):
+            continue
+        cdir = os.path.join(path, entry)
+        sizes[int(entry.split("=", 1)[1])] = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(cdir)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    if not sizes:
+        raise ValueError(f"no __cluster= partitions under {path!r} — not a written IVF index")
+    step = target_file_mb * 1024 * 1024
+    n_files = {c: max(1, -(-b // step)) for c, b in sizes.items()}
+    df = spark.read.parquet(path)
+    data_cols = [c for c in df.columns if c != "__cluster"]
+    n_map = F.create_map(*[F.lit(x) for item in n_files.items() for x in item])
+    salt = F.pmod(F.abs(F.hash(*[F.col(c) for c in data_cols])), n_map[F.col("__cluster")])
+    tmp = path.rstrip("/") + "__compact"
+    (
+        df.repartition(sum(n_files.values()), F.col("__cluster"), salt)
+        .write.partitionBy("__cluster")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .parquet(tmp)
+    )
+    shutil.copytree(os.path.join(path, "_centroids"), os.path.join(tmp, "_centroids"))
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return sum(
+        1
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet") and os.sep + "_centroids" not in root
+    )
+
+
+def ivf_centroid_drift(
+    spark,
+    path: str,
+    batch_df: DataFrame,
+    embedding_col: str,
+) -> DataFrame:
+    """Distribution-drift diagnostic for an IVF index's pinned geometry.
+
+    :func:`append_to_ivf_index` assigns every batch to the BUILD-TIME
+    centroids forever — correct by design (re-clustering is an explicit
+    rebuild), but a shifted embedding distribution silently degrades how
+    well those centroids partition the data, and with it probe pruning
+    quality (VERDICT r9). This measures that drift observably: for the
+    indexed corpus and for ``batch_df``, the mean / median / p90 distance
+    of each vector to its NEAREST pinned centroid. A batch whose
+    assignment distances sit well above the build-time distribution is
+    the rebuild trigger — documented threshold: rebuild when the batch
+    mean exceeds ~1.25× the indexed mean (a 25% inflation of mean
+    quantization error roughly halves the recall-per-probe budget on
+    isotropic data; tune per corpus).
+
+    Engine-portable determinism: per-row distances are rounded to 6 dp
+    BEFORE aggregating (so both engines aggregate identical doubles —
+    ulp-level drift between numpy's BLAS dot and a SQL replay's
+    sequential sum can never reach the aggregates), and the aggregates
+    re-rounded to 6 dp. One Arrow pass per side, no shuffle beyond the
+    2-group aggregate.
+
+    Output: one row per side — (side, n_vectors, mean_dist, median_dist,
+    p90_dist).
+    """
+    C = load_ivf_centroids(spark, path)
+
+    def nearest_dist(col: Column) -> Column:
+        c_sq = (C * C).sum(axis=1)
+
+        @F.pandas_udf("double")
+        def _dist(embs: pd.Series) -> pd.Series:
+            if not len(embs):
+                return pd.Series([], dtype="float64")
+            mat = _stack_embeddings(embs, dim=C.shape[1])
+            valid = ~np.isnan(mat).any(axis=1)
+            m = np.nan_to_num(mat)
+            d = (m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ C.T) + c_sq
+            # clip tiny negative float noise before sqrt
+            best = np.sqrt(np.clip(d.min(axis=1), 0.0, None))
+            return pd.Series(np.where(valid, best, np.nan))
+
+        return F.round(_dist(col), 6)
+
+    indexed = spark.read.parquet(path).select(
+        F.lit("indexed").alias("side"),
+        nearest_dist(F.col(embedding_col)).alias("__d"),
+    )
+    batch = batch_df.select(
+        F.lit("batch").alias("side"),
+        nearest_dist(F.col(embedding_col)).alias("__d"),
+    )
+    both = indexed.unionByName(batch).filter(
+        F.col("__d").isNotNull() & ~F.isnan("__d")
+    )
+    return both.groupBy("side").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("__d"), 6).alias("mean_dist"),
+        F.round(F.expr("percentile(__d, 0.5)"), 6).alias("median_dist"),
+        F.round(F.expr("percentile(__d, 0.9)"), 6).alias("p90_dist"),
+    )
 
 
 def ivf_probe_topk(
