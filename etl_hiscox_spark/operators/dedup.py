@@ -835,6 +835,45 @@ def near_dedup_keep_best(
     )
 
 
+def keep_best_survivors(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    quality: Column,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_k: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Full survivor frame under :func:`near_dedup_keep_best`'s policy:
+    every row of ``df`` except cluster members that lost to a
+    higher-quality keeper (VERDICT r9 — the caller-owned anti-join,
+    promoted to an operator with its own declared oracle).
+
+    Plan: the same confirmed-pairs → connected-components stem, then the
+    LOSERS (rank > 1 within their cluster by quality desc, id asc) are a
+    |duplicates|-sized frame anti-joined against ``df`` — the corpus is
+    scanned once, the window runs over cluster-sized partitions only.
+    """
+    confirmed = _confirmed_minhash_pairs(
+        df, text_col, id_col, threshold, num_hashes, num_bands, shingle_k, checkpoint_dir
+    ).select("id_a", "id_b")
+    comp = connected_components(confirmed, checkpoint_dir=checkpoint_dir)
+    members = comp.join(
+        df.select(F.col(id_col).alias("node"), quality.alias("__q")), "node"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__q").desc(), F.col("node").asc()
+    )
+    losers = (
+        members.select("node", F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") > 1)
+        .select("node")
+    )
+    return df.join(losers, df[id_col] == losers["node"], "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Incremental near-dedup: a persisted LSH index the daily ingest probes.
 # Everything above dedups ONE batch against itself; real corpus ingestion

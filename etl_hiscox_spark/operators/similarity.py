@@ -687,7 +687,11 @@ def ivf_centroid_drift(
             best = np.sqrt(np.clip(d.min(axis=1), 0.0, None))
             return pd.Series(np.where(valid, best, np.nan))
 
-        return F.round(_dist(col), 6)
+        # asNondeterministic: __d feeds both the NaN-guard Filter and the
+        # aggregate; without the marker Catalyst clones the ArrowEvalPython
+        # node and every row is scored twice (same fix as
+        # cosine_scores_pandas, plan-pinned there).
+        return F.round(_dist.asNondeterministic()(col), 6)
 
     indexed = spark.read.parquet(path).select(
         F.lit("indexed").alias("side"),

@@ -394,7 +394,22 @@ WINDOW_R9: tuple[str, ...] = (
 # WINDOW_R11 head, leaving r11 load = 24 + any r10 declarations. The r10 builder SWAPS
 # prechecks for new declarations (new queries must lead; prechecks move
 # toward r11) — keep new declarations <= ~15.
+#
+# r10 build swap (per plan): the 4 new r10 declarations lead —
+# l3_ivf_compact_probe / l2_lsh_compact_probe (index compaction with
+# content-checksum + probe oracles, VERDICT r9 item 3),
+# l3_ivf_drift_diag (centroid-drift diagnostic, literal-geometry SQL
+# twin, item 4), t35_keep_best_survivors (the survivor frame, item 5).
+# The 4 displaced PRECHECKS (never mandatory entries) —
+# w8_gap_fill_daily, x13_exactly_once_txn_sink, x1_x2_stream_roundtrip,
+# x6_stateful_dedup_batch_twin — move to WINDOW_R11's mandatory head
+# (r7-latest, stale-beyond-3 at current=11).
 WINDOW_R10: tuple[str, ...] = (
+    # new r10 declarations — never driver-checked, must lead
+    "l3_ivf_compact_probe",
+    "l2_lsh_compact_probe",
+    "l3_ivf_drift_diag",
+    "t35_keep_best_survivors",
     # mandatory: latest green r6 — stale-beyond-3 at current=10
     "a11_table_stats",
     "f4_multiformat_dates",
@@ -443,13 +458,83 @@ WINDOW_R10: tuple[str, ...] = (
     "s15_corrupt_json_quarantine",
     "s9_scd2_snapshot",
     "t23_bpe_segmentation",
+)
+
+# Round 11 window — PRE-DEFINED at the end of r10 (same self-advance
+# mechanism; ``active_window()`` serves this once CORRECTNESS_r10.json
+# exists). Composition (histogram after r10 banks, assuming r10 green:
+# {r7: 28, r8: 50, r9: 50, r10: 50}):
+# head = the 28 r7-latest greens (stale-beyond-3 at current=11): the 24
+# simplest r7 greens deferred by the r9 plan plus the 4 prechecks
+# displaced by r10's new declarations (w8/x13/x1_x2/x6). Then 22 of the
+# 50 r8 greens as early prechecks — the heavier oracle shapes (index
+# round-trips, sketches/samplers, media codecs, PCA/quantized vectors);
+# the 28 simplest r8 greens (projections/filters/joins/aggs and scalar
+# gold queries) defer to a mandatory WINDOW_R12 head, leaving r12 load =
+# 28 + any r11 declarations. The r11 builder SWAPS prechecks for new
+# declarations (new queries must lead; prechecks move toward r12) —
+# keep new declarations <= ~15.
+WINDOW_R11: tuple[str, ...] = (
+    # mandatory: latest green r7 — stale-beyond-3 at current=11
+    "a10_grouping_sets",
+    "a1_a5_global_stats",
+    "a8_completeness_profile",
+    "f14_explicit_schema_cast",
+    "f3_money_parse",
+    "f8_batch_id_format",
+    "f_string_cleaning",
+    "g15_small_quantity_revenue",
+    "g7_scalar_subquery_share",
+    "l1_exact_dedup",
+    "p9_conditional_business_rule",
+    "q1_rule_violations",
+    "q4_quarantine_split",
+    "r3_topk_orders",
+    "s16_avro_roundtrip",
+    "s3_append_schema_merge",
+    "s5_xlsx_roundtrip",
+    "t14_pii_scrub",
+    "t15_decontamination",
+    "t22_upsample_mixture",
+    "t24_heavy_hitter_terms",
+    "t9_chunk_documents",
+    "w5_running_total",
+    "x7_upsert_batch_twin",
     "w8_gap_fill_daily",
     "x13_exactly_once_txn_sink",
     "x1_x2_stream_roundtrip",
     "x6_stateful_dedup_batch_twin",
+    # r8-green prechecks (22 of 50) — smooths the r12 rotation
+    "a16_hll_distinct_rollup",
+    "a19_key_skew_profile",
+    "g12_sales_opportunity",
+    "l2_incremental_probe",
+    "l3_ivf_probe_topk",
+    "l3_quantized_topk",
+    "m4_png_features",
+    "m5_jpeg_features",
+    "m6_audio_spectral_peak",
+    "m7_image_dhash",
+    "m8_audio_fingerprint",
+    "s12_orc_roundtrip",
+    "s17_training_shards",
+    "t12_weighted_sample",
+    "t16_bigram_lm_nll",
+    "t17_semantic_decontamination",
+    "t26_dsir_weights",
+    "t27_boilerplate_lines",
+    "t29_gumbel_weighted_topk",
+    "t31_perplexity_buckets",
+    "t3_fingerprint",
+    "v4_pca_projection",
 )
 
-WINDOWS: dict[int, tuple[str, ...]] = {8: WINDOW_R8, 9: WINDOW_R9, 10: WINDOW_R10}
+WINDOWS: dict[int, tuple[str, ...]] = {
+    8: WINDOW_R8,
+    9: WINDOW_R9,
+    10: WINDOW_R10,
+    11: WINDOW_R11,
+}
 
 
 def _repo_root() -> str:
