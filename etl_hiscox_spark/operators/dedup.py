@@ -835,6 +835,57 @@ def near_dedup_keep_best(
     )
 
 
+def ngram_novelty_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    use_hashes: bool = True,
+) -> DataFrame:
+    """Per-document corpus NOVELTY: the share of a doc's distinct
+    k-gram shingles that FIRST appear in it (min id over the corpus
+    ordering) — the curation dual of dedup (t34's operator, promoted
+    from the query body so both key layouts share one implementation).
+
+    ``use_hashes=True`` (the PRODUCTION shape) runs the whole pipeline on
+    the 8-byte xxhash64 shingle stream (:func:`exploded_shingle_hashes`):
+    the min-agg + equi-join shuffle fixed-width longs instead of k-word
+    strings — at 100 TB that is the difference between shuffling ~8 bytes
+    and ~50+ bytes per shingle occurrence. Scores are identical up to
+    64-bit hash collisions (~2^-64 per shingle pair); equality against
+    the string path is pinned at two scales in
+    tests/test_dedup_similarity.py. ``use_hashes=False`` joins on the
+    shingle STRINGS — the oracle-exact form the declared t34 query uses
+    (DuckDB has no xxhash64 twin).
+
+    Output: (doc_id, n_shingles, n_novel, novelty) — novelty rounded to
+    6 dp for engine parity.
+    """
+    if use_hashes:
+        sh = exploded_shingle_hashes(df, text_col, id_col, shingle_k)
+        key = "h"
+    else:
+        sh = exploded_shingles(df, text_col, id_col, shingle_k)
+        key = "shingle"
+    first = sh.groupBy(key).agg(F.min("doc").alias("__first_doc"))
+    return (
+        sh.join(first, key)
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("__first_doc") == F.col("doc")).cast("int"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles").cast("double"), 6).alias("novelty"),
+        )
+    )
+
+
 def keep_best_survivors(
     df: DataFrame,
     text_col: str,

@@ -3733,30 +3733,15 @@ def t34_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact shingle rule of the whole dedup stack (canonical fragment,
     # import-time tripwire). Plan: one distinct-shingle stem -> min agg
     # on the shingle string -> equi-join back -> per-doc agg; every
-    # shuffle is on shingle/doc keys. At 100 TB swap the string join for
-    # the 8-byte shingle-hash stream (exploded_shingle_hashes) — same
-    # shape, narrower payload; strings here keep the oracle exact.
-    from etl_hiscox_spark.operators.dedup import exploded_shingles
+    # shuffle is on shingle/doc keys. Production runs the SAME operator
+    # with use_hashes=True (the 8-byte xxhash64 stream — narrower shuffle
+    # payload, identical scores, equality pinned at two scales in
+    # tests/test_dedup_similarity.py); strings here keep the DuckDB
+    # oracle exact (no xxhash64 twin).
+    from etl_hiscox_spark.operators.dedup import ngram_novelty_scores
 
     docs = load_table(spark, "documents", sf_dir)
-    sh = exploded_shingles(docs, "text", "doc_id", shingle_k=3)
-    first = sh.groupBy("shingle").agg(F.min("doc").alias("__first_doc"))
-    return (
-        sh.join(first, "shingle")
-        .groupBy(F.col("doc").alias("doc_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum((F.col("__first_doc") == F.col("doc")).cast("int"))
-            .cast("long")
-            .alias("n_novel"),
-        )
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_novel",
-            F.round(F.col("n_novel") / F.col("n_shingles").cast("double"), 6).alias("novelty"),
-        )
-    )
+    return ngram_novelty_scores(docs, "text", "doc_id", shingle_k=3, use_hashes=False)
 
 
 _assert_oracle_fragment_consistency()

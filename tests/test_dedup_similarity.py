@@ -1197,3 +1197,68 @@ def test_ivf_centroid_drift_detects_planted_drift(spark, tmp_path):
         f"planted +3.5 sigma shift not flagged: batch {drift_shift['batch']['mean_dist']} "
         f"vs indexed {drift_shift['indexed']['mean_dist']}"
     )
+
+
+def test_novelty_hash_stream_equals_string_shingles():
+    """VERDICT r9 item 6: t34's declared plan joins on shingle STRINGS
+    (keeps the DuckDB oracle exact); production swaps in the 8-byte
+    xxhash64 stream (ngram_novelty_scores(use_hashes=True)). The swap is
+    only safe if the scores are IDENTICAL — 64-bit collisions are
+    ~2^-64 per shingle pair, so full equality at two scales is the
+    expectation, not a tolerance. Any planted collision would surface
+    here as a row diff and the tolerance would then be documented."""
+    from etl_hiscox_spark.operators.dedup import ngram_novelty_scores
+    from etl_hiscox_spark.registry import load_table
+    from tests.conftest import get_spark
+
+    spark = get_spark()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = load_table(spark, "documents", sf)
+        strings = sorted(
+            tuple(r)
+            for r in ngram_novelty_scores(docs, "text", "doc_id", use_hashes=False).collect()
+        )
+        hashes = sorted(
+            tuple(r)
+            for r in ngram_novelty_scores(docs, "text", "doc_id", use_hashes=True).collect()
+        )
+        assert strings == hashes, f"hash-stream novelty diverged from string path at {sf}"
+        assert len(strings) == docs.count()
+
+
+def test_ivf_recall_pinned_on_clustered_embeddings(spark):
+    """VERDICT r9 item 7: the isotropic-Gaussian recall pins are IVF's
+    WORST case; the 100 TB claim (llm.py: clustered real corpora get the
+    same recall at lower probe fractions) was unpinned. Planted
+    mixture-of-Gaussians: 8 well-separated clusters, query inside one —
+    probing 3/8 clusters (< n_clusters/2) must recover the exact top-10
+    entirely (the query's true neighbors share its mixture component),
+    beating the 0.6 isotropic floor at HALF the isotropic probe
+    fraction. Deterministic: seeded draws, seeded k-means."""
+    import numpy as np
+
+    from etl_hiscox_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(13)
+    dim, per = 32, 50
+    centers = rng.standard_normal((8, dim)) * 4.0  # well-separated
+    rows = []
+    for c in range(8):
+        pts = centers[c] + 0.25 * rng.standard_normal((per, dim))
+        rows += [
+            (c * per + i, [float(x) for x in pts[i]]) for i in range(per)
+        ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = [float(x) for x in centers[3] + 0.25 * rng.standard_normal(dim)]
+
+    exact = {r["vec_id"] for r in cosine_topk(df, "embedding", "vec_id", qv, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk(
+            df, "embedding", "vec_id", qv, k=10, n_clusters=8, n_probe=3, seed=42
+        ).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall == 1.0, f"clustered recall@10 {recall} < 1.0 at probe fraction 3/8"
+    # every exact neighbor sits in the query's mixture component
+    assert all(150 <= v < 200 for v in exact)
