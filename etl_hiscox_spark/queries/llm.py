@@ -3643,9 +3643,14 @@ def t24_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word")
     )
-    n_total = words.count()  # driver-side scalar (the N in the bound)
     hh = heavy_hitters(words, "word", k=k)
     exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    # N rides the exact aggregate (r9 review: a dedicated words.count()
+    # was a third full scan of the exploded frame); the vocab-sized
+    # persist serves both the scalar and the top-15, released by the
+    # caller via the attached-caches contract.
+    exact = exact.persist()
+    n_total = exact.agg(F.sum("n_occurrences")).first()[0]
     top = exact.orderBy(F.col("n_occurrences").desc(), F.col("word").asc()).limit(15)
     bound = F.lit(n_total) / float(k)
     joined = top.join(hh.withColumnRenamed("item", "word"), "word", "left")
@@ -3654,7 +3659,7 @@ def t24_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_occurrences") - bound, F.col("n_occurrences")
     )
     guaranteed = F.col("n_occurrences") > bound
-    return joined.select(
+    out = joined.select(
         "word",
         "n_occurrences",
         guaranteed.alias("guaranteed"),
@@ -3663,6 +3668,9 @@ def t24_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (~present | in_bounds)  # any present item: bounded
         ).alias("summary_ok"),
     )
+    from etl_hiscox_spark.operators.caching import attach_owned_caches
+
+    return attach_owned_caches(out, [exact])
 
 def _assert_oracle_fragment_consistency() -> None:
     """Import-time tripwire for the replicated pair-graph SQL (r9 review):
