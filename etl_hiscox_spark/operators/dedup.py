@@ -1023,6 +1023,42 @@ def compact_minhash_index(spark, path: str, target_file_mb: int = 256) -> int:
     return n
 
 
+def erase_from_minhash_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
+    """Right-to-be-forgotten erasure INSIDE the minhash index: drop every
+    bucket row whose ``doc`` appears in ``keys``; returns the number of
+    bucket rows erased (num_bands rows per erased doc).
+
+    The index retains a banded fingerprint of every ingested document —
+    GDPR reaches it exactly like the primary table
+    (``sources/writers.erase_keys``), and an erased doc must stop
+    surfacing as ``dup_of`` in every future probe. The rewrite runs
+    under the index's meta-last commit protocol (meta invalidated first,
+    rewritten unchanged after the bucket swap) so an interrupted erasure
+    leaves a loudly-rejected index, never a half-erased one read
+    silently. Whole-bucket-table rewrite (tmp + swap) — the honest
+    fallback at this layout; at 100 TB partition the bucket table by
+    ``band`` (or bucket prefix) so erasure rewrites only affected
+    partitions, the same upgrade path erase_keys documents.
+    """
+    import shutil
+
+    meta = _read_index_meta(spark, path)
+    buckets_path = os.path.join(path, "buckets")
+    buckets = spark.read.parquet(buckets_path)
+    k = F.broadcast(keys.select(F.col(id_col).alias("doc")).distinct())
+    n_erased = buckets.join(k, "doc", "left_semi").count()
+    if n_erased == 0:
+        return 0
+    _invalidate_index_meta(spark, path)
+    kept = buckets.join(k, "doc", "left_anti")
+    tmp = buckets_path.rstrip("/") + "__erase"
+    kept.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(buckets_path)
+    os.rename(tmp, buckets_path)
+    _write_index_meta(spark, path, *meta)
+    return n_erased
+
+
 def _meta_is_local(spark, path: str) -> bool:
     """True only when the path resolves to the DRIVER's local filesystem.
 

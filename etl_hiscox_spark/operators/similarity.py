@@ -639,6 +639,55 @@ def compact_ivf_index(spark, path: str, target_file_mb: int = 256) -> int:
     )
 
 
+def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
+    """Right-to-be-forgotten erasure INSIDE the IVF index layout: drop
+    every indexed vector whose ``id_col`` appears in ``keys``; returns
+    the number of rows erased.
+
+    Table-level erasure (``sources/writers.erase_keys``) leaves index
+    layouts retaining the erased payload — an index IS a copy of the
+    data, so GDPR reaches it too. Erasure here touches ONLY the affected
+    cluster partitions: the erase set semi-joins the index to find its
+    clusters (a collect bounded by n_clusters ints), the kept rows of
+    those partitions are staged to a tmp dir (the lazy plan reads
+    ``path``, so an in-place overwrite would delete its own input), and
+    each affected partition directory is swapped. Centroid geometry and
+    every unaffected partition are untouched byte-for-byte — erasure is
+    maintenance, it must never drift the index contract. A cluster whose
+    rows are ALL erased simply loses its directory (an empty partition,
+    which every probe handles). ``keys`` broadcasts (erasure requests
+    are tiny next to the index).
+    """
+    import shutil
+
+    load_ivf_centroids(spark, path)  # loud on an uncommitted index
+    idx = spark.read.parquet(path)
+    k = F.broadcast(keys.select(F.col(id_col)).distinct())
+    hits = idx.join(k, id_col, "left_semi").persist()
+    try:
+        n_erased = hits.count()
+        if n_erased == 0:
+            return 0
+        affected = sorted(
+            r["__cluster"] for r in hits.select("__cluster").distinct().collect()
+        )
+    finally:
+        hits.unpersist(blocking=False)
+    kept = idx.filter(F.col("__cluster").isin(affected)).join(k, id_col, "left_anti")
+    tmp = path.rstrip("/") + "__erase"
+    kept.write.partitionBy("__cluster").mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).parquet(tmp)
+    for c in affected:
+        dst = os.path.join(path, f"__cluster={c}")
+        src = os.path.join(tmp, f"__cluster={c}")
+        shutil.rmtree(dst)
+        if os.path.exists(src):  # fully-erased cluster: directory disappears
+            os.rename(src, dst)
+    shutil.rmtree(tmp)
+    return n_erased
+
+
 def ivf_centroid_drift(
     spark,
     path: str,

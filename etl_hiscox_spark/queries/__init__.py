@@ -395,19 +395,24 @@ WINDOW_R9: tuple[str, ...] = (
 # prechecks for new declarations (new queries must lead; prechecks move
 # toward r11) — keep new declarations <= ~15.
 #
-# r10 build swap (per plan): the 4 new r10 declarations lead —
+# r10 build swap (per plan): the 6 new r10 declarations lead —
 # l3_ivf_compact_probe / l2_lsh_compact_probe (index compaction with
 # content-checksum + probe oracles, VERDICT r9 item 3),
 # l3_ivf_drift_diag (centroid-drift diagnostic, literal-geometry SQL
-# twin, item 4), t35_keep_best_survivors (the survivor frame, item 5).
-# The 4 displaced PRECHECKS (never mandatory entries) —
+# twin, item 4), t35_keep_best_survivors (the survivor frame, item 5),
+# l3_ivf_erase_probe / l2_lsh_erase_probe (GDPR erasure inside the two
+# index layouts — completes the maintenance tier append/compact/erase).
+# The 6 displaced PRECHECKS (never mandatory entries) —
 # w8_gap_fill_daily, x13_exactly_once_txn_sink, x1_x2_stream_roundtrip,
-# x6_stateful_dedup_batch_twin — move to WINDOW_R11's mandatory head
-# (r7-latest, stale-beyond-3 at current=11).
+# x6_stateful_dedup_batch_twin, q6_observe_metrics, s11_snapshot_diff —
+# move to WINDOW_R11's mandatory head (r7-latest, stale-beyond-3 at
+# current=11).
 WINDOW_R10: tuple[str, ...] = (
     # new r10 declarations — never driver-checked, must lead
     "l3_ivf_compact_probe",
     "l2_lsh_compact_probe",
+    "l3_ivf_erase_probe",
+    "l2_lsh_erase_probe",
     "l3_ivf_drift_diag",
     "t35_keep_best_survivors",
     # mandatory: latest green r6 — stale-beyond-3 at current=10
@@ -453,8 +458,6 @@ WINDOW_R10: tuple[str, ...] = (
     "m1_multimodal_features",
     "m2_audio_features",
     "m3_gif_frame_sample",
-    "q6_observe_metrics",
-    "s11_snapshot_diff",
     "s15_corrupt_json_quarantine",
     "s9_scd2_snapshot",
     "t23_bpe_segmentation",
@@ -463,15 +466,15 @@ WINDOW_R10: tuple[str, ...] = (
 # Round 11 window — PRE-DEFINED at the end of r10 (same self-advance
 # mechanism; ``active_window()`` serves this once CORRECTNESS_r10.json
 # exists). Composition (histogram after r10 banks, assuming r10 green:
-# {r7: 28, r8: 50, r9: 50, r10: 50}):
-# head = the 28 r7-latest greens (stale-beyond-3 at current=11): the 24
-# simplest r7 greens deferred by the r9 plan plus the 4 prechecks
-# displaced by r10's new declarations (w8/x13/x1_x2/x6). Then 22 of the
-# 50 r8 greens as early prechecks — the heavier oracle shapes (index
-# round-trips, sketches/samplers, media codecs, PCA/quantized vectors);
-# the 28 simplest r8 greens (projections/filters/joins/aggs and scalar
-# gold queries) defer to a mandatory WINDOW_R12 head, leaving r12 load =
-# 28 + any r11 declarations. The r11 builder SWAPS prechecks for new
+# {r7: 30, r8: 50, r9: 50, r10: 50}):
+# head = the 30 r7-latest greens (stale-beyond-3 at current=11): the 24
+# simplest r7 greens deferred by the r9 plan plus the 6 prechecks
+# displaced by r10's new declarations (w8/x13/x1_x2/x6/q6/s11). Then 20
+# of the 50 r8 greens as early prechecks — the heavier oracle shapes
+# (index round-trips, sketches/samplers, media codecs, PCA/quantized
+# vectors); the 30 simplest r8 greens (projections/filters/joins/aggs,
+# scalar gold queries, t3/t12 samplers) defer to a mandatory WINDOW_R12
+# head, leaving r12 load = 30 + any r11 declarations. The r11 builder SWAPS prechecks for new
 # declarations (new queries must lead; prechecks move toward r12) —
 # keep new declarations <= ~15.
 WINDOW_R11: tuple[str, ...] = (
@@ -504,7 +507,9 @@ WINDOW_R11: tuple[str, ...] = (
     "x13_exactly_once_txn_sink",
     "x1_x2_stream_roundtrip",
     "x6_stateful_dedup_batch_twin",
-    # r8-green prechecks (22 of 50) — smooths the r12 rotation
+    "q6_observe_metrics",
+    "s11_snapshot_diff",
+    # r8-green prechecks (20 of 50) — smooths the r12 rotation
     "a16_hll_distinct_rollup",
     "a19_key_skew_profile",
     "g12_sales_opportunity",
@@ -518,14 +523,12 @@ WINDOW_R11: tuple[str, ...] = (
     "m8_audio_fingerprint",
     "s12_orc_roundtrip",
     "s17_training_shards",
-    "t12_weighted_sample",
     "t16_bigram_lm_nll",
     "t17_semantic_decontamination",
     "t26_dsir_weights",
     "t27_boilerplate_lines",
     "t29_gumbel_weighted_topk",
     "t31_perplexity_buckets",
-    "t3_fingerprint",
     "v4_pca_projection",
 )
 

@@ -305,6 +305,72 @@ def l2_lsh_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l2_lsh_erase_probe",
+    # l2_incremental_probe's cross-batch oracle MINUS the erased history
+    # docs: an erased doc must never surface as dup_of again.
+    oracle="\n    WITH "
+    + _ORACLE_SHINGLE_N_CTE
+    + r""",
+    inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS dup_of, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND b.doc_id % 10 <> 6
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT new_id, dup_of,
+           ROUND(i / CAST(na.n + nb.n - i AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN n na ON new_id = na.doc_id JOIN n nb ON dup_of = nb.doc_id
+    WHERE 5 * i >= 4 * (na.n + nb.n - i)
+    """,
+)
+def l2_lsh_erase_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDPR erasure inside the LSH index (operators/dedup.
+    # erase_from_minhash_index): the index retains a banded fingerprint
+    # of every ingested doc, so right-to-be-forgotten reaches it like
+    # the primary table. History = even doc_ids; erase doc_id % 10 == 6
+    # from the index (meta-last commit protocol — an interrupted erasure
+    # rejects loudly); the odd-id batch then probes it and the declared
+    # output must equal the exact cross-batch Jaccard graph EXCLUDING
+    # the erased docs from the dup_of side — a fingerprint surviving
+    # erasure (or collateral bucket loss) hash-fails. Loud invariants:
+    # erased bucket-row count = num_bands x erased docs present, zero
+    # erased docs remain in the bucket table.
+    import os as _os
+
+    from etl_hiscox_spark.operators.dedup import (
+        erase_from_minhash_index,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.queries.writes import _scratch
+
+    docs = load_table(spark, "documents", sf_dir)
+    path = _os.path.join(_scratch("l2_lsh_erase", sf_dir), "minhash_index")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    write_minhash_index(old, "text", "doc_id", path, num_hashes=24, num_bands=6)
+    erase = old.filter(F.col("doc_id") % 10 == 6).select("doc_id")
+    expected = erase.count() * 6  # num_bands rows per indexed doc
+    n_erased = erase_from_minhash_index(spark, path, erase, "doc_id")
+    if n_erased != expected:
+        raise ValueError(
+            f"erase_from_minhash_index erased {n_erased} bucket rows, expected {expected}"
+        )
+    remaining = (
+        spark.read.parquet(_os.path.join(path, "buckets"))
+        .filter(F.col("doc") % 10 == 6)
+        .count()
+    )
+    if remaining:
+        raise ValueError(f"{remaining} erased docs still fingerprinted in the index")
+    out = probe_minhash_index(
+        new, "text", "doc_id", path, verify_df=docs, threshold=0.8
+    )
+    return out.select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
     "l2_ngram_jaccard_pairs",
     oracle=r"""
     WITH toks AS (
@@ -404,13 +470,16 @@ def l2_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L3: similarity search
 # ---------------------------------------------------------------------------
 
-_COSINE_ORACLE = """
+def _cosine_oracle(corpus_where: str = "") -> str:
+    """Exact brute-force cosine top-10 SQL twin; ``corpus_where`` narrows
+    the scored corpus (the erasure query excludes the erased ids)."""
+    return f"""
     WITH q AS (
       SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
       FROM embeddings WHERE vec_id = 0
     ), e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-      FROM embeddings
+      FROM embeddings{corpus_where}
     ), scored AS (
       SELECT vec_id,
              list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * q.qe[i]))
@@ -422,6 +491,9 @@ _COSINE_ORACLE = """
            ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
     FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
 """
+
+
+_COSINE_ORACLE = _cosine_oracle()
 
 
 def _mmr_oracle() -> str:
@@ -1766,6 +1838,59 @@ def l3_ivf_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(
             f"compact_ivf_index did not defragment: {files_before} -> {files_after} files"
         )
+    out = ivf_probe_topk(
+        spark, path, None, "embedding", "vec_id", qvec, k=10, n_probe=16
+    )
+    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+
+
+@register(
+    "l3_ivf_erase_probe",
+    oracle=_cosine_oracle("\n      WHERE vec_id % 10 <> 7"),
+)
+def l3_ivf_erase_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDPR erasure INSIDE the index layout (operators/similarity.
+    # erase_from_ivf_index): table-level erase_keys leaves the IVF index
+    # retaining the erased vectors — an index IS a copy of the data.
+    # Build on the full corpus, erase vec_id % 10 == 7, then full-probe
+    # top-10 (n_probe = n_clusters, recall-exact by construction): the
+    # oracle is the brute-force cosine twin over the corpus MINUS the
+    # erased ids, so a survivor of erasure, a collaterally dropped
+    # vector, or drifted centroid geometry hash-fails. Loud invariants
+    # before the oracle sees the probe: the erased count must match the
+    # predicate's cardinality and zero erased ids remain readable.
+    # Only AFFECTED cluster partitions are rewritten (the erase set
+    # semi-joins to its clusters; unaffected partitions and _centroids
+    # stay byte-identical) — at 100 TB erasure cost scales with the
+    # erased ids' cluster footprint, not the index.
+    import os as _os
+
+    from etl_hiscox_spark.operators.similarity import (
+        erase_from_ivf_index,
+        ivf_probe_topk,
+        write_ivf_index,
+    )
+    from etl_hiscox_spark.queries.writes import _scratch
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    path = _os.path.join(_scratch("l3_ivf_erase", sf_dir), "ivf_index")
+    # max_iter=4: output is centroid-independent (full probe)
+    write_ivf_index(
+        emb, path, "embedding", "vec_id", n_clusters=16, seed=42, max_iter=4
+    )
+    erase = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id")
+    expected = erase.count()
+    n_erased = erase_from_ivf_index(spark, path, erase, "vec_id")
+    if n_erased != expected:
+        raise ValueError(
+            f"erase_from_ivf_index erased {n_erased} rows, predicate covers {expected}"
+        )
+    remaining = (
+        spark.read.parquet(path).filter(F.col("vec_id") % 10 == 7).count()
+    )
+    if remaining:
+        raise ValueError(f"{remaining} erased vec_ids still readable in the index")
     out = ivf_probe_topk(
         spark, path, None, "embedding", "vec_id", qvec, k=10, n_probe=16
     )
@@ -3686,6 +3811,7 @@ def _assert_oracle_fragment_consistency() -> None:
     shingle_users = (
         "l2_incremental_probe",
         "l2_lsh_compact_probe",
+        "l2_lsh_erase_probe",
         "l2_transitive_clusters",
         "t32_cluster_keep_best",
         "t33_leakage_safe_split",

@@ -1262,3 +1262,107 @@ def test_ivf_recall_pinned_on_clustered_embeddings(spark):
     assert recall == 1.0, f"clustered recall@10 {recall} < 1.0 at probe fraction 3/8"
     # every exact neighbor sits in the query's mixture component
     assert all(150 <= v < 200 for v in exact)
+
+
+def test_erase_from_ivf_index_touches_only_affected_partitions(spark, tmp_path):
+    """GDPR erasure inside the IVF layout: erased ids gone, count right,
+    UNAFFECTED partition files byte-identical (same paths+sizes —
+    erasure cost scales with the erase set's cluster footprint), a
+    fully-erased cluster's directory disappears, zero-match erase is a
+    no-op returning 0, and _centroids never move."""
+    import os
+
+    import numpy as np
+
+    from etl_hiscox_spark.operators.similarity import (
+        erase_from_ivf_index,
+        ivf_probe_topk,
+        load_ivf_centroids,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(51)
+    C = rng.standard_normal((3, 4)) * 4.0
+    # cluster membership by construction: ids 0-19 near C0, 20-39 near C1,
+    # 40-49 near C2
+    rows = []
+    for i in range(50):
+        c = 0 if i < 20 else (1 if i < 40 else 2)
+        rows.append((i, [float(x) for x in C[c] + 0.1 * rng.standard_normal(4)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(df, path, "embedding", "vec_id", centroids=C)
+
+    def listing(cluster):
+        d = os.path.join(path, f"__cluster={cluster}")
+        if not os.path.isdir(d):
+            return None
+        return sorted(
+            (f, os.path.getsize(os.path.join(r, f)))
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    l0, l1 = listing(0), listing(1)
+    cents = load_ivf_centroids(spark, path)
+
+    # erase 5 ids from cluster 2 plus the WHOLE of nothing else
+    keys = spark.createDataFrame([(i,) for i in range(40, 45)], "vec_id long")
+    assert erase_from_ivf_index(spark, path, keys, "vec_id") == 5
+    assert listing(0) == l0 and listing(1) == l1, "unaffected partitions rewritten"
+    back = {r["vec_id"] for r in spark.read.parquet(path).collect()}
+    assert back == set(range(40)) | set(range(45, 50))
+
+    # zero-match erase: no-op
+    ghost = spark.createDataFrame([(999,)], "vec_id long")
+    assert erase_from_ivf_index(spark, path, ghost, "vec_id") == 0
+    assert listing(0) == l0 and listing(1) == l1
+
+    # erase the REST of cluster 2: its directory disappears, probes still work
+    keys2 = spark.createDataFrame([(i,) for i in range(45, 50)], "vec_id long")
+    assert erase_from_ivf_index(spark, path, keys2, "vec_id") == 5
+    assert listing(2) is None, "fully-erased cluster directory should be gone"
+    assert np.array_equal(load_ivf_centroids(spark, path), cents)
+    qv = [float(x) for x in C[0]]
+    got = ivf_probe_topk(spark, path, None, "embedding", "vec_id", qv, k=5, n_probe=3)
+    ids = {r["vec_id"] for r in got.collect()}
+    assert ids <= set(range(20)) and len(ids) == 5
+
+
+def test_erase_from_minhash_index_removes_fingerprints(spark, tmp_path):
+    """Erased docs stop surfacing as dup_of; bucket-row count contract
+    (num_bands per indexed doc); meta (banding params) survives the
+    rewrite; zero-match erase is a no-op."""
+    import os
+
+    from etl_hiscox_spark.operators.dedup import (
+        _read_index_meta,
+        erase_from_minhash_index,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "mh")
+    # index docs 0,1,2 (0 and 1 exact dups; 2 a near dup); probe with 5
+    write_minhash_index(
+        docs.filter("doc_id IN (0, 1, 2)"), "text", "doc_id", path,
+        num_hashes=24, num_bands=6,
+    )
+    new = docs.filter("doc_id = 5")
+    before = {r["dup_of"] for r in probe_minhash_index(new, "text", "doc_id", path).collect()}
+    assert 0 in before and 1 in before
+
+    keys = spark.createDataFrame([(1,)], "doc_id long")
+    assert erase_from_minhash_index(spark, path, keys, "doc_id") == 6  # num_bands
+    assert _read_index_meta(spark, path) == (24, 6, 3)
+    after = {r["dup_of"] for r in probe_minhash_index(new, "text", "doc_id", path).collect()}
+    assert 1 not in after, "erased doc still surfaces as dup_of"
+    assert after == before - {1}
+    remaining = spark.read.parquet(os.path.join(path, "buckets"))
+    assert remaining.filter("doc = 1").count() == 0
+
+    ghost = spark.createDataFrame([(42,)], "doc_id long")
+    assert erase_from_minhash_index(spark, path, ghost, "doc_id") == 0
+    assert _read_index_meta(spark, path) == (24, 6, 3)
