@@ -1199,19 +1199,20 @@ def test_ivf_centroid_drift_detects_planted_drift(spark, tmp_path):
     )
 
 
-def test_novelty_hash_stream_equals_string_shingles():
+def test_novelty_hash_stream_equals_string_shingles(spark):
     """VERDICT r9 item 6: t34's declared plan joins on shingle STRINGS
     (keeps the DuckDB oracle exact); production swaps in the 8-byte
     xxhash64 stream (ngram_novelty_scores(use_hashes=True)). The swap is
     only safe if the scores are IDENTICAL — 64-bit collisions are
     ~2^-64 per shingle pair, so full equality at two scales is the
     expectation, not a tolerance. Any planted collision would surface
-    here as a row diff and the tolerance would then be documented."""
+    here as a row diff and the tolerance would then be documented.
+    (Uses the session fixture — a bare get_spark() here once re-tuned
+    the shared session's shuffle partitions and broke the AQE skew
+    plan gate two files later.)"""
     from etl_hiscox_spark.operators.dedup import ngram_novelty_scores
     from etl_hiscox_spark.registry import load_table
-    from tests.conftest import get_spark
 
-    spark = get_spark()
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         docs = load_table(spark, "documents", sf)
         strings = sorted(
