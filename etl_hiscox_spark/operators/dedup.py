@@ -1055,6 +1055,9 @@ def erase_from_minhash_index(spark, path: str, keys: DataFrame, id_col: str) -> 
     kept.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(buckets_path)
     os.rename(tmp, buckets_path)
+    from etl_hiscox_spark.sources.writers import refresh_swapped_path
+
+    refresh_swapped_path(spark, buckets_path)
     _write_index_meta(spark, path, *meta)
     return n_erased
 

@@ -631,6 +631,10 @@ def compact_ivf_index(spark, path: str, target_file_mb: int = 256) -> int:
     shutil.copytree(os.path.join(path, "_centroids"), os.path.join(tmp, "_centroids"))
     shutil.rmtree(path)
     os.rename(tmp, path)
+    # out-of-band swap: drop the session's cached pre-swap file listing
+    from etl_hiscox_spark.sources.writers import refresh_swapped_path
+
+    refresh_swapped_path(spark, path)
     return sum(
         1
         for root, _, files in os.walk(path)
@@ -685,6 +689,9 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
         if os.path.exists(src):  # fully-erased cluster: directory disappears
             os.rename(src, dst)
     shutil.rmtree(tmp)
+    from etl_hiscox_spark.sources.writers import refresh_swapped_path
+
+    refresh_swapped_path(spark, path)
     return n_erased
 
 

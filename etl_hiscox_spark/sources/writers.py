@@ -15,6 +15,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def refresh_swapped_path(spark: SparkSession, path: str) -> None:
+    """Invalidate Spark's cached listings/plans for ``path`` after an
+    OUT-OF-BAND file swap. Writes issued THROUGH Spark refresh the
+    session's shared FileStatusCache for their output path automatically;
+    a ``shutil.rmtree`` + ``os.rename`` swap bypasses Spark entirely, so
+    a later read of the same path can be served the PRE-swap file listing
+    and die on a deleted part file (r10 bench: a post-compaction probe
+    read a pre-swap bucket file). Every tmp+swap in this codebase must
+    call this after the rename."""
+    spark.catalog.refreshByPath(path)
+
+
 def append_with_schema_merge(
     spark: SparkSession, df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
 ) -> None:
@@ -39,6 +51,7 @@ def append_with_schema_merge(
 
             shutil.rmtree(path)
             os.rename(tmp, path)
+            refresh_swapped_path(spark, path)
             return
     w = df.write.mode("append")
     if partition_by:
@@ -111,6 +124,7 @@ def scd2_snapshot(
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(tmp, path)
+    refresh_swapped_path(spark, path)
     return spark.read.parquet(path)
 
 
@@ -262,6 +276,7 @@ def compact_small_files(
     out.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(path)
     os.rename(tmp, path)
+    refresh_swapped_path(spark, path)
     return sum(
         1 for root, _, files in os.walk(path) for f in files if f.endswith(".parquet")
     )
@@ -305,6 +320,7 @@ def erase_keys(
         os.rename(target_path, backup)
         os.rename(tmp, target_path)
         shutil.rmtree(backup)
+        refresh_swapped_path(spark, target_path)
         return n_before - n_after
     finally:
         if os.path.exists(tmp):

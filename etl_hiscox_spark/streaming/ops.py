@@ -245,6 +245,11 @@ def foreach_batch_upsert(
         if os.path.exists(target_path):
             shutil.rmtree(target_path)
         os.rename(target_path + "_tmp", target_path)
+        # out-of-band swap: drop the session's cached pre-swap listing so
+        # the NEXT micro-batch's read of target_path lists fresh files
+        from etl_hiscox_spark.sources.writers import refresh_swapped_path
+
+        refresh_swapped_path(spark, target_path)
 
     return _apply
 
