@@ -1053,11 +1053,9 @@ def erase_from_minhash_index(spark, path: str, keys: DataFrame, id_col: str) -> 
     kept = buckets.join(k, "doc", "left_anti")
     tmp = buckets_path.rstrip("/") + "__erase"
     kept.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(buckets_path)
-    os.rename(tmp, buckets_path)
-    from etl_hiscox_spark.sources.writers import refresh_swapped_path
+    from etl_hiscox_spark.sources.writers import swap_and_refresh
 
-    refresh_swapped_path(spark, buckets_path)
+    swap_and_refresh(spark, tmp, buckets_path)
     _write_index_meta(spark, path, *meta)
     return n_erased
 

@@ -406,20 +406,33 @@ def ivf_topk(
     return cosine_topk(candidates, embedding_col, id_col, query_vec, k)
 
 
+def _centroid_distance_grid(
+    C: np.ndarray, embs: pd.Series
+) -> tuple[np.ndarray, np.ndarray]:
+    """(valid mask, squared-Euclidean distance grid) of one Arrow batch
+    against the centroid matrix — THE shared kernel of cluster assignment
+    (argmin over the grid) and the drift diagnostic (min over the grid):
+    a single implementation guarantees reported drift distances can never
+    disagree with the distances assignment actually used. One BLAS matmul
+    per batch; malformed rows (NULL / wrong-dim / NaN) come back invalid
+    rather than crashing the batch."""
+    c_sq = (C * C).sum(axis=1)
+    mat = _stack_embeddings(embs, dim=C.shape[1])
+    valid = ~np.isnan(mat).any(axis=1)
+    m = np.nan_to_num(mat)
+    d = (m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ C.T) + c_sq
+    return valid, d
+
+
 def _nearest_centroid_col(C: np.ndarray, embedding_col: Column) -> Column:
     """Cluster id of each embedding's nearest centroid (squared Euclidean,
     first index on a tie — KMeansModel.transform parity, test-pinned).
-    One Arrow batch pass, the distance grid a single BLAS matmul.
     NULL / wrong-dim / NaN embeddings map to -1 so callers can reject
     them loudly before anything lands on disk."""
-    c_sq = (C * C).sum(axis=1)
 
     @F.pandas_udf("int")
     def assign(embs: pd.Series) -> pd.Series:
-        mat = _stack_embeddings(embs, dim=C.shape[1])
-        valid = ~np.isnan(mat).any(axis=1)
-        m = np.nan_to_num(mat)
-        d = (m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ C.T) + c_sq
+        valid, d = _centroid_distance_grid(C, embs)
         return pd.Series(np.where(valid, d.argmin(axis=1), -1).astype(np.int32))
 
     return assign(embedding_col)
@@ -619,7 +632,10 @@ def compact_ivf_index(spark, path: str, target_file_mb: int = 256) -> int:
     df = spark.read.parquet(path)
     data_cols = [c for c in df.columns if c != "__cluster"]
     n_map = F.create_map(*[F.lit(x) for item in n_files.items() for x in item])
-    salt = F.pmod(F.abs(F.hash(*[F.col(c) for c in data_cols])), n_map[F.col("__cluster")])
+    # pmod already returns a non-negative result for negative hashes; an
+    # abs() here would overflow loudly under ANSI mode (Spark 4 default)
+    # on the one-in-2^32 row whose int32 hash is Integer.MIN_VALUE
+    salt = F.pmod(F.hash(*[F.col(c) for c in data_cols]), n_map[F.col("__cluster")])
     tmp = path.rstrip("/") + "__compact"
     (
         df.repartition(sum(n_files.values()), F.col("__cluster"), salt)
@@ -629,12 +645,9 @@ def compact_ivf_index(spark, path: str, target_file_mb: int = 256) -> int:
         .parquet(tmp)
     )
     shutil.copytree(os.path.join(path, "_centroids"), os.path.join(tmp, "_centroids"))
-    shutil.rmtree(path)
-    os.rename(tmp, path)
-    # out-of-band swap: drop the session's cached pre-swap file listing
-    from etl_hiscox_spark.sources.writers import refresh_swapped_path
+    from etl_hiscox_spark.sources.writers import swap_and_refresh
 
-    refresh_swapped_path(spark, path)
+    swap_and_refresh(spark, tmp, path)
     return sum(
         1
         for root, _, files in os.walk(path)
@@ -661,10 +674,18 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
     rows are ALL erased simply loses its directory (an empty partition,
     which every probe handles). ``keys`` broadcasts (erasure requests
     are tiny next to the index).
+
+    Commit protocol: ``_centroids`` is the index's commit record
+    (:func:`load_ivf_centroids` rejects an index without it) — it is
+    REMOVED before the first partition swap and rewritten only after the
+    last one lands, so a crash mid-loop leaves a loudly-rejected index,
+    never a silently half-erased one (or one missing a cluster's kept
+    rows — a vanished directory is indistinguishable from a legitimately
+    fully-erased cluster).
     """
     import shutil
 
-    load_ivf_centroids(spark, path)  # loud on an uncommitted index
+    C = load_ivf_centroids(spark, path)  # loud on an uncommitted index
     idx = spark.read.parquet(path)
     k = F.broadcast(keys.select(F.col(id_col)).distinct())
     hits = idx.join(k, id_col, "left_semi").persist()
@@ -682,6 +703,9 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
     kept.write.partitionBy("__cluster").mode("overwrite").option(
         "partitionOverwriteMode", "static"
     ).parquet(tmp)
+    # invalidate the commit record before mutating any partition (see
+    # docstring); everything needed to restore it is already in C
+    shutil.rmtree(os.path.join(path, "_centroids"))
     for c in affected:
         dst = os.path.join(path, f"__cluster={c}")
         src = os.path.join(tmp, f"__cluster={c}")
@@ -689,6 +713,7 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
         if os.path.exists(src):  # fully-erased cluster: directory disappears
             os.rename(src, dst)
     shutil.rmtree(tmp)
+    _write_ivf_centroids(spark, path, C)
     from etl_hiscox_spark.sources.writers import refresh_swapped_path
 
     refresh_swapped_path(spark, path)
@@ -723,30 +748,32 @@ def ivf_centroid_drift(
     re-rounded to 6 dp. One Arrow pass per side, no shuffle beyond the
     2-group aggregate.
 
-    Output: one row per side — (side, n_vectors, mean_dist, median_dist,
-    p90_dist).
+    Malformed rows (NULL / wrong-dim / NaN embeddings) are NOT silently
+    dropped — a broken upstream embedder is the most likely real cause of
+    "drift", so each side reports its ``n_malformed`` count (r10 review);
+    the distance stats cover the well-formed rows.
+
+    Output: one row per side — (side, n_vectors, n_malformed, mean_dist,
+    median_dist, p90_dist).
     """
     C = load_ivf_centroids(spark, path)
 
     def nearest_dist(col: Column) -> Column:
-        c_sq = (C * C).sum(axis=1)
-
         @F.pandas_udf("double")
         def _dist(embs: pd.Series) -> pd.Series:
             if not len(embs):
                 return pd.Series([], dtype="float64")
-            mat = _stack_embeddings(embs, dim=C.shape[1])
-            valid = ~np.isnan(mat).any(axis=1)
-            m = np.nan_to_num(mat)
-            d = (m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ C.T) + c_sq
+            # shared kernel with cluster assignment (_nearest_centroid_col)
+            # so reported distances can never disagree with the distances
+            # assignment actually used
+            valid, d = _centroid_distance_grid(C, embs)
             # clip tiny negative float noise before sqrt
             best = np.sqrt(np.clip(d.min(axis=1), 0.0, None))
             return pd.Series(np.where(valid, best, np.nan))
 
-        # asNondeterministic: __d feeds both the NaN-guard Filter and the
-        # aggregate; without the marker Catalyst clones the ArrowEvalPython
-        # node and every row is scored twice (same fix as
-        # cosine_scores_pandas, plan-pinned there).
+        # asNondeterministic: __d feeds several aggregate branches; without
+        # the marker Catalyst may clone the ArrowEvalPython node and score
+        # every row twice (same fix as cosine_scores_pandas, plan-pinned).
         return F.round(_dist.asNondeterministic()(col), 6)
 
     indexed = spark.read.parquet(path).select(
@@ -757,14 +784,17 @@ def ivf_centroid_drift(
         F.lit("batch").alias("side"),
         nearest_dist(F.col(embedding_col)).alias("__d"),
     )
-    both = indexed.unionByName(batch).filter(
-        F.col("__d").isNotNull() & ~F.isnan("__d")
+    # NaN (malformed) -> NULL so every aggregate below skips them natively
+    both = indexed.unionByName(batch).select(
+        "side",
+        F.when(F.isnan("__d"), F.lit(None)).otherwise(F.col("__d")).alias("__dv"),
     )
     return both.groupBy("side").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.round(F.avg("__d"), 6).alias("mean_dist"),
-        F.round(F.expr("percentile(__d, 0.5)"), 6).alias("median_dist"),
-        F.round(F.expr("percentile(__d, 0.9)"), 6).alias("p90_dist"),
+        F.count("__dv").alias("n_vectors"),
+        (F.count(F.lit(1)) - F.count("__dv")).alias("n_malformed"),
+        F.round(F.avg("__dv"), 6).alias("mean_dist"),
+        F.round(F.expr("percentile(__dv, 0.5)"), 6).alias("median_dist"),
+        F.round(F.expr("percentile(__dv, 0.9)"), 6).alias("p90_dist"),
     )
 
 

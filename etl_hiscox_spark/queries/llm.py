@@ -143,6 +143,21 @@ _ORACLE_SHINGLE_N_CTE = r"""toks AS (
     ), grams AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
     n AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id)"""
 
+# Keeper-policy fragment shared by t32 (cluster report) and t35 (survivor
+# frame): per-component quality ranking — q DESC, node ASC argmax. One copy,
+# tripwire-checked, so the survivorship rule cannot silently diverge
+# between the report and the selection (r10 review).
+_ORACLE_KEEP_BEST_MEMB_RANK_CTE = r"""memb AS (
+      SELECT c.component, c.node, CAST(length(d.text) AS BIGINT) AS q
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    ),
+    ranked AS (
+      SELECT component, node, q,
+             ROW_NUMBER() OVER (PARTITION BY component ORDER BY q DESC, node) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS n_members
+      FROM memb
+    )"""
+
 _ORACLE_PAIR_CLOSURE_CTE = r"""inter AS (
       SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
       FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -214,6 +229,36 @@ def l2_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _parquet_content_checksum(spark: SparkSession, path: str) -> tuple:
+    """(row count, exact decimal sum of xxhash64 over every column) of a
+    parquet dir — the content-equality invariant the index-maintenance
+    queries raise on. decimal(38,0): a long sum of ~2^63-scale hashes
+    overflows under ANSI mode; decimal is exact at any corpus size."""
+    d = spark.read.parquet(path)
+    row = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in sorted(d.columns)]).cast("decimal(38,0)")
+        ).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def _parquet_file_count(path: str, exclude: str | None = None) -> int:
+    """Data-file count under ``path`` (optionally skipping one subdir name,
+    e.g. the IVF _centroids commit record)."""
+    import os as _os
+
+    return sum(
+        1
+        for root, _, files in _os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+        and (exclude is None or _os.sep + exclude not in root)
+    )
+
+
+
 @register(
     "l2_lsh_compact_probe",
     # Same brute-force cross-batch oracle as l2_incremental_probe — the
@@ -266,30 +311,11 @@ def l2_lsh_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=24, num_bands=6, mode="append",
     )
     buckets = _os.path.join(path, "buckets")
-
-    def checksum() -> tuple:
-        d = spark.read.parquet(buckets)
-        row = d.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal sum: a long sum of ~2^63-scale hashes overflows
-            # under ANSI mode; decimal(38,0) is exact at any corpus size
-            F.sum(
-                F.xxhash64(*[F.col(c) for c in sorted(d.columns)]).cast("decimal(38,0)")
-            ).alias("h"),
-        ).first()
-        return (row["n"], row["h"])
-
-    def n_files() -> int:
-        return sum(
-            1
-            for root, _, files in _os.walk(buckets)
-            for f in files
-            if f.endswith(".parquet")
-        )
-
-    sig_before, files_before = checksum(), n_files()
+    sig_before = _parquet_content_checksum(spark, buckets)
+    files_before = _parquet_file_count(buckets)
     compact_minhash_index(spark, path)
-    sig_after, files_after = checksum(), n_files()
+    sig_after = _parquet_content_checksum(spark, buckets)
+    files_after = _parquet_file_count(buckets)
     if sig_after != sig_before:
         raise ValueError(
             f"compact_minhash_index changed bucket content: {sig_before} -> {sig_after}"
@@ -1807,29 +1833,11 @@ def l3_ivf_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_to_ivf_index(emb.filter(F.col("vec_id") % 4 == 1), path, "embedding", "vec_id")
     append_to_ivf_index(emb.filter(F.col("vec_id") % 4 == 3), path, "embedding", "vec_id")
 
-    def checksum() -> tuple:
-        d = spark.read.parquet(path)
-        row = d.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal sum: a long sum of ~2^63-scale hashes overflows
-            # under ANSI mode; decimal(38,0) is exact at any corpus size
-            F.sum(
-                F.xxhash64(*[F.col(c) for c in sorted(d.columns)]).cast("decimal(38,0)")
-            ).alias("h"),
-        ).first()
-        return (row["n"], row["h"])
-
-    def n_data_files() -> int:
-        return sum(
-            1
-            for root, _, files in _os.walk(path)
-            for f in files
-            if f.endswith(".parquet") and _os.sep + "_centroids" not in root
-        )
-
-    sig_before, files_before = checksum(), n_data_files()
+    sig_before = _parquet_content_checksum(spark, path)
+    files_before = _parquet_file_count(path, exclude="_centroids")
     compact_ivf_index(spark, path)
-    sig_after, files_after = checksum(), n_data_files()
+    sig_after = _parquet_content_checksum(spark, path)
+    files_after = _parquet_file_count(path, exclude="_centroids")
     if sig_after != sig_before:
         raise ValueError(
             f"compact_ivf_index changed index content: {sig_before} -> {sig_after}"
@@ -1916,19 +1924,23 @@ def _drift_centroid_values() -> str:
     WITH c(ci, cv) AS (
       VALUES {_drift_centroid_values()}
     ), e AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      SELECT vec_id,
+             CASE WHEN embedding IS NULL OR len(embedding) <> 64 THEN NULL
+                  ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS emb
       FROM embeddings
     ), d AS (
       SELECT vec_id,
-             ROUND(sqrt(greatest(MIN(
-               list_dot_product(emb, emb)
-               - 2 * list_dot_product(emb, cv)
-               + list_dot_product(cv, cv)), 0)), 6) AS dist
+             CASE WHEN emb IS NULL THEN NULL
+                  ELSE ROUND(sqrt(greatest(MIN(
+                    list_dot_product(emb, emb)
+                    - 2 * list_dot_product(emb, cv)
+                    + list_dot_product(cv, cv)), 0)), 6) END AS dist
       FROM e CROSS JOIN c
-      GROUP BY vec_id
+      GROUP BY vec_id, emb
     )
     SELECT CASE WHEN vec_id % 2 = 0 THEN 'indexed' ELSE 'batch' END AS side,
-           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(dist) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) - COUNT(dist) AS BIGINT) AS n_malformed,
            ROUND(AVG(dist), 6) AS mean_dist,
            ROUND(quantile_cont(dist, 0.5), 6) AS median_dist,
            ROUND(quantile_cont(dist, 0.9), 6) AS p90_dist
@@ -2176,17 +2188,9 @@ def l2_transitive_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _ORACLE_SHINGLE_N_CTE
     + ",\n    "
     + _ORACLE_PAIR_CLOSURE_CTE
-    + r""",
-    memb AS (
-      SELECT c.component, c.node, CAST(length(d.text) AS BIGINT) AS q
-      FROM comp c JOIN documents d ON d.doc_id = c.node
-    ),
-    ranked AS (
-      SELECT component, node, q,
-             ROW_NUMBER() OVER (PARTITION BY component ORDER BY q DESC, node) AS rn,
-             COUNT(*) OVER (PARTITION BY component) AS n_members
-      FROM memb
-    )
+    + ",\n    "
+    + _ORACLE_KEEP_BEST_MEMB_RANK_CTE
+    + r"""
     SELECT component, node AS kept_id, n_members, q AS best_quality
     FROM ranked WHERE rn = 1
     """,
@@ -2217,16 +2221,9 @@ def t32_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _ORACLE_SHINGLE_N_CTE
     + ",\n    "
     + _ORACLE_PAIR_CLOSURE_CTE
+    + ",\n    "
+    + _ORACLE_KEEP_BEST_MEMB_RANK_CTE
     + r""",
-    memb AS (
-      SELECT c.component, c.node, CAST(length(d.text) AS BIGINT) AS q
-      FROM comp c JOIN documents d ON d.doc_id = c.node
-    ),
-    ranked AS (
-      SELECT node,
-             ROW_NUMBER() OVER (PARTITION BY component ORDER BY q DESC, node) AS rn
-      FROM memb
-    ),
     losers AS (SELECT node FROM ranked WHERE rn > 1)
     SELECT doc_id, lang, source FROM documents
     WHERE doc_id NOT IN (SELECT node FROM losers)
@@ -3835,6 +3832,12 @@ def _assert_oracle_fragment_consistency() -> None:
             raise ValueError(
                 f"{name}: pair-closure oracle fragment diverged from "
                 "_ORACLE_PAIR_CLOSURE_CTE - compose from the canonical fragment"
+            )
+    for name in ("t32_cluster_keep_best", "t35_keep_best_survivors"):
+        if _ORACLE_KEEP_BEST_MEMB_RANK_CTE not in QUERIES[name].oracle:
+            raise ValueError(
+                f"{name}: keeper-policy oracle fragment diverged from "
+                "_ORACLE_KEEP_BEST_MEMB_RANK_CTE - compose from the canonical fragment"
             )
 
 

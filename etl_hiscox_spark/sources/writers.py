@@ -27,6 +27,19 @@ def refresh_swapped_path(spark: SparkSession, path: str) -> None:
     spark.catalog.refreshByPath(path)
 
 
+def swap_and_refresh(spark: SparkSession, tmp: str, path: str) -> None:
+    """THE tmp-swap: remove ``path``, rename ``tmp`` into place, refresh
+    Spark's path caches. One implementation (r10 review) — the hand-rolled
+    copies of this three-step dance kept forgetting the refresh, which is
+    exactly how the stale-listing bench failure happened."""
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    refresh_swapped_path(spark, path)
+
+
 def append_with_schema_merge(
     spark: SparkSession, df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
 ) -> None:
@@ -47,11 +60,7 @@ def append_with_schema_merge(
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(tmp)
-            import shutil
-
-            shutil.rmtree(path)
-            os.rename(tmp, path)
-            refresh_swapped_path(spark, path)
+            swap_and_refresh(spark, tmp, path)
             return
     w = df.write.mode("append")
     if partition_by:
@@ -119,12 +128,7 @@ def scd2_snapshot(
     # direct overwrite would delete its own input mid-job.
     tmp = path.rstrip("/") + "__tmp"
     out.write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
-    refresh_swapped_path(spark, path)
+    swap_and_refresh(spark, tmp, path)
     return spark.read.parquet(path)
 
 
@@ -274,9 +278,7 @@ def compact_small_files(
         out = df.repartition(n_files)
     tmp = path.rstrip("/") + "__compact"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
-    refresh_swapped_path(spark, path)
+    swap_and_refresh(spark, tmp, path)
     return sum(
         1 for root, _, files in os.walk(path) for f in files if f.endswith(".parquet")
     )

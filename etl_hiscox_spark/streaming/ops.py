@@ -239,17 +239,12 @@ def foreach_batch_upsert(
             .drop("__rn")
         )
         deduped.write.mode("overwrite").parquet(target_path + "_tmp")
-        # atomic-ish swap (parquet fallback; Delta MERGE avoids this dance)
-        import shutil
+        # atomic-ish swap (parquet fallback; Delta MERGE avoids this dance);
+        # the helper also refreshes the session's path caches so the NEXT
+        # micro-batch's read of target_path lists fresh files
+        from etl_hiscox_spark.sources.writers import swap_and_refresh
 
-        if os.path.exists(target_path):
-            shutil.rmtree(target_path)
-        os.rename(target_path + "_tmp", target_path)
-        # out-of-band swap: drop the session's cached pre-swap listing so
-        # the NEXT micro-batch's read of target_path lists fresh files
-        from etl_hiscox_spark.sources.writers import refresh_swapped_path
-
-        refresh_swapped_path(spark, target_path)
+        swap_and_refresh(spark, target_path + "_tmp", target_path)
 
     return _apply
 

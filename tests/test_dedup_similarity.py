@@ -1177,6 +1177,8 @@ def test_ivf_centroid_drift_detects_planted_drift(spark, tmp_path):
     drift_same = {r["side"]: r for r in ivf_centroid_drift(spark, path, same_f, "embedding").collect()}
     assert drift_same["indexed"]["n_vectors"] == 60
     assert drift_same["batch"]["n_vectors"] == 30
+    assert drift_same["indexed"]["n_malformed"] == 0
+    assert drift_same["batch"]["n_malformed"] == 0
     exp_idx = expected_stats(stored(frame(base, 0)))
     assert (
         drift_same["indexed"]["mean_dist"],
@@ -1197,6 +1199,18 @@ def test_ivf_centroid_drift_detects_planted_drift(spark, tmp_path):
         f"planted +3.5 sigma shift not flagged: batch {drift_shift['batch']['mean_dist']} "
         f"vs indexed {drift_shift['indexed']['mean_dist']}"
     )
+
+    # malformed batch rows are REPORTED, not silently dropped (r10 review:
+    # a broken upstream embedder is the most likely real cause of drift)
+    broken = spark.createDataFrame(
+        [(300, [1.0, 2.0]), (301, None)]
+        + [(310 + i, [float(x) for x in same[i]]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    drift_bad = {r["side"]: r for r in ivf_centroid_drift(spark, path, broken, "embedding").collect()}
+    assert drift_bad["batch"]["n_malformed"] == 2
+    assert drift_bad["batch"]["n_vectors"] == 5
+    assert drift_bad["indexed"]["n_malformed"] == 0
 
 
 def test_novelty_hash_stream_equals_string_shingles(spark):
