@@ -641,8 +641,21 @@ def _decode_scan(data, start, frame, sel, quant, huff_dc, huff_ac, restart_inter
             for ci, (hi, vi, dc_tbl, ac_tbl, qvec) in enumerate(comp_ctx):
                 for by in range(vi):
                     for bx in range(hi):
-                        zz = np.zeros(64, dtype=np.int32)
+                        # int64: a corrupt-but-category-valid stream can
+                        # random-walk the DC predictor past int32 on large
+                        # frames; int64 keeps the overflow impossible (the
+                        # fuzz contract is ValueError-or-decode, never an
+                        # OverflowError out of numpy)
+                        zz = np.zeros(64, dtype=np.int64)
                         cat = reader.read_symbol(dc_tbl)
+                        if cat > 11:
+                            # T.81 F.1.2.1.1: baseline DC categories are
+                            # 0..11 — a larger symbol is a corrupt table or
+                            # stream, and blindly reading `cat` bits lets
+                            # the predictor overflow arbitrarily (fuzz)
+                            raise ValueError(
+                                f"corrupt JPEG: DC category {cat} out of range"
+                            )
                         diff = _extend(reader.read_bits(cat), cat)
                         preds[ci] += diff
                         zz[0] = preds[ci]
@@ -658,6 +671,11 @@ def _decode_scan(data, start, frame, sel, quant, huff_dc, huff_ac, restart_inter
                             k += r
                             if k > 63:
                                 raise ValueError("corrupt JPEG: AC run past block end")
+                            if s > 10:
+                                # T.81 F.1.2.2.1: baseline AC sizes are 1..10
+                                raise ValueError(
+                                    f"corrupt JPEG: AC size {s} out of range"
+                                )
                             zz[k] = _extend(reader.read_bits(s), s)
                             k += 1
                         coef = np.zeros(64, dtype=np.float64)
