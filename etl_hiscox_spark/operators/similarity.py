@@ -720,6 +720,45 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
     return n_erased
 
 
+def ivf_fragmentation_stats(spark, path: str) -> DataFrame:
+    """Observability twin of :func:`compact_ivf_index` — per-cluster file
+    count and bytes of a written IVF index, so the compaction trigger is
+    a queryable fact instead of an operator's guess (the same
+    make-the-maintenance-signal-visible rule as
+    :func:`ivf_centroid_drift` for rebuilds). Listing goes through the
+    Hadoop FileSystem API, so it works identically on local paths and
+    HDFS/S3A. Driver-side cost: one recursive LIST, n_clusters rows.
+
+    Output: (cluster, n_files, total_bytes, avg_file_bytes) ordered by
+    cluster. Rule of thumb documented on the compactor: compact when
+    n_files per partition ≫ ceil(total_bytes / target_file_mb).
+    """
+    load_ivf_centroids(spark, path)  # loud on an uncommitted index
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    stats: dict[int, list[int]] = {}
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        if not p.endswith(".parquet") or "/_centroids/" in p:
+            continue
+        marker = "/__cluster="
+        if marker not in p:
+            continue
+        cluster = int(p.split(marker, 1)[1].split("/", 1)[0])
+        entry = stats.setdefault(cluster, [0, 0])
+        entry[0] += 1
+        entry[1] += int(st.getLen())
+    rows = [
+        (c, n, b, float(b) / n) for c, (n, b) in sorted(stats.items())
+    ]
+    return spark.createDataFrame(
+        rows, "cluster int, n_files long, total_bytes long, avg_file_bytes double"
+    )
+
+
 def ivf_centroid_drift(
     spark,
     path: str,

@@ -1381,3 +1381,61 @@ def test_erase_from_minhash_index_removes_fingerprints(spark, tmp_path):
     ghost = spark.createDataFrame([(42,)], "doc_id long")
     assert erase_from_minhash_index(spark, path, ghost, "doc_id") == 0
     assert _read_index_meta(spark, path) == (24, 6, 3)
+
+
+def test_ivf_fragmentation_stats_tracks_appends_and_compaction(spark, tmp_path):
+    """The compaction trigger must be a queryable fact: file counts rise
+    with each append, match the on-disk truth exactly, and collapse to 1
+    per partition after compact_ivf_index. Bytes sum to the real sizes."""
+    import os
+
+    import numpy as np
+
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        ivf_fragmentation_stats,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(61)
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in rng.standard_normal(4)]) for i in ids],
+            "vec_id long, embedding array<float>",
+        )
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(frame(range(30)), path, "embedding", "vec_id", n_clusters=3, max_iter=2)
+    append_to_ivf_index(frame(range(100, 120)), path, "embedding", "vec_id")
+
+    def disk_truth():
+        out = {}
+        for entry in os.listdir(path):
+            if not entry.startswith("__cluster="):
+                continue
+            c = int(entry.split("=", 1)[1])
+            files = [
+                os.path.join(r, f)
+                for r, _, fs in os.walk(os.path.join(path, entry))
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+            out[c] = (len(files), sum(os.path.getsize(f) for f in files))
+        return out
+
+    stats = {
+        r["cluster"]: (r["n_files"], r["total_bytes"])
+        for r in ivf_fragmentation_stats(spark, path).collect()
+    }
+    assert stats == disk_truth()
+    assert max(n for n, _ in stats.values()) > 1, "append did not fragment"
+
+    compact_ivf_index(spark, path)
+    stats2 = {
+        r["cluster"]: (r["n_files"], r["total_bytes"])
+        for r in ivf_fragmentation_stats(spark, path).collect()
+    }
+    assert stats2 == disk_truth()
+    assert all(n == 1 for n, _ in stats2.values())
