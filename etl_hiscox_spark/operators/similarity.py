@@ -764,6 +764,8 @@ def ivf_centroid_drift(
     path: str,
     batch_df: DataFrame,
     embedding_col: str,
+    index_fraction: float = 1.0,
+    seed: int = 42,
 ) -> DataFrame:
     """Distribution-drift diagnostic for an IVF index's pinned geometry.
 
@@ -792,6 +794,11 @@ def ivf_centroid_drift(
     "drift", so each side reports its ``n_malformed`` count (r10 review);
     the distance stats cover the well-formed rows.
 
+    ``index_fraction < 1.0`` scores a seeded SAMPLE of the indexed side —
+    the routine-monitoring form at 100 TB (the build-time distance
+    distribution is stable, so a 1% sample pins the baseline; the batch
+    side is always scored in full, it IS the thing under test).
+
     Output: one row per side — (side, n_vectors, n_malformed, mean_dist,
     median_dist, p90_dist).
     """
@@ -815,7 +822,10 @@ def ivf_centroid_drift(
         # every row twice (same fix as cosine_scores_pandas, plan-pinned).
         return F.round(_dist.asNondeterministic()(col), 6)
 
-    indexed = spark.read.parquet(path).select(
+    idx = spark.read.parquet(path)
+    if index_fraction < 1.0:
+        idx = idx.sample(fraction=index_fraction, seed=seed)
+    indexed = idx.select(
         F.lit("indexed").alias("side"),
         nearest_dist(F.col(embedding_col)).alias("__d"),
     )
