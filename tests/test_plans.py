@@ -338,3 +338,51 @@ def test_bucketed_colocated_join_has_no_exchange(spark, sf_dir):
         assert j.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_out_of_band_swaps_refresh_spark_path_caches():
+    """Source lint (r10): every out-of-band file swap (os.rename of a
+    parquet dir) must be followed by a Spark path-cache refresh — writes
+    through Spark refresh the shared FileStatusCache, renames do NOT, and
+    the r10 bench caught a post-compaction probe reading a deleted
+    pre-swap part file. Any module that renames data directories must go
+    through sources/writers.swap_and_refresh (or call
+    refresh_swapped_path itself). txnlog is exempt: its renames commit
+    1-row manifest FILES read via their own versioned paths, never a
+    directory Spark re-lists."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "etl_hiscox_spark"
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        if py.name == "txnlog.py":
+            continue
+        src = py.read_text()
+        if "os.rename(" not in src:
+            continue
+        if "swap_and_refresh" not in src and "refresh_swapped_path" not in src:
+            offenders.append(str(py))
+    assert not offenders, (
+        f"modules rename data dirs without refreshing Spark's path caches: {offenders}"
+    )
+
+
+def test_tests_use_session_fixture_not_get_spark():
+    """Source lint (r10): test files must use the conftest `spark` fixture
+    (local[4], shuffle=4) — a bare get_spark() call retunes the SHARED
+    session (shuffle partitions 4 -> 32) and broke the AQE skew plan gate
+    in a file that ran later. Only conftest may call get_spark."""
+    import pathlib
+    import re
+
+    tests = pathlib.Path(__file__).resolve().parent
+    offenders = []
+    for py in sorted(tests.glob("test_*.py")):
+        src = py.read_text()
+        # you cannot call it without importing it — lint the import, which
+        # never appears in prose/docstrings
+        if re.search(r"import\s+.*\bget_spark\b|session\s+import", src):
+            offenders.append(py.name)
+    assert not offenders, (
+        f"test files import get_spark (use the `spark` fixture): {offenders}"
+    )
