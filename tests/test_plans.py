@@ -378,6 +378,8 @@ def test_tests_use_session_fixture_not_get_spark():
     tests = pathlib.Path(__file__).resolve().parent
     offenders = []
     for py in sorted(tests.glob("test_*.py")):
+        if py.name == pathlib.Path(__file__).name:
+            continue  # this lint's own pattern literal would self-match
         src = py.read_text()
         # you cannot call it without importing it — lint the import, which
         # never appears in prose/docstrings
