@@ -503,7 +503,16 @@ def write_ivf_index(
     return centroids
 
 
-def _write_ivf_partitions(assigned: DataFrame, path: str) -> None:
+def _write_ivf_partitions(assigned: DataFrame, path: str, mode: str = "overwrite") -> None:
+    # Cluster-wise pre-shuffle before the partitioned write: without it
+    # every write task holds rows of every cluster and emits one file per
+    # (task, cluster) — shuffle_partitions × n_clusters KB-scale files on
+    # day one, i.e. the fragmentation compact_ivf_index exists to repair,
+    # created AT BUILD TIME (measured: the r10 erase lifecycle spent more
+    # time listing/reading the 512-file build than probing it). One
+    # exchange of the assigned frame; at 100 TB clusters larger than a
+    # healthy task add a size salt (compact_ivf_index's mechanism).
+    #
     # The commit protocol REQUIRES the overwrite to clear the whole path
     # (stale cluster partitions and the previous _centroids must not
     # survive a rebuild). Under the session config
@@ -511,24 +520,68 @@ def _write_ivf_partitions(assigned: DataFrame, path: str) -> None:
     # replaces partitions present in the new data — so pin static mode on
     # THIS writer; the safety invariant must not depend on session config
     # (ADVICE r9).
-    assigned.write.partitionBy("__cluster").mode("overwrite").option(
+    assigned.repartition("__cluster").write.partitionBy("__cluster").mode(mode).option(
         "partitionOverwriteMode", "static"
     ).parquet(path)
 
 
 def _write_ivf_centroids(spark, path: str, centroids: np.ndarray) -> None:
+    # Local paths write via pyarrow on the driver — a Spark job to persist
+    # a k-row centroid table measured ~5s of the whole index lifecycle at
+    # bench scale (the same tiny-metadata lesson as the minhash index
+    # meta); the contract (parquet at <path>/_centroids) is identical.
+    from etl_hiscox_spark.operators.dedup import _meta_is_local
+
+    cdir = os.path.join(path, "_centroids")
+    if _meta_is_local(spark, path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        local = cdir[len("file://"):] if cdir.startswith("file://") else cdir
+        os.makedirs(local, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "cluster": pa.array(range(len(centroids)), pa.int32()),
+                    "centroid": pa.array(
+                        [[float(x) for x in c] for c in centroids],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            os.path.join(local, "centroids.parquet"),
+        )
+        return
     spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cluster int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "_centroids"))
+    ).coalesce(1).write.mode("overwrite").parquet(cdir)
 
 
 def load_ivf_centroids(spark, path: str) -> np.ndarray:
     """Centroid matrix persisted by :func:`write_ivf_index`. Missing or
     empty centroids mean an interrupted index write — fail loudly, never
-    probe with default/stale geometry."""
+    probe with default/stale geometry. Local paths read via pyarrow on
+    the driver (every probe/append/erase/drift call loads the geometry —
+    a Spark job per k-row read taxed the lifecycle measurably)."""
+    from etl_hiscox_spark.operators.dedup import _meta_is_local
+
+    cdir = os.path.join(path, "_centroids")
     try:
-        rows = spark.read.parquet(os.path.join(path, "_centroids")).collect()
+        if _meta_is_local(spark, path):
+            import glob as _glob
+
+            import pyarrow.parquet as pq
+
+            local = cdir[len("file://"):] if cdir.startswith("file://") else cdir
+            parts = sorted(_glob.glob(os.path.join(local, "*.parquet")))
+            if not parts:
+                raise FileNotFoundError(f"no centroid parquet under {local!r}")
+            rows = []
+            for part in parts:
+                rows.extend(pq.read_table(part).to_pylist())
+        else:
+            rows = [r.asDict() for r in spark.read.parquet(cdir).collect()]
     except Exception as exc:
         raise ValueError(
             f"IVF index at {path!r} has no readable centroids (an index "
@@ -582,7 +635,9 @@ def append_to_ivf_index(
                 "before appending (a written -1 partition would be invisible "
                 "to every probe)"
             )
-        assigned.write.partitionBy("__cluster").mode("append").parquet(path)
+        # same cluster-wise pre-shuffle as the build write: one file per
+        # TOUCHED partition per batch instead of one per (task, cluster)
+        _write_ivf_partitions(assigned, path, mode="append")
     finally:
         assigned.unpersist(blocking=False)
 
@@ -700,9 +755,7 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
         hits.unpersist(blocking=False)
     kept = idx.filter(F.col("__cluster").isin(affected)).join(k, id_col, "left_anti")
     tmp = path.rstrip("/") + "__erase"
-    kept.write.partitionBy("__cluster").mode("overwrite").option(
-        "partitionOverwriteMode", "static"
-    ).parquet(tmp)
+    _write_ivf_partitions(kept, tmp)
     # invalidate the commit record before mutating any partition (see
     # docstring); everything needed to restore it is already in C
     shutil.rmtree(os.path.join(path, "_centroids"))

@@ -1817,6 +1817,7 @@ def l3_ivf_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_to_ivf_index,
         compact_ivf_index,
         ivf_probe_topk,
+        random_hyperplanes,
         write_ivf_index,
     )
     from etl_hiscox_spark.queries.writes import _scratch
@@ -1824,11 +1825,11 @@ def l3_ivf_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     path = _os.path.join(_scratch("l3_ivf_compact", sf_dir), "ivf_index")
-    # max_iter=4: output is centroid-independent (full probe) — see
-    # l3_ivf_append_probe
+    # explicit pinned geometry: output is centroid-independent (full
+    # probe) — see l3_ivf_append_probe
     write_ivf_index(
         emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
-        n_clusters=16, seed=42, max_iter=4,
+        centroids=random_hyperplanes(dim=64, n_planes=16, seed=42),
     )
     append_to_ivf_index(emb.filter(F.col("vec_id") % 4 == 1), path, "embedding", "vec_id")
     append_to_ivf_index(emb.filter(F.col("vec_id") % 4 == 3), path, "embedding", "vec_id")
@@ -1876,6 +1877,7 @@ def l3_ivf_erase_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_hiscox_spark.operators.similarity import (
         erase_from_ivf_index,
         ivf_probe_topk,
+        random_hyperplanes,
         write_ivf_index,
     )
     from etl_hiscox_spark.queries.writes import _scratch
@@ -1883,9 +1885,11 @@ def l3_ivf_erase_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     path = _os.path.join(_scratch("l3_ivf_erase", sf_dir), "ivf_index")
-    # max_iter=4: output is centroid-independent (full probe)
+    # explicit pinned geometry: output is centroid-independent (full
+    # probe) — see l3_ivf_append_probe
     write_ivf_index(
-        emb, path, "embedding", "vec_id", n_clusters=16, seed=42, max_iter=4
+        emb, path, "embedding", "vec_id",
+        centroids=random_hyperplanes(dim=64, n_planes=16, seed=42),
     )
     erase = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id")
     expected = erase.count()
