@@ -732,15 +732,18 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
 
     Commit protocol: ``_centroids`` is the index's commit record
     (:func:`load_ivf_centroids` rejects an index without it) — it is
-    REMOVED before the first partition swap and rewritten only after the
-    last one lands, so a crash mid-loop leaves a loudly-rejected index,
-    never a silently half-erased one (or one missing a cluster's kept
-    rows — a vanished directory is indistinguishable from a legitimately
-    fully-erased cluster).
+    RENAMED ASIDE (atomic, byte-preserving) before the first partition
+    swap and renamed back only after the last one lands, so a crash
+    mid-loop leaves a loudly-rejected index, never a silently
+    half-erased one (or one missing a cluster's kept rows — a vanished
+    directory is indistinguishable from a legitimately fully-erased
+    cluster). Rename, not delete: the geometry stays recoverable on disk
+    (``_centroids__erase``) after a crash, and the centroid bytes are
+    untouched by a successful erasure.
     """
     import shutil
 
-    C = load_ivf_centroids(spark, path)  # loud on an uncommitted index
+    load_ivf_centroids(spark, path)  # loud on an uncommitted index
     idx = spark.read.parquet(path)
     k = F.broadcast(keys.select(F.col(id_col)).distinct())
     hits = idx.join(k, id_col, "left_semi").persist()
@@ -757,8 +760,11 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
     tmp = path.rstrip("/") + "__erase"
     _write_ivf_partitions(kept, tmp)
     # invalidate the commit record before mutating any partition (see
-    # docstring); everything needed to restore it is already in C
-    shutil.rmtree(os.path.join(path, "_centroids"))
+    # docstring): rename aside, never delete — the only on-disk copy of
+    # the geometry must survive a crash in the swap window (r10 review)
+    cdir = os.path.join(path, "_centroids")
+    cbak = os.path.join(path, "_centroids__erase")
+    os.rename(cdir, cbak)
     for c in affected:
         dst = os.path.join(path, f"__cluster={c}")
         src = os.path.join(tmp, f"__cluster={c}")
@@ -766,7 +772,7 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
         if os.path.exists(src):  # fully-erased cluster: directory disappears
             os.rename(src, dst)
     shutil.rmtree(tmp)
-    _write_ivf_centroids(spark, path, C)
+    os.rename(cbak, cdir)
     from etl_hiscox_spark.sources.writers import refresh_swapped_path
 
     refresh_swapped_path(spark, path)
@@ -855,6 +861,8 @@ def ivf_centroid_drift(
     Output: one row per side — (side, n_vectors, n_malformed, mean_dist,
     median_dist, p90_dist).
     """
+    if not (0.0 < index_fraction <= 1.0):
+        raise ValueError(f"index_fraction must be in (0, 1], got {index_fraction}")
     C = load_ivf_centroids(spark, path)
 
     def nearest_dist(col: Column) -> Column:

@@ -352,13 +352,16 @@ def test_out_of_band_swaps_refresh_spark_path_caches():
     directory Spark re-lists."""
     import pathlib
 
+    import re
+
     pkg = pathlib.Path(__file__).resolve().parents[1] / "etl_hiscox_spark"
     offenders = []
+    move_api = re.compile(r"\bos\.(rename|replace)\(|\bshutil\.move\(")
     for py in sorted(pkg.rglob("*.py")):
         if py.name == "txnlog.py":
             continue
         src = py.read_text()
-        if "os.rename(" not in src:
+        if not move_api.search(src):
             continue
         if "swap_and_refresh" not in src and "refresh_swapped_path" not in src:
             offenders.append(str(py))
@@ -372,19 +375,28 @@ def test_tests_use_session_fixture_not_get_spark():
     (local[4], shuffle=4) — a bare get_spark() call retunes the SHARED
     session (shuffle partitions 4 -> 32) and broke the AQE skew plan gate
     in a file that ran later. Only conftest may call get_spark."""
+    import ast
     import pathlib
-    import re
 
     tests = pathlib.Path(__file__).resolve().parent
     offenders = []
     for py in sorted(tests.glob("test_*.py")):
-        if py.name == pathlib.Path(__file__).name:
-            continue  # this lint's own pattern literal would self-match
-        src = py.read_text()
-        # you cannot call it without importing it — lint the import, which
-        # never appears in prose/docstrings
-        if re.search(r"import\s+.*\bget_spark\b|session\s+import", src):
-            offenders.append(py.name)
+        # AST, not regex: you cannot call get_spark without importing the
+        # session module SOMEHOW (from-import, module import, aliased) and
+        # the AST sees every style while never matching prose/docstrings
+        tree = ast.parse(py.read_text())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom):
+                mod = node.module or ""
+                if mod.endswith("session") or any(
+                    a.name == "get_spark" for a in node.names
+                ):
+                    offenders.append(f"{py.name}: from {mod} import ...")
+            elif isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.name.endswith(".session"):
+                        offenders.append(f"{py.name}: import {a.name}")
     assert not offenders, (
-        f"test files import get_spark (use the `spark` fixture): {offenders}"
+        f"test files import the session module / get_spark "
+        f"(use the `spark` fixture): {offenders}"
     )
