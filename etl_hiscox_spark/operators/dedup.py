@@ -994,6 +994,49 @@ def write_minhash_index(
     _write_index_meta(spark, path, num_hashes, num_bands, shingle_k)
 
 
+def _require_local_index_path(spark, path: str, op: str) -> str:
+    """Maintenance ops (compact/erase/rebuild) swap files with
+    os.rename/shutil — driver-local filesystems only. An index on s3a://
+    or a non-file defaultFS would fail with an opaque OSError AFTER the
+    Spark tmp write already ran, leaking the tmp dir (ADVICE r10); fail
+    loudly up front instead, and hand back the ``file://``-stripped local
+    path for the os-level steps (Spark-facing calls keep the original)."""
+    if not _meta_is_local(spark, path):
+        raise ValueError(
+            f"{op}: driver-local index paths only — this maintenance op "
+            f"swaps files with os.rename, which cannot reach {path!r}. On "
+            "a cluster filesystem use the table-format equivalent "
+            "(OPTIMIZE / DELETE) or run the op where the index is local."
+        )
+    return path[len("file://"):] if path.startswith("file://") else path
+
+
+def _rename_meta_aside(spark, path: str, aside_name: str) -> None:
+    """Recoverable invalidation for MAINTENANCE ops whose meta is
+    unchanged: rename ``<path>/meta`` to ``<path>/<aside_name>`` instead
+    of deleting it (ADVICE r10 — a crash between a delete-style
+    invalidation and the final meta rewrite would permanently lose the
+    banding parameters even though the bucket data is intact). Mirrors
+    the IVF erase ``_centroids__erase`` protocol: after a crash the
+    parameters are still on disk under the aside name, and a successful
+    op restores the exact original bytes. Overwrite-style builds (whose
+    meta legitimately changes) keep delete-style invalidation."""
+    local = _require_local_index_path(spark, path, "_rename_meta_aside")
+    aside = os.path.join(local, aside_name)
+    if os.path.exists(aside):
+        raise ValueError(
+            f"minhash index at {path!r} has a leftover {aside_name!r} from "
+            "an interrupted maintenance run — recover first (rename it "
+            "back to 'meta' if the bucket table is intact, or rebuild)."
+        )
+    os.rename(os.path.join(local, "meta"), aside)
+
+
+def _restore_meta_from_aside(spark, path: str, aside_name: str) -> None:
+    local = _require_local_index_path(spark, path, "_restore_meta_from_aside")
+    os.rename(os.path.join(local, aside_name), os.path.join(local, "meta"))
+
+
 def compact_minhash_index(spark, path: str, target_file_mb: int = 256) -> int:
     """Rewrite a minhash index's bucket table into ~target-sized files.
 
@@ -1007,19 +1050,22 @@ def compact_minhash_index(spark, path: str, target_file_mb: int = 256) -> int:
     Bucket CONTENT is untouched, so probe results are equal by
     construction (pinned by test and by the l2_lsh_compact_probe oracle).
     The rewrite runs under the index's own commit protocol: meta is
-    invalidated first and rewritten (unchanged) only after the bucket
+    renamed ASIDE first (``meta__compact`` — recoverable, never deleted:
+    the parameters are unchanged by compaction, so a crash must not lose
+    the only copy; ADVICE r10) and renamed back only after the bucket
     rewrite lands — an interrupted compaction leaves a meta-less index
     every probe rejects loudly, never a half-rewritten bucket table read
     silently. Returns the post-compaction bucket file count.
     """
     from etl_hiscox_spark.sources.writers import compact_small_files
 
-    meta = _read_index_meta(spark, path)  # loud on an uncommitted index
-    _invalidate_index_meta(spark, path)
+    _require_local_index_path(spark, path, "compact_minhash_index")
+    _read_index_meta(spark, path)  # loud on an uncommitted index
+    _rename_meta_aside(spark, path, "meta__compact")
     n = compact_small_files(
         spark, os.path.join(path, "buckets"), target_file_mb, sort_by=("band", "bucket")
     )
-    _write_index_meta(spark, path, *meta)
+    _restore_meta_from_aside(spark, path, "meta__compact")
     return n
 
 
@@ -1032,31 +1078,34 @@ def erase_from_minhash_index(spark, path: str, keys: DataFrame, id_col: str) -> 
     GDPR reaches it exactly like the primary table
     (``sources/writers.erase_keys``), and an erased doc must stop
     surfacing as ``dup_of`` in every future probe. The rewrite runs
-    under the index's meta-last commit protocol (meta invalidated first,
-    rewritten unchanged after the bucket swap) so an interrupted erasure
-    leaves a loudly-rejected index, never a half-erased one read
+    under the index's commit protocol (meta renamed aside to
+    ``meta__erase`` first — recoverable, the parameters are unchanged by
+    erasure; ADVICE r10 — and renamed back after the bucket swap) so an
+    interrupted erasure leaves a loudly-rejected index with its
+    parameters still on disk, never a half-erased one read
     silently. Whole-bucket-table rewrite (tmp + swap) — the honest
     fallback at this layout; at 100 TB partition the bucket table by
     ``band`` (or bucket prefix) so erasure rewrites only affected
     partitions, the same upgrade path erase_keys documents.
     """
-    import shutil
-
-    meta = _read_index_meta(spark, path)
+    _require_local_index_path(spark, path, "erase_from_minhash_index")
+    _read_index_meta(spark, path)  # loud on an uncommitted index
     buckets_path = os.path.join(path, "buckets")
     buckets = spark.read.parquet(buckets_path)
     k = F.broadcast(keys.select(F.col(id_col).alias("doc")).distinct())
     n_erased = buckets.join(k, "doc", "left_semi").count()
     if n_erased == 0:
         return 0
-    _invalidate_index_meta(spark, path)
     kept = buckets.join(k, "doc", "left_anti")
     tmp = buckets_path.rstrip("/") + "__erase"
     kept.write.mode("overwrite").parquet(tmp)
+    # invalidate only once the replacement bucket table is fully staged —
+    # the uncommitted window is just the swap + rename-back
+    _rename_meta_aside(spark, path, "meta__erase")
     from etl_hiscox_spark.sources.writers import swap_and_refresh
 
     swap_and_refresh(spark, tmp, buckets_path)
-    _write_index_meta(spark, path, *meta)
+    _restore_meta_from_aside(spark, path, "meta__erase")
     return n_erased
 
 

@@ -666,14 +666,19 @@ def compact_ivf_index(spark, path: str, target_file_mb: int = 256) -> int:
     """
     import shutil
 
+    from etl_hiscox_spark.operators.dedup import _require_local_index_path
+
+    # driver-local paths only (ADVICE r10): the swap below is os.rename —
+    # fail loudly BEFORE the Spark tmp write, never leak a __compact dir
+    local = _require_local_index_path(spark, path, "compact_ivf_index")
     # validate the commit record first — compacting an interrupted index
     # must fail loudly, not re-materialize a centroid-less layout
     load_ivf_centroids(spark, path)
     sizes: dict[int, int] = {}
-    for entry in os.listdir(path):
+    for entry in os.listdir(local):
         if not entry.startswith("__cluster="):
             continue
-        cdir = os.path.join(path, entry)
+        cdir = os.path.join(local, entry)
         sizes[int(entry.split("=", 1)[1])] = sum(
             os.path.getsize(os.path.join(root, f))
             for root, _, files in os.walk(cdir)
@@ -692,6 +697,7 @@ def compact_ivf_index(spark, path: str, target_file_mb: int = 256) -> int:
     # on the one-in-2^32 row whose int32 hash is Integer.MIN_VALUE
     salt = F.pmod(F.hash(*[F.col(c) for c in data_cols]), n_map[F.col("__cluster")])
     tmp = path.rstrip("/") + "__compact"
+    ltmp = local.rstrip("/") + "__compact"
     (
         df.repartition(sum(n_files.values()), F.col("__cluster"), salt)
         .write.partitionBy("__cluster")
@@ -699,13 +705,13 @@ def compact_ivf_index(spark, path: str, target_file_mb: int = 256) -> int:
         .option("partitionOverwriteMode", "static")
         .parquet(tmp)
     )
-    shutil.copytree(os.path.join(path, "_centroids"), os.path.join(tmp, "_centroids"))
+    shutil.copytree(os.path.join(local, "_centroids"), os.path.join(ltmp, "_centroids"))
     from etl_hiscox_spark.sources.writers import swap_and_refresh
 
     swap_and_refresh(spark, tmp, path)
     return sum(
         1
-        for root, _, files in os.walk(path)
+        for root, _, files in os.walk(local)
         for f in files
         if f.endswith(".parquet") and os.sep + "_centroids" not in root
     )
@@ -743,6 +749,11 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
     """
     import shutil
 
+    from etl_hiscox_spark.operators.dedup import _require_local_index_path
+
+    # driver-local paths only (ADVICE r10): the partition swaps below are
+    # os.rename — fail loudly BEFORE any Spark work, never leak __erase
+    local = _require_local_index_path(spark, path, "erase_from_ivf_index")
     load_ivf_centroids(spark, path)  # loud on an uncommitted index
     idx = spark.read.parquet(path)
     k = F.broadcast(keys.select(F.col(id_col)).distinct())
@@ -758,20 +769,21 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
         hits.unpersist(blocking=False)
     kept = idx.filter(F.col("__cluster").isin(affected)).join(k, id_col, "left_anti")
     tmp = path.rstrip("/") + "__erase"
+    ltmp = local.rstrip("/") + "__erase"
     _write_ivf_partitions(kept, tmp)
     # invalidate the commit record before mutating any partition (see
     # docstring): rename aside, never delete — the only on-disk copy of
     # the geometry must survive a crash in the swap window (r10 review)
-    cdir = os.path.join(path, "_centroids")
-    cbak = os.path.join(path, "_centroids__erase")
+    cdir = os.path.join(local, "_centroids")
+    cbak = os.path.join(local, "_centroids__erase")
     os.rename(cdir, cbak)
     for c in affected:
-        dst = os.path.join(path, f"__cluster={c}")
-        src = os.path.join(tmp, f"__cluster={c}")
+        dst = os.path.join(local, f"__cluster={c}")
+        src = os.path.join(ltmp, f"__cluster={c}")
         shutil.rmtree(dst)
         if os.path.exists(src):  # fully-erased cluster: directory disappears
             os.rename(src, dst)
-    shutil.rmtree(tmp)
+    shutil.rmtree(ltmp)
     os.rename(cbak, cdir)
     from etl_hiscox_spark.sources.writers import refresh_swapped_path
 

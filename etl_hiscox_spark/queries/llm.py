@@ -1928,8 +1928,13 @@ def _drift_centroid_values() -> str:
     WITH c(ci, cv) AS (
       VALUES {_drift_centroid_values()}
     ), e AS (
+      -- malformed = NULL, wrong-dim, OR any-NaN element: the Spark side
+      -- (_centroid_distance_grid) counts a right-length embedding holding
+      -- a NaN as malformed too; without the isnan leg the replayed dist
+      -- would be NaN (non-NULL) and poison AVG/quantile (ADVICE r10)
       SELECT vec_id,
-             CASE WHEN embedding IS NULL OR len(embedding) <> 64 THEN NULL
+             CASE WHEN embedding IS NULL OR len(embedding) <> 64
+                       OR len(list_filter(embedding, x -> isnan(x))) > 0 THEN NULL
                   ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS emb
       FROM embeddings
     ), d AS (

@@ -15,6 +15,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _local_fs_path(path: str) -> str:
+    """``file://``-prefix strip for the os/shutil legs of a tmp+swap —
+    Spark-facing calls keep the original URI. (A ``file://`` path is
+    always driver-local; callers gate remote schemes separately via
+    ``operators.dedup._require_local_index_path``.)"""
+    return path[len("file://"):] if path.startswith("file://") else path
+
+
 def refresh_swapped_path(spark: SparkSession, path: str) -> None:
     """Invalidate Spark's cached listings/plans for ``path`` after an
     OUT-OF-BAND file swap. Writes issued THROUGH Spark refresh the
@@ -34,9 +42,10 @@ def swap_and_refresh(spark: SparkSession, tmp: str, path: str) -> None:
     exactly how the stale-listing bench failure happened."""
     import shutil
 
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    ltmp, lpath = _local_fs_path(tmp), _local_fs_path(path)
+    if os.path.exists(lpath):
+        shutil.rmtree(lpath)
+    os.rename(ltmp, lpath)
     refresh_swapped_path(spark, path)
 
 
@@ -261,11 +270,10 @@ def compact_small_files(
     input mid-job. At scale this is table-format ``OPTIMIZE``; same
     semantics here for plain parquet.
     """
-    import shutil
-
+    lpath = _local_fs_path(path)
     total_bytes = sum(
         os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(path)
+        for root, _, files in os.walk(lpath)
         for f in files
         if f.endswith(".parquet")
     )
@@ -280,7 +288,7 @@ def compact_small_files(
     out.write.mode("overwrite").parquet(tmp)
     swap_and_refresh(spark, tmp, path)
     return sum(
-        1 for root, _, files in os.walk(path) for f in files if f.endswith(".parquet")
+        1 for root, _, files in os.walk(lpath) for f in files if f.endswith(".parquet")
     )
 
 

@@ -1439,3 +1439,139 @@ def test_ivf_fragmentation_stats_tracks_appends_and_compaction(spark, tmp_path):
     }
     assert stats2 == disk_truth()
     assert all(n == 1 for n, _ in stats2.values())
+
+
+def test_index_maintenance_rejects_remote_paths(spark):
+    """ADVICE r10: compact/erase swap files with os.rename — an index on
+    a remote scheme must be rejected LOUDLY up front, before any Spark
+    tmp write runs (the old failure mode was an opaque OSError after the
+    rewrite, leaking the tmp dir)."""
+    import pytest
+
+    from etl_hiscox_spark.operators.dedup import (
+        compact_minhash_index,
+        erase_from_minhash_index,
+    )
+    from etl_hiscox_spark.operators.similarity import (
+        compact_ivf_index,
+        erase_from_ivf_index,
+    )
+
+    keys = spark.createDataFrame([(1,)], "doc_id long")
+    for op in (
+        lambda: compact_ivf_index(spark, "s3a://bucket/ivf"),
+        lambda: erase_from_ivf_index(spark, "s3a://bucket/ivf", keys, "doc_id"),
+        lambda: compact_minhash_index(spark, "hdfs://nn/idx"),
+        lambda: erase_from_minhash_index(spark, "hdfs://nn/idx", keys, "doc_id"),
+    ):
+        with pytest.raises(ValueError, match="driver-local"):
+            op()
+
+
+def test_index_maintenance_accepts_file_scheme_paths(spark, tmp_path):
+    """ADVICE r10: an index built and probed on a file://-prefixed path
+    must survive the full maintenance lifecycle (compact + erase) — the
+    os-level legs strip the scheme, the Spark legs keep it."""
+    import os
+
+    from etl_hiscox_spark.operators.dedup import (
+        compact_minhash_index,
+        erase_from_minhash_index,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        erase_from_ivf_index,
+        ivf_probe_topk,
+        write_ivf_index,
+    )
+
+    docs = _docs(spark)
+    mh_path = "file://" + str(tmp_path / "mh")
+    write_minhash_index(docs.filter("doc_id IN (0, 1, 2)"), "text", "doc_id", mh_path)
+    write_minhash_index(
+        docs.filter("doc_id = 4"), "text", "doc_id", mh_path, mode="append"
+    )
+    assert compact_minhash_index(spark, mh_path) == 1
+    keys = spark.createDataFrame([(1,)], "doc_id long")
+    assert erase_from_minhash_index(spark, mh_path, keys, "doc_id") == 6
+    new = docs.filter("doc_id = 5")
+    dups = {r["dup_of"] for r in probe_minhash_index(new, "text", "doc_id", mh_path).collect()}
+    assert 0 in dups and 1 not in dups
+    assert os.path.isdir(str(tmp_path / "mh" / "meta"))
+
+    rng = np.random.default_rng(17)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(4)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    ivf_path = "file://" + str(tmp_path / "ivf")
+    write_ivf_index(
+        emb.filter("vec_id < 20"), ivf_path, "embedding", "vec_id",
+        n_clusters=3, max_iter=2,
+    )
+    append_to_ivf_index(emb.filter("vec_id >= 20"), ivf_path, "embedding", "vec_id")
+    assert compact_ivf_index(spark, ivf_path) >= 1
+    vkeys = spark.createDataFrame([(7,), (23,)], "vec_id long")
+    assert erase_from_ivf_index(spark, ivf_path, vkeys, "vec_id") == 2
+    qvec = [float(x) for x in rng.standard_normal(4)]
+    got = ivf_probe_topk(
+        spark, ivf_path, None, "embedding", "vec_id", qvec, k=40, n_probe=3
+    )
+    ids = {r["vec_id"] for r in got.collect()}
+    assert len(ids) == 38 and 7 not in ids and 23 not in ids
+
+
+def test_interrupted_minhash_maintenance_is_recoverable(spark, tmp_path, monkeypatch):
+    """ADVICE r10: a crash mid-compaction must leave the banding
+    parameters ON DISK (meta renamed aside, not deleted) — probes fail
+    loudly while the crash window is open, and renaming the aside back
+    restores the index without a rebuild."""
+    import os
+
+    import pytest
+
+    from etl_hiscox_spark.operators import dedup
+    from etl_hiscox_spark.sources import writers
+
+    docs = _docs(spark)
+    path = str(tmp_path / "mh")
+    dedup.write_minhash_index(docs.filter("doc_id IN (0, 1)"), "text", "doc_id", path)
+    dedup.write_minhash_index(
+        docs.filter("doc_id = 2"), "text", "doc_id", path, mode="append"
+    )
+    new = docs.filter("doc_id = 5")
+    before = {
+        r["dup_of"]
+        for r in dedup.probe_minhash_index(new, "text", "doc_id", path).collect()
+    }
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash mid-rewrite")
+
+    monkeypatch.setattr(writers, "compact_small_files", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        dedup.compact_minhash_index(spark, path)
+    monkeypatch.undo()
+
+    # crash window: meta gone (probes reject loudly), params recoverable
+    assert not os.path.exists(os.path.join(path, "meta"))
+    assert os.path.isdir(os.path.join(path, "meta__compact"))
+    with pytest.raises(ValueError, match="no readable meta"):
+        dedup.probe_minhash_index(new, "text", "doc_id", path).collect()
+    # a second maintenance attempt must not clobber the aside copy
+    with pytest.raises(ValueError, match="leftover"):
+        dedup._rename_meta_aside(spark, path, "meta__compact")
+
+    # recovery = rename back; the index probes identically, no rebuild
+    os.rename(os.path.join(path, "meta__compact"), os.path.join(path, "meta"))
+    after = {
+        r["dup_of"]
+        for r in dedup.probe_minhash_index(new, "text", "doc_id", path).collect()
+    }
+    assert after == before
+    assert dedup._read_index_meta(spark, path) == (24, 6, 3)
+    # and the real compaction still works post-recovery
+    assert dedup.compact_minhash_index(spark, path) == 1

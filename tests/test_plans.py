@@ -388,13 +388,19 @@ def test_tests_use_session_fixture_not_get_spark():
         for node in ast.walk(tree):
             if isinstance(node, ast.ImportFrom):
                 mod = node.module or ""
-                if mod.endswith("session") or any(
+                # Only THIS project's session module is the hazard — a
+                # third-party *.session module or an unrelated helper that
+                # happens to live in one must not trip the lint (ADVICE r10)
+                project_session = (
+                    mod.startswith("etl_hiscox_spark") and mod.split(".")[-1] == "session"
+                )
+                if project_session or any(
                     a.name == "get_spark" for a in node.names
                 ):
                     offenders.append(f"{py.name}: from {mod} import ...")
             elif isinstance(node, ast.Import):
                 for a in node.names:
-                    if a.name.endswith(".session"):
+                    if a.name == "etl_hiscox_spark.session":
                         offenders.append(f"{py.name}: import {a.name}")
     assert not offenders, (
         f"test files import the session module / get_spark "
