@@ -244,6 +244,22 @@ def _parquet_content_checksum(spark: SparkSession, path: str) -> tuple:
     return (row["n"], row["h"])
 
 
+def _parquet_payload_checksum(
+    spark: SparkSession, path: str, exclude_col: str
+) -> tuple:
+    """:func:`_parquet_content_checksum` minus one column — the rebuild
+    invariant: row payloads must survive a rebuild byte-for-byte while
+    the ``__cluster`` label (the thing a rebuild exists to change) is
+    left out of the hash."""
+    d = spark.read.parquet(path)
+    cols = sorted(c for c in d.columns if c != exclude_col)
+    row = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
 def _parquet_file_count(path: str, exclude: str | None = None) -> int:
     """Data-file count under ``path`` (optionally skipping one subdir name,
     e.g. the IVF _centroids commit record)."""
@@ -1989,6 +2005,69 @@ def l3_ivf_drift_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = emb.filter(F.col("vec_id") % 2 == 1)
     return ivf_centroid_drift(spark, path, batch, "embedding")
+
+
+@register("l3_ivf_rebuild_probe", oracle=_COSINE_ORACLE)
+def l3_ivf_rebuild_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Closes the drift->rebuild loop (VERDICT r10 item 1): the index is
+    # built on half the corpus with ARBITRARY pinned geometry (seeded
+    # hyperplane draws — deliberately not fit to the data, the worst-case
+    # "drifted" centroids the 1.25x trigger exists to flag), the other
+    # half is appended against that frozen geometry, then
+    # operators/similarity.rebuild_ivf_index retrains k-means over the
+    # LIVE corpus and re-materializes the layout under the rename-aside
+    # commit protocol (stage complete at __rebuild, two atomic renames,
+    # pre-rebuild geometry on disk until the swap lands). Loud invariants
+    # before the oracle sees the probe: (1) the row PAYLOAD checksum
+    # (every column except the __cluster label, which rebuild exists to
+    # change) is identical across the rebuild — a dropped/duplicated/
+    # mutated vector raises here; (2) the geometry actually retrained
+    # (new centroid matrix differs from the pinned planes — a no-op
+    # "rebuild" is a lie about the operator). The probe then reads the
+    # NEW centroids from the index and must return the exact brute-force
+    # top-10 over the full corpus (n_probe = n_clusters, recall-exact by
+    # construction, same as the append/compact/erase lifecycle oracles).
+    # The planted-shift claim — batch drift above the trigger before
+    # rebuild, below it after — is pinned in
+    # tests/test_dedup_similarity.py::test_rebuild_ivf_index_drops_drift_below_trigger.
+    import os as _os
+
+    import numpy as _np
+
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_probe_topk,
+        random_hyperplanes,
+        rebuild_ivf_index,
+        write_ivf_index,
+    )
+    from etl_hiscox_spark.queries.writes import _scratch
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    path = _os.path.join(_scratch("l3_ivf_rebuild", sf_dir), "ivf_index")
+    planes = random_hyperplanes(dim=64, n_planes=16, seed=42)
+    write_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
+        centroids=planes,
+    )
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path, "embedding", "vec_id")
+
+    sig_before = _parquet_payload_checksum(spark, path, exclude_col="__cluster")
+    # max_iter=4: the probe below is centroid-independent (full probe), so
+    # the fit is capped — see l3_ivf_append_probe
+    C = rebuild_ivf_index(spark, path, "embedding", "vec_id", max_iter=4)
+    sig_after = _parquet_payload_checksum(spark, path, exclude_col="__cluster")
+    if sig_after != sig_before:
+        raise ValueError(
+            f"rebuild_ivf_index changed the row payload: {sig_before} -> {sig_after}"
+        )
+    if C.shape != planes.shape or _np.allclose(C, planes):
+        raise ValueError("rebuild_ivf_index did not retrain the geometry")
+    out = ivf_probe_topk(
+        spark, path, None, "embedding", "vec_id", qvec, k=10, n_probe=16
+    )
+    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
 
 
 def _media_id_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
