@@ -504,3 +504,109 @@ def x13_exactly_once_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "x14_txn_optimize_compaction",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def x14_txn_optimize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Manifest-aware compaction of the streaming txn sink (VERDICT r10
+    # item 3), driver-executed for real: events → readStream with
+    # maxFilesPerTrigger=2 (forcing MULTIPLE micro-batches) →
+    # foreachBatch txn-append (one manifest commit per batch) → TxnTable.
+    # compact(), Delta's OPTIMIZE split: the head's row set is rewritten
+    # into target-sized files and committed as a NEW version; no prior
+    # manifest or data file is touched. Loud invariants before the oracle
+    # sees the result: (1) the content checksum of EVERY pre-compaction
+    # version is identical before and after compact — time travel reads
+    # byte-identical history or this query goes driver-red; (2) the head
+    # file count strictly drops — a no-op "compaction" is a lie; (3) the
+    # WHOLE stream replays against a fresh checkpoint with the same
+    # app_id AFTER compaction and must be a complete no-op — the
+    # exactly-once txn lookup scans past the OPTIMIZE commit, so
+    # maintenance must not break idempotent recovery (the composed claim
+    # x13 cannot see). The final table is a pure function of events,
+    # hence the SQL twin.
+    import os
+
+    from etl_hiscox_spark.queries.writes import _scratch
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+    from etl_hiscox_spark.streaming.ops import foreach_batch_txn_append, stream_from_parquet
+
+    root = _scratch("x14_txn", sf_dir)
+    src, tbl = os.path.join(root, "src"), os.path.join(root, "table")
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+
+    def run(ckpt_name: str) -> None:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .filter(F.col("value").isNotNull())
+            .select("event_id", "event_type", "value")
+        )
+        q = (
+            stream.writeStream.foreachBatch(foreach_batch_txn_append(tbl, spark, "x14"))
+            .option("checkpointLocation", os.path.join(root, ckpt_name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def checksum(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(*[F.col(c) for c in sorted(df.columns)]).cast("decimal(38,0)")
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    run("ckpt1")
+    t = TxnTable(spark, tbl)
+    versions = t._versions()
+    if len(versions) < 2:
+        raise ValueError(
+            f"maxFilesPerTrigger did not split the stream: {len(versions)} commit(s)"
+        )
+    sums_before = {v: checksum(t.read(v)) for v in versions}
+    head_files_before = len(t._read_manifest(versions[-1])["files"])
+
+    new_v = t.compact(target_file_mb=256)
+    if new_v is None:
+        raise ValueError("compact() no-opped on a fragmented head")
+    head_files_after = len(t._read_manifest(new_v)["files"])
+    if head_files_after >= head_files_before:
+        raise ValueError(
+            f"OPTIMIZE did not defragment: {head_files_before} -> {head_files_after} files"
+        )
+    for v, sig in sums_before.items():
+        now = checksum(t.read(v))
+        if now != sig:
+            raise ValueError(f"compaction changed version {v}: {sig} -> {now}")
+    if checksum(t.read(new_v)) != sums_before[versions[-1]]:
+        raise ValueError("OPTIMIZE head differs from the pre-compaction head")
+
+    run("ckpt2")  # full replay, fresh checkpoint, same app_id -> no-op
+    if t.latest_version() != new_v:
+        raise ValueError(
+            "post-compaction replay was not a no-op: exactly-once protocol "
+            "broken by OPTIMIZE commit"
+        )
+    table = t.read()
+    return table.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )

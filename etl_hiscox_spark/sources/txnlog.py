@@ -104,14 +104,21 @@ class TxnTable:
             if f.endswith(".parquet")
         )
 
-    def write(self, df: DataFrame, mode: str = "append", txn: dict | None = None) -> int:
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        txn: dict | None = None,
+        operation: str | None = None,
+    ) -> int:
         """Write ``df`` as a new committed version; returns the version.
 
         Data files land under ``data/`` with unique names BEFORE the
         manifest commits — a crash mid-write leaves orphan files (cleaned
         by vacuum), never a torn table. ``txn`` ({app_id: txn_version})
         rides the manifest for the idempotent-writer protocol
-        (:meth:`write_txn`).
+        (:meth:`write_txn`). ``operation`` labels the commit in history
+        (e.g. ``OPTIMIZE`` from :meth:`compact`).
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -131,10 +138,65 @@ class TxnTable:
             "committed_at": time.time(),
             "n_added": len(new_files),
         }
+        if operation:
+            manifest["operation"] = operation
         if txn:
             manifest["txn"] = {str(k): int(v) for k, v in txn.items()}
         self._commit(version, manifest)
         return version
+
+    def compact(self, target_file_mb: int = 256) -> int | None:
+        """Manifest-aware small-file compaction — Delta's ``OPTIMIZE``
+        split, not an in-place rewrite: the LATEST version's row set is
+        rewritten into ``ceil(bytes / target)`` files and committed as a
+        NEW version (``operation: OPTIMIZE``) whose rows are identical by
+        construction. No existing manifest is touched and no existing
+        file is deleted, so EVERY prior time-travel version keeps reading
+        byte-identical data — compaction is a commit, never a mutation
+        (the x14 oracle + tests pin per-version equality across it).
+
+        A streaming ``foreach_batch_txn_append`` sink adds one file set
+        per micro-batch; readers of the head pay an open/LIST tax per
+        file. After compact, HEAD reads open the compacted files only;
+        the historical small files cost storage, not read performance,
+        and are reclaimed by the retention pair :meth:`expire_versions`
+        + :meth:`vacuum` — the same OPTIMIZE/VACUUM contract Delta
+        documents. Returns the new version, or None when the head is
+        already at or under the target file count (an empty OPTIMIZE
+        commit would push every reader's manifest resolution forward for
+        nothing).
+
+        Idempotent under the writer protocol: a second compact on an
+        already-compacted head sees n_files <= target and no-ops.
+        """
+        v = self.latest_version()
+        if v is None:
+            return None
+        m = self._read_manifest(v)
+        files = m["files"]
+        total = sum(os.path.getsize(os.path.join(self.path, f)) for f in files)
+        n_out = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+        if len(files) <= n_out:
+            return None
+        head = self.read(v)
+        return self.write(
+            head.repartition(int(n_out)), mode="overwrite", operation="OPTIMIZE"
+        )
+
+    def expire_versions(self, keep_last: int) -> int:
+        """Retention: drop the manifests of all but the newest
+        ``keep_last`` versions, so :meth:`vacuum` can reclaim the data
+        files only they referenced (post-compaction history storage —
+        Delta's log-retention half of OPTIMIZE/VACUUM). Time travel to
+        expired versions becomes a LOUD FileNotFoundError (the manifest
+        is gone), never a partial read. Returns the number of versions
+        expired."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        victims = self._versions()[:-keep_last]
+        for v in victims:
+            os.remove(os.path.join(self.log_dir, f"v{v}.json"))
+        return len(victims)
 
     def last_txn_version(self, app_id: str) -> int | None:
         """Highest writer-transaction id committed for ``app_id`` (scanning

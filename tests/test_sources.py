@@ -645,3 +645,79 @@ def test_real_delta_branch_or_recorded_environment_gate(spark, tmp_path):
     assert latest.count() == 2 and "score" in latest.columns
     assert t.read(version=0).count() == 1
     assert len(t.history()) == 2
+
+
+def test_txn_compact_preserves_every_version(spark, tmp_path):
+    """VERDICT r10 item 3: K micro-batch-style appends fragment the head
+    into K+ files; compact() commits an OPTIMIZE version whose head reads
+    <= ceil(bytes/target) files while EVERY prior version still reads
+    identical rows (manifest-aware — compaction is a commit, never a
+    mutation). A second compact is a no-op; expire+vacuum then reclaims
+    the pre-compaction files without touching retained versions."""
+    import os
+
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    for k in range(4):
+        t.write(
+            spark.range(k * 10, k * 10 + 10).selectExpr("id", "id * 2 AS v"),
+            mode="append",
+        )
+    assert t.latest_version() == 3
+    before = {
+        v: sorted(tuple(r) for r in t.read(v).collect()) for v in range(4)
+    }
+    head_files_before = len(t._read_manifest(3)["files"])
+    assert head_files_before >= 4, "appends did not fragment the head"
+
+    new_v = t.compact(target_file_mb=256)
+    assert new_v == 4
+    assert t._read_manifest(4)["operation"] == "OPTIMIZE"
+    assert len(t._read_manifest(4)["files"]) == 1
+    # every version (including the pre-compaction head) reads identically
+    for v, rows in before.items():
+        assert sorted(tuple(r) for r in t.read(v).collect()) == rows
+    assert sorted(tuple(r) for r in t.read().collect()) == before[3]
+    # idempotent: an already-compacted head no-ops (no empty commit)
+    assert t.compact(target_file_mb=256) is None
+    assert t.latest_version() == 4
+
+    # retention reclaims history storage: keep the compacted head only
+    assert t.expire_versions(keep_last=1) == 4
+    assert t._versions() == [4]
+    removed = t.vacuum()
+    assert removed >= head_files_before
+    assert sorted(tuple(r) for r in t.read().collect()) == before[3]
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        t.read(0)
+    data_files = [
+        f
+        for root, _, fs in os.walk(str(tmp_path / "tbl" / "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert len(data_files) == 1
+
+
+def test_txn_compact_respects_target_size_and_schema_evolution(spark, tmp_path):
+    """Compaction across schema-widened appends reads with the merged
+    schema (older rows NULL-filled) and honors the byte-sized file
+    budget; an empty table no-ops."""
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    assert t.compact() is None  # empty table
+
+    t.write(spark.range(5).selectExpr("id"), mode="append")
+    t.write(spark.range(5, 10).selectExpr("id", "id * 3 AS extra"), mode="append")
+    v = t.compact(target_file_mb=256)
+    assert v is not None
+    head = t.read()
+    assert head.count() == 10 and set(head.columns) == {"id", "extra"}
+    nulls = head.filter("extra IS NULL").count()
+    assert nulls == 5
+    # old versions still read with their own schemas
+    assert set(t.read(0).columns) == {"id"}
