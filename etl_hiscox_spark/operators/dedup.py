@@ -1109,6 +1109,34 @@ def erase_from_minhash_index(spark, path: str, keys: DataFrame, id_col: str) -> 
     return n_erased
 
 
+def minhash_fragmentation_stats(spark, path: str) -> DataFrame:
+    """Observability twin of :func:`compact_minhash_index` — file count
+    and bytes of the index's bucket table, so the compaction trigger is a
+    queryable fact instead of an operator's guess (the IVF side got this
+    in r10 via ``similarity.ivf_fragmentation_stats``; VERDICT r10 item 2
+    closes the asymmetry). Trigger rule, same as the compactor documents:
+    compact when ``n_files`` ≫ ``ceil(total_bytes / target_file_mb)`` —
+    every probe's (band, bucket) join pays an open/LIST tax per bucket
+    file until then.
+
+    One row: (n_files, total_bytes, avg_file_bytes). The walk runs on an
+    executor (``sources/listing.distributed_dir_stats``); the driver
+    holds only the directory handle — same scale shape as the IVF twin.
+    """
+    from etl_hiscox_spark.sources.listing import distributed_dir_stats
+
+    _read_index_meta(spark, path)  # loud on an uncommitted index
+    buckets = os.path.join(path, "buckets")
+    stats = distributed_dir_stats(spark, [(0, buckets)])
+    return stats.select(
+        "n_files",
+        "total_bytes",
+        (F.col("total_bytes").cast("double") / F.col("n_files")).alias(
+            "avg_file_bytes"
+        ),
+    )
+
+
 def _meta_is_local(spark, path: str) -> bool:
     """True only when the path resolves to the DRIVER's local filesystem.
 

@@ -874,30 +874,38 @@ def ivf_fragmentation_stats(spark, path: str) -> DataFrame:
     Output: (cluster, n_files, total_bytes, avg_file_bytes) ordered by
     cluster. Rule of thumb documented on the compactor: compact when
     n_files per partition ≫ ceil(total_bytes / target_file_mb).
+
+    Scale shape (VERDICT r10): the driver issues ONE non-recursive LIST
+    (n_clusters entries — the same bound as every other centroid-table
+    fact); the per-partition recursive walks, which grow with total file
+    count, run on EXECUTORS (``sources/listing.distributed_dir_stats``)
+    — at years-of-appends scale the old all-files driver walk was itself
+    a stall.
     """
+    from etl_hiscox_spark.sources.listing import distributed_dir_stats
+
     load_ivf_centroids(spark, path)  # loud on an uncommitted index
     sc = spark.sparkContext
     jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
-    stats: dict[int, list[int]] = {}
-    it = fs.listFiles(jpath, True)
-    while it.hasNext():
-        st = it.next()
-        p = st.getPath().toString()
-        if not p.endswith(".parquet") or "/_centroids/" in p:
-            continue
-        marker = "/__cluster="
-        if marker not in p:
-            continue
-        cluster = int(p.split(marker, 1)[1].split("/", 1)[0])
-        entry = stats.setdefault(cluster, [0, 0])
-        entry[0] += 1
-        entry[1] += int(st.getLen())
-    rows = [
-        (c, n, b, float(b) / n) for c, (n, b) in sorted(stats.items())
-    ]
-    return spark.createDataFrame(
-        rows, "cluster int, n_files long, total_bytes long, avg_file_bytes double"
+    dirs: list[tuple[int, str]] = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("__cluster="):
+            dirs.append((int(name.split("=", 1)[1]), st.getPath().toString()))
+    if not dirs:
+        raise ValueError(f"no __cluster= partitions under {path!r} — not a written IVF index")
+    stats = distributed_dir_stats(spark, dirs)
+    return (
+        stats.select(
+            F.col("key").alias("cluster"),
+            "n_files",
+            "total_bytes",
+            (F.col("total_bytes").cast("double") / F.col("n_files")).alias(
+                "avg_file_bytes"
+            ),
+        )
+        .orderBy("cluster")
     )
 
 
