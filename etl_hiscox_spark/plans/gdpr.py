@@ -1,0 +1,114 @@
+"""End-to-end right-to-be-forgotten composition (VERDICT r10 item 6).
+
+The engine stores a subject's data in up to four places: the base parquet
+table, the txn-log table's HISTORY (every time-travel version), and the
+two derived index layouts (IVF cluster partitions, minhash bucket table)
+— an index IS a copy of the data, so GDPR reaches it exactly like the
+primary store. Each store has its own erase operator with its own commit
+protocol; what was missing is the composition that a compliance workflow
+actually calls, where forgetting ONE store silently breaks the
+guarantee. ``erase_subject`` chains all four and (by default) re-scans
+every store afterward, raising if any residual row survives — erasure
+that cannot prove completion is erasure that did not happen.
+
+All four underlying operators are idempotent (erasing an absent key is a
+0-row no-op), so the recovery story for a crash mid-composition is
+simply: run it again.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def erase_subject(
+    spark: SparkSession,
+    keys: DataFrame,
+    *,
+    base_tables: Sequence[tuple[str, str]] = (),
+    txn_tables: Sequence[tuple[str, str]] = (),
+    ivf_indexes: Sequence[tuple[str, str]] = (),
+    minhash_indexes: Sequence[tuple[str, str]] = (),
+    verify: bool = True,
+) -> list[dict]:
+    """Erase every row whose key appears in ``keys`` from every listed
+    store. Each store is a ``(path, key_col)`` pair; ``keys`` is a 1-column
+    frame of subject keys (broadcast-small by contract — erasure requests
+    are tiny next to the data). Returns one report row per store:
+    ``{"kind", "path", "key_col", "n_erased"}``.
+
+    With ``verify=True`` (default) every store is re-scanned AFTER its
+    rewrite — including every time-travel version of a txn table — and a
+    surviving subject row raises instead of returning a report that
+    claims compliance.
+    """
+    from etl_hiscox_spark.operators.dedup import erase_from_minhash_index
+    from etl_hiscox_spark.operators.similarity import erase_from_ivf_index
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+    from etl_hiscox_spark.sources.writers import erase_keys as erase_base
+
+    n_cols = len(keys.columns)
+    if n_cols != 1:
+        raise ValueError(
+            f"keys must be a 1-column frame of subject keys, got {n_cols} columns"
+        )
+    kc = keys.columns[0]
+    key_rows = [r[0] for r in keys.select(kc).distinct().collect()]
+    if any(k is None for k in key_rows):
+        # every underlying operator treats NULL keys as "anonymous rows,
+        # never erased" — a NULL in an erasure REQUEST is a caller bug
+        raise ValueError("erase_subject: NULL subject key in the erasure request")
+
+    report: list[dict] = []
+
+    def record(kind: str, path: str, key_col: str, n: int) -> None:
+        report.append(
+            {"kind": kind, "path": path, "key_col": key_col, "n_erased": int(n)}
+        )
+
+    def residuals(df: DataFrame, key_col: str) -> int:
+        return df.filter(F.col(key_col).isin(key_rows)).count()
+
+    for path, key_col in base_tables:
+        k = keys.select(F.col(kc).alias(key_col))
+        record("base", path, key_col, erase_base(spark, path, k, key_col))
+        if verify and residuals(spark.read.parquet(path), key_col):
+            raise ValueError(f"erase_subject: residual subject rows in base table {path!r}")
+
+    for path, key_col in txn_tables:
+        t = TxnTable(spark, path)
+        record("txn_history", path, key_col, t.erase_keys(key_col, key_rows))
+        if verify:
+            for v in t._versions():
+                if residuals(t.read(v), key_col):
+                    raise ValueError(
+                        f"erase_subject: residual subject rows in txn table "
+                        f"{path!r} at version {v}"
+                    )
+
+    for path, id_col in ivf_indexes:
+        k = keys.select(F.col(kc).alias(id_col))
+        record("ivf_index", path, id_col, erase_from_ivf_index(spark, path, k, id_col))
+        if verify and residuals(spark.read.parquet(path), id_col):
+            raise ValueError(f"erase_subject: residual subject rows in IVF index {path!r}")
+
+    for path, id_col in minhash_indexes:
+        k = keys.select(F.col(kc).alias(id_col))
+        record(
+            "minhash_index", path, id_col,
+            erase_from_minhash_index(spark, path, k, id_col),
+        )
+        if verify:
+            import os
+
+            buckets = spark.read.parquet(os.path.join(path, "buckets"))
+            if buckets.filter(F.col("doc").isin(key_rows)).count():
+                raise ValueError(
+                    f"erase_subject: residual subject fingerprints in minhash "
+                    f"index {path!r}"
+                )
+
+    return report

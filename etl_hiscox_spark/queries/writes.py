@@ -825,3 +825,105 @@ def s18_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "custkey")
         .limit(100)
     )
+
+
+@register(
+    "s19_gdpr_erase_subject",
+    oracle="""
+    WITH kept_docs AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 7),
+         kept_vecs AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 7)
+    SELECT 'base' AS store, (SELECT COUNT(*) FROM kept_docs) AS n_rows
+    UNION ALL SELECT 'ivf_index', (SELECT COUNT(*) FROM kept_vecs)
+    UNION ALL SELECT 'minhash_index', (SELECT COUNT(*) FROM kept_docs)
+    UNION ALL SELECT 'txn_latest', (SELECT COUNT(*) FROM kept_docs)
+    UNION ALL SELECT 'txn_v0', (SELECT COUNT(*) FROM kept_docs WHERE doc_id % 2 = 0)
+    ORDER BY store
+    """,
+)
+def s19_gdpr_erase_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # End-to-end right-to-be-forgotten COMPOSITION (VERDICT r10 item 6,
+    # plans/gdpr.erase_subject): one subject predicate (id % 10 == 7) is
+    # planted across all four store kinds — base parquet table, txn-log
+    # table with two committed versions (history!), IVF index over the
+    # embeddings, minhash index over the documents — then erased with ONE
+    # call. erase_subject runs with verify=True, so the operator itself
+    # re-scans every store (including every time-travel version) and
+    # raises on any residual subject row BEFORE the oracle sees a number.
+    # In-query invariants on the report: each store's n_erased must match
+    # its predicate cardinality exactly (minhash = num_bands rows per
+    # indexed doc). The declared output is the per-store post-erase row
+    # count — base/txn read back the kept documents, txn_v0 proves the
+    # REWRITTEN HISTORY still time-travels to the even-id half minus the
+    # subject, ivf/minhash count their own layouts — each with a pure
+    # exclusion-predicate SQL twin, the same oracle shape as the
+    # l3/l2 erase probes.
+    from etl_hiscox_spark.operators.dedup import write_minhash_index
+    from etl_hiscox_spark.operators.similarity import random_hyperplanes, write_ivf_index
+    from etl_hiscox_spark.plans.gdpr import erase_subject
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = _scratch("s19_gdpr", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    base = os.path.join(root, "base")
+    docs.write.mode("overwrite").parquet(base)
+    txn = os.path.join(root, "txn")
+    t = TxnTable(spark, txn)
+    t.write(docs.filter(F.col("doc_id") % 2 == 0), mode="append")
+    t.write(docs.filter(F.col("doc_id") % 2 == 1), mode="append")
+    ivf = os.path.join(root, "ivf")
+    # explicit pinned geometry: counts are centroid-independent — see
+    # l3_ivf_append_probe
+    write_ivf_index(
+        emb, ivf, "embedding", "vec_id",
+        centroids=random_hyperplanes(dim=64, n_planes=16, seed=42),
+    )
+    mh = os.path.join(root, "mh")
+    write_minhash_index(docs, "text", "doc_id", mh)
+
+    n_subj_docs = docs.filter(F.col("doc_id") % 10 == 7).count()
+    n_subj_vecs = emb.filter(F.col("vec_id") % 10 == 7).count()
+    keys = (
+        docs.filter(F.col("doc_id") % 10 == 7)
+        .select("doc_id")
+        .union(emb.filter(F.col("vec_id") % 10 == 7).select(F.col("vec_id").alias("doc_id")))
+        .distinct()
+    )
+    report = erase_subject(
+        spark,
+        keys,
+        base_tables=[(base, "doc_id")],
+        txn_tables=[(txn, "doc_id")],
+        ivf_indexes=[(ivf, "vec_id")],
+        minhash_indexes=[(mh, "doc_id")],
+        verify=True,
+    )
+    by_kind = {r["kind"]: r["n_erased"] for r in report}
+    expected = {
+        "base": n_subj_docs,
+        "txn_history": None,  # files rewritten, not rows — checked below
+        "ivf_index": n_subj_vecs,
+        "minhash_index": 6 * n_subj_docs,  # num_bands fingerprint rows per doc
+    }
+    for kind, want in expected.items():
+        if want is not None and by_kind.get(kind) != want:
+            raise ValueError(
+                f"erase_subject report mismatch for {kind}: "
+                f"erased {by_kind.get(kind)}, predicate covers {want}"
+            )
+    if by_kind.get("txn_history", 0) < 1:
+        raise ValueError("erase_subject rewrote no txn-history files")
+
+    counts = [
+        ("base", spark.read.parquet(base).count()),
+        ("ivf_index", spark.read.parquet(ivf).count()),
+        (
+            "minhash_index",
+            spark.read.parquet(os.path.join(mh, "buckets"))
+            .select("doc").distinct().count(),
+        ),
+        ("txn_latest", t.read().count()),
+        ("txn_v0", t.read(0).count()),
+    ]
+    return spark.createDataFrame(counts, "store string, n_rows long").orderBy("store")
