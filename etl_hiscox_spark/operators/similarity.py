@@ -448,6 +448,7 @@ def write_ivf_index(
     train_fraction: float = 1.0,
     max_iter: int | None = None,
     centroids: np.ndarray | None = None,
+    quantize: bool = False,
 ) -> np.ndarray:
     """Materialize the IVF index as a cluster-partitioned parquet table;
     returns the centroid matrix and ALSO persists it inside the index
@@ -474,11 +475,31 @@ def write_ivf_index(
     k-means assignment is written ``partitionBy(__cluster)``, so every
     subsequent probe is a PARTITION-PRUNED read of n_probe/n_clusters of
     the data — the layout does the indexing, no server, no side-structure.
+
+    ``quantize=True`` ALSO stores per-row int8 codes + scale
+    (``__codes`` / ``__qscale``, the ``vectors.quantize_int8``
+    representation) inside the cluster partitions. Parquet is columnar,
+    so :func:`ivf_probe_topk_quantized`'s candidate scan then reads the
+    codes column only — ~4x less IO than the float32 embeddings on the
+    probe path — while the float column stays in the same row for the
+    exact rerank fetch. Appends inherit the layout (the append path
+    detects ``__codes`` in the index schema and quantizes the batch with
+    the same expression); compaction/erase/rebuild carry the columns
+    through as ordinary payload.
     """
+
+    def _with_codes(assigned: DataFrame) -> DataFrame:
+        if not quantize:
+            return assigned
+        from etl_hiscox_spark.operators.vectors import quantize_int8
+
+        codes, scale = quantize_int8(F.col(embedding_col))
+        return assigned.withColumn("__codes", codes).withColumn("__qscale", scale)
+
     if centroids is not None:
         C = np.asarray(centroids, dtype=np.float64)
-        assigned = df.withColumn(
-            "__cluster", _nearest_centroid_col(C, F.col(embedding_col))
+        assigned = _with_codes(
+            df.withColumn("__cluster", _nearest_centroid_col(C, F.col(embedding_col)))
         )
         assigned = assigned.persist()
         try:
@@ -498,7 +519,7 @@ def write_ivf_index(
     assigned, centroids = ivf_index(
         df, embedding_col, id_col, n_clusters, seed, train_fraction, max_iter
     )
-    _write_ivf_partitions(assigned, path)
+    _write_ivf_partitions(_with_codes(assigned), path)
     _write_ivf_centroids(df.sparkSession, path, centroids)
     return centroids
 
@@ -617,6 +638,14 @@ def append_to_ivf_index(
     """
     C = load_ivf_centroids(df.sparkSession, path)
     assigned = df.withColumn("__cluster", _nearest_centroid_col(C, F.col(embedding_col)))
+    # quantized layouts propagate: an append into an index that stores
+    # int8 codes must quantize its batch with the same expression, or
+    # every appended row would be invisible to the codes-only probe scan
+    if "__codes" in df.sparkSession.read.parquet(path).schema.names:
+        from etl_hiscox_spark.operators.vectors import quantize_int8
+
+        codes, scale = quantize_int8(F.col(embedding_col))
+        assigned = assigned.withColumn("__codes", codes).withColumn("__qscale", scale)
     # Reject malformed rows LOUDLY before anything lands on disk (r9
     # review): assign() marks NULL / wrong-dim / NaN embeddings as -1,
     # and writing them would create a __cluster=-1 partition no probe
@@ -1028,6 +1057,100 @@ def ivf_probe_topk(
     return cosine_topk(candidates, embedding_col, id_col, query_vec, k)
 
 
+def ivf_probe_topk_quantized(
+    spark,
+    path: str,
+    embedding_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    rerank_factor: int = 3,
+) -> DataFrame:
+    """Top-k over a quantized IVF index (``write_ivf_index(quantize=True)``)
+    — the composed 100 TB probe path: partition pruning picks the
+    ``n_probe`` nearest clusters, the candidate scan reads the STORED
+    int8 codes column only (parquet column pruning: the float embeddings
+    are not touched — ~4x less scan IO; plan-gated in tests), candidates
+    rank by exact integer code-cosine (bit-reproducible, no float
+    summation-order noise), and only the ``rerank_factor * k`` shortlist
+    fetches its float vectors (an id IN-literal that pushes down to the
+    parquet scan for row-group skipping) for the exact rerank.
+
+    The scale cancels out of the code cosine, so scoring never reads
+    ``__qscale``; the query vector quantizes driver-side with the SAME
+    rounding convention as the stored codes (:func:`_int8_query_codes`).
+    Output: (id, approx_cos, exact_cos, rank) — :func:`quantized_topk`'s
+    contract, with the corpus scan swapped from float32 re-quantization
+    to the stored representation. The shortlist collect is bounded
+    (rerank_factor * k rows — the MMR-shortlist class of driver scalar).
+    """
+    import math
+
+    C = load_ivf_centroids(spark, path)
+    q = [float(x) for x in query_vec]
+    qn = np.asarray(q) / np.linalg.norm(q)
+    cn = C / np.clip(np.linalg.norm(C, axis=1, keepdims=True), 1e-12, None)
+    probe = [int(p) for p in np.argsort(-(cn @ qn))[:n_probe]]
+
+    idx = spark.read.parquet(path)
+    if "__codes" not in idx.columns:
+        raise ValueError(
+            f"IVF index at {path!r} has no __codes column — build it with "
+            "write_ivf_index(quantize=True) or probe with ivf_probe_topk"
+        )
+    qarr = np.asarray(_int8_query_codes(q), dtype=np.int64)
+    sqrt_nq = math.sqrt(float(qarr @ qarr))
+
+    @F.pandas_udf("double")
+    def _cscore(codes: pd.Series) -> pd.Series:
+        if not len(codes):
+            return pd.Series([], dtype="float64")
+        mat = np.vstack(
+            [np.asarray(c, dtype=np.int64) for c in codes.to_numpy()]
+        )
+        dotq = mat @ qarr
+        nc = np.einsum("ij,ij->i", mat, mat)
+        denom = np.sqrt(nc.astype(np.float64)) * sqrt_nq
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(denom > 0, dotq / denom, np.nan)
+        return pd.Series(out)
+
+    pruned = idx.filter(F.col("__cluster").isin(probe))
+    scored = pruned.select(
+        F.col(id_col),
+        # asNondeterministic: same Catalyst-cloning guard as quantized_topk
+        _cscore.asNondeterministic()(F.col("__codes")).alias("approx_cos"),
+    ).filter(F.col("approx_cos").isNotNull() & ~F.isnan("approx_cos"))
+    shortlist = scored.orderBy(
+        F.col("approx_cos").desc(), F.col(id_col).asc()
+    ).limit(rerank_factor * k).collect()
+    if not shortlist:
+        return spark.createDataFrame(
+            [], f"{id_col} long, approx_cos double, exact_cos double, rank int"
+        )
+    ids = [r[id_col] for r in shortlist]
+    approx = spark.createDataFrame(
+        [(r[id_col], float(r["approx_cos"])) for r in shortlist],
+        f"{id_col} long, approx_cos double",
+    )
+    qdlit = _as_double_literal_array(q)
+    fetched = (
+        pruned.filter(F.col(id_col).isin(ids))  # pushed-down row-group skip
+        .select(id_col, F.col(embedding_col).cast("array<double>").alias("_v"))
+        .join(F.broadcast(approx), id_col)
+    )
+    rer = fetched.select(
+        id_col, "approx_cos", cosine(F.col("_v"), qdlit).alias("exact_cos")
+    )
+    w = Window.orderBy(F.col("exact_cos").desc(), F.col(id_col).asc())
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("rank")
+    )
+
+
 def blocked_cosine_pairs_pandas(
     df: DataFrame,
     embedding_col: str,
@@ -1191,6 +1314,28 @@ def _half_up(y: np.ndarray) -> np.ndarray:
     return (np.sign(y) * r).astype(np.int64)
 
 
+def _int8_query_codes(q: list[float]) -> list[int]:
+    """Driver-side symmetric int8 quantization of ONE query vector —
+    Decimal HALF_UP on the exact binary value, identical to Spark's
+    F.round and DuckDB's round(); floor(x+0.5) would misround doubles
+    just below a half (the +0.5 addition itself rounds up). Shared by
+    :func:`quantized_topk` and :func:`ivf_probe_topk_quantized` so the
+    two scan paths can never quantize the query differently."""
+    import decimal
+
+    qscale = max((abs(x) for x in q), default=0.0) / 127.0
+    if qscale == 0:
+        return [0] * len(q)
+    return [
+        int(
+            decimal.Decimal(x / qscale).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        for x in q
+    ]
+
+
 def quantized_topk(
     df: DataFrame,
     embedding_col: str,
@@ -1219,25 +1364,10 @@ def quantized_topk(
     filter → TakeOrderedAndProject(rerank_factor*k) → single tiny-task
     rerank — no shuffle of the corpus, no driver collect of candidates.
     """
-    import decimal
     import math
 
     q = [float(x) for x in query_vec]
-    qscale = max((abs(x) for x in q), default=0.0) / 127.0
-    if qscale == 0:
-        qcodes = [0] * len(q)
-    else:
-        # Decimal HALF_UP on the exact binary value — identical to Spark's
-        # F.round and DuckDB's round(); floor(x+0.5) would misround doubles
-        # just below a half (the +0.5 addition itself rounds up).
-        qcodes = [
-            int(
-                decimal.Decimal(x / qscale).quantize(
-                    decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
-                )
-            )
-            for x in q
-        ]
+    qcodes = _int8_query_codes(q)
     nq = sum(c * c for c in qcodes)
 
     # Stage-1 scoring runs in the Arrow tier (one numpy pass per batch) —

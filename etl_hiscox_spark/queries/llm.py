@@ -618,9 +618,13 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
 
 
-@register(
-    "l3_quantized_topk",
-    oracle="""
+# THE quantize + integer-scoring + exact-rerank replay — shared verbatim
+# by l3_quantized_topk (float corpus, re-quantized in the scan) and
+# l3_ivf_quantized_probe (STORED codes inside the partition-pruned IVF
+# layout, full probe): at n_probe = n_clusters the two scan paths must
+# produce the identical ranking, so one oracle pins both (and any drift
+# between the stored-code and re-quantized conventions hash-fails).
+_QUANTIZED_REPLAY_ORACLE = """
     WITH q AS (
       SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
       FROM embeddings WHERE vec_id = 0
@@ -668,8 +672,10 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(exact_cos, 6) AS exact_cos,
            ROW_NUMBER() OVER (ORDER BY exact_cos DESC, vec_id ASC) AS rank
     FROM rer ORDER BY exact_cos DESC, vec_id ASC LIMIT 10
-    """,
-)
+    """
+
+
+@register("l3_quantized_topk", oracle=_QUANTIZED_REPLAY_ORACLE)
 def l3_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # L3 scale path: int8 scalar-quantized ANN (operators/similarity.
     # quantized_topk). The candidate scan runs on integer codes — exact
@@ -688,6 +694,55 @@ def l3_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
     out = quantized_topk(emb, "embedding", "vec_id", qvec, k=10, rerank_factor=3)
+    return out.select(
+        "vec_id",
+        F.round("approx_cos", 6).alias("approx_cos"),
+        F.round("exact_cos", 6).alias("exact_cos"),
+        "rank",
+    )
+
+
+@register("l3_ivf_quantized_probe", oracle=_QUANTIZED_REPLAY_ORACLE)
+def l3_ivf_quantized_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quantized IVF LAYOUT (VERDICT r10 item 8) — the composed 100 TB
+    # probe path: write_ivf_index(quantize=True) stores int8 codes +
+    # scale INSIDE the cluster partitions (vectors.quantize_int8, the
+    # same expression the v2 oracle pins), so the candidate scan reads
+    # the codes column only (parquet column pruning — ~4x less IO than
+    # the float32 embeddings; ReadSchema plan-gated in
+    # tests/test_dedup_similarity.py) within the partition-pruned
+    # n_probe clusters, ranks by exact integer code-cosine, and fetches
+    # float vectors for the 30-row shortlist rerank only (id IN-literal,
+    # row-group skipping). n_probe = n_clusters, so the output is
+    # centroid-independent and the oracle is the SAME quantize + integer
+    # scoring + rerank replay as l3_quantized_topk — a drift between the
+    # STORED codes and the re-quantized convention, a dropped appended
+    # row, or a wrong shortlist cut hash-fails. Explicit pinned geometry
+    # (seeded hyperplanes), build on evens + append odds: the append
+    # must inherit the quantized layout or its rows vanish from the
+    # codes-only scan.
+    import os as _os
+
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_probe_topk_quantized,
+        random_hyperplanes,
+        write_ivf_index,
+    )
+    from etl_hiscox_spark.queries.writes import _scratch
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    path = _os.path.join(_scratch("l3_ivf_quant", sf_dir), "ivf_index")
+    write_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
+        centroids=random_hyperplanes(dim=64, n_planes=16, seed=42),
+        quantize=True,
+    )
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path, "embedding", "vec_id")
+    out = ivf_probe_topk_quantized(
+        spark, path, "embedding", "vec_id", qvec, k=10, n_probe=16, rerank_factor=3
+    )
     return out.select(
         "vec_id",
         F.round("approx_cos", 6).alias("approx_cos"),

@@ -1761,3 +1761,90 @@ def test_minhash_fragmentation_stats_tracks_appends_and_compaction(spark, tmp_pa
     row2 = minhash_fragmentation_stats(spark, path).first()
     assert (row2["n_files"], row2["total_bytes"]) == disk_truth()
     assert row2["n_files"] == 1
+
+
+def test_quantized_ivf_layout_probe_matches_quantized_topk(spark, tmp_path):
+    """write_ivf_index(quantize=True) stores __codes/__qscale in the
+    cluster partitions; the quantized probe at n_probe=n_clusters returns
+    exactly quantized_topk's output over the same corpus (same stage-1
+    integer ranking from STORED codes, same exact rerank) — and appended
+    batches inherit the quantized layout."""
+    import os
+
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_probe_topk_quantized,
+        quantized_topk,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(31)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(
+        emb.filter("vec_id < 50"), path, "embedding", "vec_id",
+        n_clusters=4, max_iter=2, quantize=True,
+    )
+    cols = set(spark.read.parquet(path).columns)
+    assert {"__codes", "__qscale", "__cluster"} <= cols
+    # append into the quantized layout: codes must materialize for the batch
+    append_to_ivf_index(emb.filter("vec_id >= 50"), path, "embedding", "vec_id")
+    appended = spark.read.parquet(path).filter("vec_id >= 50")
+    assert appended.count() == 30
+    assert appended.filter(F.col("__codes").isNull()).count() == 0
+
+    qvec = [float(x) for x in rng.standard_normal(8)]
+    got = [
+        (r["vec_id"], round(r["approx_cos"], 9), round(r["exact_cos"], 9), r["rank"])
+        for r in ivf_probe_topk_quantized(
+            spark, path, "embedding", "vec_id", qvec, k=10, n_probe=4,
+            rerank_factor=3,
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["approx_cos"], 9), round(r["exact_cos"], 9), r["rank"])
+        for r in quantized_topk(
+            emb, "embedding", "vec_id", qvec, k=10, rerank_factor=3
+        ).collect()
+    ]
+    assert got == want
+
+    # probing a float-only index with the quantized probe fails loudly
+    import pytest
+
+    plain = str(tmp_path / "plain")
+    write_ivf_index(
+        emb, plain, "embedding", "vec_id", n_clusters=2, max_iter=2
+    )
+    with pytest.raises(ValueError, match="__codes"):
+        ivf_probe_topk_quantized(spark, plain, "embedding", "vec_id", qvec)
+
+
+def test_quantized_ivf_stage1_scan_prunes_embedding_column(spark, tmp_path):
+    """The candidate scan of the quantized probe must read the codes
+    column only — ReadSchema without the float embeddings (the 4x IO
+    claim), and the cluster IN-filter must land in PartitionFilters."""
+    from etl_hiscox_spark.operators.similarity import write_ivf_index
+
+    rng = np.random.default_rng(37)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, "embedding", "vec_id", n_clusters=4, max_iter=2,
+                    quantize=True)
+    # the probe's stage-1 frame, reconstructed for explain (the operator
+    # collects the shortlist eagerly, so gate the plan on its exact shape)
+    idx = spark.read.parquet(path)
+    stage1 = idx.filter(F.col("__cluster").isin([0, 1])).select("vec_id", "__codes")
+    plan = stage1._sc is not None and stage1._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan, plan
+    line = scan[0]
+    assert "embedding" not in line.split("ReadSchema:")[-1], line
+    assert "__codes" in line.split("ReadSchema:")[-1], line
+    assert "PartitionFilters" in line and "__cluster" in line.split("PartitionFilters")[-1], line
