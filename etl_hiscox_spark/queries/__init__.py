@@ -478,6 +478,21 @@ WINDOW_R10: tuple[str, ...] = (
 # declarations (new queries must lead; prechecks move toward r12) —
 # keep new declarations <= ~15.
 WINDOW_R11: tuple[str, ...] = (
+    # new r11 declarations — never driver-checked, must lead:
+    # l3_ivf_rebuild_probe (drift->rebuild loop closed under the
+    # rename-aside commit protocol, VERDICT r10 item 1),
+    # x14_txn_optimize_compaction (manifest-aware OPTIMIZE on the
+    # streaming txn sink + post-compaction exactly-once replay, item 3),
+    # s19_gdpr_erase_subject (one-call erasure across base/txn-history/
+    # IVF/minhash with residual verification, item 6),
+    # l3_ivf_quantized_probe (int8 codes stored in the cluster
+    # partitions, codes-only candidate scan + exact rerank, item 8).
+    # They displace the 4 tail r8-green prechecks (t27/t29/t31/v4),
+    # which move to WINDOW_R12's mandatory head.
+    "l3_ivf_rebuild_probe",
+    "x14_txn_optimize_compaction",
+    "s19_gdpr_erase_subject",
+    "l3_ivf_quantized_probe",
     # mandatory: latest green r7 — stale-beyond-3 at current=11
     "a10_grouping_sets",
     "a1_a5_global_stats",
@@ -526,10 +541,76 @@ WINDOW_R11: tuple[str, ...] = (
     "t16_bigram_lm_nll",
     "t17_semantic_decontamination",
     "t26_dsir_weights",
+)
+
+# Round 12 window — PRE-DEFINED at the end of r11 (same self-advance
+# mechanism; ``active_window()`` serves this once CORRECTNESS_r11.json
+# exists). Composition (histogram after r11 banks, assuming r11 green:
+# {r8: 34, r9: 50, r10: 50, r11: 50} over 185 + s7):
+# head = ALL 34 r8-latest greens (stale-beyond-3 at current=12): the 30
+# simplest r8 greens the r9 plan deferred (projections/filters/joins/
+# aggs, scalar golds, t3/t12 samplers) plus the 4 prechecks displaced by
+# r11's new declarations (t27/t29/t31/v4). Then 16 of the 50 r9 greens
+# as early prechecks — the heavier oracle shapes (pair-graph dedup,
+# media near-dup, BPE/corpus pipelines, bucketed join, incremental
+# refresh); the 34 remaining r9 greens defer to a mandatory WINDOW_R13
+# head. The r12 builder SWAPS prechecks for new declarations (new
+# queries must lead; displaced r9-green prechecks move toward r13) —
+# keep new declarations <= ~15 and ALWAYS recompute cohorts from the
+# CORRECTNESS artifacts before editing.
+WINDOW_R12: tuple[str, ...] = (
+    # mandatory: latest green r8 — stale-beyond-3 at current=12
+    "a10_rollup_summary",
+    "a12_percentiles",
+    "a13_histogram",
+    "a14_pivot",
+    "a15_distinct_rollup",
+    "a6_grouped_pricing_summary",
+    "a7_conditional_aggregate",
+    "a9_duplicate_stats",
+    "f7_freshness_tiers",
+    "g2_top_unshipped_orders",
+    "g3_supplier_part_matrix",
+    "g4_promo_revenue_share",
+    "g5_exists_late_orders",
+    "g6_having_large_customers",
+    "j1_inner_equijoin",
+    "j2_left_outer_join",
+    "j5_left_anti_join",
+    "l5_bpe_token_count",
+    "l6_from_json_struct",
+    "p2_computed_columns",
+    "p4_filter_range",
+    "p7_filter_regex",
+    "p8_filter_cross_column",
+    "s4_sql_entry_point",
+    "t12_weighted_sample",
+    "t25_token_budget_sample",
     "t27_boilerplate_lines",
+    "t28_domain_quality_gate",
     "t29_gumbel_weighted_topk",
+    "t30_domain_blocklist",
     "t31_perplexity_buckets",
+    "t3_fingerprint",
+    "t7_mixture_sample",
     "v4_pca_projection",
+    # r9-green prechecks (16 of 50) — the heavier shapes, smoothing r13
+    "f17_golden_record",
+    "l2_minhash_near_dup",
+    "l2_transitive_clusters",
+    "l3_ann_topk",
+    "l3_embedding_near_pairs",
+    "l3_ivf_append_probe",
+    "l3_mmr_topk",
+    "m10_video_frame_near_dup",
+    "m9_media_near_dup_pairs",
+    "s14_incremental_refresh",
+    "s18_bucketed_colocated_join",
+    "t13_corpus_prep_pipeline",
+    "t21_bpe_merges",
+    "t32_cluster_keep_best",
+    "t33_leakage_safe_split",
+    "t34_ngram_novelty_score",
 )
 
 WINDOWS: dict[int, tuple[str, ...]] = {
@@ -537,6 +618,7 @@ WINDOWS: dict[int, tuple[str, ...]] = {
     9: WINDOW_R9,
     10: WINDOW_R10,
     11: WINDOW_R11,
+    12: WINDOW_R12,
 }
 
 

@@ -1053,8 +1053,12 @@ def test_compact_ivf_index_defragments_and_preserves_probe(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     )
     qv = [float(x) for x in rng.standard_normal(6)]
+    # 9-dp rounding: the scoring matvec is per-Arrow-batch BLAS, and
+    # compaction reshuffles which rows share a batch (file order follows
+    # part-file uuids), so the last ulp of a cosine can legitimately move
+    # across the rewrite — 1e-9 is far above that noise, far below signal
     probe_before = [
-        (r["vec_id"], r["cosine_sim"], r["rank"])
+        (r["vec_id"], round(r["cosine_sim"], 9), r["rank"])
         for r in ivf_probe_topk(spark, path, None, "embedding", "vec_id", qv, k=10, n_probe=4).collect()
     ]
 
@@ -1070,7 +1074,7 @@ def test_compact_ivf_index_defragments_and_preserves_probe(spark, tmp_path):
     )
     assert content_after == content_before
     probe_after = [
-        (r["vec_id"], r["cosine_sim"], r["rank"])
+        (r["vec_id"], round(r["cosine_sim"], 9), r["rank"])
         for r in ivf_probe_topk(spark, path, None, "embedding", "vec_id", qv, k=10, n_probe=4).collect()
     ]
     assert probe_after == probe_before
@@ -1668,7 +1672,7 @@ def test_rebuild_ivf_index_commit_protocol(spark, tmp_path, monkeypatch):
     sim.write_ivf_index(emb, path, "embedding", "vec_id", n_clusters=4, max_iter=2)
     qvec = [float(x) for x in rng.standard_normal(4)]
     before = [
-        (r["vec_id"], r["cosine_sim"])
+        (r["vec_id"], round(r["cosine_sim"], 9))
         for r in sim.ivf_probe_topk(
             spark, path, None, "embedding", "vec_id", qvec, k=10, n_probe=4
         ).collect()
@@ -1688,7 +1692,7 @@ def test_rebuild_ivf_index_commit_protocol(spark, tmp_path, monkeypatch):
     # live index untouched: same geometry, same probe results
     np.testing.assert_allclose(sim.load_ivf_centroids(spark, path), old_centroids)
     after_crash = [
-        (r["vec_id"], r["cosine_sim"])
+        (r["vec_id"], round(r["cosine_sim"], 9))
         for r in sim.ivf_probe_topk(
             spark, path, None, "embedding", "vec_id", qvec, k=10, n_probe=4
         ).collect()
