@@ -1008,7 +1008,9 @@ def _require_local_index_path(spark, path: str, op: str) -> str:
             "a cluster filesystem use the table-format equivalent "
             "(OPTIMIZE / DELETE) or run the op where the index is local."
         )
-    return path[len("file://"):] if path.startswith("file://") else path
+    from etl_hiscox_spark.sources.writers import _local_fs_path
+
+    return _local_fs_path(path)
 
 
 def _rename_meta_aside(spark, path: str, aside_name: str) -> None:
@@ -1167,7 +1169,9 @@ def _write_index_meta(spark, path: str, num_hashes: int, num_bands: int, shingle
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        local = meta_path[len("file://"):] if meta_path.startswith("file://") else meta_path
+        from etl_hiscox_spark.sources.writers import _local_fs_path
+
+        local = _local_fs_path(meta_path)
         os.makedirs(local, exist_ok=True)
         pq.write_table(
             pa.table(
@@ -1194,8 +1198,9 @@ def _invalidate_index_meta(spark, path: str) -> None:
     if _meta_is_local(spark, path):
         import shutil
 
-        local = meta_path[len("file://"):] if meta_path.startswith("file://") else meta_path
-        shutil.rmtree(local, ignore_errors=True)
+        from etl_hiscox_spark.sources.writers import _local_fs_path
+
+        shutil.rmtree(_local_fs_path(meta_path), ignore_errors=True)
         return
     sc = spark.sparkContext
     jpath = sc._jvm.org.apache.hadoop.fs.Path(meta_path)
@@ -1210,8 +1215,11 @@ def _read_index_meta(spark, path: str) -> tuple[int, int, int]:
         if _meta_is_local(spark, path):
             import pyarrow.parquet as pq
 
-            local = meta_path[len("file://"):] if meta_path.startswith("file://") else meta_path
-            row = pq.read_table(os.path.join(local, "meta.parquet")).to_pylist()[0]
+            from etl_hiscox_spark.sources.writers import _local_fs_path
+
+            row = pq.read_table(
+                os.path.join(_local_fs_path(meta_path), "meta.parquet")
+            ).to_pylist()[0]
         else:
             row = spark.read.parquet(meta_path).collect()[0].asDict()
     except (FileNotFoundError, OSError, IndexError, _SparkAnalysisError) as exc:

@@ -514,13 +514,13 @@ def write_ivf_index(
             _write_ivf_partitions(assigned, path)
         finally:
             assigned.unpersist(blocking=False)
-        _write_ivf_centroids(df.sparkSession, path, C)
+        _write_ivf_centroids(df.sparkSession, path, C, quantized=quantize)
         return C
     assigned, centroids = ivf_index(
         df, embedding_col, id_col, n_clusters, seed, train_fraction, max_iter
     )
     _write_ivf_partitions(_with_codes(assigned), path)
-    _write_ivf_centroids(df.sparkSession, path, centroids)
+    _write_ivf_centroids(df.sparkSession, path, centroids, quantized=quantize)
     return centroids
 
 
@@ -546,11 +546,20 @@ def _write_ivf_partitions(assigned: DataFrame, path: str, mode: str = "overwrite
     ).parquet(path)
 
 
-def _write_ivf_centroids(spark, path: str, centroids: np.ndarray) -> None:
+def _write_ivf_centroids(
+    spark, path: str, centroids: np.ndarray, quantized: bool = False
+) -> None:
     # Local paths write via pyarrow on the driver — a Spark job to persist
     # a k-row centroid table measured ~5s of the whole index lifecycle at
     # bench scale (the same tiny-metadata lesson as the minhash index
     # meta); the contract (parquet at <path>/_centroids) is identical.
+    # ``quantized`` rides the commit record (r11 review): the append path
+    # needs "does this layout store __codes?" in O(1), and a full-index
+    # schema inference per daily append is exactly the listing tax the
+    # fragmentation stats were moved off the driver to avoid. _centroids
+    # survives every maintenance op by construction (compact copies it
+    # byte-for-byte, erase renames it aside and back, rebuild rewrites
+    # it), so the flag can never drift from the layout.
     from etl_hiscox_spark.operators.dedup import _meta_is_local
 
     cdir = os.path.join(path, "_centroids")
@@ -558,7 +567,9 @@ def _write_ivf_centroids(spark, path: str, centroids: np.ndarray) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        local = cdir[len("file://"):] if cdir.startswith("file://") else cdir
+        from etl_hiscox_spark.sources.writers import _local_fs_path
+
+        local = _local_fs_path(cdir)
         os.makedirs(local, exist_ok=True)
         pq.write_table(
             pa.table(
@@ -568,23 +579,25 @@ def _write_ivf_centroids(spark, path: str, centroids: np.ndarray) -> None:
                         [[float(x) for x in c] for c in centroids],
                         pa.list_(pa.float64()),
                     ),
+                    "quantized": pa.array(
+                        [bool(quantized)] * len(centroids), pa.bool_()
+                    ),
                 }
             ),
             os.path.join(local, "centroids.parquet"),
         )
         return
     spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cluster int, centroid array<double>",
+        [
+            (int(i), [float(x) for x in c], bool(quantized))
+            for i, c in enumerate(centroids)
+        ],
+        "cluster int, centroid array<double>, quantized boolean",
     ).coalesce(1).write.mode("overwrite").parquet(cdir)
 
 
-def load_ivf_centroids(spark, path: str) -> np.ndarray:
-    """Centroid matrix persisted by :func:`write_ivf_index`. Missing or
-    empty centroids mean an interrupted index write — fail loudly, never
-    probe with default/stale geometry. Local paths read via pyarrow on
-    the driver (every probe/append/erase/drift call loads the geometry —
-    a Spark job per k-row read taxed the lifecycle measurably)."""
+def _read_ivf_centroid_rows(spark, path: str) -> list[dict]:
+    """Raw rows of the ``_centroids`` commit record, loud when missing."""
     from etl_hiscox_spark.operators.dedup import _meta_is_local
 
     cdir = os.path.join(path, "_centroids")
@@ -594,7 +607,9 @@ def load_ivf_centroids(spark, path: str) -> np.ndarray:
 
             import pyarrow.parquet as pq
 
-            local = cdir[len("file://"):] if cdir.startswith("file://") else cdir
+            from etl_hiscox_spark.sources.writers import _local_fs_path
+
+            local = _local_fs_path(cdir)
             parts = sorted(_glob.glob(os.path.join(local, "*.parquet")))
             if not parts:
                 raise FileNotFoundError(f"no centroid parquet under {local!r}")
@@ -611,8 +626,26 @@ def load_ivf_centroids(spark, path: str) -> np.ndarray:
         ) from exc
     if not rows:
         raise ValueError(f"IVF index at {path!r} has an empty centroid table")
+    return rows
+
+
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
+    """Centroid matrix persisted by :func:`write_ivf_index`. Missing or
+    empty centroids mean an interrupted index write — fail loudly, never
+    probe with default/stale geometry. Local paths read via pyarrow on
+    the driver (every probe/append/erase/drift call loads the geometry —
+    a Spark job per k-row read taxed the lifecycle measurably)."""
+    rows = _read_ivf_centroid_rows(spark, path)
     rows.sort(key=lambda r: r["cluster"])
     return np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+
+
+def ivf_index_is_quantized(spark, path: str) -> bool:
+    """Whether the index layout stores int8 codes — read from the
+    ``_centroids`` commit record in O(1), never inferred from the data
+    files (pre-r11 indexes without the flag read as False)."""
+    rows = _read_ivf_centroid_rows(spark, path)
+    return bool(rows[0].get("quantized", False))
 
 
 def append_to_ivf_index(
@@ -640,8 +673,11 @@ def append_to_ivf_index(
     assigned = df.withColumn("__cluster", _nearest_centroid_col(C, F.col(embedding_col)))
     # quantized layouts propagate: an append into an index that stores
     # int8 codes must quantize its batch with the same expression, or
-    # every appended row would be invisible to the codes-only probe scan
-    if "__codes" in df.sparkSession.read.parquet(path).schema.names:
+    # every appended row would be invisible to the codes-only probe scan.
+    # The flag comes from the _centroids commit record in O(1) — a full
+    # index schema inference per daily append would pay the very listing
+    # tax this module keeps off the driver (r11 review).
+    if ivf_index_is_quantized(df.sparkSession, path):
         from etl_hiscox_spark.operators.vectors import quantize_int8
 
         codes, scale = quantize_int8(F.col(embedding_col))
@@ -863,11 +899,13 @@ def rebuild_ivf_index(
     from etl_hiscox_spark.operators.dedup import _require_local_index_path
 
     local = _require_local_index_path(spark, path, "rebuild_ivf_index")
-    old_C = load_ivf_centroids(spark, path)  # loud on an uncommitted index
-    k = int(n_clusters) if n_clusters is not None else int(old_C.shape[0])
     tmp = path.rstrip("/") + "__rebuild"
     ltmp = local.rstrip("/") + "__rebuild"
     lold = local.rstrip("/") + "__old"
+    # leftover check FIRST (r11 review): after a crash in the two-rename
+    # swap window the live path is absent and load_ivf_centroids' "rebuild
+    # with write_ivf_index" advice would direct the operator to orphan the
+    # recovery copies — the leftover message below is the correct recovery
     for leftover in (ltmp, lold):
         if os.path.exists(leftover):
             raise ValueError(
@@ -876,12 +914,19 @@ def rebuild_ivf_index(
                 "is present it is intact, remove the leftover; if the "
                 "live path is missing, rename a complete leftover back)."
             )
+    old_C = load_ivf_centroids(spark, path)  # loud on an uncommitted index
+    k = int(n_clusters) if n_clusters is not None else int(old_C.shape[0])
     live = spark.read.parquet(path).drop("__cluster")
     assigned, C = ivf_index(
         live, embedding_col, id_col, k, seed, train_fraction, max_iter
     )
     _write_ivf_partitions(assigned, tmp)
-    _write_ivf_centroids(spark, tmp, C)
+    # quantized layouts survive a rebuild: the __codes/__qscale columns
+    # ride through ivf_index as ordinary payload, so the staged commit
+    # record must carry the same flag for future appends
+    _write_ivf_centroids(
+        spark, tmp, C, quantized="__codes" in live.columns
+    )
     os.rename(local, lold)
     os.rename(ltmp, local)
     shutil.rmtree(lold)
@@ -1125,14 +1170,33 @@ def ivf_probe_topk_quantized(
     shortlist = scored.orderBy(
         F.col("approx_cos").desc(), F.col(id_col).asc()
     ).limit(rerank_factor * k).collect()
+    # id type comes from the index schema, never hardcoded — the same
+    # generic-id rule as mmr_topk (r11 review: a string-id index would
+    # crash a 'long'-typed literal frame)
+    from pyspark.sql import types as T
+
+    id_field = idx.schema[id_col]
     if not shortlist:
         return spark.createDataFrame(
-            [], f"{id_col} long, approx_cos double, exact_cos double, rank int"
+            [],
+            T.StructType(
+                [
+                    T.StructField(id_col, id_field.dataType),
+                    T.StructField("approx_cos", T.DoubleType()),
+                    T.StructField("exact_cos", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
         )
     ids = [r[id_col] for r in shortlist]
     approx = spark.createDataFrame(
         [(r[id_col], float(r["approx_cos"])) for r in shortlist],
-        f"{id_col} long, approx_cos double",
+        T.StructType(
+            [
+                T.StructField(id_col, id_field.dataType),
+                T.StructField("approx_cos", T.DoubleType()),
+            ]
+        ),
     )
     qdlit = _as_double_literal_array(q)
     fetched = (

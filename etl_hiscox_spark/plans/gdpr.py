@@ -38,12 +38,21 @@ def erase_subject(
     store. Each store is a ``(path, key_col)`` pair; ``keys`` is a 1-column
     frame of subject keys (broadcast-small by contract — erasure requests
     are tiny next to the data). Returns one report row per store:
-    ``{"kind", "path", "key_col", "n_erased"}``.
+    ``{"kind", "path", "key_col", "n_erased"}`` — except the txn-history
+    kind, whose underlying operator reports work in FILES, not rows (a
+    row can exist in many versions, so "rows erased" has no single
+    number): its row carries ``n_files_rewritten`` instead of a
+    misleadingly-small ``n_erased`` (r11 review).
 
     With ``verify=True`` (default) every store is re-scanned AFTER its
     rewrite — including every time-travel version of a txn table — and a
     surviving subject row raises instead of returning a report that
     claims compliance.
+
+    An EMPTY key set returns the per-store report with zero counts and
+    touches nothing: base-table erasure is a whole-table rewrite+swap,
+    and paying that (plus four residual scans) for a guaranteed no-op is
+    hours of wasted IO at scale (r11 review).
     """
     from etl_hiscox_spark.operators.dedup import erase_from_minhash_index
     from etl_hiscox_spark.operators.similarity import erase_from_ivf_index
@@ -64,10 +73,21 @@ def erase_subject(
 
     report: list[dict] = []
 
-    def record(kind: str, path: str, key_col: str, n: int) -> None:
+    def record(kind: str, path: str, key_col: str, n: int, metric: str = "n_erased") -> None:
         report.append(
-            {"kind": kind, "path": path, "key_col": key_col, "n_erased": int(n)}
+            {"kind": kind, "path": path, "key_col": key_col, metric: int(n)}
         )
+
+    if not key_rows:
+        for kind, stores, metric in (
+            ("base", base_tables, "n_erased"),
+            ("txn_history", txn_tables, "n_files_rewritten"),
+            ("ivf_index", ivf_indexes, "n_erased"),
+            ("minhash_index", minhash_indexes, "n_erased"),
+        ):
+            for path, key_col in stores:
+                record(kind, path, key_col, 0, metric)
+        return report
 
     def residuals(df: DataFrame, key_col: str) -> int:
         return df.filter(F.col(key_col).isin(key_rows)).count()
@@ -80,7 +100,10 @@ def erase_subject(
 
     for path, key_col in txn_tables:
         t = TxnTable(spark, path)
-        record("txn_history", path, key_col, t.erase_keys(key_col, key_rows))
+        record(
+            "txn_history", path, key_col,
+            t.erase_keys(key_col, key_rows), metric="n_files_rewritten",
+        )
         if verify:
             for v in t._versions():
                 if residuals(t.read(v), key_col):

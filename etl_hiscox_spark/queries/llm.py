@@ -229,28 +229,17 @@ def l2_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
 
 
-def _parquet_content_checksum(spark: SparkSession, path: str) -> tuple:
+def _parquet_content_checksum(
+    spark: SparkSession, path: str, exclude_col: str | None = None
+) -> tuple:
     """(row count, exact decimal sum of xxhash64 over every column) of a
     parquet dir — the content-equality invariant the index-maintenance
     queries raise on. decimal(38,0): a long sum of ~2^63-scale hashes
-    overflows under ANSI mode; decimal is exact at any corpus size."""
-    d = spark.read.parquet(path)
-    row = d.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.xxhash64(*[F.col(c) for c in sorted(d.columns)]).cast("decimal(38,0)")
-        ).alias("h"),
-    ).first()
-    return (row["n"], row["h"])
-
-
-def _parquet_payload_checksum(
-    spark: SparkSession, path: str, exclude_col: str
-) -> tuple:
-    """:func:`_parquet_content_checksum` minus one column — the rebuild
-    invariant: row payloads must survive a rebuild byte-for-byte while
-    the ``__cluster`` label (the thing a rebuild exists to change) is
-    left out of the hash."""
+    overflows under ANSI mode; decimal is exact at any corpus size.
+    ``exclude_col`` drops one column from the hash — the rebuild
+    invariant, where row payloads must survive byte-for-byte while the
+    ``__cluster`` label (the thing a rebuild exists to change) is left
+    out."""
     d = spark.read.parquet(path)
     cols = sorted(c for c in d.columns if c != exclude_col)
     row = d.agg(
@@ -2108,11 +2097,11 @@ def l3_ivf_rebuild_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path, "embedding", "vec_id")
 
-    sig_before = _parquet_payload_checksum(spark, path, exclude_col="__cluster")
+    sig_before = _parquet_content_checksum(spark, path, exclude_col="__cluster")
     # max_iter=4: the probe below is centroid-independent (full probe), so
     # the fit is capped — see l3_ivf_append_probe
     C = rebuild_ivf_index(spark, path, "embedding", "vec_id", max_iter=4)
-    sig_after = _parquet_payload_checksum(spark, path, exclude_col="__cluster")
+    sig_after = _parquet_content_checksum(spark, path, exclude_col="__cluster")
     if sig_after != sig_before:
         raise ValueError(
             f"rebuild_ivf_index changed the row payload: {sig_before} -> {sig_after}"

@@ -899,10 +899,12 @@ def s19_gdpr_erase_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_indexes=[(mh, "doc_id")],
         verify=True,
     )
-    by_kind = {r["kind"]: r["n_erased"] for r in report}
+    by_kind = {
+        r["kind"]: r.get("n_erased", r.get("n_files_rewritten")) for r in report
+    }
     expected = {
         "base": n_subj_docs,
-        "txn_history": None,  # files rewritten, not rows — checked below
+        "txn_history": None,  # reports n_files_rewritten, not rows — below
         "ivf_index": n_subj_vecs,
         "minhash_index": 6 * n_subj_docs,  # num_bands fingerprint rows per doc
     }

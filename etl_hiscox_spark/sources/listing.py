@@ -9,9 +9,17 @@ driver's share bounded by the number of directories (one non-recursive
 LIST), the same split Spark's own InMemoryFileIndex uses for parallel
 partition discovery.
 
-Executors have no JVM/Hadoop gateway from Python, so the per-directory
-walk runs on ``pyarrow.fs`` (LocalFileSystem for file paths, the
-``from_uri`` registry for s3:// and friends — public PyArrow surface).
+Filesystem resolution (r11 review): a directory's OWNING filesystem
+decides where its walk may run. Remote schemes (s3://, hdfs://, ...)
+fan out to executors via ``pyarrow.fs`` (the ``from_uri`` registry —
+public PyArrow surface; hdfs requires libhdfs on the workers).
+Driver-LOCAL directories (``file:`` scheme, or scheme-less with
+``fs.defaultFS=file:``) are walked on the DRIVER in a bounded loop — a
+driver-local disk is not visible from remote executors, and it is small
+by definition, so the driver walk is both the only correct choice and a
+bounded cost. Scheme-less paths on a non-file defaultFS are qualified
+with the defaultFS before shipping, mirroring Hadoop's own resolution —
+the executor must never fall back to ITS local disk for them.
 """
 
 from __future__ import annotations
@@ -22,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _dir_file_stats(dir_uri: str, suffix: str = ".parquet") -> tuple[int, int]:
-    """(n_files, total_bytes) of one directory tree — runs on EXECUTORS.
+    """(n_files, total_bytes) of one directory tree via ``pyarrow.fs``.
 
     Hadoop renders local URIs as ``file:/x`` (one slash); PyArrow's
     ``from_uri`` rejects that form, so file-scheme URIs are normalized to
@@ -44,14 +52,37 @@ def _dir_file_stats(dir_uri: str, suffix: str = ".parquet") -> tuple[int, int]:
 def distributed_dir_stats(
     spark: SparkSession, dirs: list[tuple[int, str]]
 ) -> DataFrame:
-    """(key, dir_uri) pairs → (key, n_files, total_bytes) with each
-    directory walked on an executor. The driver materializes only the
-    directory LIST (bounded — n_clusters for an IVF index); the walks,
-    which scale with total file count, are fanned out one-dir-per-row
-    via mapInPandas."""
+    """(key, dir_uri) pairs → (key, n_files, total_bytes).
+
+    Remote directories are walked on EXECUTORS (one-dir-per-row
+    mapInPandas fan-out); driver-local directories are walked on the
+    driver (see the module docstring for why that split is forced). The
+    driver never materializes more than the directory list plus one
+    (n_files, bytes) pair per directory.
+    """
     import pandas as pd
 
-    ddf = spark.createDataFrame(dirs, "key int, dir string")
+    from etl_hiscox_spark.operators.dedup import _meta_is_local
+
+    schema = "key int, n_files long, total_bytes long"
+    local_rows: list[tuple[int, int, int]] = []
+    remote: list[tuple[int, str]] = []
+    for k, d in dirs:
+        if _meta_is_local(spark, d):
+            local_rows.append((int(k),) + _dir_file_stats(d))
+        elif "://" not in d:
+            # scheme-less on a non-file defaultFS: qualify before shipping
+            default_fs = (
+                spark.sparkContext._jsc.hadoopConfiguration().get("fs.defaultFS")
+            )
+            remote.append((int(k), default_fs.rstrip("/") + d))
+        else:
+            remote.append((int(k), d))
+    local_df = (
+        spark.createDataFrame(local_rows, schema) if local_rows else None
+    )
+    if not remote:
+        return local_df if local_df is not None else spark.createDataFrame([], schema)
 
     def _walk(batches):
         for pdf in batches:
@@ -61,7 +92,7 @@ def distributed_dir_stats(
             ]
             yield pd.DataFrame(rows, columns=["key", "n_files", "total_bytes"])
 
-    n = max(1, min(len(dirs), spark.sparkContext.defaultParallelism))
-    return ddf.repartition(n).mapInPandas(
-        _walk, "key int, n_files long, total_bytes long"
-    )
+    ddf = spark.createDataFrame(remote, "key int, dir string")
+    n = max(1, min(len(remote), spark.sparkContext.defaultParallelism))
+    remote_df = ddf.repartition(n).mapInPandas(_walk, schema)
+    return remote_df if local_df is None else local_df.unionByName(remote_df)

@@ -168,6 +168,14 @@ class TxnTable:
 
         Idempotent under the writer protocol: a second compact on an
         already-compacted head sees n_files <= target and no-ops.
+
+        The OPTIMIZE commit CARRIES FORWARD the newest txn watermark of
+        every app_id (Delta retains SetTransaction actions across log
+        cleanup for the same reason): :meth:`last_txn_version` scans
+        manifests newest-first, so after the advertised retention
+        sequence (compact → expire_versions → vacuum) the watermarks
+        would otherwise vanish with the expired manifests and an
+        at-least-once producer's replayed batch would land TWICE.
         """
         v = self.latest_version()
         if v is None:
@@ -178,9 +186,18 @@ class TxnTable:
         n_out = max(1, -(-total // (target_file_mb * 1024 * 1024)))
         if len(files) <= n_out:
             return None
+        # newest watermark per app_id across ALL manifests (oldest-first
+        # iteration, so later versions overwrite earlier ones)
+        watermarks: dict[str, int] = {}
+        for pv in self._versions():
+            for app, tv in (self._read_manifest(pv).get("txn") or {}).items():
+                watermarks[str(app)] = max(int(tv), watermarks.get(str(app), int(tv)))
         head = self.read(v)
         return self.write(
-            head.repartition(int(n_out)), mode="overwrite", operation="OPTIMIZE"
+            head.repartition(int(n_out)),
+            mode="overwrite",
+            operation="OPTIMIZE",
+            txn=watermarks or None,
         )
 
     def expire_versions(self, keep_last: int) -> int:

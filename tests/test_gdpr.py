@@ -56,7 +56,8 @@ def test_erase_subject_reaches_all_four_stores(spark, tmp_path):
     by_kind = {r["kind"]: r for r in report}
     assert set(by_kind) == {"base", "txn_history", "ivf_index", "minhash_index"}
     assert by_kind["base"]["n_erased"] == 1
-    assert by_kind["txn_history"]["n_erased"] >= 1  # files rewritten
+    assert by_kind["txn_history"]["n_files_rewritten"] >= 1
+    assert "n_erased" not in by_kind["txn_history"]  # files, not rows — honest field
     assert by_kind["ivf_index"]["n_erased"] == 1
     assert by_kind["minhash_index"]["n_erased"] == 6  # num_bands rows
 
@@ -83,7 +84,27 @@ def test_erase_subject_reaches_all_four_stores(spark, tmp_path):
         ivf_indexes=[(ivf, "doc_id")],
         minhash_indexes=[(mh, "doc_id")],
     )
-    assert all(r["n_erased"] == 0 for r in report2)
+    assert all(
+        r.get("n_erased", r.get("n_files_rewritten")) == 0 for r in report2
+    )
+
+    # an empty erasure request is a zero-IO no-op with a full report
+    t0 = __import__("time").monotonic()
+    report3 = erase_subject(
+        spark,
+        spark.createDataFrame([], "doc_id long"),
+        base_tables=[(base, "doc_id")],
+        txn_tables=[(txn, "doc_id")],
+        ivf_indexes=[(ivf, "doc_id")],
+        minhash_indexes=[(mh, "doc_id")],
+    )
+    assert {r["kind"] for r in report3} == {
+        "base", "txn_history", "ivf_index", "minhash_index"
+    }
+    assert all(
+        r.get("n_erased", r.get("n_files_rewritten")) == 0 for r in report3
+    )
+    assert __import__("time").monotonic() - t0 < 2.0, "empty request ran Spark jobs"
 
 
 def test_erase_subject_rejects_bad_requests(spark, tmp_path):

@@ -721,3 +721,36 @@ def test_txn_compact_respects_target_size_and_schema_evolution(spark, tmp_path):
     assert nulls == 5
     # old versions still read with their own schemas
     assert set(t.read(0).columns) == {"id"}
+
+
+def test_txn_compact_carries_exactly_once_watermarks(spark, tmp_path):
+    """r11 review: the OPTIMIZE commit must carry every app_id's newest
+    txn watermark forward — after the full retention sequence
+    (compact -> expire_versions -> vacuum) an at-least-once producer's
+    replayed batch must STILL be skipped, or exactly-once breaks the
+    moment retention runs."""
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    for batch_id in range(3):
+        assert t.write_txn(
+            spark.range(batch_id * 5, batch_id * 5 + 5).selectExpr("id"),
+            app_id="app", txn_version=batch_id,
+        )
+    assert t.last_txn_version("app") == 2
+    v = t.compact(target_file_mb=256)
+    assert v is not None
+    assert t.expire_versions(keep_last=1) == 3
+    t.vacuum()
+    # watermark survived retention via the OPTIMIZE manifest
+    assert t.last_txn_version("app") == 2
+    # the crash-replay of an already-committed batch is still a no-op
+    assert not t.write_txn(
+        spark.range(10, 15).selectExpr("id"), app_id="app", txn_version=2
+    )
+    assert t.read().count() == 15
+    # genuinely new batches still land
+    assert t.write_txn(
+        spark.range(15, 20).selectExpr("id"), app_id="app", txn_version=3
+    )
+    assert t.read().count() == 20
