@@ -29,6 +29,75 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _resolve_fs(dir_uri: str):
+    """``(filesystem, root_path)`` for a URI or plain path (see
+    :func:`_dir_file_stats` for the ``file:`` normalization rationale)."""
+    from pyarrow import fs as pafs
+
+    if dir_uri.startswith("file:") or "://" not in dir_uri:
+        local = dir_uri[len("file:"):] if dir_uri.startswith("file:") else dir_uri
+        return pafs.LocalFileSystem(), re.sub("^/+", "/", local)
+    return pafs.FileSystem.from_uri(dir_uri)
+
+
+# Partition-column dtypes whose directory-name encoding round-trips to a
+# Python value with the SAME ordering Spark gives the column: UTF-8 binary
+# order == code-point order for strings, numeric order for integrals,
+# ISO-date order for dates. Timestamps (session-tz rendering), decimals,
+# and floats deliberately fall back to the footer scan — their dir-name
+# forms have normalization subtleties that are not worth a wrong watermark.
+def _parse_partition_value(raw: str, dtype):
+    from datetime import date
+    from urllib.parse import unquote
+
+    from pyspark.sql import types as T
+
+    value = unquote(raw)
+    if isinstance(dtype, T.StringType):
+        return value
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(value)
+    if isinstance(dtype, T.DateType):
+        return date.fromisoformat(value)
+    raise ValueError(f"unsupported partition dtype for dir-name watermark: {dtype}")
+
+
+def partition_high_watermark(path: str, partition_col: str, dtype):
+    """Max partition value of a Hive-layout table from DIRECTORY NAMES.
+
+    ``spark.read.parquet(path).agg(max(partition_col))`` is correct but
+    pays a full recursive file listing plus a scheduled job over every
+    file — at 100 TB with years of daily partitions that is O(all files)
+    for a fact derivable from O(partitions) directory entries. This reads
+    one non-recursive LIST of ``path`` plus one per-dir non-emptiness
+    check (empty dirs contribute no rows to the footer scan either, so
+    skipping them matches the scan's answer exactly).
+
+    Returns ``(found, watermark)``: ``(False, None)`` when the table does
+    not exist yet, ``(True, None)`` when it exists but has no data-bearing
+    partitions. Raises ``ValueError`` for dtypes whose dir-name encoding
+    does not safely round-trip (caller falls back to the footer scan).
+    """
+    from pyarrow import fs as pafs
+
+    filesystem, root = _resolve_fs(path)
+    if filesystem.get_file_info(root).type != pafs.FileType.Directory:
+        return False, None
+    prefix = f"{partition_col}="
+    values = []
+    for info in filesystem.get_file_info(pafs.FileSelector(root, recursive=False)):
+        name = info.base_name
+        if info.type != pafs.FileType.Directory or not name.startswith(prefix):
+            continue
+        raw = name[len(prefix):]
+        if raw == "__HIVE_DEFAULT_PARTITION__":  # null partition: max() ignores nulls
+            continue
+        children = filesystem.get_file_info(pafs.FileSelector(info.path, recursive=False))
+        if any(c.type == pafs.FileType.File for c in children):
+            values.append(_parse_partition_value(raw, dtype))
+    return True, (max(values) if values else None)
+
+
 def _dir_file_stats(dir_uri: str, suffix: str = ".parquet") -> tuple[int, int]:
     """(n_files, total_bytes) of one directory tree via ``pyarrow.fs``.
 
@@ -37,11 +106,7 @@ def _dir_file_stats(dir_uri: str, suffix: str = ".parquet") -> tuple[int, int]:
     plain paths on the LocalFileSystem."""
     from pyarrow import fs as pafs
 
-    if dir_uri.startswith("file:") or "://" not in dir_uri:
-        local = dir_uri[len("file:"):] if dir_uri.startswith("file:") else dir_uri
-        filesystem, root = pafs.LocalFileSystem(), re.sub("^/+", "/", local)
-    else:
-        filesystem, root = pafs.FileSystem.from_uri(dir_uri)
+    filesystem, root = _resolve_fs(dir_uri)
     infos = filesystem.get_file_info(pafs.FileSelector(root, recursive=True))
     files = [
         i for i in infos if i.type == pafs.FileType.File and i.path.endswith(suffix)

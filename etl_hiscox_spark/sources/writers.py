@@ -177,10 +177,14 @@ def incremental_refresh(
 
     First run: full build, partitioned by ``partition_col``. Subsequent
     runs: read the high-watermark ``max(partition_col)`` from the existing
-    target (a metadata-only scan — the partition column comes from
-    directory names, no data files are read), filter the source to
-    partitions ``>= watermark``, and dynamically overwrite exactly those
-    partitions via :func:`overwrite_partitions_dynamic`.
+    target's partition DIRECTORY NAMES (one non-recursive listing —
+    O(partitions), no Spark job, no per-file listing; see
+    :func:`etl_hiscox_spark.sources.listing.partition_high_watermark`),
+    filter the source to partitions ``>= watermark``, and dynamically
+    overwrite exactly those partitions via
+    :func:`overwrite_partitions_dynamic`. Dtypes whose dir-name encoding
+    does not safely round-trip (timestamps, decimals, floats) fall back
+    to the footer-scan ``agg(max)`` — correct everywhere, just not free.
 
     ``>=`` not ``>``: the boundary partition is recomputed in full, so
     late-arriving rows that land in the partition the last run already
@@ -193,17 +197,23 @@ def incremental_refresh(
     predicate pushdown), and the write touches only those partitions —
     cost scales with the day's data, not the table's history.
     """
-    if os.path.exists(path):
-        watermark_row = (
-            spark.read.parquet(path).agg(F.max(partition_col).alias("wm")).collect()[0]
+    from etl_hiscox_spark.sources.listing import partition_high_watermark
+
+    col_type = source.schema[partition_col].dataType
+    try:
+        found, wm_value = partition_high_watermark(path, partition_col, col_type)
+    except ValueError:
+        # dtype without a safe dir-name round-trip — the raise implies the
+        # table already has a data-bearing partition: footer-scan fallback.
+        found = True
+        wm_value = (
+            spark.read.parquet(path).agg(F.max(partition_col).alias("wm")).collect()[0]["wm"]
         )
-        if watermark_row["wm"] is not None:
-            # Partition-directory values are type-inferred on read-back
-            # ('2024-01-01' comes back as DATE even if written from a
-            # string column) — cast the watermark to the SOURCE column's
-            # type so the pushed-down comparison never mixes types.
-            wm = F.lit(watermark_row["wm"]).cast(source.schema[partition_col].dataType)
-            source = source.filter(F.col(partition_col) >= wm)
+    if found and wm_value is not None:
+        # Watermark values parse back as Python str/int/date — cast the
+        # literal to the SOURCE column's type so the pushed-down
+        # comparison never mixes types.
+        source = source.filter(F.col(partition_col) >= F.lit(wm_value).cast(col_type))
     # Cluster rows by (partition value, salt) before the partitioned
     # write. Partition value alone kills the small-file spray (every
     # upstream task writing a sliver into every partition dir) but
