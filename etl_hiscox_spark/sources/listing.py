@@ -92,8 +92,20 @@ def partition_high_watermark(path: str, partition_col: str, dtype):
         raw = name[len(prefix):]
         if raw == "__HIVE_DEFAULT_PARTITION__":  # null partition: max() ignores nulls
             continue
-        children = filesystem.get_file_info(pafs.FileSelector(info.path, recursive=False))
-        if any(c.type == pafs.FileType.File for c in children):
+        children = filesystem.get_file_info(
+            # allow_not_found: a concurrent retention job may delete an
+            # expired partition between the root LIST and this one — a
+            # vanished old partition is watermark-irrelevant, not an error
+            pafs.FileSelector(info.path, recursive=False, allow_not_found=True)
+        )
+        if any(
+            c.type == pafs.FileType.File
+            # hidden/marker files (.crc, _committer leftovers) are ignored
+            # by Spark's reader, so they must not make a partition count
+            # as data-bearing here either
+            and not c.base_name.startswith(("_", "."))
+            for c in children
+        ):
             values.append(_parse_partition_value(raw, dtype))
     return True, (max(values) if values else None)
 

@@ -689,3 +689,21 @@ def test_partition_high_watermark_from_dir_names(spark, tmp_path):
         "ts",
     )
     assert out.count() == 2
+
+
+def test_partition_high_watermark_ignores_hidden_files(spark, tmp_path):
+    # r11 review: a partition dir holding only hidden/marker files (.crc
+    # leftovers, committer markers) yields zero rows to Spark's reader, so
+    # it must not raise the dir-name watermark above the footer-scan truth
+    # (a phantom watermark silently drops source rows from the refresh).
+    from etl_hiscox_spark.sources.listing import partition_high_watermark
+
+    p = str(tmp_path / "wm_hidden")
+    df = spark.createDataFrame([("2024-01", 1)], "month string, id int")
+    df.write.partitionBy("month").parquet(p)
+    ghost = tmp_path / "wm_hidden" / "month=2025-01"
+    ghost.mkdir()
+    (ghost / ".part-000.crc").write_bytes(b"x")
+    (ghost / "_started_marker").write_bytes(b"")
+    dtype = df.schema["month"].dataType
+    assert partition_high_watermark(p, "month", dtype) == (True, "2024-01")
