@@ -1852,3 +1852,73 @@ def test_quantized_ivf_stage1_scan_prunes_embedding_column(spark, tmp_path):
     assert "embedding" not in line.split("ReadSchema:")[-1], line
     assert "__codes" in line.split("ReadSchema:")[-1], line
     assert "PartitionFilters" in line and "__cluster" in line.split("PartitionFilters")[-1], line
+
+
+def test_quantized_layout_survives_maintenance_lifecycle(spark, tmp_path):
+    """The stored-codes layout must survive every maintenance op written
+    before it landed: compact and erase rewrite partitions from the live
+    rows (codes are data columns), rebuild re-quantizes under the new
+    geometry, and the commit record's quantized flag rides each op's
+    rename-aside protocol — so the codes-only probe stays exact over the
+    surviving corpus after compact -> erase -> rebuild."""
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        erase_from_ivf_index,
+        ivf_index_is_quantized,
+        ivf_probe_topk_quantized,
+        quantized_topk,
+        rebuild_ivf_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(47)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(90)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf_q")
+    write_ivf_index(
+        emb.filter("vec_id < 60"), path, "embedding", "vec_id",
+        n_clusters=3, max_iter=2, quantize=True,
+    )
+    append_to_ivf_index(emb.filter("vec_id >= 60"), path, "embedding", "vec_id")
+
+    def probe_pairs(corpus, qvec):
+        got = [
+            (r["vec_id"], round(r["approx_cos"], 9), round(r["exact_cos"], 9), r["rank"])
+            for r in ivf_probe_topk_quantized(
+                spark, path, "embedding", "vec_id", qvec, k=8,
+                n_probe=spark.read.parquet(path).select("__cluster").distinct().count(),
+                rerank_factor=3,
+            ).collect()
+        ]
+        want = [
+            (r["vec_id"], round(r["approx_cos"], 9), round(r["exact_cos"], 9), r["rank"])
+            for r in quantized_topk(
+                corpus, "embedding", "vec_id", qvec, k=8, rerank_factor=3
+            ).collect()
+        ]
+        assert got == want
+
+    qvec = [float(x) for x in rng.standard_normal(8)]
+
+    compact_ivf_index(spark, path, target_file_mb=256)
+    assert ivf_index_is_quantized(spark, path)
+    live = spark.read.parquet(path)
+    assert live.filter(F.col("__codes").isNull()).count() == 0
+    probe_pairs(emb, qvec)
+
+    erased = erase_from_ivf_index(
+        spark, path, emb.filter("vec_id % 9 = 0").select("vec_id"), "vec_id"
+    )
+    assert erased > 0
+    assert ivf_index_is_quantized(spark, path)
+    survivors = emb.filter("vec_id % 9 != 0")
+    probe_pairs(survivors, qvec)
+
+    rebuild_ivf_index(spark, path, "embedding", "vec_id", n_clusters=4, max_iter=2)
+    assert ivf_index_is_quantized(spark, path)
+    rebuilt = spark.read.parquet(path)
+    assert rebuilt.filter(F.col("__codes").isNull()).count() == 0
+    probe_pairs(survivors, qvec)
