@@ -1139,6 +1139,82 @@ def minhash_fragmentation_stats(spark, path: str) -> DataFrame:
     )
 
 
+def rebuild_minhash_index(
+    spark,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    num_hashes: int | None = None,
+    num_bands: int | None = None,
+    shingle_k: int | None = None,
+) -> tuple[int, int, int]:
+    """Re-band a LIVE minhash index under new parameters — the parameter
+    migration the meta-pinning design otherwise forbids (r11; the IVF
+    side's geometry repair is :func:`similarity.rebuild_ivf_index`, same
+    protocol family). ``write_minhash_index`` pins (num_hashes,
+    num_bands, shingle_k) at build time and every probe/append validates
+    against them FOREVER — correct by design, but when recall
+    requirements change (more bands → higher recall, fewer → cheaper
+    probes) the lifecycle previously had no migration path that kept the
+    commit protocol: hand-composing a fresh build at a new path leaves a
+    window with two divergent indexes and re-points every probe.
+
+    Unlike the IVF index (which stores its vectors and can self-rebuild),
+    the bucket table stores only banded fingerprints — re-shingling needs
+    the source corpus, so the caller supplies ``df``; the rebuilt index
+    indexes EXACTLY those rows. That also makes this the
+    fingerprint-refresh op: pass the current base table (post-erasures)
+    and the index drops any stragglers in the same swap. ``None``
+    parameters keep the live meta's values.
+
+    Commit protocol (rename-aside, mirroring ``rebuild_ivf_index``): the
+    COMPLETE new index is staged at ``<path>__rebuild`` (buckets first,
+    meta LAST — the staged tree is a valid index only once finished),
+    then two atomic renames: live → ``<path>__old``, staged → live;
+    ``__old`` is removed last. Every crash window leaves either the
+    untouched live index or two complete indexes with the live name
+    absent (probes fail loudly on the missing path; recovery = rename a
+    complete copy back). Driver-local paths only, like the other
+    maintenance ops. Returns the new (num_hashes, num_bands, shingle_k).
+    """
+    import shutil
+
+    local = _require_local_index_path(spark, path, "rebuild_minhash_index")
+    tmp = path.rstrip("/") + "__rebuild"
+    ltmp = local.rstrip("/") + "__rebuild"
+    lold = local.rstrip("/") + "__old"
+    for leftover in (ltmp, lold):
+        if os.path.exists(leftover):
+            raise ValueError(
+                f"rebuild_minhash_index: leftover {leftover!r} from an "
+                "interrupted rebuild — recover first (if the live index "
+                "is present it is intact, remove the leftover; if the "
+                "live path is missing, rename a complete leftover back)."
+            )
+    cur_hashes, cur_bands, cur_k = _read_index_meta(spark, path)  # loud on uncommitted
+    new = (
+        int(num_hashes) if num_hashes is not None else cur_hashes,
+        int(num_bands) if num_bands is not None else cur_bands,
+        int(shingle_k) if shingle_k is not None else cur_k,
+    )
+    # write_minhash_index stages the complete new index (divisibility
+    # guard included; buckets first, meta last) — on a FRESH tmp path its
+    # meta invalidation is a no-op, so the staging inherits the build
+    # path's own commit ordering
+    write_minhash_index(
+        df, text_col, id_col, tmp,
+        num_hashes=new[0], num_bands=new[1], shingle_k=new[2],
+    )
+    os.rename(local, lold)
+    os.rename(ltmp, local)
+    shutil.rmtree(lold)
+    from etl_hiscox_spark.sources.writers import refresh_swapped_path
+
+    refresh_swapped_path(spark, path)
+    return new
+
+
 def _meta_is_local(spark, path: str) -> bool:
     """True only when the path resolves to the DRIVER's local filesystem.
 

@@ -486,13 +486,17 @@ WINDOW_R11: tuple[str, ...] = (
     # s19_gdpr_erase_subject (one-call erasure across base/txn-history/
     # IVF/minhash with residual verification, item 6),
     # l3_ivf_quantized_probe (int8 codes stored in the cluster
-    # partitions, codes-only candidate scan + exact rerank, item 8).
-    # They displace the 4 tail r8-green prechecks (t27/t29/t31/v4),
+    # partitions, codes-only candidate scan + exact rerank, item 8),
+    # l2_lsh_rebuild_probe (minhash banding-parameter migration under
+    # the rename-aside protocol — the LSH twin of l3_ivf_rebuild_probe,
+    # declared later in r11).
+    # They displace the 5 tail r8-green prechecks (t27/t29/t31/v4/t26),
     # which move to WINDOW_R12's mandatory head.
     "l3_ivf_rebuild_probe",
     "x14_txn_optimize_compaction",
     "s19_gdpr_erase_subject",
     "l3_ivf_quantized_probe",
+    "l2_lsh_rebuild_probe",
     # mandatory: latest green r7 — stale-beyond-3 at current=11
     "a10_grouping_sets",
     "a1_a5_global_stats",
@@ -540,20 +544,20 @@ WINDOW_R11: tuple[str, ...] = (
     "s17_training_shards",
     "t16_bigram_lm_nll",
     "t17_semantic_decontamination",
-    "t26_dsir_weights",
 )
 
 # Round 12 window — PRE-DEFINED at the end of r11 (same self-advance
 # mechanism; ``active_window()`` serves this once CORRECTNESS_r11.json
 # exists). Composition (histogram after r11 banks, assuming r11 green:
 # {r8: 34, r9: 50, r10: 50, r11: 50} over 185 + s7):
-# head = ALL 34 r8-latest greens (stale-beyond-3 at current=12): the 30
+# head = ALL 35 r8-latest greens (stale-beyond-3 at current=12): the 30
 # simplest r8 greens the r9 plan deferred (projections/filters/joins/
-# aggs, scalar golds, t3/t12 samplers) plus the 4 prechecks displaced by
-# r11's new declarations (t27/t29/t31/v4). Then 16 of the 50 r9 greens
-# as early prechecks — the heavier oracle shapes (pair-graph dedup,
-# media near-dup, BPE/corpus pipelines, bucketed join, incremental
-# refresh); the 34 remaining r9 greens defer to a mandatory WINDOW_R13
+# aggs, scalar golds, t3/t12 samplers) plus the 5 prechecks displaced by
+# r11's new declarations (t27/t29/t31/v4/t26). Then 15 of the 50 r9
+# greens as early prechecks — the heavier oracle shapes (pair-graph
+# dedup, media near-dup, BPE/corpus pipelines, bucketed join,
+# incremental refresh; t34 defers to r13 with the rest);
+# the 35 remaining r9 greens defer to a mandatory WINDOW_R13
 # head. The r12 builder SWAPS prechecks for new declarations (new
 # queries must lead; displaced r9-green prechecks move toward r13) —
 # keep new declarations <= ~15 and ALWAYS recompute cohorts from the
@@ -588,13 +592,14 @@ WINDOW_R12: tuple[str, ...] = (
     "t25_token_budget_sample",
     "t27_boilerplate_lines",
     "t28_domain_quality_gate",
+    "t26_dsir_weights",
     "t29_gumbel_weighted_topk",
     "t30_domain_blocklist",
     "t31_perplexity_buckets",
     "t3_fingerprint",
     "t7_mixture_sample",
     "v4_pca_projection",
-    # r9-green prechecks (16 of 50) — the heavier shapes, smoothing r13
+    # r9-green prechecks (15 of 50) — the heavier shapes, smoothing r13
     "f17_golden_record",
     "l2_minhash_near_dup",
     "l2_transitive_clusters",
@@ -610,7 +615,6 @@ WINDOW_R12: tuple[str, ...] = (
     "t21_bpe_merges",
     "t32_cluster_keep_best",
     "t33_leakage_safe_split",
-    "t34_ngram_novelty_score",
 )
 
 WINDOWS: dict[int, tuple[str, ...]] = {

@@ -402,6 +402,78 @@ def l2_lsh_erase_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l2_lsh_rebuild_probe",
+    # l2_incremental_probe's cross-batch oracle, unchanged: the banding
+    # parameters are an index-internal layout choice, so a rebuild that
+    # migrates them must leave the confirmed-pair graph EXACTLY equal —
+    # the hard-equality recall tripwire now doubles as proof that the
+    # re-banded index lost nothing (more bands can only raise recall;
+    # the verify-side exact Jaccard pins precision).
+    oracle="\n    WITH "
+    + _ORACLE_SHINGLE_N_CTE
+    + r""",
+    inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS dup_of, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT new_id, dup_of,
+           ROUND(i / CAST(na.n + nb.n - i AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN n na ON new_id = na.doc_id JOIN n nb ON dup_of = nb.doc_id
+    WHERE 5 * i >= 4 * (na.n + nb.n - i)
+    """,
+)
+def l2_lsh_rebuild_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH index PARAMETER MIGRATION (r11, completing the lifecycle the
+    # IVF side closed with l3_ivf_rebuild_probe): the meta pins the
+    # banding forever by design, so changing recall requirements needs
+    # operators/dedup.rebuild_minhash_index — re-shingle the supplied
+    # corpus under NEW parameters and swap atomically under the
+    # rename-aside protocol. History = even doc_ids indexed at
+    # (24 hashes, 6 bands); rebuild migrates the live index to
+    # (32 hashes, 8 bands); the odd-id batch then probes it reading the
+    # NEW banding from the meta. Loud invariants before the oracle sees
+    # the probe: meta reports the migrated parameters, and the bucket
+    # table holds exactly 8 rows per indexed doc (6-per-doc would mean
+    # the swap served the stale index).
+    import os as _os
+
+    from etl_hiscox_spark.operators.dedup import (
+        _read_index_meta,
+        probe_minhash_index,
+        rebuild_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.queries.writes import _scratch
+
+    docs = load_table(spark, "documents", sf_dir)
+    path = _os.path.join(_scratch("l2_lsh_rebuild", sf_dir), "minhash_index")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    write_minhash_index(old, "text", "doc_id", path, num_hashes=24, num_bands=6)
+    migrated = rebuild_minhash_index(
+        spark, old, "text", "doc_id", path, num_hashes=32, num_bands=8
+    )
+    if migrated != (32, 8, 3) or _read_index_meta(spark, path) != (32, 8, 3):
+        raise ValueError(
+            f"rebuild_minhash_index did not migrate the meta: {migrated}"
+        )
+    n_docs = old.count()
+    n_rows = spark.read.parquet(_os.path.join(path, "buckets")).count()
+    if n_rows != 8 * n_docs:
+        raise ValueError(
+            f"rebuilt bucket table has {n_rows} rows for {n_docs} docs — "
+            f"expected 8 per doc (stale 6-band layout would be {6 * n_docs})"
+        )
+    out = probe_minhash_index(
+        new, "text", "doc_id", path, verify_df=docs, threshold=0.8
+    )
+    return out.select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
     "l2_ngram_jaccard_pairs",
     oracle=r"""
     WITH toks AS (
@@ -3941,6 +4013,7 @@ def _assert_oracle_fragment_consistency() -> None:
         "l2_incremental_probe",
         "l2_lsh_compact_probe",
         "l2_lsh_erase_probe",
+        "l2_lsh_rebuild_probe",
         "l2_transitive_clusters",
         "t32_cluster_keep_best",
         "t33_leakage_safe_split",

@@ -1922,3 +1922,84 @@ def test_quantized_layout_survives_maintenance_lifecycle(spark, tmp_path):
     rebuilt = spark.read.parquet(path)
     assert rebuilt.filter(F.col("__codes").isNull()).count() == 0
     probe_pairs(survivors, qvec)
+
+
+def test_rebuild_minhash_index_rebands_live_index(spark, tmp_path):
+    """rebuild_minhash_index (r11): parameter migration under the
+    rename-aside protocol — new banding lands atomically, probes/appends
+    validate against the NEW meta, the supplied corpus defines exactly
+    what stays indexed (fingerprint refresh), and crash leftovers are
+    rejected loudly."""
+    import os
+
+    import pytest
+
+    from etl_hiscox_spark.operators.dedup import (
+        _read_index_meta,
+        probe_minhash_index,
+        rebuild_minhash_index,
+        write_minhash_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "totally different words entirely here now"),
+         (4, "a third unrelated document with its own tokens")],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(101, base.replace("kappa", "lambda"))], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    write_minhash_index(corpus, "text", "doc_id", path, num_hashes=24, num_bands=6)
+    assert {(r["new_id"], r["dup_of"])
+            for r in probe_minhash_index(probe, "text", "doc_id", path).collect()
+            } == {(101, 0)}
+
+    # re-band: more bands = higher recall; meta migrates atomically
+    got = rebuild_minhash_index(
+        spark, corpus, "text", "doc_id", path, num_hashes=32, num_bands=8
+    )
+    assert got == (32, 8, 3)
+    assert _read_index_meta(spark, path) == (32, 8, 3)
+    # probe reads the NEW banding from the meta and still finds the dup
+    assert {(r["new_id"], r["dup_of"])
+            for r in probe_minhash_index(probe, "text", "doc_id", path).collect()
+            } == {(101, 0)}
+    # appends validate against the NEW parameters
+    write_minhash_index(
+        spark.createDataFrame([(7, "yet another brand new document")],
+                              "doc_id long, text string"),
+        "text", "doc_id", path, num_hashes=32, num_bands=8, mode="append",
+    )
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        write_minhash_index(
+            spark.createDataFrame([(8, "stale parameter append")],
+                                  "doc_id long, text string"),
+            "text", "doc_id", path, num_hashes=24, num_bands=6, mode="append",
+        )
+
+    # None parameters keep the live meta; supplying a REDUCED corpus is
+    # the fingerprint refresh — doc 0 leaves the index in the same swap
+    rebuild_minhash_index(
+        spark, corpus.filter("doc_id != 0"), "text", "doc_id", path
+    )
+    assert _read_index_meta(spark, path) == (32, 8, 3)
+    assert probe_minhash_index(probe, "text", "doc_id", path).count() == 0
+    buckets = spark.read.parquet(os.path.join(path, "buckets"))
+    assert buckets.filter("doc = 0").count() == 0
+    assert buckets.filter("doc = 7").count() == 0  # exactly df, appends excluded
+
+    # divisibility guard fires before anything is staged or renamed
+    with pytest.raises(ValueError, match="divisible"):
+        rebuild_minhash_index(
+            spark, corpus, "text", "doc_id", path, num_hashes=32, num_bands=5
+        )
+    assert _read_index_meta(spark, path) == (32, 8, 3)
+
+    # crash leftovers are rejected loudly, live index untouched
+    os.mkdir(path + "__rebuild")
+    with pytest.raises(ValueError, match="leftover"):
+        rebuild_minhash_index(spark, corpus, "text", "doc_id", path)
+    os.rmdir(path + "__rebuild")
+    assert _read_index_meta(spark, path) == (32, 8, 3)
