@@ -1013,6 +1013,45 @@ def _require_local_index_path(spark, path: str, op: str) -> str:
     return _local_fs_path(path)
 
 
+def begin_staged_rebuild(spark, path: str, op: str) -> str:
+    """First half of the staged-rebuild commit protocol shared by
+    :func:`rebuild_minhash_index` and ``similarity.rebuild_ivf_index``
+    (ONE implementation — the repo's swap_and_refresh rule: hand-rolled
+    copies of a multi-step swap drift apart on exactly the step a crash
+    needs). Validates there are no ``__rebuild``/``__old`` leftovers from
+    an interrupted run and returns the STAGING uri (``<path>__rebuild``)
+    for the caller to write the complete new index into; commit with
+    :func:`commit_staged_rebuild`."""
+    local = _require_local_index_path(spark, path, op)
+    for leftover in (local.rstrip("/") + "__rebuild", local.rstrip("/") + "__old"):
+        if os.path.exists(leftover):
+            raise ValueError(
+                f"{op}: leftover {leftover!r} from an interrupted rebuild "
+                "— recover first (if the live index is present it is "
+                "intact, remove the leftover; if the live path is "
+                "missing, rename a complete leftover back)."
+            )
+    return path.rstrip("/") + "__rebuild"
+
+
+def commit_staged_rebuild(spark, path: str, op: str) -> None:
+    """Second half: two atomic renames (live → ``__old``, staged → live),
+    remove ``__old`` last, refresh Spark's path caches. Every crash
+    window leaves either the untouched live index or two complete
+    indexes with the live name absent — never a half-valid index under
+    the live name."""
+    import shutil
+
+    local = _require_local_index_path(spark, path, op)
+    lold = local.rstrip("/") + "__old"
+    os.rename(local, lold)
+    os.rename(local.rstrip("/") + "__rebuild", local)
+    shutil.rmtree(lold)
+    from etl_hiscox_spark.sources.writers import refresh_swapped_path
+
+    refresh_swapped_path(spark, path)
+
+
 def _rename_meta_aside(spark, path: str, aside_name: str) -> None:
     """Recoverable invalidation for MAINTENANCE ops whose meta is
     unchanged: rename ``<path>/meta`` to ``<path>/<aside_name>`` instead
@@ -1178,20 +1217,7 @@ def rebuild_minhash_index(
     complete copy back). Driver-local paths only, like the other
     maintenance ops. Returns the new (num_hashes, num_bands, shingle_k).
     """
-    import shutil
-
-    local = _require_local_index_path(spark, path, "rebuild_minhash_index")
-    tmp = path.rstrip("/") + "__rebuild"
-    ltmp = local.rstrip("/") + "__rebuild"
-    lold = local.rstrip("/") + "__old"
-    for leftover in (ltmp, lold):
-        if os.path.exists(leftover):
-            raise ValueError(
-                f"rebuild_minhash_index: leftover {leftover!r} from an "
-                "interrupted rebuild — recover first (if the live index "
-                "is present it is intact, remove the leftover; if the "
-                "live path is missing, rename a complete leftover back)."
-            )
+    tmp = begin_staged_rebuild(spark, path, "rebuild_minhash_index")
     cur_hashes, cur_bands, cur_k = _read_index_meta(spark, path)  # loud on uncommitted
     new = (
         int(num_hashes) if num_hashes is not None else cur_hashes,
@@ -1206,12 +1232,7 @@ def rebuild_minhash_index(
         df, text_col, id_col, tmp,
         num_hashes=new[0], num_bands=new[1], shingle_k=new[2],
     )
-    os.rename(local, lold)
-    os.rename(ltmp, local)
-    shutil.rmtree(lold)
-    from etl_hiscox_spark.sources.writers import refresh_swapped_path
-
-    refresh_swapped_path(spark, path)
+    commit_staged_rebuild(spark, path, "rebuild_minhash_index")
     return new
 
 

@@ -894,26 +894,17 @@ def rebuild_ivf_index(
     pre-rebuild geometry stays on disk until the swap has fully landed.
     Driver-local paths only, like the other maintenance ops.
     """
-    import shutil
+    from etl_hiscox_spark.operators.dedup import (
+        begin_staged_rebuild,
+        commit_staged_rebuild,
+    )
 
-    from etl_hiscox_spark.operators.dedup import _require_local_index_path
-
-    local = _require_local_index_path(spark, path, "rebuild_ivf_index")
-    tmp = path.rstrip("/") + "__rebuild"
-    ltmp = local.rstrip("/") + "__rebuild"
-    lold = local.rstrip("/") + "__old"
     # leftover check FIRST (r11 review): after a crash in the two-rename
     # swap window the live path is absent and load_ivf_centroids' "rebuild
     # with write_ivf_index" advice would direct the operator to orphan the
-    # recovery copies — the leftover message below is the correct recovery
-    for leftover in (ltmp, lold):
-        if os.path.exists(leftover):
-            raise ValueError(
-                f"rebuild_ivf_index: leftover {leftover!r} from an "
-                "interrupted rebuild — recover first (if the live index "
-                "is present it is intact, remove the leftover; if the "
-                "live path is missing, rename a complete leftover back)."
-            )
+    # recovery copies — begin_staged_rebuild's leftover message is the
+    # correct recovery (shared protocol with rebuild_minhash_index)
+    tmp = begin_staged_rebuild(spark, path, "rebuild_ivf_index")
     old_C = load_ivf_centroids(spark, path)  # loud on an uncommitted index
     k = int(n_clusters) if n_clusters is not None else int(old_C.shape[0])
     live = spark.read.parquet(path).drop("__cluster")
@@ -927,12 +918,7 @@ def rebuild_ivf_index(
     _write_ivf_centroids(
         spark, tmp, C, quantized="__codes" in live.columns
     )
-    os.rename(local, lold)
-    os.rename(ltmp, local)
-    shutil.rmtree(lold)
-    from etl_hiscox_spark.sources.writers import refresh_swapped_path
-
-    refresh_swapped_path(spark, path)
+    commit_staged_rebuild(spark, path, "rebuild_ivf_index")
     return C
 
 

@@ -528,7 +528,8 @@ WINDOW_R11: tuple[str, ...] = (
     "x6_stateful_dedup_batch_twin",
     "q6_observe_metrics",
     "s11_snapshot_diff",
-    # r8-green prechecks (20 of 50) — smooths the r12 rotation
+    # r8-green prechecks (15 of 50; t27/t29/t31/v4/t26 displaced by the
+    # five r11 declarations) — smooths the r12 rotation
     "a16_hll_distinct_rollup",
     "a19_key_skew_profile",
     "g12_sales_opportunity",
