@@ -1245,8 +1245,13 @@ def _meta_is_local(spark, path: str) -> bool:
     via Spark while a naive driver-side shortcut would write the meta to
     the driver's local disk, splitting the index (and a STALE local meta
     could then band a probe differently from its index — the exact drift
-    the meta exists to prevent)."""
-    if path.startswith("file://"):
+    the meta exists to prevent).
+
+    Any ``file:`` prefix counts as local (ADVICE r11): Hadoop's
+    ``Path.toString()`` renders local URIs as single-slash ``file:/x``,
+    which has no ``://`` — without this the fragmentation walk would
+    mis-qualify the dir with a non-file defaultFS."""
+    if path.startswith("file:"):
         return True
     if "://" in path:
         return False

@@ -148,7 +148,17 @@ def distributed_dir_stats(
         if _meta_is_local(spark, d):
             local_rows.append((int(k),) + _dir_file_stats(d))
         elif "://" not in d:
-            # scheme-less on a non-file defaultFS: qualify before shipping
+            # scheme-less on a non-file defaultFS: qualify before shipping.
+            # Only absolute paths qualify safely — 'hdfs://nn' + 'rel/x'
+            # would silently produce the malformed 'hdfs://nnrel/x'
+            # (ADVICE r11); a relative path's meaning depends on a working
+            # directory this walk does not have, so reject it loudly.
+            if not d.startswith("/"):
+                raise ValueError(
+                    f"distributed_dir_stats: relative path {d!r} cannot be "
+                    "qualified against fs.defaultFS — pass an absolute path "
+                    "or a full URI"
+                )
             default_fs = (
                 spark.sparkContext._jsc.hadoopConfiguration().get("fs.defaultFS")
             )

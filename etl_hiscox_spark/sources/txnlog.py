@@ -272,9 +272,13 @@ class TxnTable:
         return [self._read_manifest(v) for v in self._versions()]
 
     def vacuum(self) -> int:
-        """Delete data files no longer referenced by ANY version's manifest
-        (crash orphans). Returns the number removed. Retention-window
-        vacuuming of old versions is a deliberate non-goal here."""
+        """Delete data files no longer referenced by ANY version's manifest.
+        Returns the number removed. This reclaims both crash orphans
+        (files written before a manifest commit that never landed) and —
+        after :meth:`expire_versions` drops old manifests — the files only
+        those expired versions referenced: the second half of the
+        OPTIMIZE/VACUUM retention contract :meth:`compact` documents
+        (compact → expire_versions → vacuum)."""
         live: set[str] = set()
         for v in self._versions():
             live.update(self._read_manifest(v)["files"])

@@ -16,11 +16,19 @@ from pyspark.sql import functions as F
 
 
 def _local_fs_path(path: str) -> str:
-    """``file://``-prefix strip for the os/shutil legs of a tmp+swap —
-    Spark-facing calls keep the original URI. (A ``file://`` path is
+    """``file:``-scheme strip for the os/shutil legs of a tmp+swap —
+    Spark-facing calls keep the original URI. (A ``file:`` path is
     always driver-local; callers gate remote schemes separately via
-    ``operators.dedup._require_local_index_path``.)"""
-    return path[len("file://"):] if path.startswith("file://") else path
+    ``operators.dedup._require_local_index_path``.) Both URI renderings
+    are normalized — ``file:///x`` (RFC form) AND ``file:/x`` (Hadoop's
+    ``Path.toString()`` single-slash form, ADVICE r11): strip the scheme,
+    then collapse leading slashes to one, the same normalization as
+    ``sources/listing._resolve_fs``."""
+    import re
+
+    if not path.startswith("file:"):
+        return path
+    return re.sub("^/+", "/", path[len("file:"):])
 
 
 def refresh_swapped_path(spark: SparkSession, path: str) -> None:

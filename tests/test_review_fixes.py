@@ -484,3 +484,40 @@ def test_image_dhash_pairs_via_block_buckets(spark):
     pairs = {(r["pa"], r["pb"]) for r in cand}
     assert ("v0", "v1") in pairs or ("v1", "v0") in pairs
     assert not any("other" in p for pair in pairs for p in pair)
+
+
+def test_local_fs_path_normalizes_both_file_uri_forms():
+    """ADVICE r11: Hadoop renders local URIs as single-slash 'file:/x'
+    (Path.toString()); both that and the RFC 'file:///x' form must strip
+    to the same os-level path."""
+    from etl_hiscox_spark.sources.writers import _local_fs_path
+
+    assert _local_fs_path("file:///tmp/idx") == "/tmp/idx"
+    assert _local_fs_path("file:/tmp/idx") == "/tmp/idx"
+    assert _local_fs_path("file://tmp/idx") == "/tmp/idx"
+    assert _local_fs_path("/tmp/idx") == "/tmp/idx"
+    assert _local_fs_path("s3a://bucket/idx") == "s3a://bucket/idx"
+
+
+def test_meta_is_local_accepts_hadoop_single_slash_file_uri(spark):
+    """ADVICE r11: 'file:/x' (no '://') must be recognized as driver-local
+    even when it would otherwise fall through to the defaultFS check."""
+    from etl_hiscox_spark.operators.dedup import _meta_is_local
+
+    assert _meta_is_local(spark, "file:/tmp/idx")
+    assert _meta_is_local(spark, "file:///tmp/idx")
+    assert not _meta_is_local(spark, "s3a://bucket/idx")
+    assert not _meta_is_local(spark, "hdfs://nn:8020/warehouse/idx")
+
+
+def test_distributed_dir_stats_rejects_relative_schemeless_paths(spark, monkeypatch):
+    """ADVICE r11: a relative scheme-less path on a non-file defaultFS
+    would qualify to a malformed URI ('hdfs://nnrel/x') — reject loudly."""
+    import pytest
+
+    from etl_hiscox_spark.operators import dedup
+    from etl_hiscox_spark.sources.listing import distributed_dir_stats
+
+    monkeypatch.setattr(dedup, "_meta_is_local", lambda spark, d: False)
+    with pytest.raises(ValueError, match="relative path"):
+        distributed_dir_stats(spark, [(0, "rel/dir")])
