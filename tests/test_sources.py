@@ -754,3 +754,122 @@ def test_txn_compact_carries_exactly_once_watermarks(spark, tmp_path):
         spark.range(15, 20).selectExpr("id"), app_id="app", txn_version=3
     )
     assert t.read().count() == 20
+
+
+def test_txn_read_builds_one_scan_regardless_of_file_count(spark, tmp_path):
+    """VERDICT r11 item 3: a head read of an N-append table must build
+    O(1) relations (one multi-path mergeSchema scan), not one per file —
+    at streaming cadence the per-file union made every head read pay a
+    thousands-of-relations driver plan build."""
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    for i in range(12):
+        t.write(spark.createDataFrame([(i,)], "id int"))
+    head = t.read()
+    assert head.count() == 12
+    plan = head._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 1, plan
+    # schema evolution still reconciles across the single scan
+    t.write(spark.createDataFrame([(99, "x")], "id int, s string"))
+    evolved = t.read()
+    assert evolved.columns == ["id", "s"]
+    assert evolved.filter("s IS NULL").count() == 12
+
+
+def test_txn_write_occ_retries_version_collision(spark, tmp_path):
+    """Two writers interleaving: the loser's commit re-reads the latest
+    manifest, re-merges the file list, and lands at version+1 — both
+    writers' rows survive (VERDICT r11 item 6)."""
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    a = TxnTable(spark, str(tmp_path / "tbl"))
+    b = TxnTable(spark, str(tmp_path / "tbl"))
+    a.write(spark.createDataFrame([(0,)], "id int"))
+
+    # force the race deterministically: b's first latest_version() answer
+    # is computed, then a commits, then b's commit collides and retries
+    real_latest = b.latest_version
+    calls = {"n": 0}
+
+    def racing_latest():
+        v = real_latest()
+        if calls["n"] == 0:
+            calls["n"] += 1
+            a.write(spark.createDataFrame([(1,)], "id int"))
+        return v
+
+    b.latest_version = racing_latest
+    vb = b.write(spark.createDataFrame([(2,)], "id int"))
+    assert vb == 2  # collided at 1, retried, landed at 2
+    rows = sorted(r["id"] for r in TxnTable(spark, str(tmp_path / "tbl")).read().collect())
+    assert rows == [0, 1, 2]  # nobody's batch was lost
+
+
+def test_txn_write_txn_race_rejects_duplicate_exactly_once(spark, tmp_path):
+    """Two producers replaying the SAME (app_id, txn_version): both pass
+    the pre-check, one wins the commit, the loser's in-loop watermark
+    re-read rejects the duplicate — the batch lands exactly once and the
+    loser's staged files are vacuum-reclaimable orphans."""
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    a = TxnTable(spark, str(tmp_path / "tbl"))
+    b = TxnTable(spark, str(tmp_path / "tbl"))
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+
+    real_latest = b.latest_version
+    fired = {"done": False}
+
+    def racing_latest():
+        # b reads the pre-race head; a then lands the same txn; b's commit
+        # at (stale head)+1 collides, and the retry's in-loop watermark
+        # re-read must reject the duplicate
+        v = real_latest()
+        if not fired["done"]:
+            fired["done"] = True
+            assert a.write_txn(df, "app", 7) is True
+        return v
+
+    b.latest_version = racing_latest
+    assert b.write_txn(df, "app", 7) is False
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    assert t.read().count() == 2  # exactly one copy of the batch
+    assert t.last_txn_version("app") == 7
+    assert t.vacuum() >= 1  # the loser's staged files were reclaimed
+    assert t.read().count() == 2
+
+
+def test_txn_append_schema_merge_keeps_prior_columns(spark, tmp_path):
+    """Appending a NARROWER df must not drop the table's existing columns
+    from the committed schema (the OCC re-merge depends on this too)."""
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.write(spark.createDataFrame([(1, "a", 2.5)], "id int, s string, score double"))
+    t.write(spark.createDataFrame([(2,)], "id int"))
+    head = t.read()
+    assert head.columns == ["id", "s", "score"]
+    assert {r["id"]: r["s"] for r in head.collect()} == {1: "a", 2: None}
+
+
+def test_txn_erase_keys_accepts_key_frame(spark, tmp_path):
+    """Frame-based erasure (VERDICT r11 'wrong' #2): a keys DataFrame is
+    semi/anti-joined, never collected or IN-listed; NULL-keyed rows
+    survive; every time-travel version is purged."""
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b"), (None, "anon")], "id int, s string"))
+    t.write(spark.createDataFrame([(2, "b2"), (3, "c")], "id int, s string"))
+    keys = spark.range(2, 3).select(F.col("id").cast("int"))  # key 2 only
+    n = t.erase_keys("id", keys)
+    assert n == 2  # key 2 appeared in both files
+    for v in (0, 1):
+        ids = [r["id"] for r in t.read(v).collect()]
+        assert 2 not in ids
+    assert t.read(0).filter("id IS NULL").count() == 1  # anonymous row kept
+    assert t.read().count() == 3  # 1, NULL, 3
+    # empty frame: no-op
+    assert t.erase_keys("id", keys.filter("id < 0")) == 0
