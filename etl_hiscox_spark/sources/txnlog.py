@@ -445,12 +445,20 @@ class TxnTable:
                 .cast(scan.schema[key_col].dataType)
                 .alias(key_col)
             ).distinct()
-            hit = scan.join(F.broadcast(kdf), key_col, "left_semi")
+            # input_file_name() must be projected BELOW the join: Spark's
+            # PreReadCheck rejects the expression over a plan with more
+            # than one file source, and a keys frame read from parquet is
+            # itself a file source (found by the s19 oracle, r12)
+            hit = scan.select(
+                F.col(key_col), F.input_file_name().alias("__file")
+            ).join(F.broadcast(kdf), key_col, "left_semi")
         else:
-            hit = scan.filter(F.col(key_col).isin(keys))
+            hit = scan.filter(F.col(key_col).isin(keys)).select(
+                F.input_file_name().alias("__file")
+            )
         hit_paths = {
             os.path.relpath(unquote(urlparse(r[0]).path), self.path)
-            for r in hit.select(F.input_file_name()).distinct().collect()
+            for r in hit.select("__file").distinct().collect()
         }
         if not hit_paths:
             return 0

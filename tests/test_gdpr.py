@@ -119,3 +119,60 @@ def test_erase_subject_rejects_bad_requests(spark, tmp_path):
             spark,
             spark.createDataFrame([(None,)], "doc_id long"),
         )
+
+
+def test_erase_subject_bulk_keys_never_materialize_on_driver(spark, tmp_path, monkeypatch):
+    """VERDICT r11 item 5: a bulk purge (100k keys) must flow as a FRAME
+    — broadcast semi/anti joins end-to-end, no driver collect of the key
+    set and no IN-literal plan. Pinned by capping every DataFrame.collect
+    during the composition at a bounded driver-scalar size."""
+    from pyspark.sql import DataFrame
+
+    from etl_hiscox_spark.plans.gdpr import erase_subject
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    rows = [(i, f"body {i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = str(tmp_path / "base")
+    df.write.mode("overwrite").parquet(base)
+    txn = str(tmp_path / "txn")
+    t = TxnTable(spark, txn)
+    t.write(df.filter("doc_id < 250"))
+    t.write(df.filter("doc_id >= 250"))
+
+    # 100k-key request; 300 of them actually exist in the stores
+    keys = spark.range(200, 100200).select(F.col("id").alias("doc_id"))
+
+    real_collect = DataFrame.collect
+
+    def capped_collect(self):
+        out = real_collect(self)
+        assert len(out) <= 1000, (
+            f"driver materialized {len(out)} rows during erase_subject — "
+            "the key set leaked out of the frame path"
+        )
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", capped_collect)
+    report = erase_subject(
+        spark,
+        keys,
+        base_tables=[(base, "doc_id")],
+        txn_tables=[(txn, "doc_id")],
+    )
+    monkeypatch.undo()
+    by_kind = {r["kind"]: r for r in report}
+    assert by_kind["base"]["n_erased"] == 300
+    assert by_kind["txn_history"]["n_files_rewritten"] >= 1
+    assert spark.read.parquet(base).count() == 200
+    assert t.read().filter("doc_id >= 200").count() == 0
+
+
+def test_erase_subject_rejects_null_key_without_collecting(spark, tmp_path):
+    import pytest
+
+    from etl_hiscox_spark.plans.gdpr import erase_subject
+
+    keys = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    with pytest.raises(ValueError, match="NULL subject key"):
+        erase_subject(spark, keys, base_tables=[])
