@@ -1027,9 +1027,9 @@ def begin_staged_rebuild(spark, path: str, op: str) -> str:
         if os.path.exists(leftover):
             raise ValueError(
                 f"{op}: leftover {leftover!r} from an interrupted rebuild "
-                "— recover first (if the live index is present it is "
-                "intact, remove the leftover; if the live path is "
-                "missing, rename a complete leftover back)."
+                "— run recover_staged_rebuild(spark, path) first (it "
+                "completes or rolls back the interrupted swap and "
+                "validates the live index)."
             )
     return path.rstrip("/") + "__rebuild"
 
@@ -1050,6 +1050,107 @@ def commit_staged_rebuild(spark, path: str, op: str) -> None:
     from etl_hiscox_spark.sources.writers import refresh_swapped_path
 
     refresh_swapped_path(spark, path)
+
+
+def _validate_live_index(spark, path: str) -> str:
+    """Loud validity check of the index at ``path``, layout-detected:
+    ``_centroids`` → IVF (centroid commit record must load), ``meta`` →
+    minhash (banding meta must load). Returns the layout name."""
+    local = _require_local_index_path(spark, path, "_validate_live_index")
+    if os.path.isdir(os.path.join(local, "_centroids")):
+        from etl_hiscox_spark.operators.similarity import load_ivf_centroids
+
+        load_ivf_centroids(spark, path)
+        return "ivf"
+    if os.path.isdir(os.path.join(local, "meta")):
+        _read_index_meta(spark, path)
+        return "minhash"
+    raise ValueError(
+        f"{path!r} is not a committed index: neither an IVF _centroids "
+        "record nor a minhash meta is present"
+    )
+
+
+def recover_staged_rebuild(spark, path: str) -> str:
+    """Complete or roll back an INTERRUPTED staged rebuild (VERDICT r11
+    item 4 — the recovery that was previously a docstring instruction to
+    a human). Inspects the ``<path>`` / ``<path>__rebuild`` /
+    ``<path>__old`` triple, applies the one action each crash window
+    admits, validates the resulting live index (layout-detected: IVF
+    centroids or minhash meta must load), refreshes Spark's path caches,
+    and returns the action taken:
+
+    - live only → ``"none"`` (nothing was interrupted).
+    - live + ``__rebuild`` → crash during/after staging, before the
+      commit's first rename: the live index was never touched, so ROLL
+      BACK — remove the stage (``"rolled_back_stage"``). The staged tree
+      may be incomplete (its commit record is written last), so
+      completing from it would be guessing; re-run the rebuild instead.
+    - ``__old`` + ``__rebuild``, live absent → crash between the two
+      renames: the stage is COMPLETE by protocol (staging finished
+      before the first rename ran), so COMPLETE the swap — rename the
+      stage to live, drop ``__old`` (``"completed_swap"``).
+    - live + ``__old`` → crash after the second rename, before ``__old``
+      cleanup: the swap landed; drop ``__old`` (``"removed_old"``).
+    - ``__old`` only, live absent → the stage vanished outside the
+      protocol; restore the pre-rebuild index — rename ``__old`` back to
+      live (``"restored_old"``).
+    - anything else (no index at all; live + BOTH leftovers) is
+      unreachable under the protocol → raise, touch nothing.
+
+    Idempotent: every terminal state maps to ``"none"`` on a re-run, so
+    crash-during-recovery is recovered by recovering again.
+    """
+    import shutil
+
+    local = _require_local_index_path(spark, path, "recover_staged_rebuild")
+    live, stage, old = (
+        local.rstrip("/"),
+        local.rstrip("/") + "__rebuild",
+        local.rstrip("/") + "__old",
+    )
+    has = {p: os.path.exists(p) for p in (live, stage, old)}
+    if has[live] and has[stage] and has[old]:
+        raise ValueError(
+            f"recover_staged_rebuild: {path!r} has live, __rebuild AND "
+            "__old — unreachable under the staged-rebuild protocol; "
+            "refusing to guess (inspect by hand)"
+        )
+    if has[live] and not has[stage] and not has[old]:
+        action = "none"
+    elif has[live] and has[stage]:
+        shutil.rmtree(stage)
+        action = "rolled_back_stage"
+    elif has[live] and has[old]:
+        shutil.rmtree(old)
+        action = "removed_old"
+    elif has[stage] and has[old]:
+        os.rename(stage, live)
+        shutil.rmtree(old)
+        action = "completed_swap"
+    elif has[old]:
+        os.rename(old, live)
+        action = "restored_old"
+    elif has[stage]:
+        # stage only, no live, no __old: begin_staged_rebuild requires a
+        # live index and the commit moves it to __old before anything
+        # else — this state cannot arise from the protocol
+        raise ValueError(
+            f"recover_staged_rebuild: {path!r} has ONLY a __rebuild stage "
+            "— unreachable under the staged-rebuild protocol (the live "
+            "index moves to __old before the stage is promoted); refusing "
+            "to promote an unverifiable stage"
+        )
+    else:
+        raise ValueError(
+            f"recover_staged_rebuild: nothing to recover at {path!r} — no "
+            "live index, no __rebuild, no __old (was the index ever built?)"
+        )
+    _validate_live_index(spark, path)
+    from etl_hiscox_spark.sources.writers import refresh_swapped_path
+
+    refresh_swapped_path(spark, path)
+    return action
 
 
 def _rename_meta_aside(spark, path: str, aside_name: str) -> None:
@@ -1213,9 +1314,10 @@ def rebuild_minhash_index(
     then two atomic renames: live → ``<path>__old``, staged → live;
     ``__old`` is removed last. Every crash window leaves either the
     untouched live index or two complete indexes with the live name
-    absent (probes fail loudly on the missing path; recovery = rename a
-    complete copy back). Driver-local paths only, like the other
-    maintenance ops. Returns the new (num_hashes, num_bands, shingle_k).
+    absent (probes fail loudly on the missing path;
+    :func:`recover_staged_rebuild` completes or rolls back the swap).
+    Driver-local paths only, like the other maintenance ops. Returns the
+    new (num_hashes, num_bands, shingle_k).
     """
     tmp = begin_staged_rebuild(spark, path, "rebuild_minhash_index")
     cur_hashes, cur_bands, cur_k = _read_index_meta(spark, path)  # loud on uncommitted

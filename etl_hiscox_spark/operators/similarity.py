@@ -889,7 +889,8 @@ def rebuild_ivf_index(
     renames: live → ``<path>__old``, staged → live; ``__old`` is removed
     last. Every crash window leaves either the untouched live index, or
     two complete indexes on disk with the live name absent (probes fail
-    loudly on the missing path; recovery = rename one of them back).
+    loudly on the missing path; ``dedup.recover_staged_rebuild``
+    completes or rolls back the interrupted swap).
     There is never a half-valid index under the live name, and the
     pre-rebuild geometry stays on disk until the swap has fully landed.
     Driver-local paths only, like the other maintenance ops.

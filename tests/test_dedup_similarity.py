@@ -2003,3 +2003,175 @@ def test_rebuild_minhash_index_rebands_live_index(spark, tmp_path):
         rebuild_minhash_index(spark, corpus, "text", "doc_id", path)
     os.rmdir(path + "__rebuild")
     assert _read_index_meta(spark, path) == (32, 8, 3)
+
+
+# ---------------------------------------------------------------------------
+# recover_staged_rebuild (VERDICT r11 item 4): each crash window of the
+# staged-rebuild commit protocol must recover to a valid live index whose
+# probe answers are correct.
+# ---------------------------------------------------------------------------
+
+
+def _mh_corpus(spark):
+    rows = [(i, f"shared filler text body number {i} common tokens run") for i in range(30)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _mh_index(spark, tmp_path, name="mh"):
+    from etl_hiscox_spark.operators.dedup import write_minhash_index
+
+    path = str(tmp_path / name)
+    docs = _mh_corpus(spark)
+    write_minhash_index(docs, "text", "doc_id", path, num_hashes=24, num_bands=6)
+    return path, docs
+
+
+def _mh_probe_ok(spark, path, docs):
+    from etl_hiscox_spark.operators.dedup import probe_minhash_index
+
+    probe = spark.createDataFrame(
+        [(100, "shared filler text body number 3 common tokens run")],
+        "doc_id long, text string",
+    )
+    out = probe_minhash_index(probe, "text", "doc_id", path)
+    assert out.count() >= 1  # exact duplicate of doc 3 must be found
+
+
+def test_recover_staged_rebuild_noop_and_empty(spark, tmp_path):
+    import pytest
+
+    from etl_hiscox_spark.operators.dedup import recover_staged_rebuild
+
+    path, docs = _mh_index(spark, tmp_path)
+    assert recover_staged_rebuild(spark, path) == "none"
+    _mh_probe_ok(spark, path, docs)
+    with pytest.raises(ValueError, match="nothing to recover"):
+        recover_staged_rebuild(spark, str(tmp_path / "absent"))
+
+
+def test_recover_staged_rebuild_after_stage_rolls_back(spark, tmp_path):
+    """Crash window 1: stage written (possibly incomplete), commit never
+    began — live untouched, stage removed, live still answers probes."""
+    import os
+
+    from etl_hiscox_spark.operators.dedup import (
+        _read_index_meta,
+        recover_staged_rebuild,
+        write_minhash_index,
+    )
+
+    path, docs = _mh_index(spark, tmp_path)
+    # simulate: a complete stage AND an incomplete one (meta missing)
+    write_minhash_index(docs, "text", "doc_id", path + "__rebuild",
+                        num_hashes=32, num_bands=8)
+    assert recover_staged_rebuild(spark, path) == "rolled_back_stage"
+    assert not os.path.exists(path + "__rebuild")
+    assert _read_index_meta(spark, path) == (24, 6, 3)  # old params live
+    _mh_probe_ok(spark, path, docs)
+    # idempotent: a second recovery is a no-op
+    assert recover_staged_rebuild(spark, path) == "none"
+
+
+def test_recover_staged_rebuild_between_renames_completes(spark, tmp_path):
+    """Crash window 2: live renamed to __old, stage not yet promoted —
+    recovery promotes the (complete by protocol) stage."""
+    import os
+
+    from etl_hiscox_spark.operators.dedup import (
+        _read_index_meta,
+        recover_staged_rebuild,
+        write_minhash_index,
+    )
+
+    path, docs = _mh_index(spark, tmp_path)
+    write_minhash_index(docs, "text", "doc_id", path + "__rebuild",
+                        num_hashes=32, num_bands=8)
+    os.rename(path, path + "__old")  # first rename landed, then crash
+    assert recover_staged_rebuild(spark, path) == "completed_swap"
+    assert not os.path.exists(path + "__old")
+    assert _read_index_meta(spark, path) == (32, 8, 3)  # migrated params live
+    _mh_probe_ok(spark, path, docs)
+
+
+def test_recover_staged_rebuild_before_old_cleanup(spark, tmp_path):
+    """Crash window 3: swap landed, __old not yet removed."""
+    import os
+    import shutil
+
+    from etl_hiscox_spark.operators.dedup import recover_staged_rebuild
+
+    path, docs = _mh_index(spark, tmp_path)
+    shutil.copytree(path, path + "__old")
+    assert recover_staged_rebuild(spark, path) == "removed_old"
+    assert not os.path.exists(path + "__old")
+    _mh_probe_ok(spark, path, docs)
+
+
+def test_recover_staged_rebuild_old_only_restores(spark, tmp_path):
+    import os
+
+    from etl_hiscox_spark.operators.dedup import recover_staged_rebuild
+
+    path, docs = _mh_index(spark, tmp_path)
+    os.rename(path, path + "__old")
+    assert recover_staged_rebuild(spark, path) == "restored_old"
+    _mh_probe_ok(spark, path, docs)
+
+
+def test_recover_staged_rebuild_refuses_unreachable_states(spark, tmp_path):
+    import shutil
+
+    import pytest
+
+    from etl_hiscox_spark.operators.dedup import recover_staged_rebuild
+
+    path, docs = _mh_index(spark, tmp_path)
+    shutil.copytree(path, path + "__rebuild")
+    shutil.copytree(path, path + "__old")
+    with pytest.raises(ValueError, match="unreachable"):
+        recover_staged_rebuild(spark, path)
+    shutil.rmtree(path + "__old")
+    shutil.rmtree(path + "__rebuild")
+    # stage only (no live): refuse to promote
+    stage_only = str(tmp_path / "stage_only")
+    shutil.copytree(path, stage_only + "__rebuild")
+    with pytest.raises(ValueError, match="ONLY a __rebuild"):
+        recover_staged_rebuild(spark, stage_only)
+
+
+def test_recover_staged_rebuild_ivf_layout(spark, tmp_path):
+    """The same recovery drives the IVF layout: crash between the two
+    renames completes to the retrained index and the probe matches
+    brute force."""
+    import os
+
+    import numpy as np
+
+    from etl_hiscox_spark.operators.dedup import recover_staged_rebuild
+    from etl_hiscox_spark.operators.similarity import (
+        cosine_topk,
+        ivf_probe_topk,
+        load_ivf_centroids,
+        random_hyperplanes,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf")
+    planes = random_hyperplanes(dim=8, n_planes=4, seed=3)
+    write_ivf_index(emb, path, "embedding", "vec_id", centroids=planes)
+    # stage a complete retrained index, then crash between the renames
+    write_ivf_index(emb, path + "__rebuild", "embedding", "vec_id",
+                    n_clusters=4, seed=5, max_iter=3)
+    os.rename(path, path + "__old")
+    assert recover_staged_rebuild(spark, path) == "completed_swap"
+    C = load_ivf_centroids(spark, path)
+    assert not np.allclose(C, planes)  # the retrained geometry is live
+    q = rows[0][1]
+    got = ivf_probe_topk(spark, path, None, "embedding", "vec_id", q, k=5, n_probe=4)
+    want = cosine_topk(emb, "embedding", "vec_id", q, k=5)
+    assert [r["vec_id"] for r in got.collect()] == [
+        r["vec_id"] for r in want.collect()
+    ]
