@@ -944,6 +944,7 @@ def write_minhash_index(
     num_bands: int = 6,
     shingle_k: int = 3,
     mode: str = "overwrite",
+    generational: bool = False,
 ) -> None:
     """Persist the banded LSH bucket table as the near-dedup index.
 
@@ -955,11 +956,24 @@ def write_minhash_index(
     ``mode="append"`` adds a new batch's buckets to an existing index
     (parameters must already match — validated against meta).
 
+    ``generational=True`` builds the GENERATION-POINTER layout (r12,
+    :mod:`sources/genlog` — the object-store deployment form): the flat
+    index above is staged as a complete generation under
+    ``<path>/gen-*/`` and an atomic ``_gen_log`` pointer commit makes it
+    live; compact/erase/rebuild then commit new generations with pointer
+    flips instead of directory renames, so the FULL maintenance
+    lifecycle runs on any filesystem. A root that is already
+    generational stays generational regardless of the flag; appends
+    land inside the live generation (a plain parquet append — already
+    portable).
+
     At 100 TB: the index is |corpus| × num_bands fixed-width rows; the
     probe join shuffles on (band, bucket) 16-byte keys. Bucketing the
     parquet on ``bucket`` (``save_as_catalog_table`` + bucketBy) upgrades
     the probe to a shuffle-free sort-merge — layout choice, same contract.
     """
+    from etl_hiscox_spark.sources import genlog
+
     spark = df.sparkSession
     if num_hashes % num_bands != 0:
         # same guard as minhash_candidates: trailing signature hashes
@@ -969,6 +983,23 @@ def write_minhash_index(
             f"num_hashes ({num_hashes}) must be divisible by num_bands "
             f"({num_bands}) — trailing hashes would be computed but never banded"
         )
+    gen_layout = genlog.is_generational(spark, path)
+    if mode == "append":
+        path = genlog.live_index_path(spark, path) if gen_layout else path
+    elif generational or gen_layout:
+        root = genlog.resolve_root(spark, path)
+        gen = genlog.new_generation_name()
+        # stage the complete flat index as a fresh generation (buckets
+        # first, meta last — the staged tree is valid only once finished),
+        # then the pointer commit makes it live atomically; a crash before
+        # the commit leaves the previous generation (or nothing, for a
+        # first build) live and the stage vacuum-reclaimable
+        write_minhash_index(
+            df, text_col, id_col, genlog._join(root, gen),
+            num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k,
+        )
+        genlog.commit_generation(spark, root, gen, "build")
+        return
     if mode == "append":
         meta = _read_index_meta(spark, path)
         if meta != (num_hashes, num_bands, shingle_k):
@@ -1003,10 +1034,11 @@ def _require_local_index_path(spark, path: str, op: str) -> str:
     path for the os-level steps (Spark-facing calls keep the original)."""
     if not _meta_is_local(spark, path):
         raise ValueError(
-            f"{op}: driver-local index paths only — this maintenance op "
-            f"swaps files with os.rename, which cannot reach {path!r}. On "
-            "a cluster filesystem use the table-format equivalent "
-            "(OPTIMIZE / DELETE) or run the op where the index is local."
+            f"{op}: driver-local index paths only — the FLAT index layout "
+            f"commits maintenance with os.rename, which cannot reach "
+            f"{path!r}. On a cluster filesystem build the index with "
+            "generational=True (sources/genlog): its maintenance commits "
+            "by atomic pointer flip and runs anywhere."
         )
     from etl_hiscox_spark.sources.writers import _local_fs_path
 
@@ -1199,8 +1231,33 @@ def compact_minhash_index(spark, path: str, target_file_mb: int = 256) -> int:
     every probe rejects loudly, never a half-rewritten bucket table read
     silently. Returns the post-compaction bucket file count.
     """
-    from etl_hiscox_spark.sources.writers import compact_small_files
+    from etl_hiscox_spark.sources import genlog
+    from etl_hiscox_spark.sources.writers import (
+        compact_parquet_to_dir,
+        compact_small_files,
+    )
 
+    if genlog.is_generational(spark, path):
+        # object-store form (r12): the compacted bucket table is staged
+        # as a COMPLETE new generation (buckets first, meta last) and a
+        # pointer flip commits it — no rename touches any data dir, so
+        # this runs on any filesystem; the pre-compaction generation
+        # stays live through every crash window and readable until
+        # genlog.vacuum_generations
+        live = genlog.live_index_path(spark, path)
+        params = _read_index_meta(spark, live)
+        gen = genlog.new_generation_name()
+        target = genlog._join(path, gen)
+        n = compact_parquet_to_dir(
+            spark,
+            os.path.join(live, "buckets"),
+            genlog._join(target, "buckets"),
+            target_file_mb,
+            sort_by=("band", "bucket"),
+        )
+        _write_index_meta(spark, target, *params)
+        genlog.commit_generation(spark, path, gen, "compact")
+        return n
     _require_local_index_path(spark, path, "compact_minhash_index")
     _read_index_meta(spark, path)  # loud on an uncommitted index
     _rename_meta_aside(spark, path, "meta__compact")
@@ -1230,6 +1287,27 @@ def erase_from_minhash_index(spark, path: str, keys: DataFrame, id_col: str) -> 
     ``band`` (or bucket prefix) so erasure rewrites only affected
     partitions, the same upgrade path erase_keys documents.
     """
+    from etl_hiscox_spark.sources import genlog
+
+    if genlog.is_generational(spark, path):
+        # object-store form (r12): kept rows are staged as a complete new
+        # generation (buckets, then the unchanged meta as the commit
+        # record) and a pointer flip makes them live — no data-dir rename
+        live = genlog.live_index_path(spark, path)
+        params = _read_index_meta(spark, live)
+        buckets = spark.read.parquet(os.path.join(live, "buckets"))
+        k = F.broadcast(keys.select(F.col(id_col).alias("doc")).distinct())
+        n_erased = buckets.join(k, "doc", "left_semi").count()
+        if n_erased == 0:
+            return 0
+        gen = genlog.new_generation_name()
+        target = genlog._join(path, gen)
+        buckets.join(k, "doc", "left_anti").write.mode("error").parquet(
+            genlog._join(target, "buckets")
+        )
+        _write_index_meta(spark, target, *params)
+        genlog.commit_generation(spark, path, gen, "erase")
+        return n_erased
     _require_local_index_path(spark, path, "erase_from_minhash_index")
     _read_index_meta(spark, path)  # loud on an uncommitted index
     buckets_path = os.path.join(path, "buckets")
@@ -1265,8 +1343,10 @@ def minhash_fragmentation_stats(spark, path: str) -> DataFrame:
     executor (``sources/listing.distributed_dir_stats``); the driver
     holds only the directory handle — same scale shape as the IVF twin.
     """
+    from etl_hiscox_spark.sources.genlog import live_index_path
     from etl_hiscox_spark.sources.listing import distributed_dir_stats
 
+    path = live_index_path(spark, path)
     _read_index_meta(spark, path)  # loud on an uncommitted index
     buckets = os.path.join(path, "buckets")
     stats = distributed_dir_stats(spark, [(0, buckets)])
@@ -1319,6 +1399,28 @@ def rebuild_minhash_index(
     Driver-local paths only, like the other maintenance ops. Returns the
     new (num_hashes, num_bands, shingle_k).
     """
+    from etl_hiscox_spark.sources import genlog
+
+    if genlog.is_generational(spark, path):
+        # object-store form (r12): the re-banded index stages as a fresh
+        # generation and the pointer flip IS the two-rename swap — one
+        # atomic commit instead of two renames, same crash guarantees
+        cur_hashes, cur_bands, cur_k = _read_index_meta(
+            spark, genlog.live_index_path(spark, path)
+        )
+        new = (
+            int(num_hashes) if num_hashes is not None else cur_hashes,
+            int(num_bands) if num_bands is not None else cur_bands,
+            int(shingle_k) if shingle_k is not None else cur_k,
+        )
+        root = genlog.resolve_root(spark, path)
+        gen = genlog.new_generation_name()
+        write_minhash_index(
+            df, text_col, id_col, genlog._join(root, gen),
+            num_hashes=new[0], num_bands=new[1], shingle_k=new[2],
+        )
+        genlog.commit_generation(spark, root, gen, "rebuild")
+        return new
     tmp = begin_staged_rebuild(spark, path, "rebuild_minhash_index")
     cur_hashes, cur_bands, cur_k = _read_index_meta(spark, path)  # loud on uncommitted
     new = (
@@ -1414,6 +1516,9 @@ def _invalidate_index_meta(spark, path: str) -> None:
 
 
 def _read_index_meta(spark, path: str) -> tuple[int, int, int]:
+    from etl_hiscox_spark.sources.genlog import live_index_path
+
+    path = live_index_path(spark, path)  # idempotent on resolved/flat paths
     meta_path = os.path.join(path, "meta")
     try:
         if _meta_is_local(spark, path):
@@ -1467,7 +1572,10 @@ def probe_minhash_index(
     Banding parameters come from the index meta (see
     :func:`write_minhash_index`).
     """
+    from etl_hiscox_spark.sources.genlog import live_index_path
+
     spark = new_df.sparkSession
+    path = live_index_path(spark, path)  # generational roots probe the live gen
     num_hashes, num_bands, shingle_k = _read_index_meta(spark, path)
     sig = minhash_signature_table(new_df, text_col, id_col, num_hashes, shingle_k)
     new_banded = _banded_buckets(sig, num_hashes, num_bands).alias("n")

@@ -449,6 +449,7 @@ def write_ivf_index(
     max_iter: int | None = None,
     centroids: np.ndarray | None = None,
     quantize: bool = False,
+    generational: bool = False,
 ) -> np.ndarray:
     """Materialize the IVF index as a cluster-partitioned parquet table;
     returns the centroid matrix and ALSO persists it inside the index
@@ -486,7 +487,28 @@ def write_ivf_index(
     detects ``__codes`` in the index schema and quantizes the batch with
     the same expression); compaction/erase/rebuild carry the columns
     through as ordinary payload.
+
+    ``generational=True`` builds the GENERATION-POINTER layout (r12,
+    :mod:`sources/genlog`): the index stages as a complete generation
+    under ``<path>/gen-*/`` and an atomic ``_gen_log`` pointer commit
+    makes it live — compact/erase/rebuild then flip pointers instead of
+    renaming data dirs, so the full maintenance lifecycle runs on any
+    filesystem. A root that is already generational stays generational
+    regardless of the flag.
     """
+    from etl_hiscox_spark.sources import genlog
+
+    spark = df.sparkSession
+    if generational or genlog.is_generational(spark, path):
+        root = genlog.resolve_root(spark, path)
+        gen = genlog.new_generation_name()
+        C = write_ivf_index(
+            df, genlog._join(root, gen), embedding_col, id_col,
+            n_clusters=n_clusters, seed=seed, train_fraction=train_fraction,
+            max_iter=max_iter, centroids=centroids, quantize=quantize,
+        )
+        genlog.commit_generation(spark, root, gen, "build")
+        return C
 
     def _with_codes(assigned: DataFrame) -> DataFrame:
         if not quantize:
@@ -599,7 +621,9 @@ def _write_ivf_centroids(
 def _read_ivf_centroid_rows(spark, path: str) -> list[dict]:
     """Raw rows of the ``_centroids`` commit record, loud when missing."""
     from etl_hiscox_spark.operators.dedup import _meta_is_local
+    from etl_hiscox_spark.sources.genlog import live_index_path
 
+    path = live_index_path(spark, path)  # idempotent on resolved/flat paths
     cdir = os.path.join(path, "_centroids")
     try:
         if _meta_is_local(spark, path):
@@ -669,6 +693,11 @@ def append_to_ivf_index(
     re-clustering (centroid drift repair) is an explicit rebuild, not a
     side effect.
     """
+    from etl_hiscox_spark.sources.genlog import live_index_path
+
+    # generational roots append INSIDE the live generation (a plain
+    # parquet append — already portable; no pointer flip needed)
+    path = live_index_path(df.sparkSession, path)
     C = load_ivf_centroids(df.sparkSession, path)
     assigned = df.withColumn("__cluster", _nearest_centroid_col(C, F.col(embedding_col)))
     # quantized layouts propagate: an append into an index that stores
@@ -732,7 +761,61 @@ def compact_ivf_index(spark, path: str, target_file_mb: int = 256) -> int:
     import shutil
 
     from etl_hiscox_spark.operators.dedup import _require_local_index_path
+    from etl_hiscox_spark.sources import genlog
 
+    if genlog.is_generational(spark, path):
+        # object-store form (r12): the compacted partitions stage as a
+        # COMPLETE new generation (partitions first, centroids last) and
+        # a pointer flip commits — no rename touches any data dir. Sizing
+        # facts come from distributed_dir_stats (the fragmentation-stats
+        # machinery), so the driver's share stays bounded by n_clusters.
+        from pyarrow import fs as pafs
+
+        from etl_hiscox_spark.sources.listing import (
+            _dir_file_stats,
+            _resolve_fs,
+            distributed_dir_stats,
+        )
+
+        live = genlog.live_index_path(spark, path)
+        C = load_ivf_centroids(spark, live)
+        quantized = ivf_index_is_quantized(spark, live)
+        filesystem, live_path = _resolve_fs(live)
+        dirs = []
+        for info in filesystem.get_file_info(
+            pafs.FileSelector(live_path, recursive=False)
+        ):
+            if info.type == pafs.FileType.Directory and info.base_name.startswith(
+                "__cluster="
+            ):
+                dirs.append((int(info.base_name.split("=", 1)[1]), genlog._join(live, info.base_name)))
+        if not dirs:
+            raise ValueError(
+                f"no __cluster= partitions under {live!r} — not a written IVF index"
+            )
+        sizes = {
+            int(r["key"]): int(r["total_bytes"])
+            for r in distributed_dir_stats(spark, dirs).collect()
+        }
+        step = target_file_mb * 1024 * 1024
+        n_files = {c: max(1, -(-b // step)) for c, b in sizes.items()}
+        df = spark.read.parquet(live)
+        data_cols = [c for c in df.columns if c != "__cluster"]
+        n_map = F.create_map(*[F.lit(x) for item in n_files.items() for x in item])
+        salt = F.pmod(F.hash(*[F.col(c) for c in data_cols]), n_map[F.col("__cluster")])
+        gen = genlog.new_generation_name()
+        target = genlog._join(path, gen)
+        (
+            df.repartition(sum(n_files.values()), F.col("__cluster"), salt)
+            .write.partitionBy("__cluster")
+            .mode("error")
+            .option("partitionOverwriteMode", "static")
+            .parquet(target)
+        )
+        n_out = _dir_file_stats(target)[0]  # before centroids land
+        _write_ivf_centroids(spark, target, C, quantized=quantized)
+        genlog.commit_generation(spark, path, gen, "compact")
+        return n_out
     # driver-local paths only (ADVICE r10): the swap below is os.rename —
     # fail loudly BEFORE the Spark tmp write, never leak a __compact dir
     local = _require_local_index_path(spark, path, "compact_ivf_index")
@@ -815,7 +898,30 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
     import shutil
 
     from etl_hiscox_spark.operators.dedup import _require_local_index_path
+    from etl_hiscox_spark.sources import genlog
 
+    if genlog.is_generational(spark, path):
+        # object-store form (r12): the kept rows stage as a complete new
+        # generation (partitions first, unchanged centroids last) and a
+        # pointer flip commits. This rewrites the WHOLE index — the
+        # pointer names one directory, so partial-generation reuse needs
+        # file-level manifests (the Iceberg/Delta upgrade); batch erasure
+        # requests so each flip amortizes like an OPTIMIZE. The flat
+        # local layout below keeps the affected-partitions-only rewrite.
+        live = genlog.live_index_path(spark, path)
+        C = load_ivf_centroids(spark, live)
+        quantized = ivf_index_is_quantized(spark, live)
+        idx = spark.read.parquet(live)
+        k = F.broadcast(keys.select(F.col(id_col)).distinct())
+        n_erased = idx.join(k, id_col, "left_semi").count()
+        if n_erased == 0:
+            return 0
+        gen = genlog.new_generation_name()
+        target = genlog._join(path, gen)
+        _write_ivf_partitions(idx.join(k, id_col, "left_anti"), target)
+        _write_ivf_centroids(spark, target, C, quantized=quantized)
+        genlog.commit_generation(spark, path, gen, "erase")
+        return n_erased
     # driver-local paths only (ADVICE r10): the partition swaps below are
     # os.rename — fail loudly BEFORE any Spark work, never leak __erase
     local = _require_local_index_path(spark, path, "erase_from_ivf_index")
@@ -899,6 +1005,25 @@ def rebuild_ivf_index(
         begin_staged_rebuild,
         commit_staged_rebuild,
     )
+    from etl_hiscox_spark.sources import genlog
+
+    if genlog.is_generational(spark, path):
+        # object-store form (r12): the retrained index stages as a fresh
+        # generation; the pointer flip replaces the two-rename swap with
+        # one atomic commit, same crash guarantees, any filesystem
+        live = genlog.live_index_path(spark, path)
+        old_C = load_ivf_centroids(spark, live)
+        k = int(n_clusters) if n_clusters is not None else int(old_C.shape[0])
+        live_df = spark.read.parquet(live).drop("__cluster")
+        assigned, C = ivf_index(
+            live_df, embedding_col, id_col, k, seed, train_fraction, max_iter
+        )
+        gen = genlog.new_generation_name()
+        target = genlog._join(path, gen)
+        _write_ivf_partitions(assigned, target)
+        _write_ivf_centroids(spark, target, C, quantized="__codes" in live_df.columns)
+        genlog.commit_generation(spark, path, gen, "rebuild")
+        return C
 
     # leftover check FIRST (r11 review): after a crash in the two-rename
     # swap window the live path is absent and load_ivf_centroids' "rebuild
@@ -943,8 +1068,10 @@ def ivf_fragmentation_stats(spark, path: str) -> DataFrame:
     — at years-of-appends scale the old all-files driver walk was itself
     a stall.
     """
+    from etl_hiscox_spark.sources.genlog import live_index_path
     from etl_hiscox_spark.sources.listing import distributed_dir_stats
 
+    path = live_index_path(spark, path)
     load_ivf_centroids(spark, path)  # loud on an uncommitted index
     sc = spark.sparkContext
     jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
@@ -1015,6 +1142,9 @@ def ivf_centroid_drift(
     """
     if not (0.0 < index_fraction <= 1.0):
         raise ValueError(f"index_fraction must be in (0, 1], got {index_fraction}")
+    from etl_hiscox_spark.sources.genlog import live_index_path
+
+    path = live_index_path(spark, path)
     C = load_ivf_centroids(spark, path)
 
     def nearest_dist(col: Column) -> Column:
@@ -1079,6 +1209,9 @@ def ivf_probe_topk(
     ``centroids=None`` loads the geometry persisted INSIDE the index
     (:func:`load_ivf_centroids`) — the deployment form: probes read their
     parameters from the index, never from the caller."""
+    from etl_hiscox_spark.sources.genlog import live_index_path
+
+    path = live_index_path(spark, path)
     if centroids is None:
         centroids = load_ivf_centroids(spark, path)
     q = np.asarray(query_vec, dtype=np.float64)
@@ -1119,6 +1252,9 @@ def ivf_probe_topk_quantized(
     """
     import math
 
+    from etl_hiscox_spark.sources.genlog import live_index_path
+
+    path = live_index_path(spark, path)
     C = load_ivf_centroids(spark, path)
     q = [float(x) for x in query_vec]
     qn = np.asarray(q) / np.linalg.norm(q)

@@ -128,10 +128,18 @@ def erase_subject(
                             f"{path!r} at version {v}"
                         )
 
+        # residual scans of index stores resolve the LIVE generation for
+        # the pointer layout (reading a generational root raw would scan
+        # every superseded generation — r12); flat layouts resolve to
+        # themselves
+        from etl_hiscox_spark.sources.genlog import live_index_path
+
         for path, id_col in ivf_indexes:
             k = kdf.select(F.col(kc).alias(id_col))
             record("ivf_index", path, id_col, erase_from_ivf_index(spark, path, k, id_col))
-            if verify and residuals(spark.read.parquet(path), id_col):
+            if verify and residuals(
+                spark.read.parquet(live_index_path(spark, path)), id_col
+            ):
                 raise ValueError(f"erase_subject: residual subject rows in IVF index {path!r}")
 
         for path, id_col in minhash_indexes:
@@ -143,7 +151,9 @@ def erase_subject(
             if verify:
                 import os
 
-                buckets = spark.read.parquet(os.path.join(path, "buckets"))
+                buckets = spark.read.parquet(
+                    os.path.join(live_index_path(spark, path), "buckets")
+                )
                 if residuals(buckets, "doc"):
                     raise ValueError(
                         f"erase_subject: residual subject fingerprints in minhash "

@@ -37,6 +37,10 @@ def _resolve_fs(dir_uri: str):
     if dir_uri.startswith("file:") or "://" not in dir_uri:
         local = dir_uri[len("file:"):] if dir_uri.startswith("file:") else dir_uri
         return pafs.LocalFileSystem(), re.sub("^/+", "/", local)
+    # Hadoop's s3a/s3n schemes name the same stores PyArrow registers as
+    # s3 — alias them so index roots written with Hadoop-style URIs resolve
+    if dir_uri.startswith(("s3a://", "s3n://")):
+        dir_uri = "s3://" + dir_uri.split("://", 1)[1]
     return pafs.FileSystem.from_uri(dir_uri)
 
 

@@ -288,26 +288,42 @@ def compact_small_files(
     input mid-job. At scale this is table-format ``OPTIMIZE``; same
     semantics here for plain parquet.
     """
-    lpath = _local_fs_path(path)
-    total_bytes = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(lpath)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    tmp = path.rstrip("/") + "__compact"
+    # mode=overwrite: a leftover tmp from a crashed earlier run is debris
+    # under THIS commit protocol (the swap never ran, path is intact)
+    n = compact_parquet_to_dir(spark, path, tmp, target_file_mb, sort_by, mode="overwrite")
+    swap_and_refresh(spark, tmp, path)
+    return n
+
+
+def compact_parquet_to_dir(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 256,
+    sort_by: tuple[str, ...] = (),
+    mode: str = "error",
+) -> int:
+    """The rewrite half of :func:`compact_small_files`, decoupled from the
+    local-only tmp+swap commit: read ``src``, rewrite into ``dst`` as
+    ~``target_file_mb``-sized files (optionally range-partitioned AND
+    sorted on ``sort_by`` so each key clusters into one file-contiguous
+    run), return the output file count. Sizing and counting go through
+    ``pyarrow.fs`` (:func:`listing._dir_file_stats`), so the rewrite works
+    on any filesystem — the generation-pointer index maintenance commits
+    the SAME rewrite with a pointer flip instead of a rename (r12)."""
+    from etl_hiscox_spark.sources.listing import _dir_file_stats
+
+    _, total_bytes = _dir_file_stats(src)
     n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(src)
     if sort_by:
         cols = [F.col(c) for c in sort_by]
         out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
     else:
         out = df.repartition(n_files)
-    tmp = path.rstrip("/") + "__compact"
-    out.write.mode("overwrite").parquet(tmp)
-    swap_and_refresh(spark, tmp, path)
-    return sum(
-        1 for root, _, files in os.walk(lpath) for f in files if f.endswith(".parquet")
-    )
+    out.write.mode(mode).parquet(dst)
+    return _dir_file_stats(dst)[0]
 
 
 def erase_keys(

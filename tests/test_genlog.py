@@ -1,0 +1,281 @@
+"""Generation-pointer index maintenance (sources/genlog, r12 — VERDICT
+r11 item 1): the full compact/erase/rebuild lifecycle of BOTH index
+layouts must run on a ``file://``-prefixed root with pointer flips only —
+no os.rename / shutil on any data directory — and a crash between staging
+and the pointer commit must leave the old generation live."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture
+def forbid_data_dir_renames(monkeypatch):
+    """Any os.rename / os.replace / shutil.move touching a path that
+    contains the marker raises — the generational ops must commit via
+    pointer flips only. Deletes (shutil.rmtree / fs delete) stay allowed:
+    they are object-store-safe operations (vacuum uses them). os.link is
+    the pointer commit primitive and is allowed; Spark's own JVM-side
+    writer renames are not Python calls and target task-temp dirs."""
+    import shutil
+
+    marker = "GENIDX"
+
+    def guard(name, real):
+        def wrapped(src, *a, **kw):
+            if marker in str(src) or any(marker in str(x) for x in a):
+                raise AssertionError(f"{name} touched a generational index path: {src} {a}")
+            return real(src, *a, **kw)
+
+        return wrapped
+
+    monkeypatch.setattr(os, "rename", guard("os.rename", os.rename))
+    monkeypatch.setattr(os, "replace", guard("os.replace", os.replace))
+    monkeypatch.setattr(shutil, "move", guard("shutil.move", shutil.move))
+    return marker
+
+
+def _docs(spark, n=40):
+    rows = [(i, f"shared filler text body number {i} common tokens run") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _probe_pairs(spark, path, docs):
+    from etl_hiscox_spark.operators.dedup import probe_minhash_index
+
+    probe = spark.createDataFrame(
+        [(1000, "shared filler text body number 3 common tokens run")],
+        "doc_id long, text string",
+    )
+    out = probe_minhash_index(probe, "text", "doc_id", path)
+    return sorted(r["dup_of"] for r in out.collect())
+
+
+def test_minhash_generational_full_lifecycle_no_renames(
+    spark, tmp_path, forbid_data_dir_renames
+):
+    from etl_hiscox_spark.operators.dedup import (
+        _read_index_meta,
+        compact_minhash_index,
+        erase_from_minhash_index,
+        minhash_fragmentation_stats,
+        rebuild_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.sources.genlog import (
+        list_generations,
+        live_index_path,
+        vacuum_generations,
+    )
+
+    root = "file://" + str(tmp_path / f"{forbid_data_dir_renames}_mh")
+    docs = _docs(spark)
+    old = docs.filter(F.col("doc_id") < 20)
+    write_minhash_index(old, "text", "doc_id", root, generational=True)
+    assert live_index_path(spark, root) != root.rstrip("/")
+    base_pairs = _probe_pairs(spark, root, docs)
+    assert base_pairs  # doc 3 found through the pointer resolution
+
+    # append lands inside the live generation, probe sees both batches
+    write_minhash_index(
+        docs.filter(F.col("doc_id") >= 20), "text", "doc_id", root, mode="append"
+    )
+    n_files_before = minhash_fragmentation_stats(spark, root).first()["n_files"]
+
+    # compact: new generation, fewer files, identical probe answers
+    gen_before = live_index_path(spark, root)
+    n_after = compact_minhash_index(spark, root)
+    assert live_index_path(spark, root) != gen_before  # pointer flipped
+    assert n_after < n_files_before
+    assert _probe_pairs(spark, root, docs) == base_pairs
+
+    # erase: doc 3 must stop surfacing
+    n_erased = erase_from_minhash_index(
+        spark, root, spark.createDataFrame([(3,)], "doc_id long"), "doc_id"
+    )
+    assert n_erased == 6  # num_bands rows
+    assert 3 not in _probe_pairs(spark, root, docs)
+
+    # rebuild: parameter migration through a pointer flip
+    migrated = rebuild_minhash_index(
+        spark, docs, "text", "doc_id", root, num_hashes=32, num_bands=8
+    )
+    assert migrated == (32, 8, 3)
+    assert _read_index_meta(spark, root) == (32, 8, 3)
+    assert 3 in _probe_pairs(spark, root, docs)  # re-indexed from docs
+
+    # history recorded every lifecycle op; vacuum drops superseded gens
+    ops = [g["operation"] for g in list_generations(spark, root)]
+    assert ops == ["build", "compact", "erase", "rebuild"]
+    local_root = str(tmp_path / f"{forbid_data_dir_renames}_mh")
+    gens_on_disk = [d for d in os.listdir(local_root) if d.startswith("gen-")]
+    assert len(gens_on_disk) == 4
+    assert vacuum_generations(spark, root, keep_last=1) == 3
+    assert len([d for d in os.listdir(local_root) if d.startswith("gen-")]) == 1
+    assert 3 in _probe_pairs(spark, root, docs)  # live gen untouched
+
+
+def test_minhash_generational_crash_before_pointer_leaves_old_live(spark, tmp_path):
+    """The staged-generation crash window: a complete (or partial) stage
+    without a pointer commit is invisible — the old generation answers
+    every probe, and vacuum reclaims the debris."""
+    from etl_hiscox_spark.operators.dedup import write_minhash_index
+    from etl_hiscox_spark.sources import genlog
+
+    root = "file://" + str(tmp_path / "mh")
+    docs = _docs(spark)
+    write_minhash_index(docs, "text", "doc_id", root, generational=True)
+    v_before, gen_before = genlog.current_generation(spark, root)
+    pairs_before = _probe_pairs(spark, root, docs)
+
+    # simulate a maintenance run that crashed after staging: a complete
+    # new index tree exists under the root but no pointer names it
+    stage = genlog._join(root, genlog.new_generation_name())
+    write_minhash_index(docs.filter("doc_id < 5"), "text", "doc_id", stage,
+                        num_hashes=32, num_bands=8)
+    assert genlog.current_generation(spark, root) == (v_before, gen_before)
+    assert _probe_pairs(spark, root, docs) == pairs_before
+    # recovery = re-run the op; vacuum reclaims the orphan stage
+    assert genlog.vacuum_generations(spark, root, keep_last=1) == 1
+    assert _probe_pairs(spark, root, docs) == pairs_before
+
+
+def test_pointer_commit_collision_is_loud(spark, tmp_path):
+    from etl_hiscox_spark.operators.dedup import write_minhash_index
+    from etl_hiscox_spark.sources import genlog
+
+    root = "file://" + str(tmp_path / "mh")
+    write_minhash_index(_docs(spark, 10), "text", "doc_id", root, generational=True)
+
+    # two racing maintenance commits: the second committer of version 1
+    # must fail loudly, never silently replace the first
+    genlog.commit_generation(spark, root, "gen-aaaaaaaaaaaa", "compact")
+    real = genlog._pointer_versions
+
+    def stale(_root):
+        return [0]  # re-reads the pre-race log
+
+    genlog._pointer_versions = stale
+    try:
+        with pytest.raises(FileExistsError):
+            genlog.commit_generation(spark, root, "gen-bbbbbbbbbbbb", "erase")
+    finally:
+        genlog._pointer_versions = real
+    assert genlog.current_generation(spark, root)[1] == "gen-aaaaaaaaaaaa"
+
+
+def test_ivf_generational_full_lifecycle_no_renames(
+    spark, tmp_path, forbid_data_dir_renames
+):
+    """Quantized IVF on a file:// generational root: build → append →
+    compact → erase → rebuild, probes (plain + codes-only) correct at
+    every step, zero data-dir renames."""
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        cosine_topk,
+        erase_from_ivf_index,
+        ivf_fragmentation_stats,
+        ivf_probe_topk,
+        ivf_probe_topk_quantized,
+        load_ivf_centroids,
+        random_hyperplanes,
+        rebuild_ivf_index,
+        write_ivf_index,
+    )
+    from etl_hiscox_spark.sources.genlog import list_generations, live_index_path
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    root = "file://" + str(tmp_path / f"{forbid_data_dir_renames}_ivf")
+    planes = random_hyperplanes(dim=8, n_planes=4, seed=3)
+    write_ivf_index(
+        emb.filter("vec_id < 40"), root, "embedding", "vec_id",
+        centroids=planes, quantize=True, generational=True,
+    )
+    append_to_ivf_index(emb.filter("vec_id >= 40"), root, "embedding", "vec_id")
+    q = rows[0][1]
+
+    def full_probe_ids():
+        got = ivf_probe_topk(spark, root, None, "embedding", "vec_id", q, k=5, n_probe=4)
+        return [r["vec_id"] for r in got.collect()]
+
+    def brute_ids(frame):
+        return [r["vec_id"] for r in cosine_topk(frame, "embedding", "vec_id", q, k=5).collect()]
+
+    assert full_probe_ids() == brute_ids(emb)
+    # quantized probe reads the live generation's codes
+    qtop = ivf_probe_topk_quantized(spark, root, "embedding", "vec_id", q, k=5, n_probe=4)
+    assert qtop.count() == 5
+
+    gen0 = live_index_path(spark, root)
+    compact_ivf_index(spark, root)
+    assert live_index_path(spark, root) != gen0
+    assert full_probe_ids() == brute_ids(emb)
+    frag = ivf_fragmentation_stats(spark, root)
+    assert frag.agg(F.max("n_files")).first()[0] == 1  # defragmented
+
+    erased = erase_from_ivf_index(
+        spark, root, emb.filter("vec_id % 10 = 0").select("vec_id"), "vec_id"
+    )
+    assert erased == 8
+    kept = emb.filter("vec_id % 10 != 0")
+    assert full_probe_ids() == brute_ids(kept)
+
+    C = rebuild_ivf_index(spark, root, "embedding", "vec_id", max_iter=3)
+    assert not np.allclose(C, planes)
+    assert np.allclose(load_ivf_centroids(spark, root), C)
+    assert full_probe_ids() == brute_ids(kept)
+    # the quantized flag survived erase + rebuild: codes-only probe works
+    qtop = ivf_probe_topk_quantized(spark, root, "embedding", "vec_id", q, k=5, n_probe=4)
+    assert [r["vec_id"] for r in qtop.collect()] == brute_ids(kept)
+
+    ops = [g["operation"] for g in list_generations(spark, root)]
+    assert ops == ["build", "compact", "erase", "rebuild"]
+
+
+def test_resolve_root_rejects_schemeless_on_remote_default_fs(spark, monkeypatch):
+    from etl_hiscox_spark.operators import dedup
+    from etl_hiscox_spark.sources import genlog
+
+    monkeypatch.setattr(dedup, "_meta_is_local", lambda s, p: False)
+    with pytest.raises(ValueError, match="scheme-less"):
+        genlog.resolve_root(spark, "/warehouse/idx")
+    # and is_generational answers False without touching the filesystem
+    assert genlog.is_generational(spark, "/warehouse/idx") is False
+
+
+def test_gdpr_erase_subject_reaches_generational_indexes(spark, tmp_path):
+    """erase_subject residual verification resolves the LIVE generation
+    (a raw root read would scan superseded pre-erase generations)."""
+    from etl_hiscox_spark.operators.dedup import write_minhash_index
+    from etl_hiscox_spark.operators.similarity import random_hyperplanes, write_ivf_index
+    from etl_hiscox_spark.plans.gdpr import erase_subject
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (i, f"document body number {i} with shared filler text",
+         [float(x) for x in rng.standard_normal(4)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, embedding array<float>")
+    ivf = "file://" + str(tmp_path / "ivf")
+    write_ivf_index(df, ivf, "embedding", "doc_id",
+                    centroids=random_hyperplanes(dim=4, n_planes=3, seed=1),
+                    generational=True)
+    mh = "file://" + str(tmp_path / "mh")
+    write_minhash_index(df, "text", "doc_id", mh, generational=True)
+    report = erase_subject(
+        spark,
+        spark.createDataFrame([(7,)], "doc_id long"),
+        ivf_indexes=[(ivf, "doc_id")],
+        minhash_indexes=[(mh, "doc_id")],
+    )
+    by_kind = {r["kind"]: r for r in report}
+    assert by_kind["ivf_index"]["n_erased"] == 1
+    assert by_kind["minhash_index"]["n_erased"] == 6
