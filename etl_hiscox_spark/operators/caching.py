@@ -85,3 +85,16 @@ def cached_rdd_count(spark) -> int:
     the observable the lifecycle tests pin (a completed operator followed
     by ``release_caches`` must leave the count where it started)."""
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def cached_rdd_ids(spark) -> set:
+    """IDs of the RDDs currently holding a storage level — the
+    order-robust observable for lifecycle tests: absolute counts drift
+    when the ContextCleaner asynchronously reaps caches earlier tests
+    released with ``blocking=False``, but "this operator's NEW cache ids
+    are gone after release" is immune to background cleanup (r12, found
+    as a full-suite-order flake)."""
+    return {
+        int(i)
+        for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }

@@ -547,23 +547,34 @@ WINDOW_R11: tuple[str, ...] = (
     "t17_semantic_decontamination",
 )
 
-# Round 12 window — PRE-DEFINED at the end of r11 (same self-advance
-# mechanism; ``active_window()`` serves this once CORRECTNESS_r11.json
-# exists). Composition (histogram after r11 banks, assuming r11 green:
-# {r8: 34, r9: 50, r10: 50, r11: 50} over 185 + s7):
-# head = ALL 35 r8-latest greens (stale-beyond-3 at current=12): the 30
-# simplest r8 greens the r9 plan deferred (projections/filters/joins/
-# aggs, scalar golds, t3/t12 samplers) plus the 5 prechecks displaced by
-# r11's new declarations (t27/t29/t31/v4/t26). Then 15 of the 50 r9
-# greens as early prechecks — the heavier oracle shapes (pair-graph
-# dedup, media near-dup, BPE/corpus pipelines, bucketed join,
-# incremental refresh; t34 defers to r13 with the rest);
-# the 35 remaining r9 greens defer to a mandatory WINDOW_R13
-# head. The r12 builder SWAPS prechecks for new declarations (new
-# queries must lead; displaced r9-green prechecks move toward r13) —
-# keep new declarations <= ~15 and ALWAYS recompute cohorts from the
-# CORRECTNESS artifacts before editing.
+# Round 12 window — pre-defined at the end of r11; r12 SWAPPED its five
+# new declarations into the lead (never driver-checked queries outrank
+# everything), displacing the 5 tail r9-green prechecks
+# (s18/t13/t21/t32/t33) to WINDOW_R13's mandatory head. Composition
+# (histogram recomputed from CORRECTNESS artifacts at swap time:
+# {r8: 35, r9: 50, r10: 50, r11: 50} over 185 + s7):
+# 5 new r12 declarations, then ALL 35 r8-latest greens (stale-beyond-3
+# at current=12), then 10 of the 50 r9 greens as early prechecks (the
+# heavier oracle shapes — pair-graph dedup, media near-dup, MMR/ANN,
+# incremental refresh). The r13 builder SWAPS prechecks for new
+# declarations and ALWAYS recomputes cohorts from the CORRECTNESS
+# artifacts before editing.
 WINDOW_R12: tuple[str, ...] = (
+    # new r12 declarations — never driver-checked, must lead:
+    # l2_lsh_gen_lifecycle_probe / l3_ivf_gen_lifecycle_probe (the
+    # generation-pointer object-store layout, sources/genlog: full
+    # build->compact->erase->rebuild lifecycle committed by pointer
+    # flips on a file:// root, VERDICT r11 item 1),
+    # l3_ivf_recover_rebuild_probe (crash recovery of the flat staged
+    # rebuild, item 4), x15_txn_multi_writer_occ (two-writer OCC commit
+    # loop + exactly-once duplicate rejection under a real thread race,
+    # item 6), s20_bulk_frame_erase (frame-based bulk GDPR erasure, no
+    # driver collect / IN-literal, item 5).
+    "l2_lsh_gen_lifecycle_probe",
+    "l3_ivf_gen_lifecycle_probe",
+    "l3_ivf_recover_rebuild_probe",
+    "x15_txn_multi_writer_occ",
+    "s20_bulk_frame_erase",
     # mandatory: latest green r8 — stale-beyond-3 at current=12
     "a10_rollup_summary",
     "a12_percentiles",
@@ -600,7 +611,9 @@ WINDOW_R12: tuple[str, ...] = (
     "t3_fingerprint",
     "t7_mixture_sample",
     "v4_pca_projection",
-    # r9-green prechecks (15 of 50) — the heavier shapes, smoothing r13
+    # r9-green prechecks (10 of 50) — the heavier shapes, smoothing r13;
+    # the 5 displaced by the r12 declarations (s18/t13/t21/t32/t33)
+    # moved to WINDOW_R13's mandatory head
     "f17_golden_record",
     "l2_minhash_near_dup",
     "l2_transitive_clusters",
@@ -611,11 +624,75 @@ WINDOW_R12: tuple[str, ...] = (
     "m10_video_frame_near_dup",
     "m9_media_near_dup_pairs",
     "s14_incremental_refresh",
+)
+
+# Round 13 window — PRE-DEFINED at the end of r12 (same self-advance
+# mechanism; ``active_window()`` serves this once CORRECTNESS_r12.json
+# exists). Composition (histogram after r12 banks, assuming r12 green:
+# {r9: 40, r10: 50, r11: 50, r12: 50} over 190 + s7):
+# head = ALL 40 r9-latest greens (stale-beyond-3 at current=13): the 35
+# r9 greens the r12 plan deferred plus the 5 prechecks displaced by
+# r12's new declarations (s18/t13/t21/t32/t33). Then 10 of the 50 r10
+# greens as early prechecks — the heavier oracle shapes (index
+# compact/erase lifecycles, semantic dedup, media codecs, BPE
+# segmentation); the 40 remaining r10 greens defer to a mandatory
+# WINDOW_R14 head. The r13 builder SWAPS prechecks for new declarations
+# (new queries must lead; displaced r10-green prechecks move toward
+# r14) — keep new declarations <= ~10 and ALWAYS recompute cohorts from
+# the CORRECTNESS artifacts before editing.
+WINDOW_R13: tuple[str, ...] = (
+    # mandatory: latest green r9 — stale-beyond-3 at current=13
+    "f16_fuzzy_name_pairs",
+    "g13_top_revenue_supplier",
+    "g14_custdist",
+    "g8_large_order_customers",
+    "g9_exclusive_late_supplier",
+    "j4_left_semi_join",
+    "p1_column_projection",
+    "p3_filter_equality",
+    "p5_filter_not_null",
+    "p6_filter_in_list",
+    "q2_rule_profile",
+    "q3_threshold_alerts",
+    "q4_failure_tagging",
+    "q5_store_failures",
+    "q7_outlier_zscore",
+    "q8_median_imputation",
+    "s13_fixed_width_roundtrip",
     "s18_bucketed_colocated_join",
+    "t10_repetition_stats",
+    "t11_gopher_flags",
     "t13_corpus_prep_pipeline",
+    "t18_span_dedup",
+    "t19_nb_language_classifier",
+    "t20_tfidf_keywords",
     "t21_bpe_merges",
     "t32_cluster_keep_best",
     "t33_leakage_safe_split",
+    "t34_ngram_novelty_score",
+    "t5_bigram_frequency",
+    "t8_pack_sequences",
+    "u1_union_append",
+    "u2_except_difference",
+    "u3_intersect",
+    "w1_dedup_rank",
+    "w2_rolling_average",
+    "w3_lag_delta",
+    "w4_rank_per_group",
+    "w4_rank_with_ties",
+    "w6_trailing_week_spend",
+    "w7_distribution_ranks",
+    # r10-green prechecks (10 of 50) — the heavier shapes, smoothing r14
+    "l2_lsh_compact_probe",
+    "l2_lsh_erase_probe",
+    "l2_ngram_jaccard_pairs",
+    "l2_simhash_candidates",
+    "l3_ivf_compact_probe",
+    "l3_ivf_erase_probe",
+    "l3_semantic_dedup",
+    "m1_multimodal_features",
+    "m3_gif_frame_sample",
+    "t23_bpe_segmentation",
 )
 
 WINDOWS: dict[int, tuple[str, ...]] = {
@@ -624,6 +701,7 @@ WINDOWS: dict[int, tuple[str, ...]] = {
     10: WINDOW_R10,
     11: WINDOW_R11,
     12: WINDOW_R12,
+    13: WINDOW_R13,
 }
 
 

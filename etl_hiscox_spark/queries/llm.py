@@ -474,6 +474,94 @@ def l2_lsh_rebuild_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l2_lsh_gen_lifecycle_probe",
+    # the l2_lsh_erase_probe oracle, unchanged: compact and rebuild are
+    # layout/parameter-internal (content-preserving; more bands only add
+    # candidate recall and the verify-side exact Jaccard pins precision),
+    # so after build -> compact -> erase -> rebuild the confirmed-pair
+    # graph must equal the exact cross-batch Jaccard graph MINUS the
+    # erased docs — any op that loses a fingerprint, resurrects an erased
+    # one, or serves a stale generation hash-fails.
+    oracle="\n    WITH "
+    + _ORACLE_SHINGLE_N_CTE
+    + r""",
+    inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS dup_of, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND b.doc_id % 10 <> 6
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT new_id, dup_of,
+           ROUND(i / CAST(na.n + nb.n - i AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN n na ON new_id = na.doc_id JOIN n nb ON dup_of = nb.doc_id
+    WHERE 5 * i >= 4 * (na.n + nb.n - i)
+    """,
+)
+def l2_lsh_gen_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GENERATION-POINTER minhash lifecycle (r12, VERDICT r11 item 1 —
+    # sources/genlog): the index lives on a file://-prefixed root in the
+    # object-store layout, and EVERY maintenance op commits a new
+    # generation with an atomic pointer flip — no os.rename ever touches
+    # a data directory (trap-pinned in tests/test_genlog.py), so the same
+    # lifecycle runs verbatim on s3/hdfs. Sequence: build on the even-id
+    # history at (24 hashes, 6 bands) -> COMPACT (range-sorted bucket
+    # rewrite as a new generation) -> ERASE doc_id % 10 == 6 -> REBUILD
+    # migrating to (32, 8) over the erased corpus -> vacuum the three
+    # superseded generations -> probe with the odd-id batch, banding read
+    # from the live generation's meta. Loud invariants before the oracle
+    # sees the probe: the pointer history records exactly
+    # [build, compact, erase, rebuild], the live meta reports the
+    # migrated parameters, and vacuum removes exactly 3 generations.
+    import os as _os
+
+    from etl_hiscox_spark.operators.dedup import (
+        _read_index_meta,
+        compact_minhash_index,
+        erase_from_minhash_index,
+        probe_minhash_index,
+        rebuild_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.queries.writes import _scratch
+    from etl_hiscox_spark.sources.genlog import list_generations, vacuum_generations
+
+    docs = load_table(spark, "documents", sf_dir)
+    # file:// prefix: the probe runs the exact resolution an s3/hdfs
+    # deployment would (_scratch wipes the dir, so the build is fresh)
+    root = "file://" + _os.path.join(_scratch("l2_lsh_gen", sf_dir), "minhash_index")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    write_minhash_index(
+        old, "text", "doc_id", root, num_hashes=24, num_bands=6, generational=True
+    )
+    compact_minhash_index(spark, root)
+    erase = old.filter(F.col("doc_id") % 10 == 6).select("doc_id")
+    expected = erase.count() * 6  # num_bands rows per indexed doc
+    n_erased = erase_from_minhash_index(spark, root, erase, "doc_id")
+    if n_erased != expected:
+        raise ValueError(
+            f"generational erase removed {n_erased} bucket rows, expected {expected}"
+        )
+    kept = old.filter(F.col("doc_id") % 10 != 6)
+    migrated = rebuild_minhash_index(
+        spark, kept, "text", "doc_id", root, num_hashes=32, num_bands=8
+    )
+    if migrated != (32, 8, 3) or _read_index_meta(spark, root) != (32, 8, 3):
+        raise ValueError(f"generational rebuild did not migrate the meta: {migrated}")
+    ops = [g["operation"] for g in list_generations(spark, root)]
+    if ops != ["build", "compact", "erase", "rebuild"]:
+        raise ValueError(f"pointer history records {ops}")
+    n_vacuumed = vacuum_generations(spark, root, keep_last=1)
+    if n_vacuumed != 3:
+        raise ValueError(f"vacuum removed {n_vacuumed} generations, expected 3")
+    out = probe_minhash_index(
+        new, "text", "doc_id", root, verify_df=docs, threshold=0.8
+    )
+    return out.select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
     "l2_ngram_jaccard_pairs",
     oracle=r"""
     WITH toks AS (
@@ -2180,6 +2268,162 @@ def l3_ivf_rebuild_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     if C.shape != planes.shape or _np.allclose(C, planes):
         raise ValueError("rebuild_ivf_index did not retrain the geometry")
+    out = ivf_probe_topk(
+        spark, path, None, "embedding", "vec_id", qvec, k=10, n_probe=16
+    )
+    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+
+
+@register(
+    "l3_ivf_gen_lifecycle_probe",
+    # brute-force cosine top-10 over the corpus minus the erased ids —
+    # the l3_ivf_erase_probe oracle; build/append/compact are content-
+    # preserving, so only the erase predicate narrows the scored set
+    oracle=_cosine_oracle("\n      WHERE vec_id % 10 <> 7"),
+)
+def l3_ivf_gen_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GENERATION-POINTER IVF lifecycle (r12, VERDICT r11 item 1 —
+    # sources/genlog, the LSH twin is l2_lsh_gen_lifecycle_probe): a
+    # QUANTIZED index on a file://-prefixed root in the object-store
+    # layout. Build on even vec_ids (pinned geometry, int8 codes stored
+    # in-partition) -> APPEND the odd half inside the live generation
+    # (plain parquet append, no flip needed) -> COMPACT as a new
+    # generation (pointer flip; per-cluster sizing via the distributed
+    # listing) -> ERASE vec_id % 10 == 7 (a full staged generation — the
+    # pointer names one directory, so partial reuse is the file-manifest
+    # upgrade, documented on the operator) -> vacuum the superseded
+    # generations -> full probe. Loud invariants: pointer history is
+    # exactly [build, compact, erase], vacuum removes exactly 2
+    # generations, and the QUANTIZED codes-only probe (reading the live
+    # generation's stored codes) agrees with the float probe on the
+    # top-1 id — the quantized flag must survive every pointer flip.
+    import os as _os
+
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        erase_from_ivf_index,
+        ivf_probe_topk,
+        ivf_probe_topk_quantized,
+        random_hyperplanes,
+        write_ivf_index,
+    )
+    from etl_hiscox_spark.queries.writes import _scratch
+    from etl_hiscox_spark.sources.genlog import list_generations, vacuum_generations
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    root = "file://" + _os.path.join(_scratch("l3_ivf_gen", sf_dir), "ivf_index")
+    # explicit pinned geometry: output is centroid-independent (full
+    # probe) — see l3_ivf_append_probe
+    write_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), root, "embedding", "vec_id",
+        centroids=random_hyperplanes(dim=64, n_planes=16, seed=42),
+        quantize=True, generational=True,
+    )
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), root, "embedding", "vec_id")
+    compact_ivf_index(spark, root)
+    erase = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id")
+    expected = erase.count()
+    n_erased = erase_from_ivf_index(spark, root, erase, "vec_id")
+    if n_erased != expected:
+        raise ValueError(
+            f"generational erase removed {n_erased} rows, predicate covers {expected}"
+        )
+    ops = [g["operation"] for g in list_generations(spark, root)]
+    if ops != ["build", "compact", "erase"]:
+        raise ValueError(f"pointer history records {ops}")
+    n_vacuumed = vacuum_generations(spark, root, keep_last=1)
+    if n_vacuumed != 2:
+        raise ValueError(f"vacuum removed {n_vacuumed} generations, expected 2")
+    out = ivf_probe_topk(
+        spark, root, None, "embedding", "vec_id", qvec, k=10, n_probe=16
+    )
+    top_q = ivf_probe_topk_quantized(
+        spark, root, "embedding", "vec_id", qvec, k=1, n_probe=16
+    ).first()
+    top_f = out.first()
+    if top_q is None or top_q["vec_id"] != top_f["vec_id"]:
+        raise ValueError(
+            f"codes-only probe disagrees with the float probe after the "
+            f"lifecycle: {top_q and top_q['vec_id']} vs {top_f['vec_id']} — "
+            "the quantized layout did not survive a pointer flip"
+        )
+    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+
+
+@register("l3_ivf_recover_rebuild_probe", oracle=_COSINE_ORACLE)
+def l3_ivf_recover_rebuild_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CRASH RECOVERY of the flat layout's staged rebuild (r12, VERDICT
+    # r11 item 4 — operators/dedup.recover_staged_rebuild): the rebuild
+    # protocol stages the complete retrained index at <path>__rebuild and
+    # commits with two renames; this query simulates the worst crash
+    # window — AFTER the live index moved to __old, BEFORE the stage was
+    # promoted (live name absent, probes would fail loudly) — and recovery
+    # must COMPLETE the swap, because the stage is complete by protocol
+    # the moment the first rename ran. Build on even vec_ids with pinned
+    # planes, append the odd half, stage a k-means retrain of the live
+    # corpus exactly as rebuild_ivf_index would, crash, recover. Loud
+    # invariants before the oracle sees the probe: recovery reports
+    # 'completed_swap'; the row payload checksum (everything except the
+    # __cluster label the rebuild exists to change) is identical across
+    # crash + recovery; the recovered geometry is the RETRAINED one (a
+    # rollback would leave the pinned planes); and a second recover is a
+    # 'none' no-op. The probe then reads the recovered index and must
+    # return the exact brute-force top-10 over the full corpus
+    # (n_probe = n_clusters, recall-exact by construction).
+    import os as _os
+
+    import numpy as _np
+
+    from etl_hiscox_spark.operators.dedup import recover_staged_rebuild
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_index,
+        ivf_probe_topk,
+        load_ivf_centroids,
+        random_hyperplanes,
+        write_ivf_index,
+    )
+    from etl_hiscox_spark.queries.writes import _scratch
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    path = _os.path.join(_scratch("l3_ivf_recover", sf_dir), "ivf_index")
+    planes = random_hyperplanes(dim=64, n_planes=16, seed=42)
+    write_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
+        centroids=planes,
+    )
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path, "embedding", "vec_id")
+    sig_before = _parquet_content_checksum(spark, path, exclude_col="__cluster")
+
+    # stage the retrain exactly as rebuild_ivf_index does (max_iter=4:
+    # the full probe below is centroid-independent — l3_ivf_append_probe)
+    live = spark.read.parquet(path).drop("__cluster")
+    assigned, C = ivf_index(live, "embedding", "vec_id", 16, 42, 1.0, 4)
+    from etl_hiscox_spark.operators.similarity import (
+        _write_ivf_centroids,
+        _write_ivf_partitions,
+    )
+
+    _write_ivf_partitions(assigned, path + "__rebuild")
+    _write_ivf_centroids(spark, path + "__rebuild", C, quantized=False)
+    _os.rename(path, path + "__old")  # first rename landed, then CRASH
+
+    action = recover_staged_rebuild(spark, path)
+    if action != "completed_swap":
+        raise ValueError(f"recovery took {action!r}, expected completed_swap")
+    sig_after = _parquet_content_checksum(spark, path, exclude_col="__cluster")
+    if sig_after != sig_before:
+        raise ValueError(
+            f"recovery changed the row payload: {sig_before} -> {sig_after}"
+        )
+    C_live = load_ivf_centroids(spark, path)
+    if C_live.shape != planes.shape or _np.allclose(C_live, planes):
+        raise ValueError("recovery restored the stale geometry, not the retrain")
+    if recover_staged_rebuild(spark, path) != "none":
+        raise ValueError("a second recovery was not a no-op")
     out = ivf_probe_topk(
         spark, path, None, "embedding", "vec_id", qvec, k=10, n_probe=16
     )

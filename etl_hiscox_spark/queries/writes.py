@@ -929,3 +929,183 @@ def s19_gdpr_erase_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("txn_v0", t.read(0).count()),
     ]
     return spark.createDataFrame(counts, "store string, n_rows long").orderBy("store")
+
+
+# ---------------------------------------------------------------------------
+# X15: multi-writer optimistic concurrency on the txn log (r12, VERDICT
+# r11 item 6). Two concurrent writer THREADS append disjoint halves of
+# the orders table in three commits each, racing the manifest's
+# create-if-absent commit; every version collision re-reads the latest
+# manifest, re-merges the file list, and retries — both writers' batches
+# land, versions stay dense. Then both writers race the SAME
+# (app_id, txn_version) write_txn batch: exactly one lands (the in-loop
+# watermark re-read rejects the loser), so the final table carries the
+# duplicate batch ONCE — which the oracle can recompute purely from the
+# source table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x15_txn_multi_writer_occ",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderstatus, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 100 = 7
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def x15_txn_multi_writer_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import threading
+
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(_scratch("x15_occ", sf_dir), "txn")
+    writers = [TxnTable(spark, path), TxnTable(spark, path)]
+    errors: list[BaseException] = []
+    barrier = threading.Barrier(2)
+
+    def run(w: TxnTable, residues: tuple[int, ...]) -> None:
+        try:
+            barrier.wait(timeout=60)  # maximize commit contention
+            for r in residues:
+                w.write(orders.filter(F.col("o_orderkey") % 6 == r))
+        except BaseException as exc:  # surfaced after join — threads must not die silently
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=run, args=(writers[0], (0, 2, 4))),
+        threading.Thread(target=run, args=(writers[1], (1, 3, 5))),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if errors:
+        raise errors[0]
+
+    t = TxnTable(spark, path)
+    versions = [m["version"] for m in t.history()]
+    if versions != list(range(6)):
+        raise ValueError(f"six appends must land at dense versions 0..5, got {versions}")
+
+    # the duplicate race: same (app_id, txn_version), same batch content,
+    # two writers — exactly one commit may land
+    dup = orders.filter(F.col("o_orderkey") % 100 == 7)
+    results: list[bool] = []
+    lock = threading.Lock()
+    barrier2 = threading.Barrier(2)
+
+    def run_dup(w: TxnTable) -> None:
+        try:
+            barrier2.wait(timeout=60)
+            ok = w.write_txn(dup, "x15-producer", 1)
+            with lock:
+                results.append(ok)
+        except BaseException as exc:
+            errors.append(exc)
+
+    threads = [threading.Thread(target=run_dup, args=(w,)) for w in writers]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if errors:
+        raise errors[0]
+    if sorted(results) != [False, True]:
+        raise ValueError(
+            f"duplicate-txn race must land exactly once, write_txn returned {results}"
+        )
+    if t.last_txn_version("x15-producer") != 1:
+        raise ValueError("the winning commit lost its txn watermark")
+    t.vacuum()  # the loser's staged files are orphans — reclaimable
+
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S20: BULK frame-based erasure through the GDPR composition (r12,
+# VERDICT r11 "what's wrong" #1/#2). The erasure request is a FRAME
+# derived from the customer table (every BUILDING-segment custkey —
+# hundreds of keys at sf0.01, unbounded in principle) and flows through
+# erase_subject as broadcast semi/anti joins end-to-end: no driver
+# collect, no IN-literal (the 100k-key driver-materialization cap is
+# pinned in tests/test_gdpr.py). Stores: a base copy of customer and a
+# two-version txn table of orders keyed by o_custkey — the residual
+# verification re-scans every time-travel version.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s20_bulk_frame_erase",
+    oracle="""
+    WITH seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT 'base' AS store,
+           (SELECT COUNT(*) FROM customer WHERE c_mktsegment <> 'BUILDING') AS n_rows
+    UNION ALL SELECT 'txn_latest',
+           (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM seg))
+    UNION ALL SELECT 'txn_v0',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderkey % 2 = 0
+              AND o_custkey NOT IN (SELECT c_custkey FROM seg))
+    ORDER BY store
+    """,
+)
+def s20_bulk_frame_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_hiscox_spark.plans.gdpr import erase_subject
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = _scratch("s20_bulk_erase", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = os.path.join(root, "base")
+    cust.write.mode("overwrite").parquet(base)
+    txn = os.path.join(root, "txn")
+    t = TxnTable(spark, txn)
+    t.write(orders.filter(F.col("o_orderkey") % 2 == 0), mode="append")
+    t.write(orders.filter(F.col("o_orderkey") % 2 == 1), mode="append")
+
+    keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    n_subjects = keys.count()
+    report = erase_subject(
+        spark,
+        keys,
+        base_tables=[(base, "c_custkey")],
+        txn_tables=[(txn, "o_custkey")],
+        verify=True,  # residual re-scan of base + EVERY txn version
+    )
+    by_kind = {r["kind"]: r for r in report}
+    if by_kind["base"]["n_erased"] != n_subjects:
+        raise ValueError(
+            f"base erased {by_kind['base']['n_erased']} rows, segment has {n_subjects}"
+        )
+    if by_kind["txn_history"]["n_files_rewritten"] < 1:
+        raise ValueError("bulk erasure rewrote no txn-history files")
+
+    counts = [
+        ("base", spark.read.parquet(base).count()),
+        ("txn_latest", t.read().count()),
+        ("txn_v0", t.read(0).count()),
+    ]
+    return spark.createDataFrame(counts, "store string, n_rows long").orderBy("store")

@@ -181,12 +181,22 @@ class TxnTable:
             )
         last_err: FileExistsError | None = None
         for _ in range(max_commit_attempts):
+            prev = self.latest_version()
+            # the guard scan must come AFTER the version read (and the
+            # commit target prev+1 must NOT be re-read after it): version
+            # numbers are dense, so if two writers race the same
+            # (app_id, txn_version), whichever commits at the LOWER
+            # version u is visible to the other's guard scan — the other
+            # read latest >= u before scanning (dense versions: reading
+            # v-1 proves every manifest <= v-1 existed) — and equal
+            # targets contend on the create-if-absent itself. Scanning
+            # before the read (or re-reading after the scan) reopens a
+            # window where a duplicate landing in between commits twice.
             if txn_guard is not None:
                 app_id, txn_version = txn_guard
                 last = self.last_txn_version(app_id)
                 if last is not None and txn_version <= last:
                     return None
-            prev = self.latest_version()
             committed_schema = schema_json
             if mode == "append" and prev is not None:
                 old = self._read_manifest(prev)

@@ -497,7 +497,7 @@ def test_probe_with_verify_releases_owned_caches(spark, tmp_path):
     session's cached-RDD count — nothing accumulates across foreachBatch
     invocations or long-lived pipeline sessions."""
     from etl_hiscox_spark.operators.caching import (
-        cached_rdd_count,
+        cached_rdd_ids,
         release_caches,
     )
     from etl_hiscox_spark.operators.dedup import (
@@ -515,16 +515,20 @@ def test_probe_with_verify_releases_owned_caches(spark, tmp_path):
     path = str(tmp_path / "idx")
     write_minhash_index(old, "text", "doc_id", path)
 
-    before = cached_rdd_count(spark)
+    # id-SET comparison, not counts: the ContextCleaner may reap caches
+    # an earlier test released with blocking=False at any moment, so an
+    # absolute count is full-suite-order flaky (r12); what this test
+    # pins is that THE PROBE'S new caches are gone after release
+    before_ids = cached_rdd_ids(spark)
     out = probe_minhash_index(
         new, "text", "doc_id", path, verify_df=old.union(new), threshold=0.5
     )
     rows = out.collect()
     assert [(r["new_id"], r["dup_of"]) for r in rows] == [(1, 0)]
-    assert cached_rdd_count(spark) > before  # persists were real
+    assert cached_rdd_ids(spark) - before_ids  # persists were real
     released = release_caches(out)
     assert released >= 2  # candidate set + shingle stem
-    assert cached_rdd_count(spark) == before
+    assert not (cached_rdd_ids(spark) - before_ids)  # all probe caches gone
     assert release_caches(out) == 0  # idempotent
 
 
@@ -535,19 +539,21 @@ def test_skew_profile_and_jaccard_release_owned_caches(spark):
     from pyspark.sql import functions as F
 
     from etl_hiscox_spark.operators.caching import (
-        cached_rdd_count,
+        cached_rdd_ids,
         owned_caches,
         release_caches,
     )
     from etl_hiscox_spark.operators.dedup import jaccard_pairs
     from etl_hiscox_spark.operators.diagnostics import key_skew_profile
 
-    before = cached_rdd_count(spark)
+    # id sets, not counts — immune to the ContextCleaner reaping earlier
+    # tests' blocking=False releases mid-test (r12 full-suite flake)
+    before_ids = cached_rdd_ids(spark)
     df = spark.range(100).select((F.col("id") % 7).alias("k"))
     with owned_caches(key_skew_profile(df, "k", top_k=3)) as prof:
         assert prof.count() == 3
-        assert cached_rdd_count(spark) == before + 1
-    assert cached_rdd_count(spark) == before
+        assert len(cached_rdd_ids(spark) - before_ids) == 1
+    assert not (cached_rdd_ids(spark) - before_ids)
 
     docs = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
@@ -555,9 +561,9 @@ def test_skew_profile_and_jaccard_release_owned_caches(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     out = jaccard_pairs(docs, pairs, "text", "doc_id", shingle_k=2)
     assert out.count() == 1
-    assert cached_rdd_count(spark) == before + 1
+    assert len(cached_rdd_ids(spark) - before_ids) == 1
     release_caches(out)
-    assert cached_rdd_count(spark) == before
+    assert not (cached_rdd_ids(spark) - before_ids)
 
 
 def test_incremental_probe_banding_recall_margin_pinned(spark):

@@ -292,7 +292,7 @@ def test_streaming_ingest_probes_minhash_index(spark, tmp_path):
     baseline after every stream run (r9 review — the candidates-only
     probe path has no persists, and wrapping it made the release a
     no-op that pinned nothing)."""
-    from etl_hiscox_spark.operators.caching import cached_rdd_count, owned_caches
+    from etl_hiscox_spark.operators.caching import cached_rdd_ids, owned_caches
     from etl_hiscox_spark.operators.dedup import probe_minhash_index, write_minhash_index
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
@@ -329,7 +329,8 @@ def test_streaming_ingest_probes_minhash_index(spark, tmp_path):
         batch_df.write.mode("append").parquet(corpus)
 
     def run_stream():
-        before = cached_rdd_count(spark)
+        # id set, not count — see test_dedup_similarity's lifecycle tests
+        before_ids = cached_rdd_ids(spark)
         q = (
             spark.readStream.schema("doc_id long, text string")
             .parquet(str(inbox))
@@ -339,7 +340,7 @@ def test_streaming_ingest_probes_minhash_index(spark, tmp_path):
             .start()
         )
         q.awaitTermination(120)
-        assert cached_rdd_count(spark) == before, "stream leaked probe caches"
+        assert not (cached_rdd_ids(spark) - before_ids), "stream leaked probe caches"
 
     run_stream()
     rows = spark.read.parquet(report).collect()
