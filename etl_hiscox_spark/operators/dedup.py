@@ -988,6 +988,11 @@ def write_minhash_index(
         path = genlog.live_index_path(spark, path) if gen_layout else path
     elif generational or gen_layout:
         root = genlog.resolve_root(spark, path)
+        _reject_flat_index_debris(spark, root, ("buckets", "meta"))
+        # capture the base pointer BEFORE staging: the commit lands at
+        # base+1 create-if-absent, so a build racing another commit on
+        # this root collides loudly instead of silently superseding it
+        base = genlog.latest_pointer_version(spark, root)
         gen = genlog.new_generation_name()
         # stage the complete flat index as a fresh generation (buckets
         # first, meta last — the staged tree is valid only once finished),
@@ -998,7 +1003,7 @@ def write_minhash_index(
             df, text_col, id_col, genlog._join(root, gen),
             num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k,
         )
-        genlog.commit_generation(spark, root, gen, "build")
+        genlog.commit_generation(spark, root, gen, "build", base_version=base)
         return
     if mode == "append":
         meta = _read_index_meta(spark, path)
@@ -1023,6 +1028,68 @@ def write_minhash_index(
         os.path.join(path, "buckets")
     )
     _write_index_meta(spark, path, num_hashes, num_bands, shingle_k)
+
+
+def _reject_flat_index_debris(spark, root: str, flat_markers: tuple[str, ...]) -> None:
+    """A generational build over a root that already holds a FLAT index
+    would leave the stale flat tree (buckets/meta or __cluster=/_centroids)
+    as unreclaimable debris forever — every read resolves the live
+    generation, and vacuum_generations only touches ``gen-*`` dirs, so a
+    GDPR erase would leave subject rows on disk in the dead copy (r12
+    review). Reject loudly; folding the flat tree in requires a rename,
+    so the explicit local-only migration is
+    :func:`migrate_flat_index_to_generational`."""
+    from pyarrow import fs as pafs
+
+    from etl_hiscox_spark.sources.listing import _resolve_fs
+
+    try:
+        filesystem, p = _resolve_fs(root)
+        infos = filesystem.get_file_info(
+            pafs.FileSelector(p, recursive=False, allow_not_found=True)
+        )
+    except (OSError, ValueError, KeyError):
+        return  # unreachable store: the staging write will fail loudly itself
+    debris = sorted(
+        i.base_name
+        for i in infos
+        if i.base_name in flat_markers or i.base_name.startswith("__cluster=")
+    )
+    if debris:
+        raise ValueError(
+            f"generational build over {root!r} would strand a flat index "
+            f"already there ({', '.join(debris)}) as unreclaimable debris — "
+            "build at a fresh root, or migrate the flat index explicitly "
+            "with migrate_flat_index_to_generational(spark, root)."
+        )
+
+
+def migrate_flat_index_to_generational(spark, path: str) -> str:
+    """One-time in-place upgrade of a FLAT index root (either layout) to
+    the generation-pointer layout: the flat tree's entries move into a
+    fresh ``gen-*`` directory (os.rename — driver-local only, like every
+    flat-layout maintenance op; remote flat indexes don't exist because
+    flat maintenance already refuses remote paths) and a v0 pointer
+    commits it. Every subsequent probe resolves the pointer and every
+    maintenance op commits by pointer flip. Returns the generation name."""
+    from etl_hiscox_spark.sources import genlog
+
+    local = _require_local_index_path(spark, path, "migrate_flat_index_to_generational")
+    root = genlog.resolve_root(spark, path)
+    if genlog.is_generational(spark, root):
+        raise ValueError(f"{path!r} is already generational")
+    _validate_live_index(spark, path)  # only a committed flat index migrates
+    gen = genlog.new_generation_name()
+    gen_dir = os.path.join(local, gen)
+    os.makedirs(gen_dir)
+    for entry in os.listdir(local):
+        if entry != gen:
+            os.rename(os.path.join(local, entry), os.path.join(gen_dir, entry))
+    genlog.commit_generation(spark, root, gen, "migrate", base_version=None)
+    from etl_hiscox_spark.sources.writers import refresh_swapped_path
+
+    refresh_swapped_path(spark, path)
+    return gen
 
 
 def _require_local_index_path(spark, path: str, op: str) -> str:
@@ -1244,8 +1311,9 @@ def compact_minhash_index(spark, path: str, target_file_mb: int = 256) -> int:
         # this runs on any filesystem; the pre-compaction generation
         # stays live through every crash window and readable until
         # genlog.vacuum_generations
-        live = genlog.live_index_path(spark, path)
-        params = _read_index_meta(spark, live)
+        base, live_gen = genlog.current_generation(spark, path)
+        live = genlog._join(path, live_gen)
+        params = _read_index_meta(spark, live, resolved=True)
         gen = genlog.new_generation_name()
         target = genlog._join(path, gen)
         n = compact_parquet_to_dir(
@@ -1256,7 +1324,9 @@ def compact_minhash_index(spark, path: str, target_file_mb: int = 256) -> int:
             sort_by=("band", "bucket"),
         )
         _write_index_meta(spark, target, *params)
-        genlog.commit_generation(spark, path, gen, "compact")
+        # base captured at resolve time: a concurrent commit since then
+        # (e.g. an erase) collides loudly instead of being undone
+        genlog.commit_generation(spark, path, gen, "compact", base_version=base)
         return n
     _require_local_index_path(spark, path, "compact_minhash_index")
     _read_index_meta(spark, path)  # loud on an uncommitted index
@@ -1293,8 +1363,9 @@ def erase_from_minhash_index(spark, path: str, keys: DataFrame, id_col: str) -> 
         # object-store form (r12): kept rows are staged as a complete new
         # generation (buckets, then the unchanged meta as the commit
         # record) and a pointer flip makes them live — no data-dir rename
-        live = genlog.live_index_path(spark, path)
-        params = _read_index_meta(spark, live)
+        base, live_gen = genlog.current_generation(spark, path)
+        live = genlog._join(path, live_gen)
+        params = _read_index_meta(spark, live, resolved=True)
         buckets = spark.read.parquet(os.path.join(live, "buckets"))
         k = F.broadcast(keys.select(F.col(id_col).alias("doc")).distinct())
         n_erased = buckets.join(k, "doc", "left_semi").count()
@@ -1306,7 +1377,7 @@ def erase_from_minhash_index(spark, path: str, keys: DataFrame, id_col: str) -> 
             genlog._join(target, "buckets")
         )
         _write_index_meta(spark, target, *params)
-        genlog.commit_generation(spark, path, gen, "erase")
+        genlog.commit_generation(spark, path, gen, "erase", base_version=base)
         return n_erased
     _require_local_index_path(spark, path, "erase_from_minhash_index")
     _read_index_meta(spark, path)  # loud on an uncommitted index
@@ -1347,7 +1418,7 @@ def minhash_fragmentation_stats(spark, path: str) -> DataFrame:
     from etl_hiscox_spark.sources.listing import distributed_dir_stats
 
     path = live_index_path(spark, path)
-    _read_index_meta(spark, path)  # loud on an uncommitted index
+    _read_index_meta(spark, path, resolved=True)  # loud on an uncommitted index
     buckets = os.path.join(path, "buckets")
     stats = distributed_dir_stats(spark, [(0, buckets)])
     return stats.select(
@@ -1405,8 +1476,9 @@ def rebuild_minhash_index(
         # object-store form (r12): the re-banded index stages as a fresh
         # generation and the pointer flip IS the two-rename swap — one
         # atomic commit instead of two renames, same crash guarantees
+        base, live_gen = genlog.current_generation(spark, path)
         cur_hashes, cur_bands, cur_k = _read_index_meta(
-            spark, genlog.live_index_path(spark, path)
+            spark, genlog._join(path, live_gen), resolved=True
         )
         new = (
             int(num_hashes) if num_hashes is not None else cur_hashes,
@@ -1419,7 +1491,7 @@ def rebuild_minhash_index(
             df, text_col, id_col, genlog._join(root, gen),
             num_hashes=new[0], num_bands=new[1], shingle_k=new[2],
         )
-        genlog.commit_generation(spark, root, gen, "rebuild")
+        genlog.commit_generation(spark, root, gen, "rebuild", base_version=base)
         return new
     tmp = begin_staged_rebuild(spark, path, "rebuild_minhash_index")
     cur_hashes, cur_bands, cur_k = _read_index_meta(spark, path)  # loud on uncommitted
@@ -1515,10 +1587,11 @@ def _invalidate_index_meta(spark, path: str) -> None:
         fs.delete(jpath, True)
 
 
-def _read_index_meta(spark, path: str) -> tuple[int, int, int]:
-    from etl_hiscox_spark.sources.genlog import live_index_path
+def _read_index_meta(spark, path: str, resolved: bool = False) -> tuple[int, int, int]:
+    if not resolved:  # callers that already resolved skip the re-stat (r12)
+        from etl_hiscox_spark.sources.genlog import live_index_path
 
-    path = live_index_path(spark, path)  # idempotent on resolved/flat paths
+        path = live_index_path(spark, path)
     meta_path = os.path.join(path, "meta")
     try:
         if _meta_is_local(spark, path):
@@ -1576,7 +1649,7 @@ def probe_minhash_index(
 
     spark = new_df.sparkSession
     path = live_index_path(spark, path)  # generational roots probe the live gen
-    num_hashes, num_bands, shingle_k = _read_index_meta(spark, path)
+    num_hashes, num_bands, shingle_k = _read_index_meta(spark, path, resolved=True)
     sig = minhash_signature_table(new_df, text_col, id_col, num_hashes, shingle_k)
     new_banded = _banded_buckets(sig, num_hashes, num_bands).alias("n")
     idx = spark.read.parquet(os.path.join(path, "buckets")).alias("i")

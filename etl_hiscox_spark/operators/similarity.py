@@ -496,18 +496,23 @@ def write_ivf_index(
     filesystem. A root that is already generational stays generational
     regardless of the flag.
     """
+    from etl_hiscox_spark.operators.dedup import _reject_flat_index_debris
     from etl_hiscox_spark.sources import genlog
 
     spark = df.sparkSession
     if generational or genlog.is_generational(spark, path):
         root = genlog.resolve_root(spark, path)
+        _reject_flat_index_debris(spark, root, ("_centroids",))
+        # base captured BEFORE staging: the commit lands at base+1
+        # create-if-absent, so racing commits collide loudly (r12 review)
+        base = genlog.latest_pointer_version(spark, root)
         gen = genlog.new_generation_name()
         C = write_ivf_index(
             df, genlog._join(root, gen), embedding_col, id_col,
             n_clusters=n_clusters, seed=seed, train_fraction=train_fraction,
             max_iter=max_iter, centroids=centroids, quantize=quantize,
         )
-        genlog.commit_generation(spark, root, gen, "build")
+        genlog.commit_generation(spark, root, gen, "build", base_version=base)
         return C
 
     def _with_codes(assigned: DataFrame) -> DataFrame:
@@ -618,12 +623,14 @@ def _write_ivf_centroids(
     ).coalesce(1).write.mode("overwrite").parquet(cdir)
 
 
-def _read_ivf_centroid_rows(spark, path: str) -> list[dict]:
+def _read_ivf_centroid_rows(spark, path: str, resolved: bool = False) -> list[dict]:
     """Raw rows of the ``_centroids`` commit record, loud when missing."""
     from etl_hiscox_spark.operators.dedup import _meta_is_local
-    from etl_hiscox_spark.sources.genlog import live_index_path
 
-    path = live_index_path(spark, path)  # idempotent on resolved/flat paths
+    if not resolved:  # callers that already resolved skip the re-stat (r12)
+        from etl_hiscox_spark.sources.genlog import live_index_path
+
+        path = live_index_path(spark, path)
     cdir = os.path.join(path, "_centroids")
     try:
         if _meta_is_local(spark, path):
@@ -653,22 +660,22 @@ def _read_ivf_centroid_rows(spark, path: str) -> list[dict]:
     return rows
 
 
-def load_ivf_centroids(spark, path: str) -> np.ndarray:
+def load_ivf_centroids(spark, path: str, resolved: bool = False) -> np.ndarray:
     """Centroid matrix persisted by :func:`write_ivf_index`. Missing or
     empty centroids mean an interrupted index write — fail loudly, never
     probe with default/stale geometry. Local paths read via pyarrow on
     the driver (every probe/append/erase/drift call loads the geometry —
     a Spark job per k-row read taxed the lifecycle measurably)."""
-    rows = _read_ivf_centroid_rows(spark, path)
+    rows = _read_ivf_centroid_rows(spark, path, resolved=resolved)
     rows.sort(key=lambda r: r["cluster"])
     return np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
 
 
-def ivf_index_is_quantized(spark, path: str) -> bool:
+def ivf_index_is_quantized(spark, path: str, resolved: bool = False) -> bool:
     """Whether the index layout stores int8 codes — read from the
     ``_centroids`` commit record in O(1), never inferred from the data
     files (pre-r11 indexes without the flag read as False)."""
-    rows = _read_ivf_centroid_rows(spark, path)
+    rows = _read_ivf_centroid_rows(spark, path, resolved=resolved)
     return bool(rows[0].get("quantized", False))
 
 
@@ -698,7 +705,7 @@ def append_to_ivf_index(
     # generational roots append INSIDE the live generation (a plain
     # parquet append — already portable; no pointer flip needed)
     path = live_index_path(df.sparkSession, path)
-    C = load_ivf_centroids(df.sparkSession, path)
+    C = load_ivf_centroids(df.sparkSession, path, resolved=True)
     assigned = df.withColumn("__cluster", _nearest_centroid_col(C, F.col(embedding_col)))
     # quantized layouts propagate: an append into an index that stores
     # int8 codes must quantize its batch with the same expression, or
@@ -777,9 +784,10 @@ def compact_ivf_index(spark, path: str, target_file_mb: int = 256) -> int:
             distributed_dir_stats,
         )
 
-        live = genlog.live_index_path(spark, path)
-        C = load_ivf_centroids(spark, live)
-        quantized = ivf_index_is_quantized(spark, live)
+        base, live_gen = genlog.current_generation(spark, path)
+        live = genlog._join(path, live_gen)
+        C = load_ivf_centroids(spark, live, resolved=True)
+        quantized = ivf_index_is_quantized(spark, live, resolved=True)
         filesystem, live_path = _resolve_fs(live)
         dirs = []
         for info in filesystem.get_file_info(
@@ -814,7 +822,9 @@ def compact_ivf_index(spark, path: str, target_file_mb: int = 256) -> int:
         )
         n_out = _dir_file_stats(target)[0]  # before centroids land
         _write_ivf_centroids(spark, target, C, quantized=quantized)
-        genlog.commit_generation(spark, path, gen, "compact")
+        # base captured at resolve time: a concurrent commit since then
+        # (e.g. an erase) collides loudly instead of being undone
+        genlog.commit_generation(spark, path, gen, "compact", base_version=base)
         return n_out
     # driver-local paths only (ADVICE r10): the swap below is os.rename —
     # fail loudly BEFORE the Spark tmp write, never leak a __compact dir
@@ -908,9 +918,10 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
         # file-level manifests (the Iceberg/Delta upgrade); batch erasure
         # requests so each flip amortizes like an OPTIMIZE. The flat
         # local layout below keeps the affected-partitions-only rewrite.
-        live = genlog.live_index_path(spark, path)
-        C = load_ivf_centroids(spark, live)
-        quantized = ivf_index_is_quantized(spark, live)
+        base, live_gen = genlog.current_generation(spark, path)
+        live = genlog._join(path, live_gen)
+        C = load_ivf_centroids(spark, live, resolved=True)
+        quantized = ivf_index_is_quantized(spark, live, resolved=True)
         idx = spark.read.parquet(live)
         k = F.broadcast(keys.select(F.col(id_col)).distinct())
         n_erased = idx.join(k, id_col, "left_semi").count()
@@ -920,7 +931,7 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
         target = genlog._join(path, gen)
         _write_ivf_partitions(idx.join(k, id_col, "left_anti"), target)
         _write_ivf_centroids(spark, target, C, quantized=quantized)
-        genlog.commit_generation(spark, path, gen, "erase")
+        genlog.commit_generation(spark, path, gen, "erase", base_version=base)
         return n_erased
     # driver-local paths only (ADVICE r10): the partition swaps below are
     # os.rename — fail loudly BEFORE any Spark work, never leak __erase
@@ -1011,8 +1022,9 @@ def rebuild_ivf_index(
         # object-store form (r12): the retrained index stages as a fresh
         # generation; the pointer flip replaces the two-rename swap with
         # one atomic commit, same crash guarantees, any filesystem
-        live = genlog.live_index_path(spark, path)
-        old_C = load_ivf_centroids(spark, live)
+        base, live_gen = genlog.current_generation(spark, path)
+        live = genlog._join(path, live_gen)
+        old_C = load_ivf_centroids(spark, live, resolved=True)
         k = int(n_clusters) if n_clusters is not None else int(old_C.shape[0])
         live_df = spark.read.parquet(live).drop("__cluster")
         assigned, C = ivf_index(
@@ -1022,7 +1034,7 @@ def rebuild_ivf_index(
         target = genlog._join(path, gen)
         _write_ivf_partitions(assigned, target)
         _write_ivf_centroids(spark, target, C, quantized="__codes" in live_df.columns)
-        genlog.commit_generation(spark, path, gen, "rebuild")
+        genlog.commit_generation(spark, path, gen, "rebuild", base_version=base)
         return C
 
     # leftover check FIRST (r11 review): after a crash in the two-rename
@@ -1072,7 +1084,7 @@ def ivf_fragmentation_stats(spark, path: str) -> DataFrame:
     from etl_hiscox_spark.sources.listing import distributed_dir_stats
 
     path = live_index_path(spark, path)
-    load_ivf_centroids(spark, path)  # loud on an uncommitted index
+    load_ivf_centroids(spark, path, resolved=True)  # loud on an uncommitted index
     sc = spark.sparkContext
     jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
@@ -1145,7 +1157,7 @@ def ivf_centroid_drift(
     from etl_hiscox_spark.sources.genlog import live_index_path
 
     path = live_index_path(spark, path)
-    C = load_ivf_centroids(spark, path)
+    C = load_ivf_centroids(spark, path, resolved=True)
 
     def nearest_dist(col: Column) -> Column:
         @F.pandas_udf("double")
@@ -1213,7 +1225,7 @@ def ivf_probe_topk(
 
     path = live_index_path(spark, path)
     if centroids is None:
-        centroids = load_ivf_centroids(spark, path)
+        centroids = load_ivf_centroids(spark, path, resolved=True)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / np.linalg.norm(q)
     cn = centroids / np.clip(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12, None)
@@ -1255,7 +1267,7 @@ def ivf_probe_topk_quantized(
     from etl_hiscox_spark.sources.genlog import live_index_path
 
     path = live_index_path(spark, path)
-    C = load_ivf_centroids(spark, path)
+    C = load_ivf_centroids(spark, path, resolved=True)
     q = [float(x) for x in query_vec]
     qn = np.asarray(q) / np.linalg.norm(q)
     cn = C / np.clip(np.linalg.norm(C, axis=1, keepdims=True), 1e-12, None)

@@ -1025,7 +1025,10 @@ def x15_txn_multi_writer_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     if t.last_txn_version("x15-producer") != 1:
         raise ValueError("the winning commit lost its txn watermark")
-    t.vacuum()  # the loser's staged files are orphans — reclaimable
+    # the loser's staged files are orphans; the race is settled here, so
+    # the 0-second retention window is safe (default 600 s protects
+    # in-flight writers)
+    t.vacuum(min_age_seconds=0)
 
     return (
         t.read()

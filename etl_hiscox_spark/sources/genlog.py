@@ -154,17 +154,30 @@ def live_index_path(spark, root: str) -> str:
     return _join(root, gen)
 
 
-def commit_generation(spark, root: str, gen_name: str, operation: str) -> int:
+def latest_pointer_version(spark, root: str) -> int | None:
+    """Highest committed pointer version, or None for a root whose log is
+    absent/empty — the ``base_version`` a build captures BEFORE staging."""
+    versions = _pointer_versions(resolve_root(spark, root))
+    return versions[-1] if versions else None
+
+
+def commit_generation(
+    spark, root: str, gen_name: str, operation: str, base_version: int | None
+) -> int:
     """Atomically make ``<root>/<gen_name>`` the live generation; returns
-    the pointer version. Create-if-absent on the versioned pointer name —
-    a concurrent maintenance commit makes exactly one winner and a loud
-    ``FileExistsError`` loser (who must re-run against the NEW live
-    generation — its staged output was derived from the old one)."""
+    the pointer version. ``base_version`` is the pointer version the
+    operation RESOLVED before staging (None for a first build) and the
+    commit lands at exactly ``base_version + 1`` create-if-absent — so a
+    maintenance op whose input generation was superseded mid-stage gets a
+    loud ``FileExistsError``, never a silent publish of stale data (r12
+    review: recomputing the version at commit time meant two overlapping
+    ops NEVER collided, and e.g. a compact staged from a pre-erase
+    generation would resurrect GDPR-erased rows). The loser re-runs
+    against the new live generation; its stage is vacuum-reclaimable."""
     from etl_hiscox_spark.operators.dedup import _meta_is_local
 
     root = resolve_root(spark, root)
-    versions = _pointer_versions(root)
-    version = (versions[-1] + 1) if versions else 0
+    version = 0 if base_version is None else int(base_version) + 1
     record = json.dumps(
         {
             "version": version,

@@ -113,7 +113,7 @@ class ManagedTable:
 
             DeltaTable.forPath(self.spark, self.path).vacuum(retention_hours)
             return 0  # Delta's vacuum doesn't report a file count
-        return self._txn.vacuum()
+        return self._txn.vacuum(min_age_seconds=retention_hours * 3600.0)
 
     def erase_keys(self, key_col: str, keys: list) -> int:
         if not keys:

@@ -128,6 +128,7 @@ class TxnTable:
         txn: dict | None = None,
         operation: str | None = None,
         max_commit_attempts: int = 20,
+        expected_prev: int | None = None,
     ) -> int:
         """Write ``df`` as a new committed version; returns the version.
 
@@ -148,7 +149,7 @@ class TxnTable:
         new_files = self._write_batch(df, "batch")
         v = self._commit_files(
             new_files, df.schema.json(), mode, txn, operation, None,
-            max_commit_attempts,
+            max_commit_attempts, expected_prev=expected_prev,
         )
         # unreachable None: only a txn_guard (write_txn) can abort the loop
         assert v is not None
@@ -163,6 +164,7 @@ class TxnTable:
         operation: str | None,
         txn_guard: tuple[str, int] | None,
         max_commit_attempts: int,
+        expected_prev: int | None = None,
     ) -> int | None:
         """The OCC commit loop shared by :meth:`write` and
         :meth:`write_txn`: staged data files are fixed; the (version,
@@ -172,7 +174,15 @@ class TxnTable:
         — if a racing writer landed the same (or a later) txn_version
         while we staged, returns None WITHOUT committing; the staged
         files become vacuum-reclaimable orphans (exactly-once wins over
-        wasted IO)."""
+        wasted IO).
+
+        ``expected_prev`` pins the commit to a SNAPSHOT: the write is
+        only valid against exactly that head (OPTIMIZE rewrites the rows
+        it read), so any commit that landed since — collision or a moved
+        head — raises a loud conflict instead of retrying; a blind retry
+        would publish the stale snapshot and silently drop the
+        concurrent append from the table head (r12 review). Delta fails
+        OPTIMIZE on conflict the same way; the caller re-runs."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         if max_commit_attempts < 1:
@@ -182,6 +192,13 @@ class TxnTable:
         last_err: FileExistsError | None = None
         for _ in range(max_commit_attempts):
             prev = self.latest_version()
+            if expected_prev is not None and prev != expected_prev:
+                raise RuntimeError(
+                    f"snapshot commit conflict at {self.path!r}: the head "
+                    f"moved from v{expected_prev} to v{prev} since the "
+                    "snapshot was read — re-run the operation against the "
+                    "new head (a retry would drop the concurrent commit)"
+                )
             # the guard scan must come AFTER the version read (and the
             # commit target prev+1 must NOT be re-read after it): version
             # numbers are dense, so if two writers race the same
@@ -282,11 +299,17 @@ class TxnTable:
             for app, tv in (self._read_manifest(pv).get("txn") or {}).items():
                 watermarks[str(app)] = max(int(tv), watermarks.get(str(app), int(tv)))
         head = self.read(v)
+        # expected_prev pins the OPTIMIZE commit to the snapshot it read:
+        # a concurrent append landing after v makes the commit FAIL loudly
+        # (re-run compact) — a blind OCC retry would publish the v-rows
+        # snapshot as the new head and silently drop that append (r12
+        # review; Delta conflicts OPTIMIZE the same way)
         return self.write(
             head.repartition(int(n_out)),
             mode="overwrite",
             operation="OPTIMIZE",
             txn=watermarks or None,
+            expected_prev=v,
         )
 
     def expire_versions(self, keep_last: int) -> int:
@@ -314,7 +337,14 @@ class TxnTable:
                 return int(txn[app_id])
         return None
 
-    def write_txn(self, df: DataFrame, app_id: str, txn_version: int, mode: str = "append") -> bool:
+    def write_txn(
+        self,
+        df: DataFrame,
+        app_id: str,
+        txn_version: int,
+        mode: str = "append",
+        max_commit_attempts: int = 20,
+    ) -> bool:
         """Idempotent write keyed by (``app_id``, ``txn_version``) — the
         Delta txnAppId/txnVersion protocol. Returns False without writing
         when ``txn_version`` (or a later one) is already committed for
@@ -335,7 +365,7 @@ class TxnTable:
         new_files = self._write_batch(df, "batch")
         v = self._commit_files(
             new_files, df.schema.json(), mode, {app_id: txn_version}, None,
-            (app_id, txn_version), 20,
+            (app_id, txn_version), max_commit_attempts,
         )
         return v is not None
 
@@ -362,7 +392,21 @@ class TxnTable:
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         if not paths:
             return self.spark.createDataFrame([], schema)
-        out = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        try:
+            out = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        except Exception:
+            # parquet's footer merge rejects TYPE-widened columns (int file
+            # + bigint file) that the manifest legitimately records as the
+            # widened type (last-write-wins) — fall back to the legacy
+            # per-file unionByName, whose coercion rules widen (r12 review:
+            # the O(1)-relations fast path must not make a type-evolved
+            # table unreadable). O(n_files) plan build, correct result.
+            out = None
+            for p in paths:
+                part = self.spark.read.parquet(p)
+                out = part if out is None else out.unionByName(
+                    part, allowMissingColumns=True
+                )
         import pyspark.sql.functions as F
 
         for field in schema.fieldNames():
@@ -374,14 +418,22 @@ class TxnTable:
         """Commit log, oldest first (Delta DESCRIBE HISTORY shape)."""
         return [self._read_manifest(v) for v in self._versions()]
 
-    def vacuum(self) -> int:
+    def vacuum(self, min_age_seconds: float = 600.0) -> int:
         """Delete data files no longer referenced by ANY version's manifest.
         Returns the number removed. This reclaims both crash orphans
         (files written before a manifest commit that never landed) and —
         after :meth:`expire_versions` drops old manifests — the files only
         those expired versions referenced: the second half of the
         OPTIMIZE/VACUUM retention contract :meth:`compact` documents
-        (compact → expire_versions → vacuum)."""
+        (compact → expire_versions → vacuum).
+
+        ``min_age_seconds`` is the retention window multi-writer OCC
+        requires (r12 review): a CONCURRENT writer's staged-but-not-yet-
+        committed files are indistinguishable from crash orphans, and
+        deleting them would let its subsequent commit publish a manifest
+        pointing at removed files — a corrupted version. Files younger
+        than the window are kept (Delta's VACUUM retention rule; pass 0
+        only when no writer can be in flight)."""
         live: set[str] = set()
         for v in self._versions():
             live.update(self._read_manifest(v)["files"])
@@ -389,12 +441,18 @@ class TxnTable:
         data_root = os.path.join(self.path, "data")
         if not os.path.isdir(data_root):
             return 0
+        cutoff = time.time() - min_age_seconds
         for batch in os.listdir(data_root):
             bdir = os.path.join(data_root, batch)
             for f in os.listdir(bdir):
                 rel = os.path.join("data", batch, f)
-                if f.endswith(".parquet") and rel not in live:
-                    os.remove(os.path.join(bdir, f))
+                full = os.path.join(bdir, f)
+                if (
+                    f.endswith(".parquet")
+                    and rel not in live
+                    and os.path.getmtime(full) <= cutoff
+                ):
+                    os.remove(full)
                     removed += 1
             if not os.listdir(bdir):
                 os.rmdir(bdir)
@@ -441,35 +499,66 @@ class TxnTable:
         # merge, Spark samples ONE footer and the scan either throws or
         # silently misses subject rows. input_file_name() is a URL-encoded
         # URI — decode before computing the table-relative path.
-        scan = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-        if keys_is_frame:
-            if len(keys.columns) != 1:
-                raise ValueError(
-                    f"keys frame must have exactly 1 column, got {keys.columns}"
-                )
-            # cast the request keys to the TABLE's key type up front —
-            # relying on join-time implicit coercion can silently turn an
-            # equi-join into a cast-both-sides comparison that misses rows
-            kdf = keys.select(
-                F.col(keys.columns[0])
-                .cast(scan.schema[key_col].dataType)
-                .alias(key_col)
-            ).distinct()
-            # input_file_name() must be projected BELOW the join: Spark's
-            # PreReadCheck rejects the expression over a plan with more
-            # than one file source, and a keys frame read from parquet is
-            # itself a file source (found by the s19 oracle, r12)
-            hit = scan.select(
-                F.col(key_col), F.input_file_name().alias("__file")
-            ).join(F.broadcast(kdf), key_col, "left_semi")
-        else:
-            hit = scan.filter(F.col(key_col).isin(keys)).select(
-                F.input_file_name().alias("__file")
+        if keys_is_frame and len(keys.columns) != 1:
+            raise ValueError(
+                f"keys frame must have exactly 1 column, got {keys.columns}"
             )
-        hit_paths = {
-            os.path.relpath(unquote(urlparse(r[0]).path), self.path)
-            for r in hit.select("__file").distinct().collect()
-        }
+        # the newest committed schema CONTAINING key_col gives the table's
+        # key type (an overwrite may have dropped the column from the head
+        # while old versions still carry subject rows) — cast the request
+        # keys to it up front; relying on join-time implicit coercion can
+        # silently turn an equi-join into a cast-both-sides comparison
+        # that misses rows
+        key_type = None
+        for pv in reversed(versions):
+            sch = T.StructType.fromJson(json.loads(self._read_manifest(pv)["schema"]))
+            if key_col in sch.fieldNames():
+                key_type = sch[key_col].dataType
+                break
+        if key_type is None:
+            raise ValueError(
+                f"erase_keys: column {key_col!r} appears in no committed "
+                f"version's schema at {self.path!r}"
+            )
+        kdf = (
+            keys.select(F.col(keys.columns[0]).cast(key_type).alias(key_col)).distinct()
+            if keys_is_frame
+            else None
+        )
+
+        def file_hits(scan: DataFrame) -> set[str]:
+            if kdf is not None:
+                # input_file_name() must be projected BELOW the join:
+                # Spark's PreReadCheck rejects the expression over a plan
+                # with more than one file source, and a keys frame read
+                # from parquet is itself a file source (s19 oracle, r12)
+                hit = scan.select(
+                    F.col(key_col), F.input_file_name().alias("__file")
+                ).join(F.broadcast(kdf), key_col, "left_semi")
+            else:
+                hit = scan.filter(F.col(key_col).isin(keys)).select(
+                    F.input_file_name().alias("__file")
+                )
+            return {
+                os.path.relpath(unquote(urlparse(r[0]).path), self.path)
+                for r in hit.select("__file").distinct().collect()
+            }
+
+        try:
+            hit_paths = file_hits(
+                self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            )
+        except Exception:
+            # type-widened tables (int file + bigint file) fail the footer
+            # merge — scan file-by-file instead (one bounded job per file;
+            # correctness over the single-scan fast path, same rule as
+            # read()'s fallback). A file without key_col can never hit.
+            hit_paths = set()
+            for rel in all_files:
+                part = self.spark.read.parquet(os.path.join(self.path, rel))
+                if key_col not in part.columns:
+                    continue
+                hit_paths |= file_hits(part)
         if not hit_paths:
             return 0
         replacement: dict[str, list[str]] = {}

@@ -145,27 +145,115 @@ def test_minhash_generational_crash_before_pointer_leaves_old_live(spark, tmp_pa
 
 
 def test_pointer_commit_collision_is_loud(spark, tmp_path):
+    """r12 review: two maintenance ops that resolved the SAME base
+    generation must collide on the pointer — the later committer staged
+    from data the earlier one superseded (e.g. a compact staged before an
+    erase would resurrect erased rows), so it must fail loudly, never
+    silently publish. The collision is NATURAL: each op captures its base
+    version at resolve time and commits at exactly base+1."""
     from etl_hiscox_spark.operators.dedup import write_minhash_index
     from etl_hiscox_spark.sources import genlog
 
     root = "file://" + str(tmp_path / "mh")
     write_minhash_index(_docs(spark, 10), "text", "doc_id", root, generational=True)
+    base, _ = genlog.current_generation(spark, root)  # both ops resolve here
 
-    # two racing maintenance commits: the second committer of version 1
-    # must fail loudly, never silently replace the first
-    genlog.commit_generation(spark, root, "gen-aaaaaaaaaaaa", "compact")
-    real = genlog._pointer_versions
+    genlog.commit_generation(spark, root, "gen-aaaaaaaaaaaa", "erase", base_version=base)
+    with pytest.raises(FileExistsError):
+        genlog.commit_generation(
+            spark, root, "gen-bbbbbbbbbbbb", "compact", base_version=base
+        )
+    assert genlog.current_generation(spark, root)[1] == "gen-aaaaaaaaaaaa"
 
-    def stale(_root):
-        return [0]  # re-reads the pre-race log
 
-    genlog._pointer_versions = stale
+def test_generational_maintenance_race_collides_end_to_end(spark, tmp_path):
+    """The operator-level form of the base-version collision: an erase
+    commits while a compact is staging from the same base — the compact's
+    pointer commit must raise and the ERASED state stays live."""
+    from etl_hiscox_spark.operators.dedup import (
+        compact_minhash_index,
+        erase_from_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.sources import genlog
+
+    root = "file://" + str(tmp_path / "mh")
+    docs = _docs(spark)
+    write_minhash_index(docs, "text", "doc_id", root, generational=True)
+
+    # interleave deterministically: when compact resolves its base, fire
+    # the erase BEFORE compact's own commit lands
+    real_current = genlog.current_generation
+    fired = {"done": False}
+
+    def racing_current(spark_, root_):
+        out = real_current(spark_, root_)
+        if not fired["done"]:
+            fired["done"] = True
+            genlog.current_generation = real_current
+            erase_from_minhash_index(
+                spark, root, spark.createDataFrame([(3,)], "doc_id long"), "doc_id"
+            )
+            genlog.current_generation = racing_current
+        return out
+
+    genlog.current_generation = racing_current
     try:
         with pytest.raises(FileExistsError):
-            genlog.commit_generation(spark, root, "gen-bbbbbbbbbbbb", "erase")
+            compact_minhash_index(spark, root)
     finally:
-        genlog._pointer_versions = real
-    assert genlog.current_generation(spark, root)[1] == "gen-aaaaaaaaaaaa"
+        genlog.current_generation = real_current
+    # the erase won; its generation is live and doc 3 stays forgotten
+    assert 3 not in _probe_pairs(spark, root, docs)
+    ops = [g["operation"] for g in genlog.list_generations(spark, root)]
+    assert ops == ["build", "erase"]
+
+
+def test_generational_build_rejects_flat_debris(spark, tmp_path):
+    """r12 review: generational=True over a root already holding a FLAT
+    index would strand the flat tree as unreclaimable debris (a GDPR
+    retention leak) — reject loudly; the explicit local migration folds
+    it in as generation 0 instead."""
+    import numpy as np
+
+    from etl_hiscox_spark.operators.dedup import (
+        migrate_flat_index_to_generational,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.operators.similarity import (
+        ivf_probe_topk,
+        random_hyperplanes,
+        write_ivf_index,
+    )
+    from etl_hiscox_spark.sources import genlog
+
+    docs = _docs(spark)
+    flat = str(tmp_path / "mh_flat")
+    write_minhash_index(docs, "text", "doc_id", flat)
+    with pytest.raises(ValueError, match="strand a flat index"):
+        write_minhash_index(docs, "text", "doc_id", flat, generational=True)
+    # migration folds the flat tree into generation 0; probes keep working
+    pairs_before = _probe_pairs(spark, flat, docs)
+    migrate_flat_index_to_generational(spark, flat)
+    assert genlog.is_generational(spark, flat)
+    assert _probe_pairs(spark, flat, docs) == pairs_before
+    assert [g["operation"] for g in genlog.list_generations(spark, flat)] == ["migrate"]
+
+    rng = np.random.default_rng(2)
+    rows = [(i, [float(x) for x in rng.standard_normal(4)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ivf_flat = str(tmp_path / "ivf_flat")
+    planes = random_hyperplanes(dim=4, n_planes=3, seed=1)
+    write_ivf_index(emb, ivf_flat, "embedding", "vec_id", centroids=planes)
+    with pytest.raises(ValueError, match="strand a flat index"):
+        write_ivf_index(
+            emb, ivf_flat, "embedding", "vec_id", centroids=planes, generational=True
+        )
+    migrate_flat_index_to_generational(spark, ivf_flat)
+    got = ivf_probe_topk(
+        spark, ivf_flat, None, "embedding", "vec_id", rows[0][1], k=3, n_probe=3
+    )
+    assert got.count() == 3
 
 
 def test_ivf_generational_full_lifecycle_no_renames(
