@@ -988,7 +988,7 @@ def write_minhash_index(
         path = genlog.live_index_path(spark, path) if gen_layout else path
     elif generational or gen_layout:
         root = genlog.resolve_root(spark, path)
-        _reject_flat_index_debris(spark, root, ("buckets", "meta"))
+        _reject_flat_index_debris(spark, root)
         # capture the base pointer BEFORE staging: the commit lands at
         # base+1 create-if-absent, so a build racing another commit on
         # this root collides loudly instead of silently superseding it
@@ -1030,14 +1030,19 @@ def write_minhash_index(
     _write_index_meta(spark, path, num_hashes, num_bands, shingle_k)
 
 
-def _reject_flat_index_debris(spark, root: str, flat_markers: tuple[str, ...]) -> None:
+_FLAT_INDEX_MARKERS = ("buckets", "meta", "_centroids")
+
+
+def _reject_flat_index_debris(spark, root: str) -> None:
     """A generational build over a root that already holds a FLAT index
     would leave the stale flat tree (buckets/meta or __cluster=/_centroids)
     as unreclaimable debris forever — every read resolves the live
     generation, and vacuum_generations only touches ``gen-*`` dirs, so a
     GDPR erase would leave subject rows on disk in the dead copy (r12
-    review). Reject loudly; folding the flat tree in requires a rename,
-    so the explicit local-only migration is
+    review). BOTH layouts' markers are checked from either build path —
+    an IVF build over flat minhash debris strands fingerprints just the
+    same (second review). Reject loudly; folding the flat tree in
+    requires a rename, so the explicit local-only migration is
     :func:`migrate_flat_index_to_generational`."""
     from pyarrow import fs as pafs
 
@@ -1045,15 +1050,19 @@ def _reject_flat_index_debris(spark, root: str, flat_markers: tuple[str, ...]) -
 
     try:
         filesystem, p = _resolve_fs(root)
-        infos = filesystem.get_file_info(
-            pafs.FileSelector(p, recursive=False, allow_not_found=True)
-        )
-    except (OSError, ValueError, KeyError):
-        return  # unreachable store: the staging write will fail loudly itself
+    except (ValueError, KeyError):
+        # a scheme pyarrow cannot RESOLVE — is_generational answered the
+        # same way; the staging write decides reachability loudly itself
+        return
+    # IO errors (throttling, timeouts) propagate: skipping the guard on a
+    # transient listing failure would strand the debris it exists to catch
+    infos = filesystem.get_file_info(
+        pafs.FileSelector(p, recursive=False, allow_not_found=True)
+    )
     debris = sorted(
         i.base_name
         for i in infos
-        if i.base_name in flat_markers or i.base_name.startswith("__cluster=")
+        if i.base_name in _FLAT_INDEX_MARKERS or i.base_name.startswith("__cluster=")
     )
     if debris:
         raise ValueError(
@@ -1071,20 +1080,39 @@ def migrate_flat_index_to_generational(spark, path: str) -> str:
     flat-layout maintenance op; remote flat indexes don't exist because
     flat maintenance already refuses remote paths) and a v0 pointer
     commits it. Every subsequent probe resolves the pointer and every
-    maintenance op commits by pointer flip. Returns the generation name."""
+    maintenance op commits by pointer flip. Returns the generation name.
+
+    RE-RUNNABLE across every crash window (second review): a crash
+    mid-rename or before the pointer commit leaves a root with one
+    ``gen-*`` dir and no ``_gen_log`` — re-running adopts that dir,
+    moves any remaining flat entries in, validates the COMPLETED
+    generation, and commits. The pointer commit is last, so the root
+    only reads as generational once the generation is whole."""
     from etl_hiscox_spark.sources import genlog
 
     local = _require_local_index_path(spark, path, "migrate_flat_index_to_generational")
     root = genlog.resolve_root(spark, path)
     if genlog.is_generational(spark, root):
         raise ValueError(f"{path!r} is already generational")
-    _validate_live_index(spark, path)  # only a committed flat index migrates
-    gen = genlog.new_generation_name()
+    gens = sorted(e for e in os.listdir(local) if e.startswith("gen-"))
+    if len(gens) > 1:
+        raise ValueError(
+            f"{path!r} has {len(gens)} gen-* dirs but no pointer log — not "
+            "a crashed migration this can adopt; inspect by hand"
+        )
+    if gens:
+        gen = gens[0]  # crashed migration: adopt and complete it
+    else:
+        _validate_live_index(spark, path)  # only a committed flat index migrates
+        gen = genlog.new_generation_name()
     gen_dir = os.path.join(local, gen)
-    os.makedirs(gen_dir)
+    os.makedirs(gen_dir, exist_ok=True)
     for entry in os.listdir(local):
         if entry != gen:
             os.rename(os.path.join(local, entry), os.path.join(gen_dir, entry))
+    # validate the COMPLETED generation (not the now-empty root) before
+    # the pointer makes it live
+    _validate_live_index(spark, path.rstrip("/") + "/" + gen)
     genlog.commit_generation(spark, root, gen, "migrate", base_version=None)
     from etl_hiscox_spark.sources.writers import refresh_swapped_path
 

@@ -502,7 +502,7 @@ def write_ivf_index(
     spark = df.sparkSession
     if generational or genlog.is_generational(spark, path):
         root = genlog.resolve_root(spark, path)
-        _reject_flat_index_debris(spark, root, ("_centroids",))
+        _reject_flat_index_debris(spark, root)
         # base captured BEFORE staging: the commit lands at base+1
         # create-if-absent, so racing commits collide loudly (r12 review)
         base = genlog.latest_pointer_version(spark, root)

@@ -107,12 +107,24 @@ class ManagedTable:
             return [r.asDict() for r in rows]
         return self._txn.history()
 
-    def vacuum(self, retention_hours: float = 0.0) -> int:
+    def vacuum(self, retention_hours: float | None = None) -> int:
+        """``retention_hours=None`` (default) keeps each backend's OWN
+        safety default — Delta's 7-day retention, TxnTable's 600 s OCC
+        window; an explicit 0.0 previously flowed through as
+        min_age_seconds=0 and re-opened the staged-file-deletion hole the
+        TxnTable default exists to close (r12 second review). Pass an
+        explicit value only when no writer can be in flight."""
         if self.backend == "delta":
             from delta.tables import DeltaTable
 
-            DeltaTable.forPath(self.spark, self.path).vacuum(retention_hours)
+            dt = DeltaTable.forPath(self.spark, self.path)
+            if retention_hours is None:
+                dt.vacuum()
+            else:
+                dt.vacuum(retention_hours)
             return 0  # Delta's vacuum doesn't report a file count
+        if retention_hours is None:
+            return self._txn.vacuum()
         return self._txn.vacuum(min_age_seconds=retention_hours * 3600.0)
 
     def erase_keys(self, key_col: str, keys: list) -> int:

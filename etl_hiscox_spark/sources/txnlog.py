@@ -503,18 +503,35 @@ class TxnTable:
             raise ValueError(
                 f"keys frame must have exactly 1 column, got {keys.columns}"
             )
-        # the newest committed schema CONTAINING key_col gives the table's
-        # key type (an overwrite may have dropped the column from the head
-        # while old versions still carry subject rows) — cast the request
-        # keys to it up front; relying on join-time implicit coercion can
-        # silently turn an equi-join into a cast-both-sides comparison
-        # that misses rows
+        # the WIDEST committed type of key_col across ALL versions gives
+        # the cast target (an overwrite may have dropped the column from
+        # the head while old versions still carry subject rows, and
+        # last-write-wins schema merging can NARROW the head's type —
+        # casting a bigint request key to a narrowed int would wrap/NULL
+        # and silently miss the subject's rows in older bigint files, a
+        # GDPR erasure miss; r12 second review). Widening is only defined
+        # within a numeric family; anything else conflicting raises.
+        _WIDTH = {
+            "byte": 0, "short": 1, "integer": 2, "long": 3,  # integral
+            "float": 10, "double": 11,  # fractional
+        }
         key_type = None
-        for pv in reversed(versions):
+        for pv in versions:
             sch = T.StructType.fromJson(json.loads(self._read_manifest(pv)["schema"]))
-            if key_col in sch.fieldNames():
-                key_type = sch[key_col].dataType
-                break
+            if key_col not in sch.fieldNames():
+                continue
+            t = sch[key_col].dataType
+            if key_type is None or key_type == t:
+                key_type = t
+                continue
+            a, b = _WIDTH.get(key_type.typeName()), _WIDTH.get(t.typeName())
+            if a is None or b is None or (a // 10) != (b // 10):
+                raise ValueError(
+                    f"erase_keys: column {key_col!r} has incompatible types "
+                    f"across versions ({key_type.simpleString()} vs "
+                    f"{t.simpleString()}) — erase per-version explicitly"
+                )
+            key_type = t if b > a else key_type
         if key_type is None:
             raise ValueError(
                 f"erase_keys: column {key_col!r} appears in no committed "

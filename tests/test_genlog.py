@@ -367,3 +367,78 @@ def test_gdpr_erase_subject_reaches_generational_indexes(spark, tmp_path):
     by_kind = {r["kind"]: r for r in report}
     assert by_kind["ivf_index"]["n_erased"] == 1
     assert by_kind["minhash_index"]["n_erased"] == 6
+
+
+def test_generational_build_rejects_cross_layout_debris(spark, tmp_path):
+    """r12 second review: the debris guard is layout-symmetric — an IVF
+    generational build over flat MINHASH debris (and vice versa) strands
+    GDPR-relevant data just the same."""
+    import numpy as np
+
+    from etl_hiscox_spark.operators.dedup import write_minhash_index
+    from etl_hiscox_spark.operators.similarity import random_hyperplanes, write_ivf_index
+
+    docs = _docs(spark, 10)
+    rng = np.random.default_rng(4)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(4)]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    planes = random_hyperplanes(dim=4, n_planes=3, seed=1)
+
+    mh_root = str(tmp_path / "mh")
+    write_minhash_index(docs, "text", "doc_id", mh_root)
+    with pytest.raises(ValueError, match="strand a flat index"):
+        write_ivf_index(emb, mh_root, "embedding", "vec_id",
+                        centroids=planes, generational=True)
+
+    ivf_root = str(tmp_path / "ivf")
+    write_ivf_index(emb, ivf_root, "embedding", "vec_id", centroids=planes)
+    with pytest.raises(ValueError, match="strand a flat index"):
+        write_minhash_index(docs, "text", "doc_id", ivf_root, generational=True)
+
+
+def test_migrate_flat_index_recovers_from_every_crash_window(spark, tmp_path):
+    """r12 second review: a crash mid-migration (entries partially moved,
+    or moved but pointer not committed) leaves a root that is neither
+    flat nor generational — re-running migrate must adopt the partial
+    generation and complete it."""
+    import shutil
+
+    from etl_hiscox_spark.operators.dedup import (
+        migrate_flat_index_to_generational,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.sources import genlog
+
+    docs = _docs(spark)
+    root = str(tmp_path / "mh")
+    write_minhash_index(docs, "text", "doc_id", root)
+    pairs = _probe_pairs(spark, root, docs)
+
+    # crash window 1: gen dir created, only ONE entry moved
+    gen = "gen-aaaaaaaaaaaa"
+    os.makedirs(os.path.join(root, gen))
+    os.rename(os.path.join(root, "meta"), os.path.join(root, gen, "meta"))
+    assert migrate_flat_index_to_generational(spark, root) == gen
+    assert genlog.is_generational(spark, root)
+    assert _probe_pairs(spark, root, docs) == pairs
+
+    # crash window 2: everything moved, pointer commit never ran
+    root2 = str(tmp_path / "mh2")
+    write_minhash_index(docs, "text", "doc_id", root2)
+    gen2 = "gen-bbbbbbbbbbbb"
+    os.makedirs(os.path.join(root2, gen2))
+    for entry in list(os.listdir(root2)):
+        if entry != gen2:
+            os.rename(os.path.join(root2, entry), os.path.join(root2, gen2, entry))
+    assert migrate_flat_index_to_generational(spark, root2) == gen2
+    assert _probe_pairs(spark, root2, docs) == pairs
+
+    # two adoptable gen dirs and no pointer: refuse, never guess
+    root3 = str(tmp_path / "mh3")
+    write_minhash_index(docs, "text", "doc_id", root3)
+    shutil.copytree(os.path.join(root3, "buckets"), os.path.join(root3, "gen-x1/buckets"))
+    shutil.copytree(os.path.join(root3, "buckets"), os.path.join(root3, "gen-x2/buckets"))
+    with pytest.raises(ValueError, match="gen-\\* dirs but no pointer"):
+        migrate_flat_index_to_generational(spark, root3)

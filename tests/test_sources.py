@@ -939,3 +939,29 @@ def test_txn_read_and_erase_survive_type_widened_columns(spark, tmp_path):
     assert n == 2
     assert sorted(r["id"] for r in t.read().collect()) == [1]
     assert sorted(r["id"] for r in t.read(0).collect()) == [1]
+
+
+def test_txn_erase_keys_uses_widest_key_type_across_versions(spark, tmp_path):
+    """r12 second review: last-write-wins schema merging can NARROW the
+    head's key type (bigint table, later int append) — erasure must cast
+    the request keys to the WIDEST committed type, or a bigint subject
+    key wraps/NULLs under the narrowed cast and its rows silently
+    survive in older files."""
+    import pytest
+
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    big = 3_000_000_000  # exceeds int32
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.write(spark.createDataFrame([(big, "x"), (1, "a")], "id bigint, s string"))
+    t.write(spark.createDataFrame([(2, "b")], "id int, s string"))  # narrows head schema
+    n = t.erase_keys("id", spark.createDataFrame([(big,)], "id bigint"))
+    assert n == 1
+    for v in (0, 1):
+        assert big not in [r["id"] for r in t.read(v).collect()]
+    # incompatible families across versions: loud, never a silent miss
+    t2 = TxnTable(spark, str(tmp_path / "tbl2"))
+    t2.write(spark.createDataFrame([(1, "a")], "id int, s string"))
+    t2.write(spark.createDataFrame([("x", "b")], "id string, s string"))
+    with pytest.raises(ValueError, match="incompatible types"):
+        t2.erase_keys("id", spark.createDataFrame([(1,)], "id int"))
