@@ -227,20 +227,24 @@ def list_generations(spark, root: str) -> list[dict]:
     return [read_pointer(root, v) for v in _pointer_versions(root)]
 
 
-def vacuum_generations(spark, root: str, keep_last: int = 1) -> int:
+def vacuum_generations(
+    spark, root: str, keep_last: int = 1, min_age_seconds: float = 600.0
+) -> int:
     """Retention for superseded generations: keep the newest ``keep_last``
     pointer versions, delete the older pointer records, then delete every
-    ``gen-*`` directory no surviving pointer references — including
-    never-committed stages from crashed maintenance runs (safe to drop:
-    a stage only becomes reachable via a pointer commit, and its writer
-    is gone — re-running the op stages afresh). Deletions are plain
-    recursive DELETEs through ``pyarrow.fs``, object-store-safe. Returns
-    the number of generation directories removed.
+    ``gen-*`` directory no surviving pointer references. Deletions are
+    plain recursive DELETEs through ``pyarrow.fs``, object-store-safe.
+    Returns the number of generation directories removed.
 
-    Run it the way table formats gate VACUUM: only when no maintenance
-    op is mid-flight on this index (an in-flight stage is
-    indistinguishable from a crashed one by design — the pointer IS the
-    liveness record)."""
+    Two kinds of unreferenced generation, treated differently (the same
+    split as :meth:`txnlog.TxnTable.vacuum`'s retention window):
+    once-COMMITTED generations (named by a pointer this call drops) are
+    always safe — their maintenance op finished; NEVER-committed trees
+    are either crashed stages (safe) or a CONCURRENT op's in-flight
+    stage (deleting it corrupts the commit that is about to land), and
+    the two are indistinguishable — so orphans younger than
+    ``min_age_seconds`` are kept. Pass 0 only when no maintenance op can
+    be mid-flight."""
     from pyarrow import fs as pafs
 
     root = resolve_root(spark, root)
@@ -250,18 +254,26 @@ def vacuum_generations(spark, root: str, keep_last: int = 1) -> int:
     if not versions:
         raise ValueError(f"{root!r} has no committed pointer — nothing to vacuum")
     keep = versions[-keep_last:]
+    ever_committed = {read_pointer(root, v)["generation"] for v in versions}
     live = {read_pointer(root, v)["generation"] for v in keep}
     filesystem, log_path = _fs(_join(root, _GEN_LOG))
     for v in versions[: -keep_last] if len(versions) > keep_last else []:
         filesystem.delete_file(f"{log_path}/v{v}.json")
     rootfs, root_path = _fs(root)
+    cutoff = time.time() - min_age_seconds
     removed = 0
     for info in rootfs.get_file_info(pafs.FileSelector(root_path, recursive=False)):
         if (
-            info.type == pafs.FileType.Directory
-            and info.base_name.startswith("gen-")
-            and info.base_name not in live
+            info.type != pafs.FileType.Directory
+            or not info.base_name.startswith("gen-")
+            or info.base_name in live
         ):
-            rootfs.delete_dir(info.path)
-            removed += 1
+            continue
+        if info.base_name not in ever_committed:
+            # never-committed: possibly an in-flight stage — age-gate it
+            mtime = info.mtime.timestamp() if info.mtime else 0.0
+            if mtime > cutoff:
+                continue
+        rootfs.delete_dir(info.path)
+        removed += 1
     return removed

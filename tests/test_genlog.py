@@ -139,8 +139,10 @@ def test_minhash_generational_crash_before_pointer_leaves_old_live(spark, tmp_pa
                         num_hashes=32, num_bands=8)
     assert genlog.current_generation(spark, root) == (v_before, gen_before)
     assert _probe_pairs(spark, root, docs) == pairs_before
-    # recovery = re-run the op; vacuum reclaims the orphan stage
-    assert genlog.vacuum_generations(spark, root, keep_last=1) == 1
+    # the default retention window protects a possibly-in-flight stage...
+    assert genlog.vacuum_generations(spark, root, keep_last=1) == 0
+    # ...and an explicit 0-window (no op can be mid-flight) reclaims it
+    assert genlog.vacuum_generations(spark, root, keep_last=1, min_age_seconds=0) == 1
     assert _probe_pairs(spark, root, docs) == pairs_before
 
 
