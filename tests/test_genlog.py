@@ -444,3 +444,28 @@ def test_migrate_flat_index_recovers_from_every_crash_window(spark, tmp_path):
     shutil.copytree(os.path.join(root3, "buckets"), os.path.join(root3, "gen-x2/buckets"))
     with pytest.raises(ValueError, match="gen-\\* dirs but no pointer"):
         migrate_flat_index_to_generational(spark, root3)
+
+
+def test_generational_probe_keeps_partition_pruning(spark, tmp_path):
+    """Pointer resolution must not cost the IVF layout its core property:
+    the probe's cluster IN-filter still lands in PartitionFilters of the
+    live generation's scan (the pruning plan gate, generational form)."""
+    from etl_hiscox_spark.operators.similarity import write_ivf_index
+    from etl_hiscox_spark.sources.genlog import live_index_path
+
+    rng = np.random.default_rng(21)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    root = "file://" + str(tmp_path / "ivf")
+    write_ivf_index(emb, root, "embedding", "vec_id", n_clusters=4, max_iter=2,
+                    generational=True)
+    live = live_index_path(spark, root)
+    assert live != root  # resolution actually happened
+    pruned = spark.read.parquet(live).filter(F.col("__cluster").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan, plan
+    line = scan[0]
+    assert "PartitionFilters" in line and "__cluster" in line.split("PartitionFilters")[-1], line
