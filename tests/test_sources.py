@@ -965,3 +965,37 @@ def test_txn_erase_keys_uses_widest_key_type_across_versions(spark, tmp_path):
     t2.write(spark.createDataFrame([("x", "b")], "id string, s string"))
     with pytest.raises(ValueError, match="incompatible types"):
         t2.erase_keys("id", spark.createDataFrame([(1,)], "id int"))
+
+
+def test_txn_many_writer_occ_stress(spark, tmp_path):
+    """Four writer threads x three appends each, racing the manifest
+    commit with a start barrier: versions stay dense and every batch
+    lands exactly once — the dense-version serialization argument under
+    more contention than the two-writer tests."""
+    import threading
+
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    path = str(tmp_path / "tbl")
+    errors: list[BaseException] = []
+    barrier = threading.Barrier(4)
+
+    def run(w: int) -> None:
+        try:
+            t = TxnTable(spark, path)
+            barrier.wait(timeout=120)
+            for i in range(3):
+                t.write(spark.createDataFrame([(w * 10 + i,)], "id int"))
+        except BaseException as exc:
+            errors.append(exc)
+
+    threads = [threading.Thread(target=run, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    t = TxnTable(spark, path)
+    assert [m["version"] for m in t.history()] == list(range(12))
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == sorted(w * 10 + i for w in range(4) for i in range(3))
