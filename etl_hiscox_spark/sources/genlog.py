@@ -19,14 +19,16 @@ Lake VLDB'20 log pattern applied to an index directory):
   committed version; a half-written generation is invisible until its
   pointer commits, so the crash window between "stage written" and
   "pointer committed" leaves the OLD generation live (pinned by test);
-- pointer commits are create-if-absent: ``os.link`` on the driver-local
-  fast path (the :class:`txnlog.TxnTable` protocol — content-carrying,
-  collision-loud), exists-check + move through ``pyarrow.fs`` elsewhere
-  (HDFS rename fails on an existing destination; S3-class stores need a
-  conditional PUT for a hard guarantee — the identical protocol point
-  the txn log documents). Two racing maintenance ops collide LOUDLY on
-  the version; the loser must re-run against the new live generation,
-  never blind-retry (its input was the pre-commit generation);
+- pointer commits are create-if-absent through the ONE shared primitive
+  :func:`commitio.commit_if_absent` (r13 — also the txn log's commit):
+  ``os.link`` on the driver-local fast path, staged-write + rename on
+  HDFS (rename refuses an existing destination), a registered
+  conditional PUT on S3-class stores, and a LOUD refusal where no
+  atomic create-if-absent exists — never a silent last-writer-wins.
+  Two racing maintenance ops collide LOUDLY on the version; the loser
+  must re-run against the new live generation, never blind-retry (its
+  input was the pre-commit generation) —
+  :func:`rerun_on_generation_conflict` is the bounded wrapper;
 - superseded generations stay on disk, readable, until
   :func:`vacuum_generations` drops the pointer history and deletes the
   directories nothing references — OPTIMIZE/VACUUM split, again.
@@ -40,7 +42,6 @@ path an ``s3://`` deployment runs.
 from __future__ import annotations
 
 import json
-import os
 import re
 import time
 import uuid
@@ -173,8 +174,17 @@ def commit_generation(
     review: recomputing the version at commit time meant two overlapping
     ops NEVER collided, and e.g. a compact staged from a pre-erase
     generation would resurrect GDPR-erased rows). The loser re-runs
-    against the new live generation; its stage is vacuum-reclaimable."""
-    from etl_hiscox_spark.operators.dedup import _meta_is_local
+    against the new live generation — :func:`rerun_on_generation_conflict`
+    is the bounded re-resolve-and-re-run wrapper; its stage is
+    vacuum-reclaimable.
+
+    The create-if-absent itself is :func:`commitio.commit_if_absent` —
+    os.link locally, rename on HDFS, a registered conditional PUT on
+    S3-class stores, REFUSED where no atomic primitive exists (r13,
+    ADVICE r12 medium: the pre-r13 exists-check+move silently degraded
+    to last-writer-wins on S3, where a losing compact could resurrect
+    GDPR-erased rows)."""
+    from etl_hiscox_spark.sources.commitio import commit_if_absent
 
     root = resolve_root(spark, root)
     version = 0 if base_version is None else int(base_version) + 1
@@ -186,39 +196,43 @@ def commit_generation(
             "committed_at": time.time(),
         }
     ).encode("utf-8")
-    log_uri = _join(root, _GEN_LOG)
-    final_uri = _join(log_uri, f"v{version}.json")
-    if _meta_is_local(spark, root):
-        from etl_hiscox_spark.sources.writers import _local_fs_path
-
-        log_dir = _local_fs_path(log_uri)
-        os.makedirs(log_dir, exist_ok=True)
-        final = _local_fs_path(final_uri)
-        tmp = final + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "wb") as f:
-            f.write(record)
-        try:
-            os.link(tmp, final)  # FileExistsError on a commit race
-        finally:
-            os.unlink(tmp)
-        return version
-    from pyarrow import fs as pafs
-
-    filesystem, log_path = _fs(log_uri)
-    filesystem.create_dir(log_path, recursive=True)
-    final = _fs(final_uri)[1]
-    if filesystem.get_file_info(final).type != pafs.FileType.NotFound:
+    try:
+        commit_if_absent(spark, _join(root, _GEN_LOG, f"v{version}.json"), record)
+    except FileExistsError as exc:
         raise FileExistsError(
-            f"pointer {final_uri!r} already committed — concurrent "
-            "maintenance race; re-run against the new live generation"
-        )
-    tmp = f"{log_path}/.v{version}.{uuid.uuid4().hex}.tmp"
-    with filesystem.open_output_stream(tmp) as f:
-        f.write(record)
-    # HDFS move fails on an existing destination (loud); S3-class stores
-    # need a conditional PUT for a hard guarantee — documented above
-    filesystem.move(tmp, final)
+            f"pointer v{version} at {root!r} already committed — concurrent "
+            "maintenance race; re-run against the new live generation "
+            "(rerun_on_generation_conflict is the bounded wrapper)"
+        ) from exc
     return version
+
+
+def rerun_on_generation_conflict(op, *args, attempts: int = 3, **kwargs):
+    """Bounded re-resolve-and-re-run wrapper for index maintenance
+    collisions (r13, VERDICT r12 item 6). A maintenance op that loses the
+    pointer race gets ``FileExistsError`` — correct but operationally
+    annoying: the right response is always "re-resolve the NEW live
+    generation and run the op against it" (a blind retry of the staged
+    commit would publish stale data, which is why the ops never retry
+    internally). This wrapper does that loop: call ``op(*args,
+    **kwargs)``; on a commit collision re-invoke it — every maintenance
+    op re-resolves the live generation at entry, so the retry reads the
+    post-collision state (pinned by test and by the r13 declared probe:
+    an erase landing mid-compact re-runs the compact against the
+    post-erase generation, and the erased rows stay erased). Raises after
+    ``attempts`` consecutive collisions — pathological contention should
+    page an operator, not spin."""
+    last: FileExistsError | None = None
+    for _ in range(attempts):
+        try:
+            return op(*args, **kwargs)
+        except FileExistsError as exc:
+            last = exc
+    raise RuntimeError(
+        f"index maintenance lost the pointer race {attempts} times "
+        f"({getattr(op, '__name__', op)!r}) — pathological maintenance "
+        "contention; serialize the schedulers or raise attempts"
+    ) from last
 
 
 def list_generations(spark, root: str) -> list[dict]:
