@@ -10,8 +10,25 @@ module restores both with the same public design Delta/Iceberg use
 - ``_txn_log/v{N}.json`` lists the ACTIVE data files + schema for
   version N. Readers resolve the latest version and read exactly those
   files — a half-written data file is invisible until its manifest commits.
-- Commits are atomic via ``os.rename`` of a tmp manifest (POSIX rename
-  atomicity; object stores use put-if-absent — same protocol point).
+- Commits are atomic create-if-absent through the ONE shared primitive
+  :func:`commitio.commit_if_absent` (r13 — also the index generation
+  log's commit): ``os.link`` locally, staged-write + rename on HDFS, a
+  registered conditional PUT on S3-class stores, loud refusal elsewhere.
+- ALL manifest IO is dual-path (r13, VERDICT r12 item 1): a scheme-less
+  driver-local root keeps the ``os.*`` fast path; ANY URI root
+  (``file://``, ``hdfs://``, ``s3://``) runs through ``pyarrow.fs`` —
+  so a ``file://`` test exercises the exact listing/read/delete code an
+  object-store deployment runs, and the exactly-once sink, OPTIMIZE,
+  OCC, and GDPR-history protocols are no longer driver-local-only.
+- ``_txn_log/_last_checkpoint`` caps head-resolution cost (r13, VERDICT
+  r12 item 4 — Delta's ``_last_checkpoint`` analog): every
+  ``checkpoint_interval`` commits the head version is recorded, and
+  ``latest_version`` probes FORWARD from it instead of LISTing the whole
+  manifest dir — O(tail) exists-probes per head read at streaming
+  cadence, not O(#versions-ever). The checkpoint is a resolution HINT:
+  versions are dense (create-if-absent commits), so probing from any
+  known-committed version finds the true head; a missing/torn checkpoint
+  falls back to the full LIST, never to a wrong answer.
 - ``mode="append"`` adds files (schema widened by merge, missing columns
   read as NULL); ``mode="overwrite"`` starts a fresh file set. Old files
   are never mutated, so every prior version stays readable: time travel.
@@ -39,37 +56,129 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _LOG_DIR = "_txn_log"
+_CKPT_NAME = "_last_checkpoint"
+
+
+# integral family (tens digit 0) and fractional family (tens digit 1):
+# widening is defined within a family, never across — shared by the
+# schema merge and erase_keys' widest-across-versions cast target
+_NUMERIC_WIDTH = {
+    "byte": 0, "short": 1, "integer": 2, "long": 3,
+    "float": 10, "double": 11,
+}
 
 
 def _merge_schema_json(base_json: str, new_json: str) -> str:
     """Union of two schema JSONs: base fields first (their order is the
-    table's), new-only fields appended; a field present in both keeps the
-    NEW write's type (last-write-wins, the same rule the pre-merge code
-    applied to the whole schema). Top-level only — nested struct evolution
-    is out of scope for this format, as the module docstring says."""
+    table's), new-only fields appended. A field present in BOTH: equal
+    types pass through; numeric types in the same family resolve to the
+    WIDER one regardless of write order (r13, ADVICE r12: the previous
+    last-write-wins rule let a narrower append — int onto a bigint
+    column — silently narrow the manifest's recorded type while old
+    files kept bigint data, so ``read()`` reported a head schema the
+    table's own files contradicted); any other conflict is REJECTED at
+    write time, the same contract Delta applies to incompatible type
+    changes on append. Top-level only — nested struct evolution is out
+    of scope for this format, as the module docstring says."""
     base = T.StructType.fromJson(json.loads(base_json))
     new = T.StructType.fromJson(json.loads(new_json))
     new_by_name = {f.name: f for f in new.fields}
-    fields = [new_by_name.pop(f.name, f) for f in base.fields]
+
+    def resolve(old_f: T.StructField, new_f: T.StructField) -> T.StructField:
+        if old_f.dataType == new_f.dataType:
+            return new_f
+        a = _NUMERIC_WIDTH.get(old_f.dataType.typeName())
+        b = _NUMERIC_WIDTH.get(new_f.dataType.typeName())
+        if a is None or b is None or (a // 10) != (b // 10):
+            raise ValueError(
+                f"txn append: column {old_f.name!r} would change type "
+                f"{old_f.dataType.simpleString()} -> "
+                f"{new_f.dataType.simpleString()} — incompatible with the "
+                "committed schema; cast the batch explicitly or overwrite"
+            )
+        return new_f if b > a else old_f
+
+    fields = [
+        resolve(f, new_by_name.pop(f.name)) if f.name in new_by_name else f
+        for f in base.fields
+    ]
     fields += [f for f in new.fields if f.name in new_by_name]
     return T.StructType(fields).json()
 
 
 class TxnTable:
-    """A parquet table with a versioned-manifest transaction log."""
+    """A parquet table with a versioned-manifest transaction log.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``checkpoint_interval``: every N commits the head version is recorded
+    in ``_txn_log/_last_checkpoint`` so head reads probe O(tail) instead
+    of LISTing the whole manifest dir (module docstring).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, checkpoint_interval: int = 10):
+        from etl_hiscox_spark.operators.dedup import _meta_is_local
+
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
+        if checkpoint_interval < 1:
+            raise ValueError(
+                f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
+            )
+        self.checkpoint_interval = checkpoint_interval
+        # observability for the O(tail) head-read contract (tests + the
+        # x16 probe assert on it): how the LAST latest_version() resolved
+        self.last_head_resolution: dict | None = None
+        # Branch split (r13): a scheme-less driver-local root keeps the
+        # os.* fast path; ANY URI (file://, hdfs://, s3://) runs the
+        # pyarrow.fs path, so file:// tests cover the deployment code.
+        # A scheme-less root on a non-file defaultFS would SPLIT the
+        # table (Spark resolves data files against defaultFS, os.* reads
+        # the driver's disk) — reject loudly, same rule as
+        # genlog.resolve_root.
+        self._use_os = "://" not in path and not path.startswith("file:")
+        if self._use_os and not _meta_is_local(spark, path):
+            raise ValueError(
+                f"txn table root {path!r} is scheme-less but fs.defaultFS "
+                "is not file: — pass a fully-qualified URI so the manifest "
+                "log and the data files resolve to the SAME filesystem"
+            )
+        self.__fs = None
+
+    # -- filesystem plumbing (r13: os fast path | pyarrow.fs) ----------------
+
+    def _fs(self):
+        """Cached ``(filesystem, base_path)`` for the pyarrow branch."""
+        if self.__fs is None:
+            from etl_hiscox_spark.sources.listing import _resolve_fs
+
+            self.__fs = _resolve_fs(self.path)
+        return self.__fs
+
+    def _fs_log_path(self) -> str:
+        return f"{self._fs()[1].rstrip('/')}/{_LOG_DIR}"
 
     # -- log plumbing --------------------------------------------------------
 
     def _versions(self) -> list[int]:
-        if not os.path.isdir(self.log_dir):
-            return []
+        """FULL manifest listing — maintenance/history surfaces only; the
+        head-read hot path is :meth:`latest_version`'s checkpoint probe."""
+        names: list[str]
+        if self._use_os:
+            if not os.path.isdir(self.log_dir):
+                return []
+            names = os.listdir(self.log_dir)
+        else:
+            from pyarrow import fs as pafs
+
+            filesystem, _ = self._fs()
+            infos = filesystem.get_file_info(
+                pafs.FileSelector(
+                    self._fs_log_path(), recursive=False, allow_not_found=True
+                )
+            )
+            names = [i.base_name for i in infos]
         out = []
-        for name in os.listdir(self.log_dir):
+        for name in names:
             if name.startswith("v") and name.endswith(".json"):
                 try:
                     out.append(int(name[1:-5]))
@@ -77,34 +186,111 @@ class TxnTable:
                     continue
         return sorted(out)
 
+    def _manifest_exists(self, version: int) -> bool:
+        if self._use_os:
+            return os.path.exists(os.path.join(self.log_dir, f"v{version}.json"))
+        from pyarrow import fs as pafs
+
+        filesystem, _ = self._fs()
+        info = filesystem.get_file_info(f"{self._fs_log_path()}/v{version}.json")
+        return info.type != pafs.FileType.NotFound
+
     def latest_version(self) -> int | None:
-        vs = self._versions()
-        return vs[-1] if vs else None
+        """Head resolution. With a checkpoint: probe FORWARD from the
+        recorded version until the first missing manifest — versions are
+        dense (every commit is create-if-absent at prev+1), so the probe
+        finds the true head in O(commits-since-checkpoint) exists-checks,
+        no directory LIST. Without one (young table, torn checkpoint):
+        full LIST fallback. A stale checkpoint can only UNDER-estimate,
+        and probing forward corrects that — it can never over-estimate,
+        because :meth:`expire_versions` advances it past every deletion."""
+        ckpt = self._read_checkpoint()
+        if ckpt is None:
+            vs = self._versions()
+            self.last_head_resolution = {"mode": "list", "entries": len(vs)}
+            return vs[-1] if vs else None
+        v, probes = ckpt, 0
+        while True:
+            probes += 1
+            if not self._manifest_exists(v + 1):
+                break
+            v += 1
+        self.last_head_resolution = {"mode": "checkpoint", "entries": probes}
+        return v
 
     def _read_manifest(self, version: int) -> dict:
-        with open(os.path.join(self.log_dir, f"v{version}.json")) as f:
-            return json.load(f)
+        if self._use_os:
+            with open(os.path.join(self.log_dir, f"v{version}.json")) as f:
+                return json.load(f)
+        filesystem, _ = self._fs()
+        with filesystem.open_input_file(
+            f"{self._fs_log_path()}/v{version}.json"
+        ) as f:
+            return json.loads(f.read().decode("utf-8"))
 
     def _commit(self, version: int, manifest: dict) -> None:
-        """Atomic commit: write the manifest to a tmp name, then
-        ``os.link`` it to the versioned name.
+        """Atomic commit via :func:`commitio.commit_if_absent` — the
+        content-carrying create-if-absent shared with the index
+        generation log: it fails with FileExistsError if version N is
+        already committed (two-writer race becomes loud, like Delta's
+        optimistic concurrency) and readers can never observe a
+        partially-written manifest. After a successful commit at a
+        checkpoint boundary, the head hint is refreshed."""
+        from etl_hiscox_spark.sources.commitio import commit_if_absent
 
-        ``link`` is the POSIX create-if-absent that carries full content:
-        it fails with FileExistsError if version N is already committed
-        (two-writer race becomes loud, like Delta's optimistic concurrency)
-        and readers can never observe a partially-written manifest
-        (``rename`` over an existing name would silently replace; a probe
-        file would expose an empty manifest for a moment).
-        """
-        os.makedirs(self.log_dir, exist_ok=True)
-        final = os.path.join(self.log_dir, f"v{version}.json")
-        tmp = final + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
+        uri = "/".join([self.path.rstrip("/"), _LOG_DIR, f"v{version}.json"])
+        commit_if_absent(self.spark, uri, json.dumps(manifest).encode("utf-8"))
+        if version > 0 and version % self.checkpoint_interval == 0:
+            self._write_checkpoint(version)
+
+    # -- checkpoint hint (r13, Delta's _last_checkpoint analog) --------------
+
+    def _ckpt_paths(self) -> tuple[str, str]:
+        """(final, tmp) checkpoint paths in the ACTIVE branch's form."""
+        if self._use_os:
+            final = os.path.join(self.log_dir, _CKPT_NAME)
+        else:
+            final = f"{self._fs_log_path()}/{_CKPT_NAME}"
+        return final, f"{final}.{uuid.uuid4().hex}.tmp"
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Record ``version`` as a known-committed head hint (tmp +
+        atomic-replace: last-writer-wins is CORRECT here — every writer
+        records a version it itself committed, and readers probe forward
+        from whatever they find). Failures are swallowed by design: the
+        commit this hint describes has already landed, and a missing
+        checkpoint costs the next reader one LIST, never a wrong head —
+        failing the writer over a lost hint would be backwards."""
+        record = json.dumps({"version": int(version)}).encode("utf-8")
+        final, tmp = self._ckpt_paths()
         try:
-            os.link(tmp, final)  # FileExistsError on writer race
-        finally:
-            os.unlink(tmp)
+            if self._use_os:
+                with open(tmp, "wb") as f:
+                    f.write(record)
+                os.replace(tmp, final)
+                return
+            filesystem, _ = self._fs()
+            with filesystem.open_output_stream(tmp) as f:
+                f.write(record)
+            filesystem.move(tmp, final)
+        except OSError:
+            pass
+
+    def _read_checkpoint(self) -> int | None:
+        """The recorded head hint, or None (absent / unreadable / torn —
+        the caller falls back to the full LIST)."""
+        final, _ = self._ckpt_paths()
+        try:
+            if self._use_os:
+                with open(final, "rb") as f:
+                    raw = f.read()
+            else:
+                filesystem, _ = self._fs()
+                with filesystem.open_input_file(final) as f:
+                    raw = f.read()
+            return int(json.loads(raw.decode("utf-8"))["version"])
+        except (OSError, ValueError, KeyError):
+            return None
 
     # -- write path ----------------------------------------------------------
 
@@ -113,12 +299,22 @@ class TxnTable:
         return the table-relative parquet file paths — the one place the
         physical file layout is defined (write and erase both use it)."""
         batch_dir = f"{prefix}-{uuid.uuid4().hex}"
-        out_dir = os.path.join(self.path, "data", batch_dir)
+        out_dir = "/".join([self.path.rstrip("/"), "data", batch_dir])
         df.write.mode("error").parquet(out_dir)
+        if self._use_os:
+            names = os.listdir(out_dir)
+        else:
+            from pyarrow import fs as pafs
+
+            filesystem, base = self._fs()
+            infos = filesystem.get_file_info(
+                pafs.FileSelector(
+                    f"{base.rstrip('/')}/data/{batch_dir}", recursive=False
+                )
+            )
+            names = [i.base_name for i in infos]
         return sorted(
-            os.path.join("data", batch_dir, f)
-            for f in os.listdir(out_dir)
-            if f.endswith(".parquet")
+            f"data/{batch_dir}/{f}" for f in names if f.endswith(".parquet")
         )
 
     def write(
@@ -288,7 +484,7 @@ class TxnTable:
             return None
         m = self._read_manifest(v)
         files = m["files"]
-        total = sum(os.path.getsize(os.path.join(self.path, f)) for f in files)
+        total = sum(self._file_sizes(files))
         n_out = max(1, -(-total // (target_file_mb * 1024 * 1024)))
         if len(files) <= n_out:
             return None
@@ -319,13 +515,41 @@ class TxnTable:
         Delta's log-retention half of OPTIMIZE/VACUUM). Time travel to
         expired versions becomes a LOUD FileNotFoundError (the manifest
         is gone), never a partial read. Returns the number of versions
-        expired."""
+        expired.
+
+        The head checkpoint ADVANCES to the newest surviving version
+        before any manifest is deleted (r13): :meth:`latest_version`'s
+        probe relies on manifests being dense ABOVE the checkpoint, and
+        expiry deletes from the bottom — a checkpoint left pointing into
+        the deleted range would make the probe see a gap and under-report
+        the head."""
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
-        victims = self._versions()[:-keep_last]
+        versions = self._versions()
+        victims = versions[:-keep_last]
+        if not victims:
+            return 0
+        self._write_checkpoint(versions[-1])
         for v in victims:
-            os.remove(os.path.join(self.log_dir, f"v{v}.json"))
+            if self._use_os:
+                os.remove(os.path.join(self.log_dir, f"v{v}.json"))
+            else:
+                self._fs()[0].delete_file(f"{self._fs_log_path()}/v{v}.json")
         return len(victims)
+
+    def _file_sizes(self, rel_files: list[str]) -> list[int]:
+        """On-disk sizes of table-relative files (compact's sizing facts).
+        The pyarrow branch resolves the whole batch in ONE get_file_info
+        call — per-file stat round trips are the object-store tax."""
+        if self._use_os:
+            return [
+                os.path.getsize(os.path.join(self.path, f)) for f in rel_files
+            ]
+        filesystem, base = self._fs()
+        infos = filesystem.get_file_info(
+            [f"{base.rstrip('/')}/{f}" for f in rel_files]
+        )
+        return [i.size for i in infos]
 
     def last_txn_version(self, app_id: str) -> int | None:
         """Highest writer-transaction id committed for ``app_id`` (scanning
@@ -385,10 +609,12 @@ class TxnTable:
         tests pin the single-scan plan shape.
         """
         v = self.latest_version() if version is None else version
-        if v is None or v not in self._versions():
+        # a single exists-probe, not a full _versions() LIST — the head
+        # read is the hot path the checkpoint exists for (r13)
+        if v is None or not self._manifest_exists(v):
             raise FileNotFoundError(f"no committed version {version!r} at {self.path}")
         m = self._read_manifest(v)
-        paths = [os.path.join(self.path, f) for f in m["files"]]
+        paths = ["/".join([self.path.rstrip("/"), f]) for f in m["files"]]
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         if not paths:
             return self.spark.createDataFrame([], schema)
@@ -438,24 +664,46 @@ class TxnTable:
         for v in self._versions():
             live.update(self._read_manifest(v)["files"])
         removed = 0
-        data_root = os.path.join(self.path, "data")
-        if not os.path.isdir(data_root):
-            return 0
         cutoff = time.time() - min_age_seconds
-        for batch in os.listdir(data_root):
-            bdir = os.path.join(data_root, batch)
-            for f in os.listdir(bdir):
-                rel = os.path.join("data", batch, f)
-                full = os.path.join(bdir, f)
-                if (
-                    f.endswith(".parquet")
-                    and rel not in live
-                    and os.path.getmtime(full) <= cutoff
-                ):
-                    os.remove(full)
-                    removed += 1
-            if not os.listdir(bdir):
-                os.rmdir(bdir)
+        if self._use_os:
+            data_root = os.path.join(self.path, "data")
+            if not os.path.isdir(data_root):
+                return 0
+            for batch in os.listdir(data_root):
+                bdir = os.path.join(data_root, batch)
+                for f in os.listdir(bdir):
+                    rel = f"data/{batch}/{f}"
+                    full = os.path.join(bdir, f)
+                    if (
+                        f.endswith(".parquet")
+                        and rel not in live
+                        and os.path.getmtime(full) <= cutoff
+                    ):
+                        os.remove(full)
+                        removed += 1
+                if not os.listdir(bdir):
+                    os.rmdir(bdir)
+            return removed
+        # pyarrow branch: ONE recursive LIST under data/ (object-store
+        # LISTs are paginated-but-cheap; per-dir round trips are not),
+        # age from FileInfo.mtime, plain DELETEs. Empty batch "dirs" are
+        # left behind — on a real object store they do not exist, and on
+        # LocalFileSystem an empty dir is harmless debris.
+        from pyarrow import fs as pafs
+
+        filesystem, base = self._fs()
+        data_root = f"{base.rstrip('/')}/data"
+        infos = filesystem.get_file_info(
+            pafs.FileSelector(data_root, recursive=True, allow_not_found=True)
+        )
+        for info in infos:
+            if info.type != pafs.FileType.File or not info.path.endswith(".parquet"):
+                continue
+            rel = f"data/{info.path[len(data_root):].lstrip('/')}"
+            mtime = info.mtime.timestamp() if info.mtime else 0.0
+            if rel not in live and mtime <= cutoff:
+                filesystem.delete_file(info.path)
+                removed += 1
         return removed
 
     def erase_keys(self, key_col: str, keys: "list | DataFrame") -> int:
@@ -492,7 +740,7 @@ class TxnTable:
         keys_is_frame = isinstance(keys, DataFrame)
         if not all_files or (not keys_is_frame and not keys):
             return 0
-        paths = [os.path.join(self.path, f) for f in all_files]
+        paths = ["/".join([self.path.rstrip("/"), f]) for f in all_files]
         # mergeSchema: the table supports schema widening, so key_col may be
         # absent from older files — the merged schema carries it as NULL
         # there (a file without the column can never be a hit). Without the
@@ -510,11 +758,10 @@ class TxnTable:
         # casting a bigint request key to a narrowed int would wrap/NULL
         # and silently miss the subject's rows in older bigint files, a
         # GDPR erasure miss; r12 second review). Widening is only defined
-        # within a numeric family; anything else conflicting raises.
-        _WIDTH = {
-            "byte": 0, "short": 1, "integer": 2, "long": 3,  # integral
-            "float": 10, "double": 11,  # fractional
-        }
+        # within a numeric family (_NUMERIC_WIDTH, shared with the append
+        # schema merge); cross-family conflicts can still exist across
+        # OVERWRITE boundaries (append rejects them since r13) and raise.
+        _WIDTH = _NUMERIC_WIDTH
         key_type = None
         for pv in versions:
             sch = T.StructType.fromJson(json.loads(self._read_manifest(pv)["schema"]))
@@ -556,8 +803,12 @@ class TxnTable:
                 hit = scan.filter(F.col(key_col).isin(keys)).select(
                     F.input_file_name().alias("__file")
                 )
+            # input_file_name() is a URL-encoded URI whose path component
+            # is in the OWNING filesystem's native form — relativize
+            # against the resolved base, not the (possibly URI) root
+            base = self.path if self._use_os else self._fs()[1]
             return {
-                os.path.relpath(unquote(urlparse(r[0]).path), self.path)
+                os.path.relpath(unquote(urlparse(r[0]).path), base)
                 for r in hit.select("__file").distinct().collect()
             }
 
@@ -572,7 +823,9 @@ class TxnTable:
             # read()'s fallback). A file without key_col can never hit.
             hit_paths = set()
             for rel in all_files:
-                part = self.spark.read.parquet(os.path.join(self.path, rel))
+                part = self.spark.read.parquet(
+                    "/".join([self.path.rstrip("/"), rel])
+                )
                 if key_col not in part.columns:
                     continue
                 hit_paths |= file_hits(part)
@@ -584,7 +837,7 @@ class TxnTable:
             # the subject filter must never erase anonymous rows (same rule
             # as writers.erase_keys' left_anti join; left_anti keeps NULL
             # keys natively on the frame path).
-            file_df = self.spark.read.parquet(os.path.join(self.path, rel))
+            file_df = self.spark.read.parquet("/".join([self.path.rstrip("/"), rel]))
             if keys_is_frame:
                 kept = file_df.join(F.broadcast(kdf), key_col, "left_anti")
             else:
@@ -598,13 +851,42 @@ class TxnTable:
                 continue
             m["files"] = [nf for f in m["files"] for nf in replacement.get(f, [f])]
             m["erased_at"] = time.time()
-            tmp = os.path.join(self.log_dir, f".v{v}.erase.tmp")
-            with open(tmp, "w") as fh:
-                json.dump(m, fh)
-            os.replace(tmp, os.path.join(self.log_dir, f"v{v}.json"))
+            self._replace_manifest(v, m)
         for rel in replacement:
+            self._delete_data_file(rel)
+        return len(replacement)
+
+    def _replace_manifest(self, version: int, manifest: dict) -> None:
+        """IN-PLACE manifest update (erase repointing only — commits go
+        through the create-if-absent :meth:`_commit`): tmp + atomic
+        replace locally/HDFS; on S3-class stores pyarrow's move is
+        copy+delete, which overwrites via one PUT — readers see the old
+        or the new manifest, never a torn one (per-object PUT atomicity
+        is the S3 guarantee erase relies on; the RACE guarantee only
+        commits need comes from commit_if_absent)."""
+        data = json.dumps(manifest).encode("utf-8")
+        if self._use_os:
+            tmp = os.path.join(self.log_dir, f".v{version}.erase.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+            os.replace(tmp, os.path.join(self.log_dir, f"v{version}.json"))
+            return
+        filesystem, _ = self._fs()
+        log_path = self._fs_log_path()
+        tmp = f"{log_path}/.v{version}.erase.{uuid.uuid4().hex}.tmp"
+        with filesystem.open_output_stream(tmp) as fh:
+            fh.write(data)
+        filesystem.move(tmp, f"{log_path}/v{version}.json")
+
+    def _delete_data_file(self, rel: str) -> None:
+        if self._use_os:
             try:
                 os.remove(os.path.join(self.path, rel))
             except FileNotFoundError:
                 pass
-        return len(replacement)
+            return
+        filesystem, base = self._fs()
+        try:
+            filesystem.delete_file(f"{base.rstrip('/')}/{rel}")
+        except (OSError, FileNotFoundError):
+            pass

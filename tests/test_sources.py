@@ -942,27 +942,45 @@ def test_txn_read_and_erase_survive_type_widened_columns(spark, tmp_path):
 
 
 def test_txn_erase_keys_uses_widest_key_type_across_versions(spark, tmp_path):
-    """r12 second review: last-write-wins schema merging can NARROW the
-    head's key type (bigint table, later int append) — erasure must cast
-    the request keys to the WIDEST committed type, or a bigint subject
-    key wraps/NULLs under the narrowed cast and its rows silently
-    survive in older files."""
+    """r12 second review + r13 (ADVICE r12): a narrower append (int onto
+    bigint) must not narrow the recorded head type — the merge WIDENS
+    within the numeric family — and erasure casts the request keys to
+    the widest committed type, so a bigint subject key never wraps/NULLs
+    and silently survives in older files. Cross-family type changes are
+    rejected at APPEND time; across an overwrite boundary (where a fresh
+    schema is legitimate) erase still detects the conflict loudly."""
+    import json as _json
+
     import pytest
+    from pyspark.sql import types as T
 
     from etl_hiscox_spark.sources.txnlog import TxnTable
 
     big = 3_000_000_000  # exceeds int32
     t = TxnTable(spark, str(tmp_path / "tbl"))
     t.write(spark.createDataFrame([(big, "x"), (1, "a")], "id bigint, s string"))
-    t.write(spark.createDataFrame([(2, "b")], "id int, s string"))  # narrows head schema
+    t.write(spark.createDataFrame([(2, "b")], "id int, s string"))
+    # r13: the head schema stays bigint — the narrower append widened
+    head_schema = T.StructType.fromJson(
+        _json.loads(t._read_manifest(t.latest_version())["schema"])
+    )
+    assert head_schema["id"].dataType.simpleString() == "bigint"
     n = t.erase_keys("id", spark.createDataFrame([(big,)], "id bigint"))
     assert n == 1
     for v in (0, 1):
         assert big not in [r["id"] for r in t.read(v).collect()]
-    # incompatible families across versions: loud, never a silent miss
+    # cross-family append: rejected at write time (r13), never committed
     t2 = TxnTable(spark, str(tmp_path / "tbl2"))
     t2.write(spark.createDataFrame([(1, "a")], "id int, s string"))
-    t2.write(spark.createDataFrame([("x", "b")], "id string, s string"))
+    with pytest.raises(ValueError, match="incompatible with the committed schema"):
+        t2.write(spark.createDataFrame([("x", "b")], "id string, s string"))
+    assert t2.latest_version() == 0
+    # cross-family across an OVERWRITE boundary: erase stays loud — old
+    # versions keep the int files, so a silent string-cast would miss them
+    t2.write(
+        spark.createDataFrame([("x", "b")], "id string, s string"),
+        mode="overwrite",
+    )
     with pytest.raises(ValueError, match="incompatible types"):
         t2.erase_keys("id", spark.createDataFrame([(1,)], "id int"))
 

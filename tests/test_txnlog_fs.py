@@ -1,0 +1,208 @@
+"""r13 txn-log upgrades (VERDICT r12 items 2+5): the manifest log's IO
+runs through pyarrow.fs for ANY URI root — a ``file://`` table exercises
+the exact listing/read/size/delete code an object-store deployment runs,
+with the os.* manifest branch trap-pinned off — and head resolution is
+O(commits-since-checkpoint) via the ``_last_checkpoint`` hint instead of
+a full manifest-dir LIST."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+
+
+@pytest.fixture
+def forbid_os_manifest_io(monkeypatch):
+    """Any os-level manifest/data IO helper touching a path that contains
+    the marker raises — a URI-rooted TxnTable must route every list /
+    stat / delete / replace through pyarrow.fs. The create-if-absent
+    commit itself (commitio: open+os.link on a local filesystem) is the
+    documented fast path and stays allowed, as do Spark's own JVM-side
+    writes (not Python calls)."""
+    marker = "TXNFS"
+
+    def guard(mod, name):
+        real = getattr(mod, name)
+
+        def wrapped(p, *a, **kw):
+            if marker in str(p) or any(marker in str(x) for x in a):
+                raise AssertionError(f"os.{name} touched a URI txn root: {p} {a}")
+            return real(p, *a, **kw)
+
+        monkeypatch.setattr(mod, name, wrapped)
+
+    # os.path.isdir stays unguarded: os.makedirs(exist_ok=True) inside the
+    # ALLOWED local commit fast path consults it; the os manifest branch
+    # is still fully trapped via listdir (listing), getsize/getmtime
+    # (compact/vacuum), and remove/replace/rename (retention/erase).
+    for name in ("listdir", "remove", "replace", "rename"):
+        guard(os, name)
+    for name in ("getsize", "getmtime"):
+        guard(os.path, name)
+    return marker
+
+
+def _events(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"type{i % 3}", float(i)) for i in range(lo, hi)],
+        "event_id long, event_type string, value double",
+    )
+
+
+def test_file_uri_root_full_lifecycle_without_os_branch(
+    spark, tmp_path, forbid_os_manifest_io
+):
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = "file://" + str(tmp_path / f"{forbid_os_manifest_io}_tbl")
+    t = TxnTable(spark, root, checkpoint_interval=2)
+    v0 = t.write(_events(spark, 0, 20))
+    v1 = t.write(_events(spark, 20, 30))
+    assert (v0, v1) == (0, 1)
+    assert t.read().count() == 30
+    assert t.read(0).count() == 20  # time travel
+
+    # exactly-once: a replayed (app_id, txn_version) lands once
+    assert t.write_txn(_events(spark, 30, 35), "app", 1) is True
+    assert t.write_txn(_events(spark, 30, 35), "app", 1) is False
+    assert t.read().count() == 35
+
+    # OPTIMIZE on the URI root (sizes via pyarrow get_file_info)
+    head_before = t.latest_version()
+    new_v = t.compact(target_file_mb=256)
+    assert new_v == head_before + 1
+    assert t.read().count() == 35
+    assert t.read(head_before).count() == 35
+
+    # GDPR erase across every version through the fs branch
+    erased = t.erase_keys("event_id", spark.createDataFrame([(5,)], "event_id long"))
+    assert erased >= 1
+    for v in range(t.latest_version() + 1):
+        assert 5 not in [r["event_id"] for r in t.read(v).select("event_id").collect()]
+
+    # retention pair: expire + vacuum reclaim through pyarrow deletes
+    n_files_before = sum(
+        1
+        for rel in {
+            f
+            for v in t._versions()
+            for f in t._read_manifest(v)["files"]
+        }
+    )
+    assert t.expire_versions(keep_last=1) >= 1
+    assert t.vacuum(min_age_seconds=0) >= 1
+    assert t.read().count() == 34  # head unaffected by retention
+    with pytest.raises(FileNotFoundError):
+        t.read(0)  # expired: loud, never partial
+    assert n_files_before > 0
+
+
+def test_file_uri_root_two_writer_occ(spark, tmp_path, forbid_os_manifest_io):
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = "file://" + str(tmp_path / f"{forbid_os_manifest_io}_occ")
+    TxnTable(spark, root).write(_events(spark, 0, 5))
+    errors: list[BaseException] = []
+    barrier = threading.Barrier(2)
+
+    def run(w: int) -> None:
+        try:
+            t = TxnTable(spark, root)
+            barrier.wait()
+            for i in range(3):
+                t.write(_events(spark, 100 * w + 10 * i, 100 * w + 10 * i + 5))
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=run, args=(w,)) for w in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    t = TxnTable(spark, root)
+    assert t._versions() == list(range(7))  # dense under the race
+    assert t.read().count() == 5 + 6 * 5
+
+
+def test_scheme_less_root_on_remote_default_fs_rejected(spark, tmp_path, monkeypatch):
+    from etl_hiscox_spark.operators import dedup
+    from etl_hiscox_spark.sources import txnlog
+
+    monkeypatch.setattr(dedup, "_meta_is_local", lambda s, p: False)
+    with pytest.raises(ValueError, match="fully-qualified URI"):
+        txnlog.TxnTable(spark, str(tmp_path / "tbl"))
+
+
+def test_checkpoint_caps_head_resolution_to_tail(spark, tmp_path):
+    """VERDICT r12 item 5: a 500-commit table resolves its head from the
+    checkpoint with O(commits-since-checkpoint) exists-probes — no full
+    manifest-dir LIST on the head-read hot path."""
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "tbl"), checkpoint_interval=10)
+    v0 = t.write(_events(spark, 0, 5))
+    assert v0 == 0
+    schema = t._read_manifest(0)["schema"]
+    files = t._read_manifest(0)["files"]
+    for v in range(1, 501):  # synthetic commits: the LOG layer under test
+        t._commit(v, {"version": v, "mode": "append", "files": files, "schema": schema})
+    assert t._read_checkpoint() == 500
+    assert t.latest_version() == 500
+    assert t.last_head_resolution["mode"] == "checkpoint"
+    # head == checkpoint -> exactly one probe (v501 missing); bounded by
+    # interval+1 in general
+    assert t.last_head_resolution["entries"] <= 11
+    assert t.read(500).count() == 5
+
+    # commits SINCE the checkpoint are found by forward probing
+    t._commit(501, {"version": 501, "mode": "append", "files": files, "schema": schema})
+    assert t.latest_version() == 501
+    assert t.last_head_resolution == {"mode": "checkpoint", "entries": 2}
+
+
+def test_expire_advances_checkpoint_past_deleted_range(spark, tmp_path):
+    """Expiry deletes manifests from the bottom; the checkpoint must
+    advance FIRST or the forward probe would hit the gap and under-report
+    the head (deleted v11 when the checkpoint said v10)."""
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "tbl"), checkpoint_interval=10)
+    t.write(_events(spark, 0, 5))
+    schema = t._read_manifest(0)["schema"]
+    files = t._read_manifest(0)["files"]
+    for v in range(1, 13):
+        t._commit(v, {"version": v, "mode": "append", "files": files, "schema": schema})
+    assert t._read_checkpoint() == 10
+    assert t.expire_versions(keep_last=1) == 12  # v0..v11 gone
+    assert t._read_checkpoint() == 12
+    assert t.latest_version() == 12
+    assert t.last_head_resolution["mode"] == "checkpoint"
+    with pytest.raises(FileNotFoundError):
+        t.read(3)
+
+    # a young table with no checkpoint yet gets one from expiry too
+    t2 = TxnTable(spark, str(tmp_path / "tbl2"), checkpoint_interval=1000)
+    t2.write(_events(spark, 0, 5))
+    t2.write(_events(spark, 5, 8))
+    assert t2._read_checkpoint() is None
+    t2.expire_versions(keep_last=1)
+    assert t2._read_checkpoint() == 1
+    assert t2.latest_version() == 1
+
+
+def test_torn_checkpoint_falls_back_to_list(spark, tmp_path):
+    from etl_hiscox_spark.sources.txnlog import TxnTable, _CKPT_NAME
+
+    t = TxnTable(spark, str(tmp_path / "tbl"), checkpoint_interval=1)
+    t.write(_events(spark, 0, 5))
+    t.write(_events(spark, 5, 8))
+    ckpt = os.path.join(t.log_dir, _CKPT_NAME)
+    assert json.load(open(ckpt))["version"] == 1
+    with open(ckpt, "w") as f:
+        f.write('{"vers')  # torn write survivor
+    assert t.latest_version() == 1
+    assert t.last_head_resolution["mode"] == "list"
