@@ -944,7 +944,7 @@ def write_minhash_index(
     num_bands: int = 6,
     shingle_k: int = 3,
     mode: str = "overwrite",
-    generational: bool = False,
+    generational: bool = True,
 ) -> None:
     """Persist the banded LSH bucket table as the near-dedup index.
 
@@ -956,16 +956,32 @@ def write_minhash_index(
     ``mode="append"`` adds a new batch's buckets to an existing index
     (parameters must already match — validated against meta).
 
-    ``generational=True`` builds the GENERATION-POINTER layout (r12,
-    :mod:`sources/genlog` — the object-store deployment form): the flat
-    index above is staged as a complete generation under
-    ``<path>/gen-*/`` and an atomic ``_gen_log`` pointer commit makes it
-    live; compact/erase/rebuild then commit new generations with pointer
-    flips instead of directory renames, so the FULL maintenance
-    lifecycle runs on any filesystem. A root that is already
-    generational stays generational regardless of the flag; appends
-    land inside the live generation (a plain parquet append — already
-    portable).
+    ``generational=True`` — the DEFAULT since r13 (VERDICT r12 item 3:
+    new indexes must be object-store-safe without the user knowing to
+    ask) — builds the GENERATION-POINTER layout (r12,
+    :mod:`sources/genlog`): the flat index above is staged as a complete
+    generation under ``<path>/gen-*/`` and an atomic ``_gen_log``
+    pointer commit makes it live; compact/erase/rebuild then commit new
+    generations with pointer flips instead of directory renames, so the
+    FULL maintenance lifecycle runs on any filesystem.
+    ``generational=False`` opts into the legacy FLAT layout (rename-
+    committed maintenance, driver-local only) — kept readable and
+    maintainable forever; :func:`migrate_flat_index_to_generational`
+    upgrades it in place. A root that is already generational stays
+    generational regardless of the flag; appends land inside the live
+    generation (a plain parquet append — already portable).
+
+    APPEND-vs-MAINTENANCE race (ADVICE r12, documented contract):
+    ``mode="append"`` writes INTO the committed live generation in
+    place, with no base-version guard — appends are deliberately not
+    OCC-protected like maintenance ops (staging a full generation per
+    daily batch would copy the index every day). A maintenance op
+    (compact/erase/rebuild) that STAGED from the pre-append snapshot and
+    commits after the append flips the pointer to a generation without
+    the appended rows — the append is silently superseded. Schedule
+    appends and maintenance from one coordinator (the same discipline
+    Delta requires for concurrent OPTIMIZE vs append on unpartitioned
+    tables), or re-probe/re-append after maintenance windows.
 
     At 100 TB: the index is |corpus| × num_bands fixed-width rows; the
     probe join shuffles on (band, bucket) 16-byte keys. Bucketing the
@@ -1001,7 +1017,7 @@ def write_minhash_index(
         # first build) live and the stage vacuum-reclaimable
         write_minhash_index(
             df, text_col, id_col, genlog._join(root, gen),
-            num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k,
+            num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k, generational=False,
         )
         genlog.commit_generation(spark, root, gen, "build", base_version=base)
         return
@@ -1082,17 +1098,25 @@ def migrate_flat_index_to_generational(spark, path: str) -> str:
     commits it. Every subsequent probe resolves the pointer and every
     maintenance op commits by pointer flip. Returns the generation name.
 
-    RE-RUNNABLE across every crash window (second review): a crash
-    mid-rename or before the pointer commit leaves a root with one
-    ``gen-*`` dir and no ``_gen_log`` — re-running adopts that dir,
+    RE-RUNNABLE across every crash window (second review + ADVICE r12):
+    a crash mid-rename or before the pointer commit leaves a root with
+    one ``gen-*`` dir and no ``_gen_log`` — re-running adopts that dir,
     moves any remaining flat entries in, validates the COMPLETED
-    generation, and commits. The pointer commit is last, so the root
-    only reads as generational once the generation is whole."""
+    generation, and commits. A crash INSIDE the pointer commit (after
+    the ``_gen_log`` dir was created, before the v0 record linked) makes
+    ``is_generational`` True with an EMPTY log — that root is also an
+    adoptable crashed migration (its entry moves finished before the
+    commit step), not an "already generational" rejection; only a log
+    with a committed pointer is. The pointer commit is last, so the root
+    only serves probes once the generation is whole."""
     from etl_hiscox_spark.sources import genlog
 
     local = _require_local_index_path(spark, path, "migrate_flat_index_to_generational")
     root = genlog.resolve_root(spark, path)
-    if genlog.is_generational(spark, root):
+    if (
+        genlog.is_generational(spark, root)
+        and genlog.latest_pointer_version(spark, root) is not None
+    ):
         raise ValueError(f"{path!r} is already generational")
     gens = sorted(e for e in os.listdir(local) if e.startswith("gen-"))
     if len(gens) > 1:
@@ -1108,7 +1132,9 @@ def migrate_flat_index_to_generational(spark, path: str) -> str:
     gen_dir = os.path.join(local, gen)
     os.makedirs(gen_dir, exist_ok=True)
     for entry in os.listdir(local):
-        if entry != gen:
+        # an empty _gen_log from a crashed pointer commit stays at the
+        # root — it IS the log the adoption is about to commit into
+        if entry != gen and entry != "_gen_log":
             os.rename(os.path.join(local, entry), os.path.join(gen_dir, entry))
     # validate the COMPLETED generation (not the now-empty root) before
     # the pointer makes it live
@@ -1517,7 +1543,7 @@ def rebuild_minhash_index(
         gen = genlog.new_generation_name()
         write_minhash_index(
             df, text_col, id_col, genlog._join(root, gen),
-            num_hashes=new[0], num_bands=new[1], shingle_k=new[2],
+            num_hashes=new[0], num_bands=new[1], shingle_k=new[2], generational=False,
         )
         genlog.commit_generation(spark, root, gen, "rebuild", base_version=base)
         return new
@@ -1534,7 +1560,7 @@ def rebuild_minhash_index(
     # path's own commit ordering
     write_minhash_index(
         df, text_col, id_col, tmp,
-        num_hashes=new[0], num_bands=new[1], shingle_k=new[2],
+        num_hashes=new[0], num_bands=new[1], shingle_k=new[2], generational=False,
     )
     commit_staged_rebuild(spark, path, "rebuild_minhash_index")
     return new

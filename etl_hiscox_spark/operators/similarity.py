@@ -449,7 +449,7 @@ def write_ivf_index(
     max_iter: int | None = None,
     centroids: np.ndarray | None = None,
     quantize: bool = False,
-    generational: bool = False,
+    generational: bool = True,
 ) -> np.ndarray:
     """Materialize the IVF index as a cluster-partitioned parquet table;
     returns the centroid matrix and ALSO persists it inside the index
@@ -488,13 +488,19 @@ def write_ivf_index(
     the same expression); compaction/erase/rebuild carry the columns
     through as ordinary payload.
 
-    ``generational=True`` builds the GENERATION-POINTER layout (r12,
+    ``generational=True`` — the DEFAULT since r13 (VERDICT r12 item 3:
+    new indexes must be object-store-safe without the user knowing to
+    ask) — builds the GENERATION-POINTER layout (r12,
     :mod:`sources/genlog`): the index stages as a complete generation
     under ``<path>/gen-*/`` and an atomic ``_gen_log`` pointer commit
     makes it live — compact/erase/rebuild then flip pointers instead of
     renaming data dirs, so the full maintenance lifecycle runs on any
-    filesystem. A root that is already generational stays generational
-    regardless of the flag.
+    filesystem. ``generational=False`` opts into the legacy FLAT layout
+    (rename-committed maintenance, driver-local only) — kept readable
+    and maintainable forever;
+    ``dedup.migrate_flat_index_to_generational`` upgrades it in place.
+    A root that is already generational stays generational regardless
+    of the flag.
     """
     from etl_hiscox_spark.operators.dedup import _reject_flat_index_debris
     from etl_hiscox_spark.sources import genlog
@@ -510,7 +516,7 @@ def write_ivf_index(
         C = write_ivf_index(
             df, genlog._join(root, gen), embedding_col, id_col,
             n_clusters=n_clusters, seed=seed, train_fraction=train_fraction,
-            max_iter=max_iter, centroids=centroids, quantize=quantize,
+            max_iter=max_iter, centroids=centroids, quantize=quantize, generational=False,
         )
         genlog.commit_generation(spark, root, gen, "build", base_version=base)
         return C
@@ -699,6 +705,17 @@ def append_to_ivf_index(
     batch appends in O(batch), the historical corpus is never re-read —
     re-clustering (centroid drift repair) is an explicit rebuild, not a
     side effect.
+
+    APPEND-vs-MAINTENANCE race (ADVICE r12, documented contract): on a
+    generational root this writes INTO the committed live generation in
+    place, with no base-version guard — appends are deliberately not
+    OCC-protected like maintenance ops (staging a full generation per
+    daily batch would copy the index every day). A compact/erase/rebuild
+    that STAGED from the pre-append snapshot and commits after the
+    append flips the pointer to a generation without the appended rows —
+    the append is silently superseded. Schedule appends and maintenance
+    from one coordinator (the discipline Delta requires for concurrent
+    OPTIMIZE vs append), or re-append after maintenance windows.
     """
     from etl_hiscox_spark.sources.genlog import live_index_path
 

@@ -641,6 +641,23 @@ WINDOW_R12: tuple[str, ...] = (
 # r14) — keep new declarations <= ~10 and ALWAYS recompute cohorts from
 # the CORRECTNESS artifacts before editing.
 WINDOW_R13: tuple[str, ...] = (
+    # new r13 declarations — never driver-checked, must lead:
+    # x16_txn_checkpoint_head (the _last_checkpoint analog: O(tail)
+    # head resolution + checkpoint advance on expiry, VERDICT r12
+    # item 5), x17_txn_object_store_roundtrip (the whole txn protocol
+    # stack — append/exactly-once/OPTIMIZE/erase/time-travel — on a
+    # file:// root through the pyarrow.fs manifest branch, item 2),
+    # s21_schema_widen_append (numeric-family widening + cross-family
+    # write-time rejection, ADVICE r12 item 4),
+    # l2_lsh_collision_rerun_probe (generational-by-default build +
+    # maintenance collision re-run wrapper, items 3+6).
+    # They displace the 4 tail r10-green prechecks (l3_semantic_dedup /
+    # m1_multimodal_features / m3_gif_frame_sample /
+    # t23_bpe_segmentation), which move to WINDOW_R14's mandatory head.
+    "x16_txn_checkpoint_head",
+    "x17_txn_object_store_roundtrip",
+    "s21_schema_widen_append",
+    "l2_lsh_collision_rerun_probe",
     # mandatory: latest green r9 — stale-beyond-3 at current=13
     "f16_fuzzy_name_pairs",
     "g13_top_revenue_supplier",
@@ -682,17 +699,86 @@ WINDOW_R13: tuple[str, ...] = (
     "w4_rank_with_ties",
     "w6_trailing_week_spend",
     "w7_distribution_ranks",
-    # r10-green prechecks (10 of 50) — the heavier shapes, smoothing r14
+    # r10-green prechecks (6 of 50; l3_semantic_dedup /
+    # m1_multimodal_features / m3_gif_frame_sample / t23_bpe_segmentation
+    # displaced by the four r13 declarations) — smoothing r14
     "l2_lsh_compact_probe",
     "l2_lsh_erase_probe",
     "l2_ngram_jaccard_pairs",
     "l2_simhash_candidates",
     "l3_ivf_compact_probe",
     "l3_ivf_erase_probe",
+)
+
+# Round 14 window — PRE-DEFINED at the end of r13 (same self-advance
+# mechanism; ``active_window()`` serves this once CORRECTNESS_r13.json
+# exists). Composition (histogram after r13 banks, assuming r13 green:
+# {r10: 44, r11: 50, r12: 50, r13: 50} over 194 + s7):
+# head = ALL 44 r10-latest greens (stale-beyond-3 at current=14) — the 4
+# prechecks displaced by r13's declarations (l3_semantic_dedup /
+# m1_multimodal_features / m3_gif_frame_sample / t23_bpe_segmentation)
+# lead, then the 40 r10 greens the r13 plan deferred. Then 6 of the 50
+# r11 greens as early prechecks — the heaviest oracle shapes (index
+# rebuild/quantized lifecycles, txn OPTIMIZE + exactly-once, GDPR
+# composition); the 44 remaining r11 greens defer to a mandatory
+# WINDOW_R15 head. The r14 builder SWAPS prechecks for new declarations
+# (new queries must lead; displaced r11-green prechecks move toward
+# r15) — keep new declarations <= ~6 and ALWAYS recompute cohorts from
+# the CORRECTNESS artifacts before editing.
+WINDOW_R14: tuple[str, ...] = (
+    # mandatory: latest green r10 — stale-beyond-3 at current=14; the 4
+    # prechecks displaced from WINDOW_R13 lead
     "l3_semantic_dedup",
     "m1_multimodal_features",
     "m3_gif_frame_sample",
     "t23_bpe_segmentation",
+    "a11_table_stats",
+    "a17_order_items_array",
+    "a18_approx_quantile_rollup",
+    "f4_multiformat_dates",
+    "f6_f9_date_math",
+    "g10_volume_shipping",
+    "g11_disjunctive_brackets",
+    "g1_star_join_revenue",
+    "j3_broadcast_dim_join",
+    "j6_range_interval_join",
+    "j7_asof_join",
+    "l2_connected_clusters",
+    "l3_cosine_topk",
+    "l3_ivf_drift_diag",
+    "l4_text_stats",
+    "l5_token_stats",
+    "l6_json_extraction",
+    "m2_audio_features",
+    "s10_seed_load",
+    "s15_corrupt_json_quarantine",
+    "s1_csv_roundtrip",
+    "s6_json_roundtrip",
+    "s8_ctas_roundtrip",
+    "s9_scd2_snapshot",
+    "t1_language_id",
+    "t2_quality_score",
+    "t35_keep_best_survivors",
+    "t4_vocabulary",
+    "t6_train_test_split",
+    "v1_embedding_norms",
+    "v2_quantize_int8",
+    "v3_random_projection",
+    "x10_click_purchase_join",
+    "x11_funnel_stages",
+    "x12_click_abandonment",
+    "x3_tumbling_window",
+    "x4_sliding_window",
+    "x5_session_window",
+    "x8_threshold_crossing",
+    "x9_stream_static_enrich",
+    # r11-green prechecks (6 of 50) — the heaviest shapes, smoothing r15
+    "l2_lsh_rebuild_probe",
+    "l3_ivf_quantized_probe",
+    "l3_ivf_rebuild_probe",
+    "s19_gdpr_erase_subject",
+    "x13_exactly_once_txn_sink",
+    "x14_txn_optimize_compaction",
 )
 
 WINDOWS: dict[int, tuple[str, ...]] = {
@@ -702,6 +788,7 @@ WINDOWS: dict[int, tuple[str, ...]] = {
     11: WINDOW_R11,
     12: WINDOW_R12,
     13: WINDOW_R13,
+    14: WINDOW_R14,
 }
 
 

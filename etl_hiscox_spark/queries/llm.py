@@ -222,7 +222,7 @@ def l2_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _os.path.join(_scratch("l2_incr_index", sf_dir), "minhash_index")
     old = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
-    write_minhash_index(old, "text", "doc_id", path, num_hashes=24, num_bands=6)
+    write_minhash_index(old, "text", "doc_id", path, num_hashes=24, num_bands=6, generational=False)
     out = probe_minhash_index(
         new, "text", "doc_id", path, verify_df=docs, threshold=0.8
     )
@@ -309,7 +309,7 @@ def l2_lsh_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 2 == 1)
     write_minhash_index(
         docs.filter(F.col("doc_id") % 4 == 0), "text", "doc_id", path,
-        num_hashes=24, num_bands=6,
+        num_hashes=24, num_bands=6, generational=False,
     )
     write_minhash_index(
         docs.filter(F.col("doc_id") % 4 == 2), "text", "doc_id", path,
@@ -380,7 +380,7 @@ def l2_lsh_erase_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _os.path.join(_scratch("l2_lsh_erase", sf_dir), "minhash_index")
     old = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
-    write_minhash_index(old, "text", "doc_id", path, num_hashes=24, num_bands=6)
+    write_minhash_index(old, "text", "doc_id", path, num_hashes=24, num_bands=6, generational=False)
     erase = old.filter(F.col("doc_id") % 10 == 6).select("doc_id")
     expected = erase.count() * 6  # num_bands rows per indexed doc
     n_erased = erase_from_minhash_index(spark, path, erase, "doc_id")
@@ -452,7 +452,7 @@ def l2_lsh_rebuild_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _os.path.join(_scratch("l2_lsh_rebuild", sf_dir), "minhash_index")
     old = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
-    write_minhash_index(old, "text", "doc_id", path, num_hashes=24, num_bands=6)
+    write_minhash_index(old, "text", "doc_id", path, num_hashes=24, num_bands=6, generational=False)
     migrated = rebuild_minhash_index(
         spark, old, "text", "doc_id", path, num_hashes=32, num_bands=8
     )
@@ -886,7 +886,7 @@ def l3_ivf_quantized_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_ivf_index(
         emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
         centroids=random_hyperplanes(dim=64, n_planes=16, seed=42),
-        quantize=True,
+        quantize=True, generational=False,
     )
     append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path, "embedding", "vec_id")
     out = ivf_probe_topk_quantized(
@@ -1970,7 +1970,7 @@ def l3_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     path = os.path.join(_scratch("l3_ivf", sf_dir), "ivf_index")
-    centroids = write_ivf_index(emb, path, "embedding", "vec_id", n_clusters=16, seed=42)
+    centroids = write_ivf_index(emb, path, "embedding", "vec_id", n_clusters=16, seed=42, generational=False)
     out = ivf_probe_topk(
         spark, path, centroids, "embedding", "vec_id", qvec, k=10, n_probe=8
     )
@@ -2008,7 +2008,7 @@ def l3_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pruned output does depend on centroid placement, keeps the default
     write_ivf_index(
         emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
-        n_clusters=16, seed=42, max_iter=4,
+        n_clusters=16, seed=42, max_iter=4, generational=False,
     )
     append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path, "embedding", "vec_id")
     out = ivf_probe_topk(
@@ -2049,7 +2049,7 @@ def l3_ivf_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe) — see l3_ivf_append_probe
     write_ivf_index(
         emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
-        centroids=random_hyperplanes(dim=64, n_planes=16, seed=42),
+        centroids=random_hyperplanes(dim=64, n_planes=16, seed=42), generational=False,
     )
     append_to_ivf_index(emb.filter(F.col("vec_id") % 4 == 1), path, "embedding", "vec_id")
     append_to_ivf_index(emb.filter(F.col("vec_id") % 4 == 3), path, "embedding", "vec_id")
@@ -2109,7 +2109,7 @@ def l3_ivf_erase_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe) — see l3_ivf_append_probe
     write_ivf_index(
         emb, path, "embedding", "vec_id",
-        centroids=random_hyperplanes(dim=64, n_planes=16, seed=42),
+        centroids=random_hyperplanes(dim=64, n_planes=16, seed=42), generational=False,
     )
     erase = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id")
     expected = erase.count()
@@ -2205,7 +2205,7 @@ def l3_ivf_drift_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _os.path.join(_scratch("l3_ivf_drift", sf_dir), "ivf_index")
     C = random_hyperplanes(dim=64, n_planes=8, seed=7)
     write_ivf_index(
-        emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id", centroids=C
+        emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id", centroids=C, generational=False
     )
     batch = emb.filter(F.col("vec_id") % 2 == 1)
     return ivf_centroid_drift(spark, path, batch, "embedding")
@@ -2253,7 +2253,7 @@ def l3_ivf_rebuild_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = random_hyperplanes(dim=64, n_planes=16, seed=42)
     write_ivf_index(
         emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
-        centroids=planes,
+        centroids=planes, generational=False,
     )
     append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path, "embedding", "vec_id")
 
@@ -2393,7 +2393,7 @@ def l3_ivf_recover_rebuild_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = random_hyperplanes(dim=64, n_planes=16, seed=42)
     write_ivf_index(
         emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
-        centroids=planes,
+        centroids=planes, generational=False,
     )
     append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path, "embedding", "vec_id")
     sig_before = _parquet_content_checksum(spark, path, exclude_col="__cluster")
@@ -4331,3 +4331,97 @@ def t34_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _assert_oracle_fragment_consistency()
+
+
+@register(
+    "l2_lsh_collision_rerun_probe",
+    # the l2_lsh_erase_probe oracle, unchanged (same as the gen-lifecycle
+    # probe): compaction is content-preserving, so after
+    # build -> (erase ∥ compact-with-collision-and-re-run) the confirmed
+    # pair graph must equal the exact cross-batch Jaccard graph MINUS the
+    # erased docs — if the losing compact's stale stage (which still
+    # holds the erased fingerprints) ever got published, the erased docs
+    # resurface as dup_of and this hash-fails.
+    oracle="\n    WITH "
+    + _ORACLE_SHINGLE_N_CTE
+    + r""",
+    inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS dup_of, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND b.doc_id % 10 <> 6
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT new_id, dup_of,
+           ROUND(i / CAST(na.n + nb.n - i AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN n na ON new_id = na.doc_id JOIN n nb ON dup_of = nb.doc_id
+    WHERE 5 * i >= 4 * (na.n + nb.n - i)
+    """,
+)
+def l2_lsh_collision_rerun_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Maintenance collision + bounded re-run (r13, VERDICT r12 item 6 —
+    # genlog.rerun_on_generation_conflict), driver-executed for real: the
+    # index builds on the even-id history with NO layout flag — the r13
+    # generational-by-default contract (VERDICT r12 item 3) is proven
+    # here, not just in tests — then an ERASE of doc_id % 10 == 6 is
+    # injected to land exactly when a COMPACT resolves its base
+    # generation (the same deterministic interleave as
+    # tests/test_genlog.py's end-to-end race). The compact's pointer
+    # commit collides loudly at base+1; the wrapper re-invokes it, the
+    # retry re-resolves the POST-ERASE generation and compacts THAT — a
+    # blind retry of the stale stage would resurrect the erased
+    # fingerprints (the GDPR hazard the base-version guard exists for).
+    # Loud invariants before the oracle sees the probe: the root is
+    # generational by default, the pointer history records exactly
+    # [build, erase, compact] (one collision, one re-run, no stale
+    # publish), and the live meta still reports the build banding.
+    import os as _os
+
+    from etl_hiscox_spark.operators.dedup import (
+        _read_index_meta,
+        compact_minhash_index,
+        erase_from_minhash_index,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.queries.writes import _scratch
+    from etl_hiscox_spark.sources import genlog
+
+    docs = load_table(spark, "documents", sf_dir)
+    root = _os.path.join(_scratch("l2_lsh_rerun", sf_dir), "minhash_index")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    write_minhash_index(old, "text", "doc_id", root, num_hashes=24, num_bands=6)
+    if not genlog.is_generational(spark, root):
+        raise ValueError("a bare build must produce the generational layout (r13)")
+    erase = old.filter(F.col("doc_id") % 10 == 6).select("doc_id")
+
+    real_current = genlog.current_generation
+    fired = {"done": False}
+
+    def racing_current(spark_, root_):
+        out = real_current(spark_, root_)
+        if not fired["done"]:
+            fired["done"] = True
+            genlog.current_generation = real_current
+            erase_from_minhash_index(spark, root, erase, "doc_id")
+            genlog.current_generation = racing_current
+        return out
+
+    genlog.current_generation = racing_current
+    try:
+        genlog.rerun_on_generation_conflict(compact_minhash_index, spark, root)
+    finally:
+        genlog.current_generation = real_current
+    ops = [g["operation"] for g in genlog.list_generations(spark, root)]
+    if ops != ["build", "erase", "compact"]:
+        raise ValueError(
+            f"pointer history records {ops}, expected the collision loser "
+            "to re-run AFTER the erase: [build, erase, compact]"
+        )
+    if _read_index_meta(spark, root) != (24, 6, 3):
+        raise ValueError("re-run compact drifted the banding meta")
+    out = probe_minhash_index(
+        new, "text", "doc_id", root, verify_df=docs, threshold=0.8
+    )
+    return out.select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))

@@ -610,3 +610,126 @@ def x14_txn_optimize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "x16_txn_checkpoint_head",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def x16_txn_checkpoint_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Checkpointed head resolution at streaming-append cadence (r13,
+    # VERDICT r12 item 5 — Delta's _last_checkpoint analog): 8 appends
+    # land as versions v0..v7 with checkpoint_interval=3, so the head
+    # hint is recorded at v3 and v6 and every head read PROBES forward
+    # from the checkpoint instead of LISTing the whole manifest dir —
+    # O(commits-since-checkpoint), the property that keeps a months-old
+    # streaming sink's per-batch read cost flat. Loud invariants before
+    # the oracle sees the result: (1) the checkpoint records v6 and head
+    # resolution runs in checkpoint mode with exactly 2 forward probes
+    # (v7 hit, v8 miss); (2) expire_versions(keep_last=2) ADVANCES the
+    # checkpoint to v7 before deleting v0..v5, and the next head read
+    # needs exactly 1 probe; (3) time travel to an expired version is a
+    # loud FileNotFoundError; (4) the head still reads every slice (the
+    # append manifests are cumulative). The final table is the 8 slices'
+    # union == events, hence the SQL twin.
+    import os
+
+    from etl_hiscox_spark.queries.writes import _scratch
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = _scratch("x16_txn_ckpt", sf_dir)
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    t = TxnTable(spark, os.path.join(root, "table"), checkpoint_interval=3)
+    for i in range(8):
+        t.write(ev.filter(F.col("event_id") % 8 == i))
+    if t._read_checkpoint() != 6:
+        raise ValueError(f"checkpoint records {t._read_checkpoint()}, expected 6")
+    head = t.latest_version()
+    if head != 7 or t.last_head_resolution != {"mode": "checkpoint", "entries": 2}:
+        raise ValueError(
+            f"head {head} resolved {t.last_head_resolution}, expected "
+            "checkpoint mode with 2 probes"
+        )
+    if t.expire_versions(keep_last=2) != 6:
+        raise ValueError("expected v0..v5 to expire")
+    if t._read_checkpoint() != 7:
+        raise ValueError(
+            f"expiry left the checkpoint at {t._read_checkpoint()} — the "
+            "forward probe would hit the deleted range"
+        )
+    if t.latest_version() != 7 or t.last_head_resolution != {
+        "mode": "checkpoint",
+        "entries": 1,
+    }:
+        raise ValueError(f"post-expiry resolution: {t.last_head_resolution}")
+    try:
+        t.read(2)
+    except FileNotFoundError:
+        pass
+    else:
+        raise ValueError("time travel to an expired version must fail loudly")
+    return t.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "x17_txn_object_store_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_id % 97 <> 3
+    GROUP BY event_type
+    """,
+)
+def x17_txn_object_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The txn protocols on a URI root (r13, VERDICT r12 item 2): the
+    # table lives at file://<root>, which routes EVERY manifest list /
+    # read / size / delete through the same pyarrow.fs code an
+    # s3://hdfs:// deployment runs (the os.* fast path is scheme-less
+    # only; trap-pinned in tests/test_txnlog_fs.py) — append,
+    # exactly-once write_txn replay, OPTIMIZE compaction, GDPR
+    # erase-across-versions, and time travel, end to end. Loud
+    # invariants before the oracle sees the result: (1) the table
+    # really took the pyarrow branch; (2) the duplicate
+    # (app_id, txn_version) replay is a no-op; (3) OPTIMIZE strictly
+    # defragments the head file count; (4) the erased keys are gone from
+    # EVERY version, including pre-OPTIMIZE history. The final table is
+    # events minus the erased keys, hence the SQL twin.
+    from etl_hiscox_spark.queries.writes import _scratch
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = "file://" + _scratch("x17_txn_fs", sf_dir) + "/table"
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    t = TxnTable(spark, root, checkpoint_interval=5)
+    if t._use_os:
+        raise ValueError("file:// root must take the pyarrow.fs branch")
+    t.write(ev.filter(F.col("event_id") % 2 == 0).repartition(4))
+    if not t.write_txn(ev.filter(F.col("event_id") % 2 == 1), "x17", 1):
+        raise ValueError("first (app, txn) write must land")
+    if t.write_txn(ev.filter(F.col("event_id") % 2 == 1), "x17", 1):
+        raise ValueError("duplicate (app, txn) replay landed twice")
+    pre_head = t.latest_version()
+    files_before = len(t._read_manifest(pre_head)["files"])
+    new_v = t.compact(target_file_mb=256)
+    if new_v is None or len(t._read_manifest(new_v)["files"]) >= files_before:
+        raise ValueError("OPTIMIZE did not defragment the URI-rooted head")
+    erase = ev.filter(F.col("event_id") % 97 == 3).select("event_id")
+    if t.erase_keys("event_id", erase) < 1:
+        raise ValueError("erase rewrote no files")
+    gone = erase.withColumnRenamed("event_id", "k")
+    for v in range(t.latest_version() + 1):
+        residual = (
+            t.read(v).join(F.broadcast(gone), F.col("event_id") == F.col("k"), "left_semi").count()
+        )
+        if residual:
+            raise ValueError(f"version {v} still holds {residual} erased rows")
+    return t.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )

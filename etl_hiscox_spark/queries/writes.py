@@ -877,10 +877,10 @@ def s19_gdpr_erase_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
     # l3_ivf_append_probe
     write_ivf_index(
         emb, ivf, "embedding", "vec_id",
-        centroids=random_hyperplanes(dim=64, n_planes=16, seed=42),
+        centroids=random_hyperplanes(dim=64, n_planes=16, seed=42), generational=False,
     )
     mh = os.path.join(root, "mh")
-    write_minhash_index(docs, "text", "doc_id", mh)
+    write_minhash_index(docs, "text", "doc_id", mh, generational=False)
 
     n_subj_docs = docs.filter(F.col("doc_id") % 10 == 7).count()
     n_subj_vecs = emb.filter(F.col("vec_id") % 10 == 7).count()
@@ -1112,3 +1112,75 @@ def s20_bulk_frame_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("txn_v0", t.read(0).count()),
     ]
     return spark.createDataFrame(counts, "store string, n_rows long").orderBy("store")
+
+
+@register(
+    "s21_schema_widen_append",
+    oracle="""
+    SELECT CAST(o_custkey % 7 AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY bucket
+    """,
+)
+def s21_schema_widen_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Schema evolution under the widening rule (r13, ADVICE r12 item 4):
+    # an append whose column is NARROWER than the table's (int onto
+    # bigint) must keep the committed type WIDE — before r13 the merge
+    # was last-write-wins and the head schema silently narrowed while
+    # old files kept bigint data, so read() reported a schema the
+    # table's own files contradicted; a cross-family change (string onto
+    # a numeric column) must be rejected AT WRITE TIME, never committed
+    # (the reference rejects incompatible type changes on append —
+    # scripts/ingestion.py's Delta mergeSchema contract). Loud
+    # invariants before the oracle sees the result: (1) the head
+    # manifest records o_custkey as bigint after the int append; (2) the
+    # string append raises and the version count is unchanged; (3) both
+    # slices read back under the widened schema. The final table is the
+    # two slices' union == orders, hence the SQL twin.
+    import json as _json
+
+    from pyspark.sql import types as _T
+
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = _scratch("s21_widen", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = TxnTable(spark, os.path.join(root, "table"))
+    t.write(
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_custkey", F.col("o_custkey").cast("bigint"))
+    )
+    t.write(
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .withColumn("o_custkey", F.col("o_custkey").cast("int"))  # narrower
+    )
+    head_schema = _T.StructType.fromJson(
+        _json.loads(t._read_manifest(t.latest_version())["schema"])
+    )
+    if head_schema["o_custkey"].dataType.simpleString() != "bigint":
+        raise ValueError(
+            f"narrower append changed the committed type to "
+            f"{head_schema['o_custkey'].dataType.simpleString()} — the merge "
+            "must widen, never narrow"
+        )
+    before = t.latest_version()
+    try:
+        t.write(
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+            .withColumn("o_custkey", F.col("o_custkey").cast("string"))
+        )
+    except ValueError:
+        pass
+    else:
+        raise ValueError("cross-family append must be rejected at write time")
+    if t.latest_version() != before:
+        raise ValueError("rejected append still committed a version")
+    return t.read().groupBy(
+        (F.col("o_custkey") % 7).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )

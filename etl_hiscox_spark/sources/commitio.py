@@ -61,6 +61,32 @@ def register_put_if_absent(fs_type_name: str, fn: Callable) -> None:
         _PUT_IF_ABSENT[fs_type_name] = fn
 
 
+def s3_conditional_put_hook():
+    """Reference conditional-PUT hook for S3 (register with
+    ``register_put_if_absent("S3FileSystem", s3_conditional_put_hook())``):
+    ``PutObject`` with ``If-None-Match: "*"`` — S3 accepts the object only
+    if the key does not exist (412 Precondition Failed otherwise; the S3
+    conditional-write API, GA since 2024). Requires boto3 (a deployment
+    dependency, not baked into this container — the import is the gate);
+    bucket/key come from the pyarrow-resolved path (``bucket/key...``)."""
+    import boto3  # deployment-only dependency; ImportError is the gate
+    from botocore.exceptions import ClientError
+
+    client = boto3.client("s3")
+
+    def put_if_absent(filesystem, path: str, data: bytes) -> None:
+        bucket, key = path.split("/", 1)
+        try:
+            client.put_object(Bucket=bucket, Key=key, Body=data, IfNoneMatch="*")
+        except ClientError as exc:
+            code = exc.response.get("Error", {}).get("Code")
+            if code in ("PreconditionFailed", "412"):
+                raise FileExistsError(path) from exc
+            raise
+
+    return put_if_absent
+
+
 def _is_local(spark, path: str) -> bool:
     from etl_hiscox_spark.operators.dedup import _meta_is_local
 

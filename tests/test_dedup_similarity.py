@@ -390,7 +390,7 @@ def test_minhash_index_roundtrip_probe(spark, tmp_path):
     old = spark.createDataFrame(old_rows, "doc_id long, text string")
     new = spark.createDataFrame(new_rows, "doc_id long, text string")
     path = str(tmp_path / "idx")
-    write_minhash_index(old, "text", "doc_id", path, num_hashes=24, num_bands=6)
+    write_minhash_index(old, "text", "doc_id", path, num_hashes=24, num_bands=6, generational=False)
 
     cand = probe_minhash_index(new, "text", "doc_id", path).collect()
     pairs = {(r["new_id"], r["dup_of"]) for r in cand}
@@ -411,7 +411,7 @@ def test_minhash_index_append_and_param_guard(spark, tmp_path):
     d1 = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
     d2 = spark.createDataFrame([(2, "p q r s t u v w")], "doc_id long, text string")
     path = str(tmp_path / "idx")
-    write_minhash_index(d1, "text", "doc_id", path, num_hashes=24, num_bands=6)
+    write_minhash_index(d1, "text", "doc_id", path, num_hashes=24, num_bands=6, generational=False)
     # append with matching params extends the index
     write_minhash_index(d2, "text", "doc_id", path, num_hashes=24, num_bands=6, mode="append")
     probe = spark.createDataFrame([(9, "p q r s t u v w")], "doc_id long, text string")
@@ -434,7 +434,7 @@ def test_minhash_index_rejects_unbandable_width(spark, tmp_path):
 
     d = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="divisible"):
-        write_minhash_index(d, "text", "doc_id", str(tmp_path / "idx"), num_hashes=24, num_bands=5)
+        write_minhash_index(d, "text", "doc_id", str(tmp_path / "idx"), num_hashes=24, num_bands=5, generational=False)
 
 
 def test_probe_unresolved_candidates_surface_as_null(spark, tmp_path):
@@ -446,7 +446,7 @@ def test_probe_unresolved_candidates_surface_as_null(spark, tmp_path):
     old = spark.createDataFrame([(0, base)], "doc_id long, text string")
     new = spark.createDataFrame([(101, base)], "doc_id long, text string")
     path = str(tmp_path / "idx")
-    write_minhash_index(old, "text", "doc_id", path)
+    write_minhash_index(old, "text", "doc_id", path, generational=False)
     # verify_df resolves only the NEW side — the old doc's counts are missing
     out = probe_minhash_index(new, "text", "doc_id", path, verify_df=new, threshold=0.5).collect()
     assert [(r["new_id"], r["dup_of"], r["jaccard"]) for r in out] == [(101, 0, None)]
@@ -475,18 +475,18 @@ def test_interrupted_index_overwrite_fails_loud(spark, tmp_path):
     old = spark.createDataFrame([(0, base)], "doc_id long, text string")
     new = spark.createDataFrame([(1, base)], "doc_id long, text string")
     path = str(tmp_path / "idx")
-    write_minhash_index(old, "text", "doc_id", path, num_hashes=24, num_bands=6)
+    write_minhash_index(old, "text", "doc_id", path, num_hashes=24, num_bands=6, generational=False)
     assert probe_minhash_index(new, "text", "doc_id", path).count() == 1
 
     # an overwrite that dies mid-flight: the signature build fails (bad
     # column) AFTER the protocol has already invalidated the meta
     with _pytest.raises(Exception):
-        write_minhash_index(old, "no_such_col", "doc_id", path, num_hashes=24, num_bands=6)
+        write_minhash_index(old, "no_such_col", "doc_id", path, num_hashes=24, num_bands=6, generational=False)
     with _pytest.raises(ValueError, match="no readable meta"):
         probe_minhash_index(new, "text", "doc_id", path)
 
     # recovery is a clean rebuild
-    write_minhash_index(old, "text", "doc_id", path, num_hashes=24, num_bands=6)
+    write_minhash_index(old, "text", "doc_id", path, num_hashes=24, num_bands=6, generational=False)
     assert probe_minhash_index(new, "text", "doc_id", path).count() == 1
 
 
@@ -513,7 +513,7 @@ def test_probe_with_verify_releases_owned_caches(spark, tmp_path):
         [(1, base.replace("kappa", "lambda"))], "doc_id long, text string"
     )
     path = str(tmp_path / "idx")
-    write_minhash_index(old, "text", "doc_id", path)
+    write_minhash_index(old, "text", "doc_id", path, generational=False)
 
     # id-SET comparison, not counts: the ContextCleaner may reap caches
     # an earlier test released with blocking=False at any moment, so an
@@ -861,10 +861,10 @@ def test_ivf_rebuild_clears_stale_partitions_under_dynamic_mode(spark, tmp_path)
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        write_ivf_index(big, path, "embedding", "vec_id", n_clusters=8, max_iter=2)
+        write_ivf_index(big, path, "embedding", "vec_id", n_clusters=8, max_iter=2, generational=False)
         # rebuild with a tiny corpus in fewer clusters — every old row and
         # every old cluster partition must be gone
-        write_ivf_index(small, path, "embedding", "vec_id", n_clusters=2, max_iter=2)
+        write_ivf_index(small, path, "embedding", "vec_id", n_clusters=2, max_iter=2, generational=False)
         back = spark.read.parquet(path)
         ids = {r["vec_id"] for r in back.select("vec_id").collect()}
         assert ids == {100 + i for i in range(8)}, (
@@ -905,7 +905,7 @@ def test_ivf_append_assignment_matches_kmeans_predict(spark, tmp_path):
     old = df.filter(F.col("vec_id") < 60)
     new = df.filter(F.col("vec_id") >= 60)
     path = str(tmp_path / "ivf")
-    centroids = write_ivf_index(old, path, "embedding", "vec_id", n_clusters=4, seed=7)
+    centroids = write_ivf_index(old, path, "embedding", "vec_id", n_clusters=4, seed=7, generational=False)
     assert np.allclose(load_ivf_centroids(spark, path), centroids)
 
     append_to_ivf_index(new, path, "embedding", "vec_id")
@@ -961,7 +961,7 @@ def test_ivf_append_rejects_malformed_embeddings(spark, tmp_path):
         "vec_id long, embedding array<float>",
     )
     path = str(tmp_path / "ivf")
-    write_ivf_index(df, path, "embedding", "vec_id", n_clusters=2, seed=1)
+    write_ivf_index(df, path, "embedding", "vec_id", n_clusters=2, seed=1, generational=False)
     n0 = spark.read.parquet(path).count()
 
     bad = spark.createDataFrame(
@@ -994,7 +994,7 @@ def test_write_ivf_index_explicit_centroids(spark, tmp_path):
         "vec_id long, embedding array<float>",
     )
     path = str(tmp_path / "ivf")
-    out = write_ivf_index(df, path, "embedding", "vec_id", centroids=C)
+    out = write_ivf_index(df, path, "embedding", "vec_id", centroids=C, generational=False)
     assert np.allclose(out, C)
     assert np.allclose(load_ivf_centroids(spark, path), C)
     back = {r["vec_id"]: r["__cluster"] for r in spark.read.parquet(path).collect()}
@@ -1007,7 +1007,7 @@ def test_write_ivf_index_explicit_centroids(spark, tmp_path):
         [(0, [1.0, 2.0]), (1, None)], "vec_id long, embedding array<float>"
     )
     with _pytest.raises(ValueError, match="NULL, empty, NaN"):
-        write_ivf_index(bad, str(tmp_path / "ivf_bad"), "embedding", "vec_id", centroids=C)
+        write_ivf_index(bad, str(tmp_path / "ivf_bad"), "embedding", "vec_id", centroids=C, generational=False)
 
 
 def test_compact_ivf_index_defragments_and_preserves_probe(spark, tmp_path):
@@ -1035,7 +1035,7 @@ def test_compact_ivf_index_defragments_and_preserves_probe(spark, tmp_path):
         )
 
     path = str(tmp_path / "ivf")
-    write_ivf_index(frame(range(40)), path, "embedding", "vec_id", n_clusters=4, max_iter=2)
+    write_ivf_index(frame(range(40)), path, "embedding", "vec_id", n_clusters=4, max_iter=2, generational=False)
     for k in range(3):
         append_to_ivf_index(frame(range(100 + 10 * k, 110 + 10 * k)), path, "embedding", "vec_id")
 
@@ -1100,7 +1100,7 @@ def test_compact_minhash_index_defragments_and_preserves_probe(spark, tmp_path):
 
     docs = _docs(spark)
     path = str(tmp_path / "mh")
-    write_minhash_index(docs.filter("doc_id IN (0, 1)"), "text", "doc_id", path)
+    write_minhash_index(docs.filter("doc_id IN (0, 1)"), "text", "doc_id", path, generational=False)
     write_minhash_index(
         docs.filter("doc_id IN (2, 3)"), "text", "doc_id", path, mode="append"
     )
@@ -1165,7 +1165,7 @@ def test_ivf_centroid_drift_detects_planted_drift(spark, tmp_path):
         )
 
     path = str(tmp_path / "ivf")
-    write_ivf_index(frame(base, 0), path, "embedding", "vec_id", centroids=C)
+    write_ivf_index(frame(base, 0), path, "embedding", "vec_id", centroids=C, generational=False)
 
     def expected_stats(mat32):
         m = np.asarray(mat32, dtype=np.float64)
@@ -1316,7 +1316,7 @@ def test_erase_from_ivf_index_touches_only_affected_partitions(spark, tmp_path):
         rows.append((i, [float(x) for x in C[c] + 0.1 * rng.standard_normal(4)]))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     path = str(tmp_path / "ivf")
-    write_ivf_index(df, path, "embedding", "vec_id", centroids=C)
+    write_ivf_index(df, path, "embedding", "vec_id", centroids=C, generational=False)
 
     def listing(cluster):
         d = os.path.join(path, f"__cluster={cluster}")
@@ -1373,7 +1373,7 @@ def test_erase_from_minhash_index_removes_fingerprints(spark, tmp_path):
     # index docs 0,1,2 (0 and 1 exact dups; 2 a near dup); probe with 5
     write_minhash_index(
         docs.filter("doc_id IN (0, 1, 2)"), "text", "doc_id", path,
-        num_hashes=24, num_bands=6,
+        num_hashes=24, num_bands=6, generational=False,
     )
     new = docs.filter("doc_id = 5")
     before = {r["dup_of"] for r in probe_minhash_index(new, "text", "doc_id", path).collect()}
@@ -1417,7 +1417,7 @@ def test_ivf_fragmentation_stats_tracks_appends_and_compaction(spark, tmp_path):
         )
 
     path = str(tmp_path / "ivf")
-    write_ivf_index(frame(range(30)), path, "embedding", "vec_id", n_clusters=3, max_iter=2)
+    write_ivf_index(frame(range(30)), path, "embedding", "vec_id", n_clusters=3, max_iter=2, generational=False)
     append_to_ivf_index(frame(range(100, 120)), path, "embedding", "vec_id")
 
     def disk_truth():
@@ -1500,7 +1500,7 @@ def test_index_maintenance_accepts_file_scheme_paths(spark, tmp_path):
 
     docs = _docs(spark)
     mh_path = "file://" + str(tmp_path / "mh")
-    write_minhash_index(docs.filter("doc_id IN (0, 1, 2)"), "text", "doc_id", mh_path)
+    write_minhash_index(docs.filter("doc_id IN (0, 1, 2)"), "text", "doc_id", mh_path, generational=False)
     write_minhash_index(
         docs.filter("doc_id = 4"), "text", "doc_id", mh_path, mode="append"
     )
@@ -1520,7 +1520,7 @@ def test_index_maintenance_accepts_file_scheme_paths(spark, tmp_path):
     ivf_path = "file://" + str(tmp_path / "ivf")
     write_ivf_index(
         emb.filter("vec_id < 20"), ivf_path, "embedding", "vec_id",
-        n_clusters=3, max_iter=2,
+        n_clusters=3, max_iter=2, generational=False,
     )
     append_to_ivf_index(emb.filter("vec_id >= 20"), ivf_path, "embedding", "vec_id")
     assert compact_ivf_index(spark, ivf_path) >= 1
@@ -1548,7 +1548,7 @@ def test_interrupted_minhash_maintenance_is_recoverable(spark, tmp_path, monkeyp
 
     docs = _docs(spark)
     path = str(tmp_path / "mh")
-    dedup.write_minhash_index(docs.filter("doc_id IN (0, 1)"), "text", "doc_id", path)
+    dedup.write_minhash_index(docs.filter("doc_id IN (0, 1)"), "text", "doc_id", path, generational=False)
     dedup.write_minhash_index(
         docs.filter("doc_id = 2"), "text", "doc_id", path, mode="append"
     )
@@ -1620,7 +1620,7 @@ def test_rebuild_ivf_index_drops_drift_below_trigger(spark, tmp_path):
                  ([-5, -5, 0, 0], [0, 0, -5, -5], [-5, 0, 0, -5])]
     path = str(tmp_path / "ivf")
     base = _clustered_frame(spark, rng, centers_a, range(60))
-    write_ivf_index(base, path, "embedding", "vec_id", n_clusters=3, max_iter=8)
+    write_ivf_index(base, path, "embedding", "vec_id", n_clusters=3, max_iter=8, generational=False)
     batch = _clustered_frame(spark, rng, centers_b, range(100, 140))
     append_to_ivf_index(batch, path, "embedding", "vec_id")
 
@@ -1675,7 +1675,7 @@ def test_rebuild_ivf_index_commit_protocol(spark, tmp_path, monkeypatch):
         "vec_id long, embedding array<float>",
     )
     path = str(tmp_path / "ivf")
-    sim.write_ivf_index(emb, path, "embedding", "vec_id", n_clusters=4, max_iter=2)
+    sim.write_ivf_index(emb, path, "embedding", "vec_id", n_clusters=4, max_iter=2, generational=False)
     qvec = [float(x) for x in rng.standard_normal(4)]
     before = [
         (r["vec_id"], round(r["cosine_sim"], 9))
@@ -1744,7 +1744,7 @@ def test_minhash_fragmentation_stats_tracks_appends_and_compaction(spark, tmp_pa
     with pytest.raises(ValueError, match="no readable meta"):
         minhash_fragmentation_stats(spark, path).collect()
 
-    write_minhash_index(docs.filter("doc_id IN (0, 1)"), "text", "doc_id", path)
+    write_minhash_index(docs.filter("doc_id IN (0, 1)"), "text", "doc_id", path, generational=False)
     write_minhash_index(
         docs.filter("doc_id IN (2, 3)"), "text", "doc_id", path, mode="append"
     )
@@ -1796,7 +1796,7 @@ def test_quantized_ivf_layout_probe_matches_quantized_topk(spark, tmp_path):
     path = str(tmp_path / "ivf")
     write_ivf_index(
         emb.filter("vec_id < 50"), path, "embedding", "vec_id",
-        n_clusters=4, max_iter=2, quantize=True,
+        n_clusters=4, max_iter=2, quantize=True, generational=False,
     )
     cols = set(spark.read.parquet(path).columns)
     assert {"__codes", "__qscale", "__cluster"} <= cols
@@ -1827,7 +1827,7 @@ def test_quantized_ivf_layout_probe_matches_quantized_topk(spark, tmp_path):
 
     plain = str(tmp_path / "plain")
     write_ivf_index(
-        emb, plain, "embedding", "vec_id", n_clusters=2, max_iter=2
+        emb, plain, "embedding", "vec_id", n_clusters=2, max_iter=2, generational=False
     )
     with pytest.raises(ValueError, match="__codes"):
         ivf_probe_topk_quantized(spark, plain, "embedding", "vec_id", qvec)
@@ -1846,7 +1846,7 @@ def test_quantized_ivf_stage1_scan_prunes_embedding_column(spark, tmp_path):
     )
     path = str(tmp_path / "ivf")
     write_ivf_index(emb, path, "embedding", "vec_id", n_clusters=4, max_iter=2,
-                    quantize=True)
+                    quantize=True, generational=False)
     # the probe's stage-1 frame, reconstructed for explain (the operator
     # collects the shortlist eagerly, so gate the plan on its exact shape)
     idx = spark.read.parquet(path)
@@ -1886,7 +1886,7 @@ def test_quantized_layout_survives_maintenance_lifecycle(spark, tmp_path):
     path = str(tmp_path / "ivf_q")
     write_ivf_index(
         emb.filter("vec_id < 60"), path, "embedding", "vec_id",
-        n_clusters=3, max_iter=2, quantize=True,
+        n_clusters=3, max_iter=2, quantize=True, generational=False,
     )
     append_to_ivf_index(emb.filter("vec_id >= 60"), path, "embedding", "vec_id")
 
@@ -1957,7 +1957,7 @@ def test_rebuild_minhash_index_rebands_live_index(spark, tmp_path):
         [(101, base.replace("kappa", "lambda"))], "doc_id long, text string"
     )
     path = str(tmp_path / "idx")
-    write_minhash_index(corpus, "text", "doc_id", path, num_hashes=24, num_bands=6)
+    write_minhash_index(corpus, "text", "doc_id", path, num_hashes=24, num_bands=6, generational=False)
     assert {(r["new_id"], r["dup_of"])
             for r in probe_minhash_index(probe, "text", "doc_id", path).collect()
             } == {(101, 0)}
@@ -2028,7 +2028,7 @@ def _mh_index(spark, tmp_path, name="mh"):
 
     path = str(tmp_path / name)
     docs = _mh_corpus(spark)
-    write_minhash_index(docs, "text", "doc_id", path, num_hashes=24, num_bands=6)
+    write_minhash_index(docs, "text", "doc_id", path, num_hashes=24, num_bands=6, generational=False)
     return path, docs
 
 
@@ -2069,7 +2069,7 @@ def test_recover_staged_rebuild_after_stage_rolls_back(spark, tmp_path):
     path, docs = _mh_index(spark, tmp_path)
     # simulate: a complete stage AND an incomplete one (meta missing)
     write_minhash_index(docs, "text", "doc_id", path + "__rebuild",
-                        num_hashes=32, num_bands=8)
+                        num_hashes=32, num_bands=8, generational=False)
     assert recover_staged_rebuild(spark, path) == "rolled_back_stage"
     assert not os.path.exists(path + "__rebuild")
     assert _read_index_meta(spark, path) == (24, 6, 3)  # old params live
@@ -2091,7 +2091,7 @@ def test_recover_staged_rebuild_between_renames_completes(spark, tmp_path):
 
     path, docs = _mh_index(spark, tmp_path)
     write_minhash_index(docs, "text", "doc_id", path + "__rebuild",
-                        num_hashes=32, num_bands=8)
+                        num_hashes=32, num_bands=8, generational=False)
     os.rename(path, path + "__old")  # first rename landed, then crash
     assert recover_staged_rebuild(spark, path) == "completed_swap"
     assert not os.path.exists(path + "__old")
@@ -2167,10 +2167,10 @@ def test_recover_staged_rebuild_ivf_layout(spark, tmp_path):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     path = str(tmp_path / "ivf")
     planes = random_hyperplanes(dim=8, n_planes=4, seed=3)
-    write_ivf_index(emb, path, "embedding", "vec_id", centroids=planes)
+    write_ivf_index(emb, path, "embedding", "vec_id", centroids=planes, generational=False)
     # stage a complete retrained index, then crash between the renames
     write_ivf_index(emb, path + "__rebuild", "embedding", "vec_id",
-                    n_clusters=4, seed=5, max_iter=3)
+                    n_clusters=4, seed=5, max_iter=3, generational=False)
     os.rename(path, path + "__old")
     assert recover_staged_rebuild(spark, path) == "completed_swap"
     C = load_ivf_centroids(spark, path)

@@ -32,10 +32,10 @@ def _stores(spark, tmp_path):
     t.write(df.select("doc_id", "text").filter("doc_id >= 10"), mode="append")
 
     ivf = str(tmp_path / "ivf")
-    write_ivf_index(df, ivf, "embedding", "doc_id", n_clusters=3, max_iter=2)
+    write_ivf_index(df, ivf, "embedding", "doc_id", n_clusters=3, max_iter=2, generational=False)
 
     mh = str(tmp_path / "mh")
-    write_minhash_index(df, "text", "doc_id", mh)
+    write_minhash_index(df, "text", "doc_id", mh, generational=False)
     return base, txn, ivf, mh
 
 

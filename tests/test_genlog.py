@@ -136,7 +136,7 @@ def test_minhash_generational_crash_before_pointer_leaves_old_live(spark, tmp_pa
     # new index tree exists under the root but no pointer names it
     stage = genlog._join(root, genlog.new_generation_name())
     write_minhash_index(docs.filter("doc_id < 5"), "text", "doc_id", stage,
-                        num_hashes=32, num_bands=8)
+                        num_hashes=32, num_bands=8, generational=False)
     assert genlog.current_generation(spark, root) == (v_before, gen_before)
     assert _probe_pairs(spark, root, docs) == pairs_before
     # the default retention window protects a possibly-in-flight stage...
@@ -231,7 +231,7 @@ def test_generational_build_rejects_flat_debris(spark, tmp_path):
 
     docs = _docs(spark)
     flat = str(tmp_path / "mh_flat")
-    write_minhash_index(docs, "text", "doc_id", flat)
+    write_minhash_index(docs, "text", "doc_id", flat, generational=False)
     with pytest.raises(ValueError, match="strand a flat index"):
         write_minhash_index(docs, "text", "doc_id", flat, generational=True)
     # migration folds the flat tree into generation 0; probes keep working
@@ -246,7 +246,7 @@ def test_generational_build_rejects_flat_debris(spark, tmp_path):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     ivf_flat = str(tmp_path / "ivf_flat")
     planes = random_hyperplanes(dim=4, n_planes=3, seed=1)
-    write_ivf_index(emb, ivf_flat, "embedding", "vec_id", centroids=planes)
+    write_ivf_index(emb, ivf_flat, "embedding", "vec_id", centroids=planes, generational=False)
     with pytest.raises(ValueError, match="strand a flat index"):
         write_ivf_index(
             emb, ivf_flat, "embedding", "vec_id", centroids=planes, generational=True
@@ -389,13 +389,13 @@ def test_generational_build_rejects_cross_layout_debris(spark, tmp_path):
     planes = random_hyperplanes(dim=4, n_planes=3, seed=1)
 
     mh_root = str(tmp_path / "mh")
-    write_minhash_index(docs, "text", "doc_id", mh_root)
+    write_minhash_index(docs, "text", "doc_id", mh_root, generational=False)
     with pytest.raises(ValueError, match="strand a flat index"):
         write_ivf_index(emb, mh_root, "embedding", "vec_id",
                         centroids=planes, generational=True)
 
     ivf_root = str(tmp_path / "ivf")
-    write_ivf_index(emb, ivf_root, "embedding", "vec_id", centroids=planes)
+    write_ivf_index(emb, ivf_root, "embedding", "vec_id", centroids=planes, generational=False)
     with pytest.raises(ValueError, match="strand a flat index"):
         write_minhash_index(docs, "text", "doc_id", ivf_root, generational=True)
 
@@ -415,7 +415,7 @@ def test_migrate_flat_index_recovers_from_every_crash_window(spark, tmp_path):
 
     docs = _docs(spark)
     root = str(tmp_path / "mh")
-    write_minhash_index(docs, "text", "doc_id", root)
+    write_minhash_index(docs, "text", "doc_id", root, generational=False)
     pairs = _probe_pairs(spark, root, docs)
 
     # crash window 1: gen dir created, only ONE entry moved
@@ -428,7 +428,7 @@ def test_migrate_flat_index_recovers_from_every_crash_window(spark, tmp_path):
 
     # crash window 2: everything moved, pointer commit never ran
     root2 = str(tmp_path / "mh2")
-    write_minhash_index(docs, "text", "doc_id", root2)
+    write_minhash_index(docs, "text", "doc_id", root2, generational=False)
     gen2 = "gen-bbbbbbbbbbbb"
     os.makedirs(os.path.join(root2, gen2))
     for entry in list(os.listdir(root2)):
@@ -439,11 +439,65 @@ def test_migrate_flat_index_recovers_from_every_crash_window(spark, tmp_path):
 
     # two adoptable gen dirs and no pointer: refuse, never guess
     root3 = str(tmp_path / "mh3")
-    write_minhash_index(docs, "text", "doc_id", root3)
+    write_minhash_index(docs, "text", "doc_id", root3, generational=False)
     shutil.copytree(os.path.join(root3, "buckets"), os.path.join(root3, "gen-x1/buckets"))
     shutil.copytree(os.path.join(root3, "buckets"), os.path.join(root3, "gen-x2/buckets"))
     with pytest.raises(ValueError, match="gen-\\* dirs but no pointer"):
         migrate_flat_index_to_generational(spark, root3)
+
+    # crash window 3 (ADVICE r12): pointer commit itself crashed AFTER
+    # creating _gen_log, BEFORE linking v0 — is_generational is True with
+    # an empty log; re-running migrate must adopt, not raise "already
+    # generational" (and reads must work after, not demand manual cleanup)
+    root4 = str(tmp_path / "mh4")
+    write_minhash_index(docs, "text", "doc_id", root4, generational=False)
+    gen4 = "gen-dddddddddddd"
+    os.makedirs(os.path.join(root4, gen4))
+    for entry in list(os.listdir(root4)):
+        if entry != gen4:
+            os.rename(os.path.join(root4, entry), os.path.join(root4, gen4, entry))
+    os.makedirs(os.path.join(root4, "_gen_log"))  # the crashed commit's debris
+    assert genlog.is_generational(spark, root4)
+    with pytest.raises(ValueError, match="no committed pointer"):
+        genlog.current_generation(spark, root4)
+    assert migrate_flat_index_to_generational(spark, root4) == gen4
+    assert genlog.current_generation(spark, root4)[0] == 0
+    assert _probe_pairs(spark, root4, docs) == pairs
+
+
+def test_default_build_layout_is_generational(spark, tmp_path):
+    """r13 (VERDICT r12 item 3): a bare build — no layout flag — must
+    produce the object-store-safe generation-pointer layout for BOTH
+    index kinds; generational=False still builds the legacy flat tree."""
+    from etl_hiscox_spark.operators.dedup import write_minhash_index
+    from etl_hiscox_spark.operators.similarity import ivf_probe_topk, write_ivf_index
+    from etl_hiscox_spark.sources import genlog
+
+    docs = _docs(spark)
+    root = str(tmp_path / "mh_default")
+    write_minhash_index(docs, "text", "doc_id", root)
+    assert genlog.is_generational(spark, root)
+    assert [g["operation"] for g in genlog.list_generations(spark, root)] == ["build"]
+    assert _probe_pairs(spark, root, docs)
+
+    rng = np.random.default_rng(7)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    ivf_root = str(tmp_path / "ivf_default")
+    write_ivf_index(emb, ivf_root, "embedding", "vec_id", n_clusters=4, max_iter=2)
+    assert genlog.is_generational(spark, ivf_root)
+    q = [float(x) for x in rng.standard_normal(8)]
+    out = ivf_probe_topk(
+        spark, ivf_root, None, "embedding", "vec_id", q, k=3, n_probe=4
+    )
+    assert out.count() == 3
+
+    flat_root = str(tmp_path / "mh_flat")
+    write_minhash_index(docs, "text", "doc_id", flat_root, generational=False)
+    assert not genlog.is_generational(spark, flat_root)
+    assert os.path.isdir(os.path.join(flat_root, "buckets"))
 
 
 def test_generational_probe_keeps_partition_pruning(spark, tmp_path):

@@ -299,7 +299,7 @@ def test_streaming_ingest_probes_minhash_index(spark, tmp_path):
     hist = spark.createDataFrame([(0, base)], "doc_id long, text string")
     idx = str(tmp_path / "idx")
     corpus = str(tmp_path / "corpus")
-    write_minhash_index(hist, "text", "doc_id", idx, num_hashes=24, num_bands=6)
+    write_minhash_index(hist, "text", "doc_id", idx, num_hashes=24, num_bands=6, generational=False)
     hist.write.mode("overwrite").parquet(corpus)
 
     inbox = tmp_path / "inbox"
@@ -379,7 +379,7 @@ def test_streaming_ingest_appends_ivf_index(spark, tmp_path):
     rows = [(i, [float(x) for x in vecs[i]]) for i in range(90)]
     hist = spark.createDataFrame(rows[:30], "vec_id long, embedding array<float>")
     idx = str(tmp_path / "ivf")
-    write_ivf_index(hist, idx, "embedding", "vec_id", n_clusters=4, seed=3)
+    write_ivf_index(hist, idx, "embedding", "vec_id", n_clusters=4, seed=3, generational=False)
 
     inbox = tmp_path / "vin"
     inbox.mkdir()
