@@ -138,8 +138,30 @@ def commit_if_absent(spark, uri: str, data: bytes) -> None:
             f.write(data)
         try:
             filesystem.move(tmp, final)
-        except OSError as exc:  # rename refused: destination exists
-            filesystem.delete_file(tmp)
+        except OSError as exc:
+            # Disambiguate before reporting (r13 review): a rename OSError
+            # is NOT always "destination exists" — quota/permission/network
+            # errors must surface as themselves, and the
+            # rename-landed-but-client-errored case must NOT be reported
+            # as a race (the OCC caller would then re-commit the same
+            # staged batch at the next version and double-count its rows).
+            try:
+                info = filesystem.get_file_info(final)
+                landed = info.type != pafs.FileType.NotFound
+                content = None
+                if landed:
+                    with filesystem.open_input_file(final) as f:
+                        content = f.read()
+            except OSError:
+                landed, content = False, None
+            try:
+                filesystem.delete_file(tmp)
+            except OSError:
+                pass  # tmp may have been consumed by a landed rename
+            if not landed:
+                raise  # transient failure, not a race — surface it
+            if content == data:
+                return  # our rename actually landed; the commit is real
             raise FileExistsError(
                 f"commit record {uri!r} already committed — concurrent "
                 "commit race; re-resolve the log head and re-run"

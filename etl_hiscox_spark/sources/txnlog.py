@@ -255,12 +255,18 @@ class TxnTable:
 
     def _write_checkpoint(self, version: int) -> None:
         """Record ``version`` as a known-committed head hint (tmp +
-        atomic-replace: last-writer-wins is CORRECT here — every writer
-        records a version it itself committed, and readers probe forward
-        from whatever they find). Failures are swallowed by design: the
-        commit this hint describes has already landed, and a missing
-        checkpoint costs the next reader one LIST, never a wrong head —
-        failing the writer over a lost hint would be backwards."""
+        replace: last-writer-wins is CORRECT here — every writer records
+        a version it itself committed, and readers probe forward from
+        whatever they find). The pyarrow replace handles HDFS rename
+        semantics (refuses an existing destination, r13 review): move
+        first — atomic where the store supports replace — and on refusal
+        delete the old hint and move again; the instant with no
+        checkpoint on disk just means one LIST fallback, never a wrong
+        head. Failures are swallowed by design for the opportunistic
+        per-commit refresh: the commit this hint describes has already
+        landed, and failing the writer over a lost hint would be
+        backwards. :meth:`expire_versions` — where the advance is a
+        correctness PREcondition — verifies the result itself."""
         record = json.dumps({"version": int(version)}).encode("utf-8")
         final, tmp = self._ckpt_paths()
         try:
@@ -270,10 +276,57 @@ class TxnTable:
                 os.replace(tmp, final)
                 return
             filesystem, _ = self._fs()
-            with filesystem.open_output_stream(tmp) as f:
-                f.write(record)
+            self._fs_replace(filesystem, tmp, final, record)
+        except OSError:
+            pass
+
+    def _fs_replace(self, filesystem, tmp: str, final: str, data: bytes) -> None:
+        """Write ``data`` at ``final`` via staged tmp + move, replacing
+        any existing file, through ``pyarrow.fs``. Local rename and S3
+        copy+delete overwrite in one step; HDFS rename REFUSES an
+        existing destination (the commitio semantics), so on that
+        refusal the old file is deleted and the move retried — a brief
+        absence window the two callers tolerate by contract (checkpoint:
+        LIST fallback; erase repoint: documented maintenance window).
+        The staged tmp is cleaned up on failure, never leaked."""
+        from pyarrow import fs as pafs
+
+        with filesystem.open_output_stream(tmp) as f:
+            f.write(data)
+        try:
+            filesystem.move(tmp, final)
+            return
+        except OSError:
+            if filesystem.get_file_info(final).type == pafs.FileType.NotFound:
+                # not a rename-refusal: surface the real error, drop tmp
+                try:
+                    filesystem.delete_file(tmp)
+                finally:
+                    pass
+                raise
+        try:
+            filesystem.delete_file(final)
             filesystem.move(tmp, final)
         except OSError:
+            try:
+                filesystem.delete_file(tmp)
+            except OSError:
+                pass
+            raise
+
+    def _drop_checkpoint(self) -> None:
+        """Remove the head hint entirely — readers fall back to the full
+        LIST, which is always correct (expire's refusal path)."""
+        final, _ = self._ckpt_paths()
+        if self._use_os:
+            try:
+                os.remove(final)
+            except FileNotFoundError:
+                pass
+            return
+        try:
+            self._fs()[0].delete_file(final)
+        except (OSError, FileNotFoundError):
             pass
 
     def _read_checkpoint(self) -> int | None:
@@ -293,6 +346,20 @@ class TxnTable:
             return None
 
     # -- write path ----------------------------------------------------------
+
+    def _precheck_append_schema(self, df: DataFrame, mode: str) -> None:
+        """Fail an incompatible append BEFORE the batch is staged (r13
+        review): the authoritative merge runs inside the OCC commit loop,
+        but by then a full distributed write has already landed under
+        ``data/`` — a misconfigured producer would pay that write and
+        strand an orphan batch dir on every rejected attempt. Advisory
+        only (the head can move before the commit); raises the same
+        ValueError the committed-path merge would."""
+        if mode != "append":
+            return
+        prev = self.latest_version()
+        if prev is not None:
+            _merge_schema_json(self._read_manifest(prev)["schema"], df.schema.json())
 
     def _write_batch(self, df: DataFrame, prefix: str) -> list[str]:
         """Write ``df`` into a fresh uuid batch dir under ``data/`` and
@@ -342,6 +409,7 @@ class TxnTable:
         uuid dirs, so the merge is conflict-free, Delta's AddFile logic),
         and retries at version+1, up to ``max_commit_attempts``.
         """
+        self._precheck_append_schema(df, mode)
         new_files = self._write_batch(df, "batch")
         v = self._commit_files(
             new_files, df.schema.json(), mode, txn, operation, None,
@@ -530,6 +598,21 @@ class TxnTable:
         if not victims:
             return 0
         self._write_checkpoint(versions[-1])
+        if self._read_checkpoint() != versions[-1]:
+            # the advance is a correctness PREcondition here, not an
+            # opportunistic hint (r13 review): a stale checkpoint inside
+            # the soon-deleted range would make the forward probe see a
+            # gap and under-report the head. If the advance did not land,
+            # drop the hint (LIST fallback is always correct); if even
+            # the drop fails, REFUSE to expire rather than delete
+            # manifests a stale hint still points into.
+            self._drop_checkpoint()
+            if self._read_checkpoint() is not None:
+                raise RuntimeError(
+                    f"expire_versions at {self.path!r}: could not advance "
+                    "or remove the head checkpoint — refusing to delete "
+                    "manifests a stale checkpoint may point into"
+                )
         for v in victims:
             if self._use_os:
                 os.remove(os.path.join(self.log_dir, f"v{v}.json"))
@@ -586,6 +669,7 @@ class TxnTable:
         last = self.last_txn_version(app_id)
         if last is not None and txn_version <= last:
             return False
+        self._precheck_append_schema(df, mode)
         new_files = self._write_batch(df, "batch")
         v = self._commit_files(
             new_files, df.schema.json(), mode, {app_id: txn_version}, None,
@@ -803,12 +887,16 @@ class TxnTable:
                 hit = scan.filter(F.col(key_col).isin(keys)).select(
                     F.input_file_name().alias("__file")
                 )
-            # input_file_name() is a URL-encoded URI whose path component
-            # is in the OWNING filesystem's native form — relativize
-            # against the resolved base, not the (possibly URI) root
-            base = self.path if self._use_os else self._fs()[1]
+            # input_file_name() is a URL-encoded URI; the table-relative
+            # path is ALWAYS its last three components (data/<uuid-batch>/
+            # <part-file> — the one layout _write_batch defines), which
+            # sidesteps base-path arithmetic entirely: pyarrow's S3 base
+            # is 'bucket/prefix' while urlparse().path is '/prefix/...'
+            # (bucket in the netloc), so a relpath against the base
+            # produced '../..' garbage that matched no manifest entry —
+            # a silent GDPR erase no-op on S3-class roots (r13 review)
             return {
-                os.path.relpath(unquote(urlparse(r[0]).path), base)
+                "/".join(unquote(urlparse(r[0]).path).split("/")[-3:])
                 for r in hit.select("__file").distinct().collect()
             }
 
@@ -858,12 +946,15 @@ class TxnTable:
 
     def _replace_manifest(self, version: int, manifest: dict) -> None:
         """IN-PLACE manifest update (erase repointing only — commits go
-        through the create-if-absent :meth:`_commit`): tmp + atomic
-        replace locally/HDFS; on S3-class stores pyarrow's move is
-        copy+delete, which overwrites via one PUT — readers see the old
-        or the new manifest, never a torn one (per-object PUT atomicity
-        is the S3 guarantee erase relies on; the RACE guarantee only
-        commits need comes from commit_if_absent)."""
+        through the create-if-absent :meth:`_commit`): tmp + replace.
+        Atomic where the store replaces in one step (local rename, S3
+        single-PUT copy); on HDFS — whose rename refuses an existing
+        destination — :meth:`_fs_replace` deletes the old manifest and
+        moves the new one in, a brief absence window during which a
+        concurrent time-travel read of THIS version fails loudly and
+        retries (erase is a stop-the-world compliance op, the same
+        reader contract as Delta's REORG). The RACE guarantee only
+        commits need comes from commit_if_absent."""
         data = json.dumps(manifest).encode("utf-8")
         if self._use_os:
             tmp = os.path.join(self.log_dir, f".v{version}.erase.tmp")
@@ -873,10 +964,12 @@ class TxnTable:
             return
         filesystem, _ = self._fs()
         log_path = self._fs_log_path()
-        tmp = f"{log_path}/.v{version}.erase.{uuid.uuid4().hex}.tmp"
-        with filesystem.open_output_stream(tmp) as fh:
-            fh.write(data)
-        filesystem.move(tmp, f"{log_path}/v{version}.json")
+        self._fs_replace(
+            filesystem,
+            f"{log_path}/.v{version}.erase.{uuid.uuid4().hex}.tmp",
+            f"{log_path}/v{version}.json",
+            data,
+        )
 
     def _delete_data_file(self, rel: str) -> None:
         if self._use_os:

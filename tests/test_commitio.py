@@ -33,6 +33,9 @@ class _FakeHdfs:
     def open_output_stream(self, p):
         return self._fs.open_output_stream(p)
 
+    def open_input_file(self, p):
+        return self._fs.open_input_file(p)
+
     def delete_file(self, p):
         self._fs.delete_file(p)
 
@@ -157,3 +160,43 @@ def test_rerun_on_generation_conflict_bounded(spark):
         return "done"
 
     assert rerun_on_generation_conflict(succeeds_second_try, attempts=2) == "done"
+
+
+def test_hdfs_transient_move_error_surfaces_as_itself(spark, tmp_path, monkeypatch):
+    """r13 review: a move OSError with NO landed destination is a
+    transient failure (quota/permission/network), not a commit race —
+    it must surface as OSError, never FileExistsError (which the OCC
+    caller would treat as retryable)."""
+    from etl_hiscox_spark.sources import listing
+
+    fake = _FakeHdfs()
+    monkeypatch.setattr(listing, "_resolve_fs", _mock_resolver(fake, tmp_path))
+
+    def broken_move(src, dst):
+        raise OSError("quota exceeded")
+
+    monkeypatch.setattr(fake, "move", broken_move)
+    with pytest.raises(OSError, match="quota exceeded"):
+        commitio.commit_if_absent(spark, "mock://bucket/log/v0.json", b"x")
+    # staged tmp cleaned up, nothing landed
+    assert sorted(os.listdir(tmp_path / "log")) == []
+
+
+def test_hdfs_rename_landed_but_client_errored_is_success(spark, tmp_path, monkeypatch):
+    """r13 review: when the rename actually landed server-side but the
+    client got an error, reporting a race would make the OCC caller
+    re-commit the same staged batch at the next version (double-counted
+    rows). Landed-with-our-content == success."""
+    from etl_hiscox_spark.sources import listing
+
+    fake = _FakeHdfs()
+    monkeypatch.setattr(listing, "_resolve_fs", _mock_resolver(fake, tmp_path))
+    real_move = fake.move
+
+    def flaky_move(src, dst):
+        real_move(src, dst)  # the rename lands...
+        raise OSError("client timeout")  # ...but the client errors
+
+    monkeypatch.setattr(fake, "move", flaky_move)
+    commitio.commit_if_absent(spark, "mock://bucket/log/v0.json", b"mine")
+    assert (tmp_path / "log" / "v0.json").read_bytes() == b"mine"

@@ -42,6 +42,20 @@ def forbid_os_manifest_io(monkeypatch):
         guard(os, name)
     for name in ("getsize", "getmtime"):
         guard(os.path, name)
+
+    # os.path.exists is guarded only for MANIFEST/checkpoint files — the
+    # _manifest_exists head-read probe is the hot path that must not
+    # silently regress to the os branch (r13 review); bare-dir exists
+    # calls from os.makedirs inside the allowed commit path stay legal.
+    real_exists = os.path.exists
+
+    def guarded_exists(p):
+        s = str(p)
+        if marker in s and (s.endswith(".json") or s.endswith("_last_checkpoint")):
+            raise AssertionError(f"os.path.exists probed a URI txn manifest: {p}")
+        return real_exists(p)
+
+    monkeypatch.setattr(os.path, "exists", guarded_exists)
     return marker
 
 
@@ -206,3 +220,93 @@ def test_torn_checkpoint_falls_back_to_list(spark, tmp_path):
         f.write('{"vers')  # torn write survivor
     assert t.latest_version() == 1
     assert t.last_head_resolution["mode"] == "list"
+
+
+def test_fs_replace_handles_rename_refusing_store(spark, tmp_path):
+    """r13 review: checkpoint refresh and erase repointing REPLACE an
+    existing file; HDFS rename refuses an existing destination, so
+    _fs_replace must fall back to delete+move there — before the fix
+    every checkpoint refresh after the first silently failed on HDFS
+    and GDPR erase crashed at its first manifest repoint."""
+    from pyarrow import fs as pafs
+
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    class RefusingFs:  # HDFS rename semantics over the local fs
+        def __init__(self):
+            self._fs = pafs.LocalFileSystem()
+
+        def open_output_stream(self, p):
+            return self._fs.open_output_stream(p)
+
+        def get_file_info(self, p):
+            return self._fs.get_file_info(p)
+
+        def delete_file(self, p):
+            self._fs.delete_file(p)
+
+        def move(self, src, dst):
+            if self._fs.get_file_info(dst).type != pafs.FileType.NotFound:
+                raise OSError(f"rename destination exists: {dst}")
+            self._fs.move(src, dst)
+
+    t = TxnTable(spark, "file://" + str(tmp_path / "tbl"))
+    fake = RefusingFs()
+    final = str(tmp_path / "f.json")
+    t._fs_replace(fake, str(tmp_path / ".f.1.tmp"), final, b"one")
+    t._fs_replace(fake, str(tmp_path / ".f.2.tmp"), final, b"two")  # replace
+    assert open(final, "rb").read() == b"two"
+    assert sorted(os.listdir(tmp_path)) == ["f.json"]  # no tmp debris
+
+
+def test_expire_refuses_when_checkpoint_cannot_advance(spark, tmp_path, monkeypatch):
+    """r13 review: expire's checkpoint advance is a correctness
+    precondition, not a hint — if the advance fails, the hint is dropped
+    (LIST fallback, always correct); if even the drop fails, expire must
+    REFUSE rather than delete manifests a stale hint points into."""
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "tbl"), checkpoint_interval=10)
+    t.write(_events(spark, 0, 5))
+    schema = t._read_manifest(0)["schema"]
+    files = t._read_manifest(0)["files"]
+    for v in range(1, 13):
+        t._commit(v, {"version": v, "mode": "append", "files": files, "schema": schema})
+    assert t._read_checkpoint() == 10
+
+    # advance fails -> hint dropped -> expiry proceeds, head via LIST
+    monkeypatch.setattr(t, "_write_checkpoint", lambda v: None)
+    assert t.expire_versions(keep_last=1) == 12
+    assert t._read_checkpoint() is None
+    assert t.latest_version() == 12
+    assert t.last_head_resolution["mode"] == "list"
+
+    # advance AND drop fail -> refuse loudly, nothing deleted
+    t2 = TxnTable(spark, str(tmp_path / "tbl2"), checkpoint_interval=5)
+    t2.write(_events(spark, 0, 5))
+    for v in range(1, 7):
+        t2._commit(v, {"version": v, "mode": "append", "files": files, "schema": schema})
+    assert t2._read_checkpoint() == 5
+    monkeypatch.setattr(t2, "_write_checkpoint", lambda v: None)
+    monkeypatch.setattr(t2, "_drop_checkpoint", lambda: None)
+    with pytest.raises(RuntimeError, match="refusing to delete"):
+        t2.expire_versions(keep_last=1)
+    assert t2._versions() == list(range(7))  # nothing expired
+
+
+def test_append_schema_precheck_rejects_before_staging(spark, tmp_path):
+    """r13 review: an incompatible append must fail BEFORE the batch is
+    written — no orphan batch dir per rejected attempt."""
+    import pytest as _pytest
+
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.write(_events(spark, 0, 5))
+    batches_before = sorted(os.listdir(tmp_path / "tbl" / "data"))
+    bad = spark.createDataFrame(
+        [("x", "t", 1.0)], "event_id string, event_type string, value double"
+    )
+    with _pytest.raises(ValueError, match="incompatible with the committed schema"):
+        t.write(bad)
+    assert sorted(os.listdir(tmp_path / "tbl" / "data")) == batches_before
