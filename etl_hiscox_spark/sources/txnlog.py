@@ -728,6 +728,28 @@ class TxnTable:
         """Commit log, oldest first (Delta DESCRIBE HISTORY shape)."""
         return [self._read_manifest(v) for v in self._versions()]
 
+    def version_as_of(self, timestamp: float) -> int:
+        """Newest version whose commit landed at or before ``timestamp``
+        (unix seconds) — Delta's ``timestampAsOf`` resolution, the audit
+        question "what did the table say at 3pm?". Loud when the
+        timestamp predates every SURVIVING commit: after retention the
+        honest answer is "expired", never silently the oldest remaining
+        version (Delta errors the same way)."""
+        best = None
+        for v in self._versions():
+            if self._read_manifest(v)["committed_at"] <= timestamp:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no committed version at or before timestamp {timestamp!r} "
+                f"at {self.path} — older history may have been expired"
+            )
+        return best
+
+    def read_as_of(self, timestamp: float) -> DataFrame:
+        """Snapshot read at a wall-clock instant (``timestampAsOf``)."""
+        return self.read(self.version_as_of(timestamp))
+
     def vacuum(self, min_age_seconds: float = 600.0) -> int:
         """Delete data files no longer referenced by ANY version's manifest.
         Returns the number removed. This reclaims both crash orphans

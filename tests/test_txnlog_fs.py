@@ -310,3 +310,27 @@ def test_append_schema_precheck_rejects_before_staging(spark, tmp_path):
     with _pytest.raises(ValueError, match="incompatible with the committed schema"):
         t.write(bad)
     assert sorted(os.listdir(tmp_path / "tbl" / "data")) == batches_before
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    """Delta's timestampAsOf analog: resolve the newest commit at or
+    before the instant; predating every surviving commit is loud."""
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.write(_events(spark, 0, 10))
+    t0 = t._read_manifest(0)["committed_at"]
+    t.write(_events(spark, 10, 15))
+    t1 = t._read_manifest(1)["committed_at"]
+    assert t.version_as_of(t0) == 0
+    assert t.version_as_of((t0 + t1) / 2) == 0
+    assert t.version_as_of(t1 + 1) == 1
+    assert t.read_as_of(t0).count() == 10
+    assert t.read_as_of(t1).count() == 15
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        t.version_as_of(t0 - 1)
+    # after expiry, a pre-retention instant is "expired", never silently
+    # served the oldest surviving version
+    t.expire_versions(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        t.version_as_of(t0)
