@@ -945,6 +945,7 @@ def write_minhash_index(
     shingle_k: int = 3,
     mode: str = "overwrite",
     generational: bool = True,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """Persist the banded LSH bucket table as the near-dedup index.
 
@@ -968,20 +969,30 @@ def write_minhash_index(
     committed maintenance, driver-local only) — kept readable and
     maintainable forever; :func:`migrate_flat_index_to_generational`
     upgrades it in place. A root that is already generational stays
-    generational regardless of the flag; appends land inside the live
-    generation (a plain parquet append — already portable).
+    generational regardless of the flag.
 
-    APPEND-vs-MAINTENANCE race (ADVICE r12, documented contract):
-    ``mode="append"`` writes INTO the committed live generation in
-    place, with no base-version guard — appends are deliberately not
-    OCC-protected like maintenance ops (staging a full generation per
-    daily batch would copy the index every day). A maintenance op
-    (compact/erase/rebuild) that STAGED from the pre-append snapshot and
-    commits after the append flips the pointer to a generation without
-    the appended rows — the append is silently superseded. Schedule
-    appends and maintenance from one coordinator (the same discipline
-    Delta requires for concurrent OPTIMIZE vs append on unpartitioned
-    tables), or re-probe/re-append after maintenance windows.
+    OCC APPENDS (r13; closes the ADVICE r12 lost-append race): on a
+    generational root ``mode="append"`` stages the batch's buckets as a
+    self-contained DELTA segment (``gen-*`` with its own buckets + meta)
+    and commits it with a pointer flip whose ``segments`` list = the
+    head's segments plus the delta (:func:`genlog.append_segment`) — so
+    a compact/erase/rebuild staged from the pre-append snapshot now
+    COLLIDES on the version instead of silently dropping the appended
+    rows, committed generations stay immutable (a concurrent maintenance
+    read can never observe a half-written bucket file), and a lost
+    pointer race is retried cheaply (the delta holds only new rows, so
+    it stays valid whoever won — unless the winner re-banded the index,
+    which fails the parameter check loudly). Probes read the union of
+    segments; the next compact merges them back to one — the LSM shape.
+    Flat roots keep the plain in-place parquet append.
+
+    ``txn=(app_id, batch_id)`` makes a generational append EXACTLY-ONCE
+    under streaming redelivery (:func:`genlog.append_segment`'s
+    watermark ledger — a foreachBatch replay at or below its app's
+    committed watermark is a no-op): the streaming ingest path passes
+    Structured Streaming's batch id here. Ignored on flat roots (no
+    commit record to carry a ledger — the txn-table sink is the
+    exactly-once story there).
 
     At 100 TB: the index is |corpus| × num_bands fixed-width rows; the
     probe join shuffles on (band, bucket) 16-byte keys. Bucketing the
@@ -1000,9 +1011,41 @@ def write_minhash_index(
             f"({num_bands}) — trailing hashes would be computed but never banded"
         )
     gen_layout = genlog.is_generational(spark, path)
-    if mode == "append":
-        path = genlog.live_index_path(spark, path) if gen_layout else path
-    elif generational or gen_layout:
+    if mode == "append" and gen_layout:
+        root = genlog.resolve_root(spark, path)
+        requested = (num_hashes, num_bands, shingle_k)
+
+        def _validate_banding(rec: dict) -> None:
+            seg0 = genlog._join(root, genlog.pointer_segments(rec)[0])
+            meta = _read_index_meta(spark, seg0, resolved=True)
+            if meta != requested:
+                raise ValueError(
+                    "minhash index parameter mismatch: index has "
+                    f"{meta}, append asked for {requested}"
+                )
+
+        # validate against the CURRENT head before paying the staging
+        # write, then again inside each commit attempt (a rebuild landing
+        # mid-append changes the banding out from under the staged delta);
+        # current_generation is loud on an empty log (interrupted build)
+        head_version, _ = genlog.current_generation(spark, root)
+        head_rec = genlog.read_pointer(root, head_version)
+        if txn is not None:
+            wm = (head_rec.get("txn_watermarks") or {}).get(str(txn[0]), -1)
+            if int(txn[1]) <= wm:
+                return  # replayed micro-batch: skip BEFORE staging anything
+        _validate_banding(head_rec)
+        delta = genlog.new_generation_name()
+        write_minhash_index(
+            df, text_col, id_col, genlog._join(root, delta),
+            num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k,
+            generational=False,
+        )
+        genlog.append_segment(
+            spark, root, delta, validate=_validate_banding, txn=txn
+        )
+        return
+    if mode != "append" and (generational or gen_layout):
         root = genlog.resolve_root(spark, path)
         _reject_flat_index_debris(spark, root)
         # capture the base pointer BEFORE staging: the commit lands at
@@ -1019,7 +1062,10 @@ def write_minhash_index(
             df, text_col, id_col, genlog._join(root, gen),
             num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k, generational=False,
         )
-        genlog.commit_generation(spark, root, gen, "build", base_version=base)
+        genlog.commit_generation(
+            spark, root, gen, "build", base_version=base,
+            geometry_id=genlog.new_geometry_id(),
+        )
         return
     if mode == "append":
         meta = _read_index_meta(spark, path)
@@ -1139,7 +1185,10 @@ def migrate_flat_index_to_generational(spark, path: str) -> str:
     # validate the COMPLETED generation (not the now-empty root) before
     # the pointer makes it live
     _validate_live_index(spark, path.rstrip("/") + "/" + gen)
-    genlog.commit_generation(spark, root, gen, "migrate", base_version=None)
+    genlog.commit_generation(
+        spark, root, gen, "migrate", base_version=None,
+        geometry_id=genlog.new_geometry_id(),
+    )
     from etl_hiscox_spark.sources.writers import refresh_swapped_path
 
     refresh_swapped_path(spark, path)
@@ -1365,14 +1414,17 @@ def compact_minhash_index(spark, path: str, target_file_mb: int = 256) -> int:
         # this runs on any filesystem; the pre-compaction generation
         # stays live through every crash window and readable until
         # genlog.vacuum_generations
-        base, live_gen = genlog.current_generation(spark, path)
-        live = genlog._join(path, live_gen)
-        params = _read_index_meta(spark, live, resolved=True)
+        base, _live_gen = genlog.current_generation(spark, path)
+        rec = genlog.read_pointer(genlog.resolve_root(spark, path), base)
+        segs = [genlog._join(path, s) for s in genlog.pointer_segments(rec)]
+        params = _read_index_meta(spark, segs[0], resolved=True)
         gen = genlog.new_generation_name()
         target = genlog._join(path, gen)
+        # multi-segment heads (OCC append deltas, r13) merge back to ONE
+        # segment here — compaction doubles as the LSM segment merge
         n = compact_parquet_to_dir(
             spark,
-            os.path.join(live, "buckets"),
+            [os.path.join(s, "buckets") for s in segs],
             genlog._join(target, "buckets"),
             target_file_mb,
             sort_by=("band", "bucket"),
@@ -1380,7 +1432,11 @@ def compact_minhash_index(spark, path: str, target_file_mb: int = 256) -> int:
         _write_index_meta(spark, target, *params)
         # base captured at resolve time: a concurrent commit since then
         # (e.g. an erase) collides loudly instead of being undone
-        genlog.commit_generation(spark, path, gen, "compact", base_version=base)
+        genlog.commit_generation(
+            spark, path, gen, "compact", base_version=base,
+            geometry_id=rec.get("geometry_id"),
+            txn_watermarks=rec.get("txn_watermarks"),
+        )
         return n
     _require_local_index_path(spark, path, "compact_minhash_index")
     _read_index_meta(spark, path)  # loud on an uncommitted index
@@ -1417,10 +1473,14 @@ def erase_from_minhash_index(spark, path: str, keys: DataFrame, id_col: str) -> 
         # object-store form (r12): kept rows are staged as a complete new
         # generation (buckets, then the unchanged meta as the commit
         # record) and a pointer flip makes them live — no data-dir rename
-        base, live_gen = genlog.current_generation(spark, path)
-        live = genlog._join(path, live_gen)
-        params = _read_index_meta(spark, live, resolved=True)
-        buckets = spark.read.parquet(os.path.join(live, "buckets"))
+        base, _live_gen = genlog.current_generation(spark, path)
+        rec = genlog.read_pointer(genlog.resolve_root(spark, path), base)
+        segs = [genlog._join(path, s) for s in genlog.pointer_segments(rec)]
+        params = _read_index_meta(spark, segs[0], resolved=True)
+        # union over live segments (OCC append deltas, r13): an erased doc
+        # must vanish from the build segment AND every delta; the erase
+        # output is a single merged segment, like a compact
+        buckets = spark.read.parquet(*[os.path.join(s, "buckets") for s in segs])
         k = F.broadcast(keys.select(F.col(id_col).alias("doc")).distinct())
         n_erased = buckets.join(k, "doc", "left_semi").count()
         if n_erased == 0:
@@ -1431,7 +1491,11 @@ def erase_from_minhash_index(spark, path: str, keys: DataFrame, id_col: str) -> 
             genlog._join(target, "buckets")
         )
         _write_index_meta(spark, target, *params)
-        genlog.commit_generation(spark, path, gen, "erase", base_version=base)
+        genlog.commit_generation(
+            spark, path, gen, "erase", base_version=base,
+            geometry_id=rec.get("geometry_id"),
+            txn_watermarks=rec.get("txn_watermarks"),
+        )
         return n_erased
     _require_local_index_path(spark, path, "erase_from_minhash_index")
     _read_index_meta(spark, path)  # loud on an uncommitted index
@@ -1466,16 +1530,23 @@ def minhash_fragmentation_stats(spark, path: str) -> DataFrame:
 
     One row: (n_files, total_bytes, avg_file_bytes). The walk runs on an
     executor (``sources/listing.distributed_dir_stats``); the driver
-    holds only the directory handle — same scale shape as the IVF twin.
+    holds only the directory handles — same scale shape as the IVF twin.
+    Multi-segment heads (OCC append deltas, r13) aggregate across every
+    live segment's bucket table: segment count is itself fragmentation,
+    and this stat is the compaction trigger that merges it away.
     """
-    from etl_hiscox_spark.sources.genlog import live_index_path
+    from etl_hiscox_spark.sources.genlog import live_index_paths
     from etl_hiscox_spark.sources.listing import distributed_dir_stats
 
-    path = live_index_path(spark, path)
-    _read_index_meta(spark, path, resolved=True)  # loud on an uncommitted index
-    buckets = os.path.join(path, "buckets")
-    stats = distributed_dir_stats(spark, [(0, buckets)])
-    return stats.select(
+    paths = live_index_paths(spark, path)
+    _read_index_meta(spark, paths[0], resolved=True)  # loud on an uncommitted index
+    stats = distributed_dir_stats(
+        spark, [(i, os.path.join(p, "buckets")) for i, p in enumerate(paths)]
+    )
+    return stats.agg(
+        F.sum("n_files").alias("n_files"),
+        F.sum("total_bytes").alias("total_bytes"),
+    ).select(
         "n_files",
         "total_bytes",
         (F.col("total_bytes").cast("double") / F.col("n_files")).alias(
@@ -1530,9 +1601,12 @@ def rebuild_minhash_index(
         # object-store form (r12): the re-banded index stages as a fresh
         # generation and the pointer flip IS the two-rename swap — one
         # atomic commit instead of two renames, same crash guarantees
-        base, live_gen = genlog.current_generation(spark, path)
+        base, _live_gen = genlog.current_generation(spark, path)
+        rec = genlog.read_pointer(genlog.resolve_root(spark, path), base)
         cur_hashes, cur_bands, cur_k = _read_index_meta(
-            spark, genlog._join(path, live_gen), resolved=True
+            spark,
+            genlog._join(path, genlog.pointer_segments(rec)[0]),
+            resolved=True,
         )
         new = (
             int(num_hashes) if num_hashes is not None else cur_hashes,
@@ -1545,7 +1619,11 @@ def rebuild_minhash_index(
             df, text_col, id_col, genlog._join(root, gen),
             num_hashes=new[0], num_bands=new[1], shingle_k=new[2], generational=False,
         )
-        genlog.commit_generation(spark, root, gen, "rebuild", base_version=base)
+        genlog.commit_generation(
+            spark, root, gen, "rebuild", base_version=base,
+            geometry_id=genlog.new_geometry_id(),
+            txn_watermarks=rec.get("txn_watermarks"),
+        )
         return new
     tmp = begin_staged_rebuild(spark, path, "rebuild_minhash_index")
     cur_hashes, cur_bands, cur_k = _read_index_meta(spark, path)  # loud on uncommitted
@@ -1643,9 +1721,11 @@ def _invalidate_index_meta(spark, path: str) -> None:
 
 def _read_index_meta(spark, path: str, resolved: bool = False) -> tuple[int, int, int]:
     if not resolved:  # callers that already resolved skip the re-stat (r12)
-        from etl_hiscox_spark.sources.genlog import live_index_path
+        from etl_hiscox_spark.sources.genlog import live_index_paths
 
-        path = live_index_path(spark, path)
+        # the GEOMETRY segment (segments[0]) carries the authoritative
+        # banding; append deltas were validated equal at commit time (r13)
+        path = live_index_paths(spark, path)[0]
     meta_path = os.path.join(path, "meta")
     try:
         if _meta_is_local(spark, path):
@@ -1699,14 +1779,17 @@ def probe_minhash_index(
     Banding parameters come from the index meta (see
     :func:`write_minhash_index`).
     """
-    from etl_hiscox_spark.sources.genlog import live_index_path
+    from etl_hiscox_spark.sources.genlog import live_index_paths
 
     spark = new_df.sparkSession
-    path = live_index_path(spark, path)  # generational roots probe the live gen
-    num_hashes, num_bands, shingle_k = _read_index_meta(spark, path, resolved=True)
+    # generational roots probe every live segment (build + OCC append
+    # deltas, r13); banding comes from the geometry segment, which every
+    # delta was validated against at append time
+    paths = live_index_paths(spark, path)
+    num_hashes, num_bands, shingle_k = _read_index_meta(spark, paths[0], resolved=True)
     sig = minhash_signature_table(new_df, text_col, id_col, num_hashes, shingle_k)
     new_banded = _banded_buckets(sig, num_hashes, num_bands).alias("n")
-    idx = spark.read.parquet(os.path.join(path, "buckets")).alias("i")
+    idx = spark.read.parquet(*[os.path.join(p, "buckets") for p in paths]).alias("i")
     cand = (
         new_banded.join(
             idx,

@@ -518,7 +518,10 @@ def write_ivf_index(
             n_clusters=n_clusters, seed=seed, train_fraction=train_fraction,
             max_iter=max_iter, centroids=centroids, quantize=quantize, generational=False,
         )
-        genlog.commit_generation(spark, root, gen, "build", base_version=base)
+        genlog.commit_generation(
+            spark, root, gen, "build", base_version=base,
+            geometry_id=genlog.new_geometry_id(),
+        )
         return C
 
     def _with_codes(assigned: DataFrame) -> DataFrame:
@@ -634,9 +637,11 @@ def _read_ivf_centroid_rows(spark, path: str, resolved: bool = False) -> list[di
     from etl_hiscox_spark.operators.dedup import _meta_is_local
 
     if not resolved:  # callers that already resolved skip the re-stat (r12)
-        from etl_hiscox_spark.sources.genlog import live_index_path
+        from etl_hiscox_spark.sources.genlog import live_index_paths
 
-        path = live_index_path(spark, path)
+        # the GEOMETRY segment (segments[0]) carries the authoritative
+        # centroid record; append deltas carry a validated copy (r13)
+        path = live_index_paths(spark, path)[0]
     cdir = os.path.join(path, "_centroids")
     try:
         if _meta_is_local(spark, path):
@@ -685,11 +690,70 @@ def ivf_index_is_quantized(spark, path: str, resolved: bool = False) -> bool:
     return bool(rows[0].get("quantized", False))
 
 
+def _read_ivf_segments(spark, paths: list[str]) -> DataFrame:
+    """One frame over every live segment of an IVF index. Spark refuses a
+    single multi-root partitioned read ([CONFLICTING_DIRECTORY_STRUCTURES]
+    — each ``gen-*`` segment is its own partition tree), so segments read
+    separately and union — partition pruning on ``__cluster`` pushes into
+    EACH branch's scan, exactly as it does for the single-segment plan."""
+    out = spark.read.parquet(paths[0])
+    for p in paths[1:]:
+        out = out.unionByName(spark.read.parquet(p))
+    return out
+
+
+def _assign_to_centroids(
+    df: DataFrame, C: np.ndarray, quantized: bool, embedding_col: str
+) -> DataFrame:
+    """The shared append-side assignment: nearest pinned centroid, plus
+    the quantized codes columns when the index layout stores them (an
+    appended row without ``__codes`` would be invisible to the codes-only
+    probe scan)."""
+    assigned = df.withColumn(
+        "__cluster", _nearest_centroid_col(C, F.col(embedding_col))
+    )
+    if quantized:
+        from etl_hiscox_spark.operators.vectors import quantize_int8
+
+        codes, scale = quantize_int8(F.col(embedding_col))
+        assigned = assigned.withColumn("__codes", codes).withColumn("__qscale", scale)
+    return assigned
+
+
+def _stage_ivf_delta(
+    df: DataFrame, target: str, geom_seg: str, embedding_col: str, id_col: str
+) -> None:
+    """Stage an append batch as a SELF-CONTAINED delta segment: the
+    batch's ``__cluster=`` partitions plus a copy of the geometry
+    segment's ``_centroids`` commit record (k rows — the copy keeps every
+    segment independently validatable and means a crash mid-stage leaves
+    a centroid-less tree no reader ever trusts). Same malformed-row
+    rejection as the in-place append path."""
+    spark = df.sparkSession
+    C = load_ivf_centroids(spark, geom_seg, resolved=True)
+    quantized = ivf_index_is_quantized(spark, geom_seg, resolved=True)
+    assigned = _assign_to_centroids(df, C, quantized, embedding_col).persist()
+    try:
+        bad = assigned.filter(F.col("__cluster") < 0).count()
+        if bad:
+            raise ValueError(
+                f"append_to_ivf_index: {bad} embedding(s) are NULL, empty, "
+                f"NaN, or not {C.shape[1]}-dimensional — repair or drop them "
+                "before appending (a written -1 partition would be invisible "
+                "to every probe)"
+            )
+        _write_ivf_partitions(assigned, target)
+        _write_ivf_centroids(spark, target, C, quantized=quantized)
+    finally:
+        assigned.unpersist(blocking=False)
+
+
 def append_to_ivf_index(
     df: DataFrame,
     path: str,
     embedding_col: str,
     id_col: str,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """Incremental ingest for a written IVF index: assign NEW vectors to
     the EXISTING centroids (read from the index — appending never
@@ -706,35 +770,72 @@ def append_to_ivf_index(
     re-clustering (centroid drift repair) is an explicit rebuild, not a
     side effect.
 
-    APPEND-vs-MAINTENANCE race (ADVICE r12, documented contract): on a
-    generational root this writes INTO the committed live generation in
-    place, with no base-version guard — appends are deliberately not
-    OCC-protected like maintenance ops (staging a full generation per
-    daily batch would copy the index every day). A compact/erase/rebuild
-    that STAGED from the pre-append snapshot and commits after the
-    append flips the pointer to a generation without the appended rows —
-    the append is silently superseded. Schedule appends and maintenance
-    from one coordinator (the discipline Delta requires for concurrent
-    OPTIMIZE vs append), or re-append after maintenance windows.
+    OCC APPENDS (r13; closes the ADVICE r12 lost-append race): on a
+    generational root the batch stages as a self-contained DELTA segment
+    (its ``__cluster=`` partitions plus a validated copy of the geometry
+    record) and commits with a pointer flip whose ``segments`` list = the
+    head's segments plus the delta (:func:`genlog.append_segment`) — a
+    compact/erase/rebuild staged from the pre-append snapshot now
+    collides on the version instead of silently dropping the appended
+    rows, and committed generations stay immutable. A lost pointer race
+    re-commits the same delta (it holds only new rows — still valid after
+    a compact or erase won); a REBUILD winning mid-append changes the
+    geometry epoch, so the delta's cluster assignments are stale — that
+    raises :class:`genlog.GeometryChanged` and the append re-stages
+    against the new centroids (bounded attempts). Probes read the union
+    of segments; the next compact merges them — the LSM shape. Flat
+    roots keep the plain in-place partition append.
+
+    ``txn=(app_id, batch_id)`` makes a generational append EXACTLY-ONCE
+    under streaming redelivery (:func:`genlog.append_segment`'s watermark
+    ledger); ignored on flat roots.
     """
-    from etl_hiscox_spark.sources.genlog import live_index_path
+    from etl_hiscox_spark.sources import genlog
 
-    # generational roots append INSIDE the live generation (a plain
-    # parquet append — already portable; no pointer flip needed)
-    path = live_index_path(df.sparkSession, path)
-    C = load_ivf_centroids(df.sparkSession, path, resolved=True)
-    assigned = df.withColumn("__cluster", _nearest_centroid_col(C, F.col(embedding_col)))
-    # quantized layouts propagate: an append into an index that stores
-    # int8 codes must quantize its batch with the same expression, or
-    # every appended row would be invisible to the codes-only probe scan.
-    # The flag comes from the _centroids commit record in O(1) — a full
-    # index schema inference per daily append would pay the very listing
-    # tax this module keeps off the driver (r11 review).
-    if ivf_index_is_quantized(df.sparkSession, path):
-        from etl_hiscox_spark.operators.vectors import quantize_int8
+    spark = df.sparkSession
+    if genlog.is_generational(spark, path):
+        root = genlog.resolve_root(spark, path)
+        for _ in range(3):
+            version, _gen = genlog.current_generation(spark, root)
+            rec = genlog.read_pointer(root, version)
+            if txn is not None:
+                wm = (rec.get("txn_watermarks") or {}).get(str(txn[0]), -1)
+                if int(txn[1]) <= wm:
+                    return  # replayed micro-batch: skip BEFORE staging
+            geom_seg = genlog._join(root, genlog.pointer_segments(rec)[0])
+            geometry_id = rec.get("geometry_id")
 
-        codes, scale = quantize_int8(F.col(embedding_col))
-        assigned = assigned.withColumn("__codes", codes).withColumn("__qscale", scale)
+            def _same_geometry(head_rec: dict, pinned=geometry_id) -> None:
+                if head_rec.get("geometry_id") != pinned:
+                    raise genlog.GeometryChanged(
+                        "IVF geometry changed mid-append (a rebuild "
+                        "committed) — the staged delta's cluster "
+                        "assignments are stale; re-staging"
+                    )
+
+            delta = genlog.new_generation_name()
+            _stage_ivf_delta(df, genlog._join(root, delta), geom_seg,
+                             embedding_col, id_col)
+            try:
+                genlog.append_segment(
+                    spark, root, delta, validate=_same_geometry, txn=txn
+                )
+                return
+            except genlog.GeometryChanged:
+                continue  # stale delta is vacuum-reclaimable debris
+        raise RuntimeError(
+            "append_to_ivf_index: geometry changed on every attempt (3) — "
+            "pathological rebuild contention; pause rebuilds and re-append"
+        )
+    # flat layout: in-place partition append (driver-local maintenance).
+    # quantized layouts propagate — the flag comes from the _centroids
+    # commit record in O(1), a full index schema inference per daily
+    # append would pay the very listing tax this module keeps off the
+    # driver (r11 review).
+    C = load_ivf_centroids(spark, path, resolved=True)
+    assigned = _assign_to_centroids(
+        df, C, ivf_index_is_quantized(spark, path, resolved=True), embedding_col
+    )
     # Reject malformed rows LOUDLY before anything lands on disk (r9
     # review): assign() marks NULL / wrong-dim / NaN embeddings as -1,
     # and writing them would create a __cluster=-1 partition no probe
@@ -801,30 +902,34 @@ def compact_ivf_index(spark, path: str, target_file_mb: int = 256) -> int:
             distributed_dir_stats,
         )
 
-        base, live_gen = genlog.current_generation(spark, path)
-        live = genlog._join(path, live_gen)
-        C = load_ivf_centroids(spark, live, resolved=True)
-        quantized = ivf_index_is_quantized(spark, live, resolved=True)
-        filesystem, live_path = _resolve_fs(live)
+        base, _live_gen = genlog.current_generation(spark, path)
+        rec = genlog.read_pointer(genlog.resolve_root(spark, path), base)
+        segs = [genlog._join(path, s) for s in genlog.pointer_segments(rec)]
+        C = load_ivf_centroids(spark, segs[0], resolved=True)
+        quantized = ivf_index_is_quantized(spark, segs[0], resolved=True)
+        # sizing facts across EVERY live segment (OCC append deltas, r13):
+        # the same cluster may hold files in several segments — sum them;
+        # the merged output is one segment, the LSM compaction shape
         dirs = []
-        for info in filesystem.get_file_info(
-            pafs.FileSelector(live_path, recursive=False)
-        ):
-            if info.type == pafs.FileType.Directory and info.base_name.startswith(
-                "__cluster="
+        for seg in segs:
+            filesystem, seg_path = _resolve_fs(seg)
+            for info in filesystem.get_file_info(
+                pafs.FileSelector(seg_path, recursive=False)
             ):
-                dirs.append((int(info.base_name.split("=", 1)[1]), genlog._join(live, info.base_name)))
+                if info.type == pafs.FileType.Directory and info.base_name.startswith(
+                    "__cluster="
+                ):
+                    dirs.append((int(info.base_name.split("=", 1)[1]), genlog._join(seg, info.base_name)))
         if not dirs:
             raise ValueError(
-                f"no __cluster= partitions under {live!r} — not a written IVF index"
+                f"no __cluster= partitions under {segs!r} — not a written IVF index"
             )
-        sizes = {
-            int(r["key"]): int(r["total_bytes"])
-            for r in distributed_dir_stats(spark, dirs).collect()
-        }
+        sizes: dict[int, int] = {}
+        for r in distributed_dir_stats(spark, dirs).collect():
+            sizes[int(r["key"])] = sizes.get(int(r["key"]), 0) + int(r["total_bytes"])
         step = target_file_mb * 1024 * 1024
         n_files = {c: max(1, -(-b // step)) for c, b in sizes.items()}
-        df = spark.read.parquet(live)
+        df = _read_ivf_segments(spark, segs)
         data_cols = [c for c in df.columns if c != "__cluster"]
         n_map = F.create_map(*[F.lit(x) for item in n_files.items() for x in item])
         salt = F.pmod(F.hash(*[F.col(c) for c in data_cols]), n_map[F.col("__cluster")])
@@ -841,7 +946,11 @@ def compact_ivf_index(spark, path: str, target_file_mb: int = 256) -> int:
         _write_ivf_centroids(spark, target, C, quantized=quantized)
         # base captured at resolve time: a concurrent commit since then
         # (e.g. an erase) collides loudly instead of being undone
-        genlog.commit_generation(spark, path, gen, "compact", base_version=base)
+        genlog.commit_generation(
+            spark, path, gen, "compact", base_version=base,
+            geometry_id=rec.get("geometry_id"),
+            txn_watermarks=rec.get("txn_watermarks"),
+        )
         return n_out
     # driver-local paths only (ADVICE r10): the swap below is os.rename —
     # fail loudly BEFORE the Spark tmp write, never leak a __compact dir
@@ -935,11 +1044,15 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
         # file-level manifests (the Iceberg/Delta upgrade); batch erasure
         # requests so each flip amortizes like an OPTIMIZE. The flat
         # local layout below keeps the affected-partitions-only rewrite.
-        base, live_gen = genlog.current_generation(spark, path)
-        live = genlog._join(path, live_gen)
-        C = load_ivf_centroids(spark, live, resolved=True)
-        quantized = ivf_index_is_quantized(spark, live, resolved=True)
-        idx = spark.read.parquet(live)
+        base, _live_gen = genlog.current_generation(spark, path)
+        rec = genlog.read_pointer(genlog.resolve_root(spark, path), base)
+        segs = [genlog._join(path, s) for s in genlog.pointer_segments(rec)]
+        C = load_ivf_centroids(spark, segs[0], resolved=True)
+        quantized = ivf_index_is_quantized(spark, segs[0], resolved=True)
+        # union over live segments (OCC append deltas, r13): an erased id
+        # must vanish from the build segment AND every delta; the kept
+        # rows merge into a single segment, like a compact
+        idx = _read_ivf_segments(spark, segs)
         k = F.broadcast(keys.select(F.col(id_col)).distinct())
         n_erased = idx.join(k, id_col, "left_semi").count()
         if n_erased == 0:
@@ -948,7 +1061,11 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
         target = genlog._join(path, gen)
         _write_ivf_partitions(idx.join(k, id_col, "left_anti"), target)
         _write_ivf_centroids(spark, target, C, quantized=quantized)
-        genlog.commit_generation(spark, path, gen, "erase", base_version=base)
+        genlog.commit_generation(
+            spark, path, gen, "erase", base_version=base,
+            geometry_id=rec.get("geometry_id"),
+            txn_watermarks=rec.get("txn_watermarks"),
+        )
         return n_erased
     # driver-local paths only (ADVICE r10): the partition swaps below are
     # os.rename — fail loudly BEFORE any Spark work, never leak __erase
@@ -1039,11 +1156,12 @@ def rebuild_ivf_index(
         # object-store form (r12): the retrained index stages as a fresh
         # generation; the pointer flip replaces the two-rename swap with
         # one atomic commit, same crash guarantees, any filesystem
-        base, live_gen = genlog.current_generation(spark, path)
-        live = genlog._join(path, live_gen)
-        old_C = load_ivf_centroids(spark, live, resolved=True)
+        base, _live_gen = genlog.current_generation(spark, path)
+        rec = genlog.read_pointer(genlog.resolve_root(spark, path), base)
+        segs = [genlog._join(path, s) for s in genlog.pointer_segments(rec)]
+        old_C = load_ivf_centroids(spark, segs[0], resolved=True)
         k = int(n_clusters) if n_clusters is not None else int(old_C.shape[0])
-        live_df = spark.read.parquet(live).drop("__cluster")
+        live_df = _read_ivf_segments(spark, segs).drop("__cluster")
         assigned, C = ivf_index(
             live_df, embedding_col, id_col, k, seed, train_fraction, max_iter
         )
@@ -1051,7 +1169,13 @@ def rebuild_ivf_index(
         target = genlog._join(path, gen)
         _write_ivf_partitions(assigned, target)
         _write_ivf_centroids(spark, target, C, quantized="__codes" in live_df.columns)
-        genlog.commit_generation(spark, path, gen, "rebuild", base_version=base)
+        # a rebuild is a new geometry EPOCH: any append staged against the
+        # old centroids must re-stage, which this fresh id makes loud
+        genlog.commit_generation(
+            spark, path, gen, "rebuild", base_version=base,
+            geometry_id=genlog.new_geometry_id(),
+            txn_watermarks=rec.get("txn_watermarks"),
+        )
         return C
 
     # leftover check FIRST (r11 review): after a crash in the two-rename
@@ -1097,25 +1221,31 @@ def ivf_fragmentation_stats(spark, path: str) -> DataFrame:
     — at years-of-appends scale the old all-files driver walk was itself
     a stall.
     """
-    from etl_hiscox_spark.sources.genlog import live_index_path
+    from etl_hiscox_spark.sources.genlog import live_index_paths
     from etl_hiscox_spark.sources.listing import distributed_dir_stats
 
-    path = live_index_path(spark, path)
-    load_ivf_centroids(spark, path, resolved=True)  # loud on an uncommitted index
+    paths = live_index_paths(spark, path)
+    load_ivf_centroids(spark, paths[0], resolved=True)  # loud on an uncommitted index
     sc = spark.sparkContext
-    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
     dirs: list[tuple[int, str]] = []
-    for st in fs.listStatus(jpath):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("__cluster="):
-            dirs.append((int(name.split("=", 1)[1]), st.getPath().toString()))
+    for p in paths:  # every live segment (OCC append deltas, r13)
+        jpath = sc._jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("__cluster="):
+                dirs.append((int(name.split("=", 1)[1]), st.getPath().toString()))
     if not dirs:
         raise ValueError(f"no __cluster= partitions under {path!r} — not a written IVF index")
     stats = distributed_dir_stats(spark, dirs)
     return (
-        stats.select(
-            F.col("key").alias("cluster"),
+        stats.groupBy(F.col("key").alias("cluster"))
+        .agg(
+            F.sum("n_files").alias("n_files"),
+            F.sum("total_bytes").alias("total_bytes"),
+        )
+        .select(
+            "cluster",
             "n_files",
             "total_bytes",
             (F.col("total_bytes").cast("double") / F.col("n_files")).alias(
@@ -1171,10 +1301,10 @@ def ivf_centroid_drift(
     """
     if not (0.0 < index_fraction <= 1.0):
         raise ValueError(f"index_fraction must be in (0, 1], got {index_fraction}")
-    from etl_hiscox_spark.sources.genlog import live_index_path
+    from etl_hiscox_spark.sources.genlog import live_index_paths
 
-    path = live_index_path(spark, path)
-    C = load_ivf_centroids(spark, path, resolved=True)
+    paths = live_index_paths(spark, path)
+    C = load_ivf_centroids(spark, paths[0], resolved=True)
 
     def nearest_dist(col: Column) -> Column:
         @F.pandas_udf("double")
@@ -1194,7 +1324,7 @@ def ivf_centroid_drift(
         # every row twice (same fix as cosine_scores_pandas, plan-pinned).
         return F.round(_dist.asNondeterministic()(col), 6)
 
-    idx = spark.read.parquet(path)
+    idx = _read_ivf_segments(spark, paths)
     if index_fraction < 1.0:
         idx = idx.sample(fraction=index_fraction, seed=seed)
     indexed = idx.select(
@@ -1238,16 +1368,18 @@ def ivf_probe_topk(
     ``centroids=None`` loads the geometry persisted INSIDE the index
     (:func:`load_ivf_centroids`) — the deployment form: probes read their
     parameters from the index, never from the caller."""
-    from etl_hiscox_spark.sources.genlog import live_index_path
+    from etl_hiscox_spark.sources.genlog import live_index_paths
 
-    path = live_index_path(spark, path)
+    paths = live_index_paths(spark, path)
     if centroids is None:
-        centroids = load_ivf_centroids(spark, path, resolved=True)
+        centroids = load_ivf_centroids(spark, paths[0], resolved=True)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / np.linalg.norm(q)
     cn = centroids / np.clip(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12, None)
     probe = [int(p) for p in np.argsort(-(cn @ qn))[:n_probe]]
-    candidates = spark.read.parquet(path).filter(F.col("__cluster").isin(probe))
+    candidates = _read_ivf_segments(spark, paths).filter(
+        F.col("__cluster").isin(probe)
+    )
     return cosine_topk(candidates, embedding_col, id_col, query_vec, k)
 
 
@@ -1281,16 +1413,16 @@ def ivf_probe_topk_quantized(
     """
     import math
 
-    from etl_hiscox_spark.sources.genlog import live_index_path
+    from etl_hiscox_spark.sources.genlog import live_index_paths
 
-    path = live_index_path(spark, path)
-    C = load_ivf_centroids(spark, path, resolved=True)
+    paths = live_index_paths(spark, path)
+    C = load_ivf_centroids(spark, paths[0], resolved=True)
     q = [float(x) for x in query_vec]
     qn = np.asarray(q) / np.linalg.norm(q)
     cn = C / np.clip(np.linalg.norm(C, axis=1, keepdims=True), 1e-12, None)
     probe = [int(p) for p in np.argsort(-(cn @ qn))[:n_probe]]
 
-    idx = spark.read.parquet(path)
+    idx = _read_ivf_segments(spark, paths)
     if "__codes" not in idx.columns:
         raise ValueError(
             f"IVF index at {path!r} has no __codes column — build it with "

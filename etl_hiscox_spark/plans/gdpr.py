@@ -132,15 +132,20 @@ def erase_subject(
         # the pointer layout (reading a generational root raw would scan
         # every superseded generation — r12); flat layouts resolve to
         # themselves
-        from etl_hiscox_spark.sources.genlog import live_index_path
+        from etl_hiscox_spark.sources.genlog import live_index_paths
 
         for path, id_col in ivf_indexes:
             k = kdf.select(F.col(kc).alias(id_col))
             record("ivf_index", path, id_col, erase_from_ivf_index(spark, path, k, id_col))
-            if verify and residuals(
-                spark.read.parquet(live_index_path(spark, path)), id_col
-            ):
-                raise ValueError(f"erase_subject: residual subject rows in IVF index {path!r}")
+            if verify:
+                from etl_hiscox_spark.operators.similarity import _read_ivf_segments
+
+                if residuals(
+                    _read_ivf_segments(spark, live_index_paths(spark, path)), id_col
+                ):
+                    raise ValueError(
+                        f"erase_subject: residual subject rows in IVF index {path!r}"
+                    )
 
         for path, id_col in minhash_indexes:
             k = kdf.select(F.col(kc).alias(id_col))
@@ -152,7 +157,10 @@ def erase_subject(
                 import os
 
                 buckets = spark.read.parquet(
-                    os.path.join(live_index_path(spark, path), "buckets")
+                    *[
+                        os.path.join(p, "buckets")
+                        for p in live_index_paths(spark, path)
+                    ]
                 )
                 if residuals(buckets, "doc"):
                     raise ValueError(

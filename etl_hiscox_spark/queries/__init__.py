@@ -726,6 +726,24 @@ WINDOW_R13: tuple[str, ...] = (
 # r15) — keep new declarations <= ~6 and ALWAYS recompute cohorts from
 # the CORRECTNESS artifacts before editing.
 WINDOW_R14: tuple[str, ...] = (
+    # new r13 declarations — never driver-checked, must lead (declared
+    # mid-r13 AFTER WINDOW_R13 was already being served, so they bank in
+    # r14; the OCC delta-append layout closing the ADVICE r12 lost-append
+    # race): l2_lsh_delta_append_probe (delta segment committed by
+    # pointer flip, racing erase collides and the append retries past
+    # it), l3_ivf_delta_append_probe (self-contained quantized delta
+    # segment, union probes, compact merges segments checksum-equal),
+    # l2_stream_index_ingest (foreachBatch micro-batches each commit an
+    # OCC delta — continuous ingestion at stream cadence), and
+    # x18_txn_time_travel (timestampAsOf snapshot resolution).
+    # They displace the 4 tail r11-green prechecks
+    # (l3_ivf_rebuild_probe / s19_gdpr_erase_subject /
+    # x13_exactly_once_txn_sink / x14_txn_optimize_compaction), which
+    # move to WINDOW_R15's mandatory head.
+    "l2_lsh_delta_append_probe",
+    "l3_ivf_delta_append_probe",
+    "l2_stream_index_ingest",
+    "x18_txn_time_travel",
     # mandatory: latest green r10 — stale-beyond-3 at current=14; the 4
     # prechecks displaced from WINDOW_R13 lead
     "l3_semantic_dedup",
@@ -772,13 +790,88 @@ WINDOW_R14: tuple[str, ...] = (
     "x5_session_window",
     "x8_threshold_crossing",
     "x9_stream_static_enrich",
-    # r11-green prechecks (6 of 50) — the heaviest shapes, smoothing r15
+    # r11-green prechecks (2 of 50; l3_ivf_rebuild_probe /
+    # s19_gdpr_erase_subject / x13_exactly_once_txn_sink /
+    # x14_txn_optimize_compaction displaced by the four r13
+    # declarations) — the heaviest shapes, smoothing r15
     "l2_lsh_rebuild_probe",
     "l3_ivf_quantized_probe",
+)
+
+# Round 15 window — PRE-DEFINED at the end of r13 (same self-advance
+# mechanism; ``active_window()`` serves this once CORRECTNESS_r14.json
+# exists). Composition (recomputed from the CORRECTNESS artifacts at
+# definition time — cohorts {r9: 40, r10: 50, r11: 50, r12: 50} before
+# r13 banks — and assuming r13/r14 bank green: {r10: 44→r14, r11: 48,
+# r12: 50, r13: 50, r14: 50} over 198 + s7):
+# head = ALL 48 r11-latest greens (stale-beyond-3 at current=15) — the 4
+# prechecks displaced by r13's four mid-round declarations
+# (l3_ivf_rebuild_probe / s19_gdpr_erase_subject /
+# x13_exactly_once_txn_sink / x14_txn_optimize_compaction) lead, then
+# the remaining 44 r11 greens (the r11 cohort minus l2_lsh_rebuild_probe
+# / l3_ivf_quantized_probe, which banked as r14 prechecks). Then 2 of
+# the 50 r12 greens as early prechecks — the heaviest oracle shapes
+# (the generation-pointer lifecycles); the 48 remaining r12 greens defer
+# to a mandatory WINDOW_R16 head. The r15 builder SWAPS prechecks for
+# new declarations (new queries must lead; displaced r12-green
+# prechecks move toward r16) — keep new declarations <= ~2 here (only 2
+# precheck slots exist; more displaces mandatory r11 entries, which
+# must NOT happen) and ALWAYS recompute cohorts from the CORRECTNESS
+# artifacts before editing.
+WINDOW_R15: tuple[str, ...] = (
+    # mandatory: latest green r11 — stale-beyond-3 at current=15; the 4
+    # prechecks displaced from WINDOW_R14 lead
     "l3_ivf_rebuild_probe",
     "s19_gdpr_erase_subject",
     "x13_exactly_once_txn_sink",
     "x14_txn_optimize_compaction",
+    "a10_grouping_sets",
+    "a16_hll_distinct_rollup",
+    "a19_key_skew_profile",
+    "a1_a5_global_stats",
+    "a8_completeness_profile",
+    "f14_explicit_schema_cast",
+    "f3_money_parse",
+    "f8_batch_id_format",
+    "f_string_cleaning",
+    "g12_sales_opportunity",
+    "g15_small_quantity_revenue",
+    "g7_scalar_subquery_share",
+    "l1_exact_dedup",
+    "l2_incremental_probe",
+    "l3_ivf_probe_topk",
+    "l3_quantized_topk",
+    "m4_png_features",
+    "m5_jpeg_features",
+    "m6_audio_spectral_peak",
+    "m7_image_dhash",
+    "m8_audio_fingerprint",
+    "p9_conditional_business_rule",
+    "q1_rule_violations",
+    "q4_quarantine_split",
+    "q6_observe_metrics",
+    "r3_topk_orders",
+    "s11_snapshot_diff",
+    "s12_orc_roundtrip",
+    "s16_avro_roundtrip",
+    "s17_training_shards",
+    "s3_append_schema_merge",
+    "s5_xlsx_roundtrip",
+    "t14_pii_scrub",
+    "t15_decontamination",
+    "t16_bigram_lm_nll",
+    "t17_semantic_decontamination",
+    "t22_upsample_mixture",
+    "t24_heavy_hitter_terms",
+    "t9_chunk_documents",
+    "w5_running_total",
+    "w8_gap_fill_daily",
+    "x1_x2_stream_roundtrip",
+    "x6_stateful_dedup_batch_twin",
+    "x7_upsert_batch_twin",
+    # r12-green prechecks (2 of 50) — the heaviest shapes, smoothing r16
+    "l2_lsh_gen_lifecycle_probe",
+    "l3_ivf_gen_lifecycle_probe",
 )
 
 WINDOWS: dict[int, tuple[str, ...]] = {
@@ -789,6 +882,7 @@ WINDOWS: dict[int, tuple[str, ...]] = {
     12: WINDOW_R12,
     13: WINDOW_R13,
     14: WINDOW_R14,
+    15: WINDOW_R15,
 }
 
 

@@ -2330,12 +2330,15 @@ def l3_ivf_gen_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(
             f"generational erase removed {n_erased} rows, predicate covers {expected}"
         )
+    # r13: the append is itself a pointer commit (OCC delta segment), so
+    # the history gains an "append" entry and vacuum reclaims the build
+    # segment, the delta, AND the compact generation (3 superseded trees)
     ops = [g["operation"] for g in list_generations(spark, root)]
-    if ops != ["build", "compact", "erase"]:
+    if ops != ["build", "append", "compact", "erase"]:
         raise ValueError(f"pointer history records {ops}")
     n_vacuumed = vacuum_generations(spark, root, keep_last=1)
-    if n_vacuumed != 2:
-        raise ValueError(f"vacuum removed {n_vacuumed} generations, expected 2")
+    if n_vacuumed != 3:
+        raise ValueError(f"vacuum removed {n_vacuumed} generations, expected 3")
     out = ivf_probe_topk(
         spark, root, None, "embedding", "vec_id", qvec, k=10, n_probe=16
     )
@@ -2348,6 +2351,86 @@ def l3_ivf_gen_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"codes-only probe disagrees with the float probe after the "
             f"lifecycle: {top_q and top_q['vec_id']} vs {top_f['vec_id']} — "
             "the quantized layout did not survive a pointer flip"
+        )
+    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+
+
+@register("l3_ivf_delta_append_probe", oracle=_COSINE_ORACLE)
+def l3_ivf_delta_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OCC DELTA APPENDS, vector side (r13 — the ADVICE r12 lost-append
+    # fix): the quantized index builds on even vec_ids (pinned planes —
+    # output is centroid-independent, full probe), the odd half is
+    # appended as a SELF-CONTAINED delta segment (its __cluster=
+    # partitions plus a validated copy of the geometry record) and
+    # committed by pointer flip, so committed generations stay immutable
+    # and a racing maintenance op collides instead of dropping the batch.
+    # Loud invariants before the oracle sees the probe: pointer history
+    # is exactly [build, append] with a TWO-segment head; the codes-only
+    # quantized probe agrees with the float probe across the segment
+    # union (the delta carried its __codes); COMPACT then merges the
+    # segments into ONE generation with the content checksum identical
+    # (a dropped/duplicated row across the merge raises) and the head
+    # single-segment again. The final probe reads the merged index and
+    # must return the exact brute-force top-10 over the FULL corpus
+    # (n_probe = n_clusters — recall-exact by construction).
+    import os as _os
+
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        ivf_probe_topk,
+        ivf_probe_topk_quantized,
+        random_hyperplanes,
+        write_ivf_index,
+    )
+    from etl_hiscox_spark.queries.writes import _scratch
+    from etl_hiscox_spark.sources import genlog
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    root = "file://" + _os.path.join(_scratch("l3_ivf_delta", sf_dir), "ivf_index")
+    write_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), root, "embedding", "vec_id",
+        centroids=random_hyperplanes(dim=64, n_planes=16, seed=42),
+        quantize=True, generational=True,
+    )
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), root, "embedding", "vec_id")
+
+    ops = [g["operation"] for g in genlog.list_generations(spark, root)]
+    if ops != ["build", "append"]:
+        raise ValueError(f"pointer history records {ops}, expected [build, append]")
+    segs = genlog.live_index_paths(spark, root)
+    if len(segs) != 2:
+        raise ValueError(f"expected a two-segment head, got {len(segs)}")
+
+    def _segments_checksum() -> tuple:
+        n = h = 0
+        for seg in genlog.live_index_paths(spark, root):
+            sn, sh = _parquet_content_checksum(spark, seg)
+            n, h = n + sn, h + (sh or 0)
+        return (n, h)
+
+    top_q = ivf_probe_topk_quantized(
+        spark, root, "embedding", "vec_id", qvec, k=1, n_probe=16
+    ).first()
+    sig_before = _segments_checksum()
+    compact_ivf_index(spark, root)
+    if len(genlog.live_index_paths(spark, root)) != 1:
+        raise ValueError("compact must merge the segments into ONE generation")
+    sig_after = _segments_checksum()
+    if sig_after != sig_before:
+        raise ValueError(
+            f"segment merge changed index content: {sig_before} -> {sig_after}"
+        )
+    out = ivf_probe_topk(
+        spark, root, None, "embedding", "vec_id", qvec, k=10, n_probe=16
+    )
+    top_f = out.first()
+    if top_q is None or top_q["vec_id"] != top_f["vec_id"]:
+        raise ValueError(
+            f"codes-only probe over the segment union disagrees with the "
+            f"float probe: {top_q and top_q['vec_id']} vs {top_f['vec_id']} — "
+            "the delta segment did not carry the quantized layout"
         )
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
 
@@ -4423,5 +4506,219 @@ def l2_lsh_collision_rerun_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError("re-run compact drifted the banding meta")
     out = probe_minhash_index(
         new, "text", "doc_id", root, verify_df=docs, threshold=0.8
+    )
+    return out.select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "l2_lsh_delta_append_probe",
+    # exact cross-batch Jaccard graph of odds (the probe batch) against
+    # the final indexed set: evens minus the racing erase's keys
+    # (doc_id % 20 == 16 — chosen ⊂ the BUILD segment, % 4 == 0, so the
+    # erase's full-rewrite can never touch rows the delta re-adds). If
+    # the pre-r13 lost-append race still existed, the erase's rewrite
+    # would supersede the appended % 4 == 2 half and every probe pair
+    # whose dup_of ≡ 2 (mod 4) would vanish — hash-fail.
+    oracle="\n    WITH "
+    + _ORACLE_SHINGLE_N_CTE
+    + r""",
+    inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS dup_of, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND b.doc_id % 20 <> 16
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT new_id, dup_of,
+           ROUND(i / CAST(na.n + nb.n - i AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN n na ON new_id = na.doc_id JOIN n nb ON dup_of = nb.doc_id
+    WHERE 5 * i >= 4 * (na.n + nb.n - i)
+    """,
+)
+def l2_lsh_delta_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OCC DELTA APPENDS under a genuine race (r13 — the ADVICE r12
+    # lost-append fix, driver-executed for real): the index builds on a
+    # QUARTER of the corpus (doc_id % 4 == 0), the % 4 == 2 batch is
+    # appended as a delta segment, and an ERASE of doc_id % 20 == 16 is
+    # injected to land exactly between the append's head resolve and its
+    # pointer commit (the same deterministic interleave as the collision
+    # probe). Pre-r13, appends wrote INTO the live generation in place
+    # and the erase's full-rewrite generation would have silently
+    # superseded the appended rows. Now the append's commit COLLIDES at
+    # head+1, retries against the post-erase head (its delta holds only
+    # new rows — still valid), and BOTH effects are live. Loud
+    # invariants before the oracle sees the probe: pointer history is
+    # exactly [build, erase, append] (the append retried PAST the
+    # erase), the head is two-segment, and fragmentation stats aggregate
+    # across both segments. The probe (odds, exact-Jaccard verified)
+    # then reads the SEGMENT UNION and must equal the full cross-batch
+    # graph minus the erased docs.
+    import os as _os
+
+    from etl_hiscox_spark.operators.dedup import (
+        erase_from_minhash_index,
+        minhash_fragmentation_stats,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.queries.writes import _scratch
+    from etl_hiscox_spark.sources import genlog
+
+    docs = load_table(spark, "documents", sf_dir)
+    root = _os.path.join(_scratch("l2_lsh_delta", sf_dir), "minhash_index")
+    write_minhash_index(
+        docs.filter(F.col("doc_id") % 4 == 0), "text", "doc_id", root,
+        num_hashes=24, num_bands=6,
+    )
+    erase = docs.filter(F.col("doc_id") % 20 == 16).select("doc_id")
+
+    # fire the erase on the append's SECOND head resolve — inside
+    # append_segment, after the delta staged — so the append's first
+    # pointer commit genuinely collides and the bounded retry must land
+    real_current = genlog.current_generation
+    calls = {"n": 0}
+
+    def racing_current(spark_, root_):
+        out = real_current(spark_, root_)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            genlog.current_generation = real_current
+            erase_from_minhash_index(spark, root, erase, "doc_id")
+            genlog.current_generation = racing_current
+        return out
+
+    genlog.current_generation = racing_current
+    try:
+        write_minhash_index(
+            docs.filter(F.col("doc_id") % 4 == 2), "text", "doc_id", root,
+            num_hashes=24, num_bands=6, mode="append",
+        )
+    finally:
+        genlog.current_generation = real_current
+
+    ops = [g["operation"] for g in genlog.list_generations(spark, root)]
+    if ops != ["build", "erase", "append"]:
+        raise ValueError(
+            f"pointer history records {ops}, expected the append to retry "
+            "PAST the racing erase: [build, erase, append]"
+        )
+    segs = genlog.live_index_paths(spark, root)
+    if len(segs) != 2:
+        raise ValueError(f"expected a two-segment head, got {len(segs)}")
+    frag = minhash_fragmentation_stats(spark, root).first()
+    if frag["n_files"] < 2:
+        raise ValueError(
+            "fragmentation stats must aggregate across BOTH live segments"
+        )
+    out = probe_minhash_index(
+        docs.filter(F.col("doc_id") % 2 == 1), "text", "doc_id", root,
+        verify_df=docs, threshold=0.8,
+    )
+    return out.select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "l2_stream_index_ingest",
+    # the l2_incremental_probe oracle, unchanged: after the stream lands,
+    # the index holds ALL evens (built %4==0 + streamed %4==2), so the
+    # odds-vs-evens exact cross-batch Jaccard graph is the same proven
+    # hard-equality recall tripwire — a micro-batch whose delta never
+    # committed (or committed twice and broke the probe) hash-fails.
+    oracle="\n    WITH "
+    + _ORACLE_SHINGLE_N_CTE
+    + r""",
+    inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS dup_of, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT new_id, dup_of,
+           ROUND(i / CAST(na.n + nb.n - i AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN n na ON new_id = na.doc_id JOIN n nb ON dup_of = nb.doc_id
+    WHERE 5 * i >= 4 * (na.n + nb.n - i)
+    """,
+)
+def l2_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CONTINUOUS index ingestion, EXACTLY-ONCE (r13): a Structured
+    # Streaming source feeds the generational minhash index through
+    # foreachBatch, one OCC delta segment + pointer commit per
+    # micro-batch — the pattern a 100 TB crawl pipeline runs all day
+    # (the index ingests at stream cadence; compaction merges the
+    # accumulated deltas on a maintenance schedule, off the ingest
+    # path). maxFilesPerTrigger=1 forces one micro-batch per source
+    # file, so the run provably exercises REPEATED delta commits, not
+    # one big append. foreachBatch is at-least-once, so each commit
+    # carries (app_id, batch_id) into the pointer record's
+    # txn_watermarks ledger (x13's protocol applied to the genlog) —
+    # and the WHOLE stream then runs a SECOND time against a fresh
+    # checkpoint with the same app_id: every replayed batch id is at or
+    # below the committed watermark, so run 2 must commit NOTHING. Loud
+    # invariants before the oracle sees the probe: the pointer history
+    # after BOTH runs is exactly [build, append, append, append] (three
+    # micro-batches, three commits, zero replays landed), the head has
+    # one segment per commit, and the post-stream COMPACT merges them
+    # back to a single generation with probe results unchanged.
+    import os as _os
+
+    from etl_hiscox_spark.operators.dedup import (
+        compact_minhash_index,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.queries.writes import _scratch
+    from etl_hiscox_spark.sources import genlog
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = _scratch("l2_stream_ingest", sf_dir)
+    root = _os.path.join(base, "minhash_index")
+    src = _os.path.join(base, "src")
+    write_minhash_index(
+        docs.filter(F.col("doc_id") % 4 == 0), "text", "doc_id", root,
+        num_hashes=24, num_bands=6,
+    )
+    arriving = docs.filter(F.col("doc_id") % 4 == 2).select("doc_id", "text")
+    arriving.repartition(3).write.mode("overwrite").parquet(src)
+
+    def ingest(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        write_minhash_index(
+            batch_df, "text", "doc_id", root,
+            num_hashes=24, num_bands=6, mode="append",
+            txn=("l2_stream_ingest", batch_id),
+        )
+
+    def run(ckpt_name: str) -> None:
+        q = (
+            spark.readStream.schema(arriving.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", _os.path.join(base, ckpt_name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    run("ckpt2")  # full replay, fresh checkpoint, same app_id -> no-op
+
+    ops = [g["operation"] for g in genlog.list_generations(spark, root)]
+    if ops != ["build", "append", "append", "append"]:
+        raise ValueError(
+            f"pointer history records {ops}, expected one OCC delta commit "
+            "per micro-batch and ZERO replay commits: "
+            "[build, append, append, append]"
+        )
+    if len(genlog.live_index_paths(spark, root)) != 4:
+        raise ValueError("head must carry one live segment per commit")
+    compact_minhash_index(spark, root)
+    if len(genlog.live_index_paths(spark, root)) != 1:
+        raise ValueError("compact must merge the stream's deltas into ONE segment")
+    out = probe_minhash_index(
+        docs.filter(F.col("doc_id") % 2 == 1), "text", "doc_id", root,
+        verify_df=docs, threshold=0.8,
     )
     return out.select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))

@@ -733,3 +733,57 @@ def x17_txn_object_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "x18_txn_time_travel",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    WHERE c_custkey % 3 < 2
+    GROUP BY c_mktsegment
+    """,
+)
+def x18_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # timestampAsOf time travel (r13 — TxnTable.version_as_of/read_as_of,
+    # Delta's wall-clock snapshot resolution; the audit question "what
+    # did the table say at 3pm?"): three appends commit thirds of the
+    # customer table, then the snapshot is read AT an instant strictly
+    # between the second and third commits and must contain EXACTLY the
+    # first two slices — a resolver that rounds the wrong way (or reads
+    # the head) picks up the third slice and hash-fails. Loud invariants
+    # before the oracle sees the result: commit timestamps are strictly
+    # increasing (ties would make any timestamp resolution ambiguous —
+    # refuse rather than flake); an instant BEFORE all history raises
+    # (after retention the honest answer is "expired", never silently
+    # the oldest surviving version — Delta errors the same way); an
+    # instant after the last commit resolves the head.
+    import os as _os
+
+    from etl_hiscox_spark.queries.writes import _scratch
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    root = _os.path.join(_scratch("x18_tt", sf_dir), "table")
+    t = TxnTable(spark, root)
+    for m in (0, 1, 2):
+        t.write(cust.filter(F.col("c_custkey") % 3 == m), mode="append")
+    ts = [m["committed_at"] for m in t.history()]
+    if not (ts[0] < ts[1] < ts[2]):
+        raise ValueError(f"commit timestamps not strictly increasing: {ts}")
+    try:
+        t.version_as_of(ts[0] - 1.0)
+        raise ValueError("version_as_of BEFORE all history must raise, not resolve")
+    except FileNotFoundError:
+        pass
+    if t.version_as_of(ts[2] + 1.0) != t.latest_version():
+        raise ValueError("an instant after the last commit must resolve the head")
+    snap = t.read_as_of((ts[1] + ts[2]) / 2.0)
+    return snap.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
+    )

@@ -13,12 +13,17 @@ Lake VLDB'20 log pattern applied to an index directory):
 - a GENERATION is a complete, self-contained index tree under
   ``<root>/gen-<uuid>/`` (buckets+meta for minhash, ``__cluster=``
   partitions + ``_centroids`` for IVF) — data files are immutable once a
-  generation is committed, and maintenance never mutates one in place;
-- ``<root>/_gen_log/v{N}.json`` is the pointer log: version N names the
-  generation that became live at commit N. Readers resolve the HIGHEST
-  committed version; a half-written generation is invisible until its
-  pointer commits, so the crash window between "stage written" and
-  "pointer committed" leaves the OLD generation live (pinned by test);
+  generation is committed, and NOTHING mutates one in place (since r13
+  that includes appends, which stage delta generations);
+- ``<root>/_gen_log/v{N}.json`` is the pointer log: version N carries
+  the SEGMENT LIST that became live at commit N (one segment after a
+  build/compact/erase/rebuild; build + one delta per OCC append until
+  the next compact merges them — the LSM shape; pre-r13 single-
+  ``generation`` records read unchanged forever). Readers resolve the
+  HIGHEST committed version; a half-written generation is invisible
+  until its pointer commits, so the crash window between "stage
+  written" and "pointer committed" leaves the OLD head live (pinned by
+  test);
 - pointer commits are create-if-absent through the ONE shared primitive
   :func:`commitio.commit_if_absent` (r13 — also the txn log's commit):
   ``os.link`` on the driver-local fast path, staged-write + rename on
@@ -144,15 +149,43 @@ def current_generation(spark, root: str) -> tuple[int, str]:
     return versions[-1], read_pointer(root, versions[-1])["generation"]
 
 
-def live_index_path(spark, root: str) -> str:
-    """The directory probes/appends/maintenance should operate on: the
-    live generation of a generational root, the root itself for the flat
-    (pre-r12, rename-committed) layout — every index entry point calls
-    this once, so both layouts share all downstream code."""
+def pointer_segments(record: dict) -> list[str]:
+    """The generation directories a pointer record makes live, in commit
+    order — ``segments[0]`` is always the GEOMETRY segment (the one whose
+    meta / ``_centroids`` pins the index parameters). Pre-r13 records
+    carry no ``segments`` field: their single ``generation`` IS the
+    segment list, so old pointers read unchanged forever."""
+    return list(record.get("segments") or [record["generation"]])
+
+
+def live_index_paths(spark, root: str) -> list[str]:
+    """The directories a reader must scan: the live pointer's segment
+    list for a generational root (one entry after a build/compact/erase/
+    rebuild; build + one delta per OCC append until the next compact
+    merges them — the LSM shape), ``[root]`` for the flat layout. Every
+    index read path calls this once, so both layouts and both segment
+    shapes share all downstream code."""
     if not is_generational(spark, root):
-        return root
-    _, gen = current_generation(spark, root)
-    return _join(root, gen)
+        return [root]
+    version, _ = current_generation(spark, root)
+    rec = read_pointer(resolve_root(spark, root), version)
+    return [_join(root, s) for s in pointer_segments(rec)]
+
+
+def live_index_path(spark, root: str) -> str:
+    """Single-directory form of :func:`live_index_paths` — the flat root,
+    or a generational head with exactly one segment. A multi-segment head
+    (delta appends pending compaction) has no single live directory, so
+    this raises rather than silently dropping the deltas; multi-segment-
+    capable callers use the plural form."""
+    paths = live_index_paths(spark, root)
+    if len(paths) == 1:
+        return paths[0]
+    raise ValueError(
+        f"generational index at {root!r} has {len(paths)} live segments "
+        "(delta appends pending compaction) — this entry point reads one "
+        "directory; use live_index_paths, or compact the index first"
+    )
 
 
 def latest_pointer_version(spark, root: str) -> int | None:
@@ -163,7 +196,15 @@ def latest_pointer_version(spark, root: str) -> int | None:
 
 
 def commit_generation(
-    spark, root: str, gen_name: str, operation: str, base_version: int | None
+    spark,
+    root: str,
+    gen_name: str,
+    operation: str,
+    base_version: int | None,
+    *,
+    segments: list[str] | None = None,
+    geometry_id: str | None = None,
+    txn_watermarks: dict | None = None,
 ) -> int:
     """Atomically make ``<root>/<gen_name>`` the live generation; returns
     the pointer version. ``base_version`` is the pointer version the
@@ -183,7 +224,21 @@ def commit_generation(
     S3-class stores, REFUSED where no atomic primitive exists (r13,
     ADVICE r12 medium: the pre-r13 exists-check+move silently degraded
     to last-writer-wins on S3, where a losing compact could resurrect
-    GDPR-erased rows)."""
+    GDPR-erased rows).
+
+    ``segments`` (r13, the OCC-append layout) is the FULL list of
+    generation directories this pointer makes live — defaults to
+    ``[gen_name]`` (maintenance ops always publish one complete tree);
+    an append commits ``parent.segments + [delta]``. ``geometry_id``
+    names the index geometry epoch (minted by builds/rebuilds, carried
+    by compact/erase/append): an append staged against geometry A can
+    detect, before committing, that a rebuild has since published
+    geometry B — its staged assignments would be wrong under B
+    (:func:`append_segment`). ``txn_watermarks`` ({app_id: highest
+    committed batch id}) is the exactly-once ledger for streaming
+    appends — EVERY commit must carry the head's watermarks forward
+    (maintenance included: a compact that dropped them would let a
+    crash-replayed micro-batch land twice)."""
     from etl_hiscox_spark.sources.commitio import commit_if_absent
 
     root = resolve_root(spark, root)
@@ -192,6 +247,9 @@ def commit_generation(
         {
             "version": version,
             "generation": gen_name,
+            "segments": list(segments) if segments is not None else [gen_name],
+            "geometry_id": geometry_id,
+            "txn_watermarks": dict(txn_watermarks) if txn_watermarks else {},
             "operation": operation,
             "committed_at": time.time(),
         }
@@ -235,6 +293,97 @@ def rerun_on_generation_conflict(op, *args, attempts: int = 3, **kwargs):
     ) from last
 
 
+class GeometryChanged(Exception):
+    """The head's geometry epoch no longer matches the one a staged delta
+    was assigned against — a rebuild published new geometry mid-append.
+    The delta's contents (cluster assignments / banding) are wrong under
+    the new geometry, so the append must RE-STAGE against the new head,
+    never re-commit the stale delta (the one failure a bounded pointer
+    retry cannot fix)."""
+
+
+def append_segment(
+    spark,
+    root: str,
+    delta_gen: str,
+    *,
+    operation: str = "append",
+    validate=None,
+    txn: tuple[str, int] | None = None,
+    attempts: int = 5,
+) -> int:
+    """OCC-commit a staged DELTA segment onto the live head (r13, ADVICE
+    r12: appends previously wrote INTO the committed live generation in
+    place — un-raced but mutable, so a compact/erase/rebuild staged from
+    the pre-append snapshot silently dropped the appended rows when its
+    pointer flipped). Under the segment protocol an append is a commit
+    like any other: the new pointer's ``segments`` = the head's segments
+    plus ``delta_gen``, landed create-if-absent at ``head + 1``.
+
+    Unlike maintenance commits, a lost pointer race here is RETRIED
+    internally: the delta contains ONLY the new rows, so it stays valid
+    whoever won — a compact merged the OLD segments (not the delta), an
+    erase dropped OLD rows — and re-committing against the new head loses
+    nothing. The one exception is a geometry change (rebuild): the
+    caller's ``validate(record)`` hook runs against each resolved head
+    before committing and raises :class:`GeometryChanged` (IVF: the
+    delta's cluster assignments are stale — re-stage) or ``ValueError``
+    (minhash: banding parameters differ from the caller's request — user
+    error, no restage exists). Returns the committed pointer version.
+
+    ``txn=(app_id, batch_id)`` is the exactly-once upgrade for streaming
+    ingest (the same watermark protocol as the txn sink's ``write_txn``):
+    each pointer record carries ``txn_watermarks`` ({app_id: highest
+    committed batch}), every commit merges the head's watermarks forward
+    (maintenance included), and an append whose batch id is at or below
+    its app's watermark is a RE-DELIVERY — a foreachBatch replay after a
+    crash, or availableNow re-run against a fresh checkpoint — and
+    returns the head version WITHOUT committing (its staged delta is
+    vacuum-reclaimable debris). Batch ids must be monotone per app_id
+    (Structured Streaming's contract for foreachBatch batch ids).
+
+    Generations stay immutable once committed — the invariant the in-place
+    append violated — so a concurrent maintenance read can never observe a
+    half-written file, and two racing appends serialize on the version."""
+    root = resolve_root(spark, root)
+    last: FileExistsError | None = None
+    for _ in range(attempts):
+        version, _gen = current_generation(spark, root)
+        rec = read_pointer(root, version)
+        watermarks = dict(rec.get("txn_watermarks") or {})
+        if txn is not None:
+            app_id, batch_id = str(txn[0]), int(txn[1])
+            if batch_id <= watermarks.get(app_id, -1):
+                return version  # replayed micro-batch: exactly-once no-op
+            watermarks[app_id] = batch_id
+        if validate is not None:
+            validate(rec)
+        try:
+            return commit_generation(
+                spark,
+                root,
+                delta_gen,
+                operation,
+                base_version=version,
+                segments=pointer_segments(rec) + [delta_gen],
+                geometry_id=rec.get("geometry_id"),
+                txn_watermarks=watermarks,
+            )
+        except FileExistsError as exc:
+            last = exc
+    raise RuntimeError(
+        f"append lost the pointer race {attempts} times at {root!r} — "
+        "pathological maintenance contention; serialize the schedulers "
+        "or raise attempts"
+    ) from last
+
+
+def new_geometry_id() -> str:
+    """A fresh geometry epoch — minted by builds and rebuilds, carried
+    verbatim by compact/erase/append commits."""
+    return uuid.uuid4().hex
+
+
 def list_generations(spark, root: str) -> list[dict]:
     """Pointer history, oldest first (the index's DESCRIBE HISTORY)."""
     root = resolve_root(spark, root)
@@ -268,8 +417,15 @@ def vacuum_generations(
     if not versions:
         raise ValueError(f"{root!r} has no committed pointer — nothing to vacuum")
     keep = versions[-keep_last:]
-    ever_committed = {read_pointer(root, v)["generation"] for v in versions}
-    live = {read_pointer(root, v)["generation"] for v in keep}
+    # union over SEGMENTS, not just the committing generation: an append
+    # pointer keeps every parent segment live, so a build segment referenced
+    # by the newest pointer survives however old its own commit is (r13)
+    ever_committed: set[str] = set()
+    for v in versions:
+        ever_committed.update(pointer_segments(read_pointer(root, v)))
+    live: set[str] = set()
+    for v in keep:
+        live.update(pointer_segments(read_pointer(root, v)))
     filesystem, log_path = _fs(_join(root, _GEN_LOG))
     for v in versions[: -keep_last] if len(versions) > keep_last else []:
         filesystem.delete_file(f"{log_path}/v{v}.json")

@@ -298,25 +298,28 @@ def compact_small_files(
 
 def compact_parquet_to_dir(
     spark: SparkSession,
-    src: str,
+    src: str | list[str],
     dst: str,
     target_file_mb: int = 256,
     sort_by: tuple[str, ...] = (),
     mode: str = "error",
 ) -> int:
     """The rewrite half of :func:`compact_small_files`, decoupled from the
-    local-only tmp+swap commit: read ``src``, rewrite into ``dst`` as
-    ~``target_file_mb``-sized files (optionally range-partitioned AND
-    sorted on ``sort_by`` so each key clusters into one file-contiguous
-    run), return the output file count. Sizing and counting go through
-    ``pyarrow.fs`` (:func:`listing._dir_file_stats`), so the rewrite works
-    on any filesystem — the generation-pointer index maintenance commits
-    the SAME rewrite with a pointer flip instead of a rename (r12)."""
+    local-only tmp+swap commit: read ``src`` (one directory, or a list —
+    the OCC-append segment merge reads every live segment, r13), rewrite
+    into ``dst`` as ~``target_file_mb``-sized files (optionally
+    range-partitioned AND sorted on ``sort_by`` so each key clusters into
+    one file-contiguous run), return the output file count. Sizing and
+    counting go through ``pyarrow.fs`` (:func:`listing._dir_file_stats`),
+    so the rewrite works on any filesystem — the generation-pointer index
+    maintenance commits the SAME rewrite with a pointer flip instead of a
+    rename (r12)."""
     from etl_hiscox_spark.sources.listing import _dir_file_stats
 
-    _, total_bytes = _dir_file_stats(src)
+    srcs = [src] if isinstance(src, str) else list(src)
+    total_bytes = sum(_dir_file_stats(s)[1] for s in srcs)
     n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
-    df = spark.read.parquet(src)
+    df = spark.read.parquet(*srcs)
     if sort_by:
         cols = [F.col(c) for c in sort_by]
         out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)

@@ -80,16 +80,27 @@ def test_minhash_generational_full_lifecycle_no_renames(
     base_pairs = _probe_pairs(spark, root, docs)
     assert base_pairs  # doc 3 found through the pointer resolution
 
-    # append lands inside the live generation, probe sees both batches
+    # append commits an OCC DELTA segment (r13): the head becomes
+    # two-segment, the probe reads the union, the singular resolver
+    # refuses (no single live directory exists), fragmentation stats
+    # aggregate across segments
     write_minhash_index(
         docs.filter(F.col("doc_id") >= 20), "text", "doc_id", root, mode="append"
     )
+    from etl_hiscox_spark.sources.genlog import live_index_paths
+
+    seg_paths = live_index_paths(spark, root)
+    assert len(seg_paths) == 2
+    with pytest.raises(ValueError, match="live segments"):
+        live_index_path(spark, root)
     n_files_before = minhash_fragmentation_stats(spark, root).first()["n_files"]
 
-    # compact: new generation, fewer files, identical probe answers
-    gen_before = live_index_path(spark, root)
+    # compact: merges the segments into ONE new generation, fewer files,
+    # identical probe answers
     n_after = compact_minhash_index(spark, root)
-    assert live_index_path(spark, root) != gen_before  # pointer flipped
+    assert live_index_paths(spark, root) not in ([], seg_paths)
+    assert len(live_index_paths(spark, root)) == 1
+    assert live_index_path(spark, root) not in seg_paths  # pointer flipped
     assert n_after < n_files_before
     assert _probe_pairs(spark, root, docs) == base_pairs
 
@@ -108,13 +119,14 @@ def test_minhash_generational_full_lifecycle_no_renames(
     assert _read_index_meta(spark, root) == (32, 8, 3)
     assert 3 in _probe_pairs(spark, root, docs)  # re-indexed from docs
 
-    # history recorded every lifecycle op; vacuum drops superseded gens
+    # history recorded every lifecycle op (the OCC append included);
+    # vacuum drops superseded gens
     ops = [g["operation"] for g in list_generations(spark, root)]
-    assert ops == ["build", "compact", "erase", "rebuild"]
+    assert ops == ["build", "append", "compact", "erase", "rebuild"]
     local_root = str(tmp_path / f"{forbid_data_dir_renames}_mh")
     gens_on_disk = [d for d in os.listdir(local_root) if d.startswith("gen-")]
-    assert len(gens_on_disk) == 4
-    assert vacuum_generations(spark, root, keep_last=1) == 3
+    assert len(gens_on_disk) == 5
+    assert vacuum_generations(spark, root, keep_last=1) == 4
     assert len([d for d in os.listdir(local_root) if d.startswith("gen-")]) == 1
     assert 3 in _probe_pairs(spark, root, docs)  # live gen untouched
 
@@ -298,14 +310,21 @@ def test_ivf_generational_full_lifecycle_no_renames(
     def brute_ids(frame):
         return [r["vec_id"] for r in cosine_topk(frame, "embedding", "vec_id", q, k=5).collect()]
 
+    # the append committed an OCC DELTA segment (r13): two-segment head,
+    # probes read the union, the singular resolver refuses
+    from etl_hiscox_spark.sources.genlog import live_index_paths
+
+    seg_paths = live_index_paths(spark, root)
+    assert len(seg_paths) == 2
+    with pytest.raises(ValueError, match="live segments"):
+        live_index_path(spark, root)
     assert full_probe_ids() == brute_ids(emb)
-    # quantized probe reads the live generation's codes
+    # quantized probe reads the live segments' codes
     qtop = ivf_probe_topk_quantized(spark, root, "embedding", "vec_id", q, k=5, n_probe=4)
     assert qtop.count() == 5
 
-    gen0 = live_index_path(spark, root)
     compact_ivf_index(spark, root)
-    assert live_index_path(spark, root) != gen0
+    assert live_index_path(spark, root) not in seg_paths  # merged to ONE
     assert full_probe_ids() == brute_ids(emb)
     frag = ivf_fragmentation_stats(spark, root)
     assert frag.agg(F.max("n_files")).first()[0] == 1  # defragmented
@@ -326,7 +345,7 @@ def test_ivf_generational_full_lifecycle_no_renames(
     assert [r["vec_id"] for r in qtop.collect()] == brute_ids(kept)
 
     ops = [g["operation"] for g in list_generations(spark, root)]
-    assert ops == ["build", "compact", "erase", "rebuild"]
+    assert ops == ["build", "append", "compact", "erase", "rebuild"]
 
 
 def test_resolve_root_rejects_schemeless_on_remote_default_fs(spark, monkeypatch):
@@ -523,3 +542,198 @@ def test_generational_probe_keeps_partition_pruning(spark, tmp_path):
     assert scan, plan
     line = scan[0]
     assert "PartitionFilters" in line and "__cluster" in line.split("PartitionFilters")[-1], line
+
+
+def test_occ_append_survives_racing_erase(spark, tmp_path):
+    """The r13 lost-append fix, end-to-end: an ERASE commits between the
+    append's staging and its pointer commit. Pre-r13 (in-place appends)
+    the erase's full-rewrite generation would supersede the appended rows
+    silently; now the append loses the version race, RETRIES against the
+    post-erase head (its delta holds only new rows — still valid), and
+    BOTH effects are live."""
+    from etl_hiscox_spark.operators.dedup import (
+        erase_from_minhash_index,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.sources import genlog
+
+    root = "file://" + str(tmp_path / "mh")
+    docs = _docs(spark)
+    write_minhash_index(docs.filter("doc_id < 20"), "text", "doc_id", root,
+                        generational=True)
+
+    # fire the erase on the SECOND resolve — append_segment's own head
+    # read — so the returned head is stale by the time the commit lands:
+    # the append's first pointer commit genuinely COLLIDES
+    # (FileExistsError) and the bounded retry must re-resolve and land
+    real_current = genlog.current_generation
+    calls = {"n": 0}
+
+    def racing_current(spark_, root_):
+        out = real_current(spark_, root_)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            genlog.current_generation = real_current
+            erase_from_minhash_index(
+                spark, root, spark.createDataFrame([(3,)], "doc_id long"), "doc_id"
+            )
+            genlog.current_generation = racing_current
+        return out
+
+    genlog.current_generation = racing_current
+    try:
+        write_minhash_index(
+            docs.filter("doc_id >= 20"), "text", "doc_id", root, mode="append"
+        )
+    finally:
+        genlog.current_generation = real_current
+
+    ops = [g["operation"] for g in genlog.list_generations(spark, root)]
+    assert ops == ["build", "erase", "append"]  # append retried PAST the erase
+    probe = spark.createDataFrame(
+        [(1000, "shared filler text body number 23 common tokens run")],
+        "doc_id long, text string",
+    )
+    dups = sorted(
+        r["dup_of"]
+        for r in probe_minhash_index(probe, "text", "doc_id", root).collect()
+    )
+    assert 23 in dups  # the appended batch survived the race
+    assert 3 not in _probe_pairs(spark, root, docs)  # the erase held
+
+
+def test_occ_append_restages_after_geometry_rebuild(spark, tmp_path):
+    """A REBUILD committing mid-append changes the geometry epoch: the
+    staged delta's cluster assignments are stale, so re-committing it
+    would corrupt probe pruning. The append must detect the epoch change
+    (GeometryChanged), RE-STAGE against the new centroids, and land."""
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        cosine_topk,
+        ivf_probe_topk,
+        load_ivf_centroids,
+        random_hyperplanes,
+        rebuild_ivf_index,
+        write_ivf_index,
+    )
+    from etl_hiscox_spark.sources import genlog
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    root = "file://" + str(tmp_path / "ivf")
+    planes = random_hyperplanes(dim=8, n_planes=4, seed=3)
+    write_ivf_index(
+        emb.filter("vec_id < 40"), root, "embedding", "vec_id",
+        centroids=planes, generational=True,
+    )
+
+    real_current = genlog.current_generation
+    fired = {"done": False}
+
+    def racing_current(spark_, root_):
+        out = real_current(spark_, root_)
+        if not fired["done"]:
+            fired["done"] = True
+            genlog.current_generation = real_current
+            rebuild_ivf_index(spark, root, "embedding", "vec_id", max_iter=2)
+            genlog.current_generation = racing_current
+        return out
+
+    genlog.current_generation = racing_current
+    try:
+        append_to_ivf_index(emb.filter("vec_id >= 40"), root, "embedding", "vec_id")
+    finally:
+        genlog.current_generation = real_current
+
+    ops = [g["operation"] for g in genlog.list_generations(spark, root)]
+    assert ops == ["build", "rebuild", "append"]  # re-staged PAST the rebuild
+    # the delta was assigned under the RETRAINED centroids: a full probe
+    # (n_probe = n_clusters) must return the exact brute-force top-k over
+    # build + appended rows — a stale-assignment delta would lose recall
+    q = rows[0][1]
+    got = ivf_probe_topk(spark, root, None, "embedding", "vec_id", q, k=5, n_probe=4)
+    want = cosine_topk(emb, "embedding", "vec_id", q, k=5)
+    assert [r["vec_id"] for r in got.collect()] == [r["vec_id"] for r in want.collect()]
+    # and the appended rows' assignments match predict() under the new C
+    C = load_ivf_centroids(spark, root)
+    assert not np.allclose(C, planes)
+
+
+def test_multi_segment_probe_keeps_partition_pruning(spark, tmp_path):
+    """The segment-union read must not cost the IVF layout its core
+    property: the cluster IN-filter lands in PartitionFilters of EVERY
+    live segment's scan (r13 — the pruning plan gate, multi-segment
+    form)."""
+    from etl_hiscox_spark.operators.similarity import (
+        _read_ivf_segments,
+        append_to_ivf_index,
+        write_ivf_index,
+    )
+    from etl_hiscox_spark.sources.genlog import live_index_paths
+
+    rng = np.random.default_rng(23)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    root = "file://" + str(tmp_path / "ivf")
+    write_ivf_index(emb.filter("vec_id < 30"), root, "embedding", "vec_id",
+                    n_clusters=4, max_iter=2, generational=True)
+    append_to_ivf_index(emb.filter("vec_id >= 30"), root, "embedding", "vec_id")
+    paths = live_index_paths(spark, root)
+    assert len(paths) == 2
+    pruned = _read_ivf_segments(spark, paths).filter(F.col("__cluster").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert len(scans) == 2, plan
+    for line in scans:
+        assert "PartitionFilters" in line and "__cluster" in line.split(
+            "PartitionFilters"
+        )[-1], line
+
+
+def test_txn_watermark_appends_are_exactly_once(spark, tmp_path):
+    """The streaming-ingest ledger: an append tagged (app_id, batch_id)
+    at or below its app's committed watermark is a redelivery and commits
+    NOTHING — and maintenance commits carry the ledger forward, so a
+    replay arriving after a compact is still skipped."""
+    from etl_hiscox_spark.operators.dedup import (
+        compact_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.sources import genlog
+
+    root = "file://" + str(tmp_path / "mh")
+    docs = _docs(spark)
+    write_minhash_index(docs.filter("doc_id < 10"), "text", "doc_id", root,
+                        generational=True)
+
+    def append(lo, hi, batch):
+        write_minhash_index(
+            docs.filter(f"doc_id >= {lo} and doc_id < {hi}"), "text", "doc_id",
+            root, mode="append", txn=("app", batch),
+        )
+
+    append(10, 20, 0)
+    append(10, 20, 0)  # verbatim redelivery: must be a no-op
+    append(20, 30, 1)
+    ops = [g["operation"] for g in genlog.list_generations(spark, root)]
+    assert ops == ["build", "append", "append"]
+    head = genlog.read_pointer(
+        genlog.resolve_root(spark, root),
+        genlog.current_generation(spark, root)[0],
+    )
+    assert head["txn_watermarks"] == {"app": 1}
+
+    # compact merges the deltas AND carries the ledger — the late replay
+    # of batch 1 after the compact must still be skipped
+    compact_minhash_index(spark, root)
+    append(20, 30, 1)
+    ops = [g["operation"] for g in genlog.list_generations(spark, root)]
+    assert ops == ["build", "append", "append", "compact"]
+    # a genuinely NEW batch still lands
+    append(30, 40, 2)
+    assert [g["operation"] for g in genlog.list_generations(spark, root)][-1] == "append"
+    assert len(genlog.live_index_paths(spark, root)) == 2  # compacted + delta
