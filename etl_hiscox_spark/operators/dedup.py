@@ -990,9 +990,9 @@ def write_minhash_index(
     under streaming redelivery (:func:`genlog.append_segment`'s
     watermark ledger — a foreachBatch replay at or below its app's
     committed watermark is a no-op): the streaming ingest path passes
-    Structured Streaming's batch id here. Ignored on flat roots (no
-    commit record to carry a ledger — the txn-table sink is the
-    exactly-once story there).
+    Structured Streaming's batch id here. REJECTED loudly on flat roots
+    (no commit record to carry a ledger — silently degrading to
+    at-least-once is the failure mode the tag exists to prevent).
 
     At 100 TB: the index is |corpus| × num_bands fixed-width rows; the
     probe join shuffles on (band, bucket) 16-byte keys. Bucketing the
@@ -1011,6 +1011,16 @@ def write_minhash_index(
             f"({num_bands}) — trailing hashes would be computed but never banded"
         )
     gen_layout = genlog.is_generational(spark, path)
+    if txn is not None and not (mode == "append" and gen_layout):
+        # fail-loud convention: silently dropping the exactly-once
+        # contract on a flat root (no commit record to carry the ledger)
+        # would let a crash-replayed micro-batch land twice with no signal
+        raise ValueError(
+            "txn=(app_id, batch_id) requires mode='append' on a GENERATIONAL "
+            f"index root (got mode={mode!r}, generational={gen_layout}) — the "
+            "watermark ledger lives in the pointer records; migrate the flat "
+            "index with migrate_flat_index_to_generational first"
+        )
     if mode == "append" and gen_layout:
         root = genlog.resolve_root(spark, path)
         requested = (num_hashes, num_bands, shingle_k)
@@ -1030,10 +1040,8 @@ def write_minhash_index(
         # current_generation is loud on an empty log (interrupted build)
         head_version, _ = genlog.current_generation(spark, root)
         head_rec = genlog.read_pointer(root, head_version)
-        if txn is not None:
-            wm = (head_rec.get("txn_watermarks") or {}).get(str(txn[0]), -1)
-            if int(txn[1]) <= wm:
-                return  # replayed micro-batch: skip BEFORE staging anything
+        if genlog.is_replay(head_rec, txn):
+            return  # replayed micro-batch: skip BEFORE staging anything
         _validate_banding(head_rec)
         delta = genlog.new_generation_name()
         write_minhash_index(
@@ -1065,6 +1073,15 @@ def write_minhash_index(
         genlog.commit_generation(
             spark, root, gen, "build", base_version=base,
             geometry_id=genlog.new_geometry_id(),
+            # an overwrite-build onto an EXISTING head carries its
+            # exactly-once ledger like every other commit (review: a
+            # build that reset it would let a crash-replayed micro-batch
+            # land twice right after an index refresh)
+            txn_watermarks=(
+                genlog.read_pointer(root, base).get("txn_watermarks")
+                if base is not None
+                else None
+            ),
         )
         return
     if mode == "append":

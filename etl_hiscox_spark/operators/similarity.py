@@ -521,6 +521,13 @@ def write_ivf_index(
         genlog.commit_generation(
             spark, root, gen, "build", base_version=base,
             geometry_id=genlog.new_geometry_id(),
+            # an overwrite-build onto an EXISTING head carries its
+            # exactly-once ledger like every other commit (review)
+            txn_watermarks=(
+                genlog.read_pointer(root, base).get("txn_watermarks")
+                if base is not None
+                else None
+            ),
         )
         return C
 
@@ -720,8 +727,28 @@ def _assign_to_centroids(
     return assigned
 
 
+def _reject_malformed_assignments(assigned: DataFrame, C: np.ndarray) -> None:
+    """ONE copy of the append-side malformed-row gate (review: the delta
+    and in-place branches each carried it verbatim — a fix to one would
+    silently leave the other behind). Reject LOUDLY before anything lands
+    on disk (r9 review): assign() marks NULL / wrong-dim / NaN embeddings
+    as -1, and writing them would create a ``__cluster=-1`` partition no
+    probe ever reads — stored-but-unsearchable forever, silently. The
+    build path fails on the same input (KMeansModel.transform throws on
+    null vectors); appends must be symmetric. Callers persist ``assigned``
+    first so this check and the write are one computation."""
+    bad = assigned.filter(F.col("__cluster") < 0).count()
+    if bad:
+        raise ValueError(
+            f"append_to_ivf_index: {bad} embedding(s) are NULL, empty, "
+            f"NaN, or not {C.shape[1]}-dimensional — repair or drop them "
+            "before appending (a written -1 partition would be invisible "
+            "to every probe)"
+        )
+
+
 def _stage_ivf_delta(
-    df: DataFrame, target: str, geom_seg: str, embedding_col: str, id_col: str
+    df: DataFrame, target: str, geom_seg: str, embedding_col: str
 ) -> None:
     """Stage an append batch as a SELF-CONTAINED delta segment: the
     batch's ``__cluster=`` partitions plus a copy of the geometry
@@ -734,14 +761,7 @@ def _stage_ivf_delta(
     quantized = ivf_index_is_quantized(spark, geom_seg, resolved=True)
     assigned = _assign_to_centroids(df, C, quantized, embedding_col).persist()
     try:
-        bad = assigned.filter(F.col("__cluster") < 0).count()
-        if bad:
-            raise ValueError(
-                f"append_to_ivf_index: {bad} embedding(s) are NULL, empty, "
-                f"NaN, or not {C.shape[1]}-dimensional — repair or drop them "
-                "before appending (a written -1 partition would be invisible "
-                "to every probe)"
-            )
+        _reject_malformed_assignments(assigned, C)
         _write_ivf_partitions(assigned, target)
         _write_ivf_centroids(spark, target, C, quantized=quantized)
     finally:
@@ -788,20 +808,31 @@ def append_to_ivf_index(
 
     ``txn=(app_id, batch_id)`` makes a generational append EXACTLY-ONCE
     under streaming redelivery (:func:`genlog.append_segment`'s watermark
-    ledger); ignored on flat roots.
+    ledger); REJECTED loudly on flat roots — they have no commit record
+    to carry the ledger, and silently degrading to at-least-once is the
+    failure mode the tag exists to prevent.
     """
     from etl_hiscox_spark.sources import genlog
 
     spark = df.sparkSession
-    if genlog.is_generational(spark, path):
+    if not genlog.is_generational(spark, path):
+        if txn is not None:
+            # fail-loud convention: silently dropping the exactly-once
+            # contract on a flat root would let a crash-replayed
+            # micro-batch land twice with no signal
+            raise ValueError(
+                "txn=(app_id, batch_id) requires a GENERATIONAL index root "
+                "— the watermark ledger lives in the pointer records; "
+                "migrate the flat index with "
+                "migrate_flat_index_to_generational first"
+            )
+    else:
         root = genlog.resolve_root(spark, path)
         for _ in range(3):
             version, _gen = genlog.current_generation(spark, root)
             rec = genlog.read_pointer(root, version)
-            if txn is not None:
-                wm = (rec.get("txn_watermarks") or {}).get(str(txn[0]), -1)
-                if int(txn[1]) <= wm:
-                    return  # replayed micro-batch: skip BEFORE staging
+            if genlog.is_replay(rec, txn):
+                return  # replayed micro-batch: skip BEFORE staging
             geom_seg = genlog._join(root, genlog.pointer_segments(rec)[0])
             geometry_id = rec.get("geometry_id")
 
@@ -815,7 +846,7 @@ def append_to_ivf_index(
 
             delta = genlog.new_generation_name()
             _stage_ivf_delta(df, genlog._join(root, delta), geom_seg,
-                             embedding_col, id_col)
+                             embedding_col)
             try:
                 genlog.append_segment(
                     spark, root, delta, validate=_same_geometry, txn=txn
@@ -835,25 +866,9 @@ def append_to_ivf_index(
     C = load_ivf_centroids(spark, path, resolved=True)
     assigned = _assign_to_centroids(
         df, C, ivf_index_is_quantized(spark, path, resolved=True), embedding_col
-    )
-    # Reject malformed rows LOUDLY before anything lands on disk (r9
-    # review): assign() marks NULL / wrong-dim / NaN embeddings as -1,
-    # and writing them would create a __cluster=-1 partition no probe
-    # ever reads — stored-but-unsearchable forever, silently. The build
-    # path fails on the same input (KMeansModel.transform throws on null
-    # vectors); append must be symmetric. The persist makes the validity
-    # check and the write one computation of the assignment, released
-    # before returning.
-    assigned = assigned.persist()
+    ).persist()
     try:
-        bad = assigned.filter(F.col("__cluster") < 0).count()
-        if bad:
-            raise ValueError(
-                f"append_to_ivf_index: {bad} embedding(s) are NULL, empty, "
-                f"NaN, or not {C.shape[1]}-dimensional — repair or drop them "
-                "before appending (a written -1 partition would be invisible "
-                "to every probe)"
-            )
+        _reject_malformed_assignments(assigned, C)
         # same cluster-wise pre-shuffle as the build write: one file per
         # TOUCHED partition per batch instead of one per (task, cluster)
         _write_ivf_partitions(assigned, path, mode="append")

@@ -180,3 +180,40 @@ def commit_if_absent(spark, uri: str, data: bytes) -> None:
         "front the log with a LogStore-style coordinator. Refusing "
         "loudly beats a silent last-writer-wins commit log."
     )
+
+
+def replace_put(filesystem, path: str, data: bytes) -> None:
+    """Write ``data`` at ``path`` REPLACING any existing file, through
+    ``pyarrow.fs`` — the hint-record primitive (checkpoint pointers),
+    where last-writer-wins is correct by contract and a brief absence
+    window costs one LIST fallback, never a wrong answer. NOT for commit
+    records — those are :func:`commit_if_absent`. Staged tmp + move;
+    HDFS rename refuses an existing destination, so on that refusal the
+    old file is deleted and the move retried (same semantics as
+    ``TxnTable._fs_replace``, which keeps its own os fast path)."""
+    from pyarrow import fs as pafs
+
+    parent = path.rsplit("/", 1)[0]
+    filesystem.create_dir(parent, recursive=True)
+    tmp = f"{parent}/.{path.rsplit('/', 1)[1]}.{uuid.uuid4().hex}.tmp"
+    with filesystem.open_output_stream(tmp) as f:
+        f.write(data)
+    try:
+        filesystem.move(tmp, path)
+        return
+    except OSError:
+        if filesystem.get_file_info(path).type == pafs.FileType.NotFound:
+            try:
+                filesystem.delete_file(tmp)
+            except OSError:
+                pass
+            raise  # not a rename-refusal: surface the real error
+    try:
+        filesystem.delete_file(path)
+        filesystem.move(tmp, path)
+    except OSError:
+        try:
+            filesystem.delete_file(tmp)
+        except OSError:
+            pass
+        raise

@@ -737,3 +737,104 @@ def test_txn_watermark_appends_are_exactly_once(spark, tmp_path):
     append(30, 40, 2)
     assert [g["operation"] for g in genlog.list_generations(spark, root)][-1] == "append"
     assert len(genlog.live_index_paths(spark, root)) == 2  # compacted + delta
+
+
+def test_txn_tag_on_flat_root_is_rejected(spark, tmp_path):
+    """A txn-tagged append on a FLAT root has no ledger to honor — it
+    must refuse loudly, never silently degrade to at-least-once."""
+    from etl_hiscox_spark.operators.dedup import write_minhash_index
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        random_hyperplanes,
+        write_ivf_index,
+    )
+
+    docs = _docs(spark)
+    flat = str(tmp_path / "mh_flat")
+    write_minhash_index(docs, "text", "doc_id", flat, generational=False)
+    with pytest.raises(ValueError, match="GENERATIONAL"):
+        write_minhash_index(
+            docs, "text", "doc_id", flat, mode="append", txn=("app", 0)
+        )
+
+    rng = np.random.default_rng(31)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    ivf_flat = str(tmp_path / "ivf_flat")
+    write_ivf_index(emb, ivf_flat, "embedding", "vec_id",
+                    centroids=random_hyperplanes(dim=8, n_planes=4, seed=3),
+                    generational=False)
+    with pytest.raises(ValueError, match="GENERATIONAL"):
+        append_to_ivf_index(emb, ivf_flat, "embedding", "vec_id", txn=("app", 0))
+
+
+def test_overwrite_build_carries_txn_watermarks(spark, tmp_path):
+    """An overwrite-build onto an existing generational head must carry
+    the exactly-once ledger like every other commit — a build that reset
+    it would let a crash-replayed micro-batch land twice right after an
+    index refresh (review)."""
+    from etl_hiscox_spark.operators.dedup import write_minhash_index
+    from etl_hiscox_spark.sources import genlog
+
+    root = "file://" + str(tmp_path / "mh")
+    docs = _docs(spark)
+    write_minhash_index(docs.filter("doc_id < 10"), "text", "doc_id", root)
+    write_minhash_index(
+        docs.filter("doc_id >= 10 and doc_id < 20"), "text", "doc_id", root,
+        mode="append", txn=("app", 7),
+    )
+    # refresh: overwrite-build over the same root
+    write_minhash_index(docs.filter("doc_id < 20"), "text", "doc_id", root)
+    ops = [g["operation"] for g in genlog.list_generations(spark, root)]
+    assert ops == ["build", "append", "build"]
+    head = genlog.read_pointer(
+        genlog.resolve_root(spark, root),
+        genlog.current_generation(spark, root)[0],
+    )
+    assert head["txn_watermarks"] == {"app": 7}
+    # the replayed batch after the refresh is still a no-op
+    write_minhash_index(
+        docs.filter("doc_id >= 10 and doc_id < 20"), "text", "doc_id", root,
+        mode="append", txn=("app", 7),
+    )
+    assert [g["operation"] for g in genlog.list_generations(spark, root)][-1] == "build"
+
+
+def test_checkpointed_head_resolution_is_bounded(spark, tmp_path):
+    """r13: OCC appends commit one pointer per micro-batch, so the gen
+    log grows at stream cadence — head reads must resolve from the
+    _last_checkpoint hint in O(commits-since-checkpoint) forward probes
+    (txnlog's x16 treatment applied to the genlog), with the full LIST
+    only as the torn-hint fallback."""
+    from etl_hiscox_spark.operators.dedup import write_minhash_index
+    from etl_hiscox_spark.sources import genlog
+
+    root = "file://" + str(tmp_path / "mh")
+    write_minhash_index(_docs(spark, 10), "text", "doc_id", root)  # v0
+    # stream-cadence pointer commits (head resolution needs no data dirs)
+    for i in range(1, 61):
+        genlog.commit_generation(
+            spark, root, f"gen-{i:012d}", "append", base_version=i - 1
+        )
+    assert genlog.current_generation(spark, root)[0] == 60
+    assert genlog.last_head_resolution["mode"] == "checkpoint"
+    assert (
+        genlog.last_head_resolution["entries"] <= genlog.CHECKPOINT_INTERVAL + 1
+    )
+    # torn hint: LIST fallback, same head, never a wrong answer
+    fsys, p = genlog._fs(
+        genlog._join(genlog.resolve_root(spark, root), "_gen_log", "_last_checkpoint")
+    )
+    with fsys.open_output_stream(p) as f:
+        f.write(b"{torn")
+    assert genlog.current_generation(spark, root)[0] == 60
+    assert genlog.last_head_resolution["mode"] == "list"
+    # the next checkpoint-boundary commit heals the hint
+    for i in range(61, 71):
+        genlog.commit_generation(
+            spark, root, f"gen-{i:012d}", "append", base_version=i - 1
+        )
+    assert genlog.current_generation(spark, root)[0] == 70
+    assert genlog.last_head_resolution["mode"] == "checkpoint"
