@@ -1491,25 +1491,46 @@ def erase_from_minhash_index(spark, path: str, keys: DataFrame, id_col: str) -> 
         # generation (buckets, then the unchanged meta as the commit
         # record) and a pointer flip makes them live — no data-dir rename
         base, _live_gen = genlog.current_generation(spark, path)
-        rec = genlog.read_pointer(genlog.resolve_root(spark, path), base)
-        segs = [genlog._join(path, s) for s in genlog.pointer_segments(rec)]
-        params = _read_index_meta(spark, segs[0], resolved=True)
-        # union over live segments (OCC append deltas, r13): an erased doc
-        # must vanish from the build segment AND every delta; the erase
-        # output is a single merged segment, like a compact
-        buckets = spark.read.parquet(*[os.path.join(s, "buckets") for s in segs])
+        root = genlog.resolve_root(spark, path)
+        rec = genlog.read_pointer(root, base)
+        seg_names = genlog.pointer_segments(rec)
+        params = _read_index_meta(
+            spark, genlog._join(root, seg_names[0]), resolved=True
+        )
+        # SELECTIVE segment rewrite (r13, the LSM payoff): an erased doc
+        # must vanish from the build segment AND every delta, but a
+        # segment with NO hits is kept in the new pointer BY REFERENCE —
+        # erase IO is proportional to the segments actually touched, not
+        # the index (an erase of recent subjects rewrites only the recent
+        # deltas). All rewrites stage first; ONE pointer commit publishes.
         k = F.broadcast(keys.select(F.col(id_col).alias("doc")).distinct())
-        n_erased = buckets.join(k, "doc", "left_semi").count()
+        n_erased = 0
+        new_segments: list[str] = []
+        first_rewritten: str | None = None
+        for name in seg_names:
+            buckets = spark.read.parquet(os.path.join(genlog._join(root, name), "buckets"))
+            hits = buckets.join(k, "doc", "left_semi").count()
+            if hits == 0:
+                new_segments.append(name)
+                continue
+            n_erased += hits
+            gen = genlog.new_generation_name()
+            target = genlog._join(root, gen)
+            # a fully-erased rewrite stays READABLE (Spark writes the
+            # schema file for an empty non-partitioned frame), so the
+            # segment keeps its slot — dropping it could demote a delta
+            # into the geometry position
+            buckets.join(k, "doc", "left_anti").write.mode("error").parquet(
+                genlog._join(target, "buckets")
+            )
+            _write_index_meta(spark, target, *params)
+            new_segments.append(gen)
+            first_rewritten = first_rewritten or gen
         if n_erased == 0:
             return 0
-        gen = genlog.new_generation_name()
-        target = genlog._join(path, gen)
-        buckets.join(k, "doc", "left_anti").write.mode("error").parquet(
-            genlog._join(target, "buckets")
-        )
-        _write_index_meta(spark, target, *params)
         genlog.commit_generation(
-            spark, path, gen, "erase", base_version=base,
+            spark, path, first_rewritten, "erase", base_version=base,
+            segments=new_segments,
             geometry_id=rec.get("geometry_id"),
             txn_watermarks=rec.get("txn_watermarks"),
         )

@@ -1060,24 +1060,54 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
         # requests so each flip amortizes like an OPTIMIZE. The flat
         # local layout below keeps the affected-partitions-only rewrite.
         base, _live_gen = genlog.current_generation(spark, path)
-        rec = genlog.read_pointer(genlog.resolve_root(spark, path), base)
-        segs = [genlog._join(path, s) for s in genlog.pointer_segments(rec)]
-        C = load_ivf_centroids(spark, segs[0], resolved=True)
-        quantized = ivf_index_is_quantized(spark, segs[0], resolved=True)
-        # union over live segments (OCC append deltas, r13): an erased id
-        # must vanish from the build segment AND every delta; the kept
-        # rows merge into a single segment, like a compact
-        idx = _read_ivf_segments(spark, segs)
+        root = genlog.resolve_root(spark, path)
+        rec = genlog.read_pointer(root, base)
+        seg_names = genlog.pointer_segments(rec)
+        geom_seg = genlog._join(root, seg_names[0])
+        C = load_ivf_centroids(spark, geom_seg, resolved=True)
+        quantized = ivf_index_is_quantized(spark, geom_seg, resolved=True)
+        # SELECTIVE segment rewrite (r13, the LSM payoff): an erased id
+        # must vanish from the build segment AND every delta, but a
+        # segment with NO hits is kept in the new pointer BY REFERENCE —
+        # erase IO is proportional to the segments actually touched. A
+        # rewrite whose kept set is EMPTY is dropped from the list (an
+        # empty partitionBy write produces no readable files); if that
+        # empties the whole list, one schema-preserving merged generation
+        # is written so the geometry record survives (pre-r13 behavior
+        # for a fully-erased index).
         k = F.broadcast(keys.select(F.col(id_col)).distinct())
-        n_erased = idx.join(k, id_col, "left_semi").count()
+        n_erased = 0
+        new_segments: list[str] = []
+        first_rewritten: str | None = None
+        for name in seg_names:
+            idx_seg = spark.read.parquet(genlog._join(root, name))
+            hits = idx_seg.join(k, id_col, "left_semi").count()
+            if hits == 0:
+                new_segments.append(name)
+                continue
+            n_erased += hits
+            kept = idx_seg.join(k, id_col, "left_anti").persist()
+            try:
+                if kept.limit(1).count() == 0:
+                    continue  # fully-erased segment: drops out of the list
+                gen = genlog.new_generation_name()
+                target = genlog._join(root, gen)
+                _write_ivf_partitions(kept, target)
+                _write_ivf_centroids(spark, target, C, quantized=quantized)
+                new_segments.append(gen)
+                first_rewritten = first_rewritten or gen
+            finally:
+                kept.unpersist(blocking=False)
         if n_erased == 0:
             return 0
-        gen = genlog.new_generation_name()
-        target = genlog._join(path, gen)
-        _write_ivf_partitions(idx.join(k, id_col, "left_anti"), target)
-        _write_ivf_centroids(spark, target, C, quantized=quantized)
+        if not new_segments:
+            gen = genlog.new_generation_name()
+            _write_ivf_centroids(spark, genlog._join(root, gen), C, quantized=quantized)
+            new_segments, first_rewritten = [gen], gen
         genlog.commit_generation(
-            spark, path, gen, "erase", base_version=base,
+            spark, path, first_rewritten or new_segments[0], "erase",
+            base_version=base,
+            segments=new_segments,
             geometry_id=rec.get("geometry_id"),
             txn_watermarks=rec.get("txn_watermarks"),
         )

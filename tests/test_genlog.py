@@ -838,3 +838,92 @@ def test_checkpointed_head_resolution_is_bounded(spark, tmp_path):
         )
     assert genlog.current_generation(spark, root)[0] == 70
     assert genlog.last_head_resolution["mode"] == "checkpoint"
+
+
+def test_selective_segment_erase_touches_only_affected_segments(spark, tmp_path):
+    """The LSM payoff (r13): an erase whose keys live in ONE segment
+    rewrites only that segment — every other segment survives in the new
+    pointer BY REFERENCE (same directory, byte-untouched), so erase IO is
+    proportional to affected segments, not the index."""
+    from etl_hiscox_spark.operators.dedup import (
+        erase_from_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.sources import genlog
+
+    root = "file://" + str(tmp_path / "mh")
+    docs = _docs(spark)
+    write_minhash_index(docs.filter("doc_id < 20"), "text", "doc_id", root)
+    write_minhash_index(
+        docs.filter("doc_id >= 20"), "text", "doc_id", root, mode="append"
+    )
+    before = genlog.pointer_segments(
+        genlog.read_pointer(
+            genlog.resolve_root(spark, root),
+            genlog.current_generation(spark, root)[0],
+        )
+    )
+    assert len(before) == 2
+    # doc 23 lives only in the DELTA segment
+    n = erase_from_minhash_index(
+        spark, root, spark.createDataFrame([(23,)], "doc_id long"), "doc_id"
+    )
+    assert n == 6  # num_bands rows
+    after = genlog.pointer_segments(
+        genlog.read_pointer(
+            genlog.resolve_root(spark, root),
+            genlog.current_generation(spark, root)[0],
+        )
+    )
+    assert len(after) == 2
+    assert after[0] == before[0]  # build segment kept BY REFERENCE
+    assert after[1] != before[1]  # delta rewritten
+    assert 23 not in _probe_pairs(spark, root, docs.filter("doc_id != 23"))
+    assert 3 in _probe_pairs(spark, root, docs)  # untouched segment answers
+
+
+def test_ivf_fully_erased_delta_drops_out_of_the_segment_list(spark, tmp_path):
+    """An IVF segment whose rows are ALL erased cannot stay listed (an
+    empty partitionBy write has no readable files) — it drops out and the
+    remaining segments keep answering probes."""
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        cosine_topk,
+        erase_from_ivf_index,
+        ivf_probe_topk,
+        random_hyperplanes,
+        write_ivf_index,
+    )
+    from etl_hiscox_spark.sources import genlog
+
+    rng = np.random.default_rng(17)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    root = "file://" + str(tmp_path / "ivf")
+    write_ivf_index(
+        emb.filter("vec_id < 30"), root, "embedding", "vec_id",
+        centroids=random_hyperplanes(dim=8, n_planes=4, seed=3),
+    )
+    append_to_ivf_index(emb.filter("vec_id >= 30"), root, "embedding", "vec_id")
+    before = genlog.pointer_segments(
+        genlog.read_pointer(
+            genlog.resolve_root(spark, root),
+            genlog.current_generation(spark, root)[0],
+        )
+    )
+    assert len(before) == 2
+    n = erase_from_ivf_index(
+        spark, root, emb.filter("vec_id >= 30").select("vec_id"), "vec_id"
+    )
+    assert n == 10
+    after = genlog.pointer_segments(
+        genlog.read_pointer(
+            genlog.resolve_root(spark, root),
+            genlog.current_generation(spark, root)[0],
+        )
+    )
+    assert after == [before[0]]  # delta fully erased: dropped; build by reference
+    q = rows[0][1]
+    got = ivf_probe_topk(spark, root, None, "embedding", "vec_id", q, k=5, n_probe=4)
+    want = cosine_topk(emb.filter("vec_id < 30"), "embedding", "vec_id", q, k=5)
+    assert [r["vec_id"] for r in got.collect()] == [r["vec_id"] for r in want.collect()]
