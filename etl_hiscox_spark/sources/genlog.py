@@ -34,6 +34,14 @@ Lake VLDB'20 log pattern applied to an index directory):
   must re-run against the new live generation, never blind-retry (its
   input was the pre-commit generation) —
   :func:`rerun_on_generation_conflict` is the bounded wrapper;
+- APPENDS are OCC commits too (r13): :func:`append_segment` extends the
+  head's segment list with a staged delta, carries the ``geometry_id``
+  epoch (a rebuild mid-append is detected, :class:`GeometryChanged`) and
+  the ``txn_watermarks`` exactly-once ledger for streaming ingest;
+- head reads resolve from the ``_gen_log/_last_checkpoint`` hint with
+  forward probes (O(commits-since-checkpoint), no LIST — appends commit
+  at stream cadence, so the pointer log grows like the txn log's), and
+  immutable pointer records are served from a bounded cache;
 - superseded generations stay on disk, readable, until
   :func:`vacuum_generations` drops the pointer history and deletes the
   directories nothing references — OPTIMIZE/VACUUM split, again.
