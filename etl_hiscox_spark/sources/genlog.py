@@ -148,14 +148,25 @@ def _pointer_versions(root: str) -> list[int]:
 
 
 # Pointer records are IMMUTABLE once committed (create-if-absent is the
-# only writer), so caching them is correct forever — this kills the
-# second GET every head resolve used to pay (current_generation reads
-# the record for the generation name, then the caller re-reads it for
-# segments/geometry/watermarks). Bounded FIFO; vacuum deleting an old
-# pointer file does not invalidate the cached bytes, which is fine —
-# nothing probes pointer deletion through read_pointer.
+# only writer), so caching them is correct for the life of the log —
+# this kills the second GET every head resolve used to pay
+# (current_generation reads the record for the generation name, then
+# the caller re-reads it for segments/geometry/watermarks). Bounded
+# FIFO; vacuum deleting an old pointer file does not invalidate the
+# cached bytes, which is fine — nothing probes pointer deletion through
+# read_pointer. The ONE way a (root, version) key can legitimately name
+# new content is a root that was DELETED and rebuilt (tests and bench
+# scratch wipes; versions restart at 0): commit_generation therefore
+# updates the cache with the record it just committed, so the
+# same-process rebuild always reads its own truth.
 _POINTER_CACHE: dict[tuple[str, int], dict] = {}
 _POINTER_CACHE_MAX = 512
+
+
+def _cache_pointer(root: str, version: int, rec: dict) -> None:
+    if len(_POINTER_CACHE) >= _POINTER_CACHE_MAX:
+        _POINTER_CACHE.pop(next(iter(_POINTER_CACHE)))
+    _POINTER_CACHE[(root.rstrip("/"), int(version))] = rec
 
 
 def _pointer_exists(root: str, version: int) -> bool:
@@ -227,9 +238,7 @@ def read_pointer(root: str, version: int) -> dict:
     filesystem, p = _fs(_join(root, _GEN_LOG, f"v{version}.json"))
     with filesystem.open_input_file(p) as f:
         rec = json.loads(f.read().decode("utf-8"))
-    if len(_POINTER_CACHE) >= _POINTER_CACHE_MAX:
-        _POINTER_CACHE.pop(next(iter(_POINTER_CACHE)))
-    _POINTER_CACHE[key] = rec
+    _cache_pointer(root, version, rec)
     return rec
 
 
@@ -344,25 +353,32 @@ def commit_generation(
 
     root = resolve_root(spark, root)
     version = 0 if base_version is None else int(base_version) + 1
-    record = json.dumps(
-        {
-            "version": version,
-            "generation": gen_name,
-            "segments": list(segments) if segments is not None else [gen_name],
-            "geometry_id": geometry_id,
-            "txn_watermarks": dict(txn_watermarks) if txn_watermarks else {},
-            "operation": operation,
-            "committed_at": time.time(),
-        }
-    ).encode("utf-8")
+    rec = {
+        "version": version,
+        "generation": gen_name,
+        "segments": list(segments) if segments is not None else [gen_name],
+        "geometry_id": geometry_id,
+        "txn_watermarks": dict(txn_watermarks) if txn_watermarks else {},
+        "operation": operation,
+        "committed_at": time.time(),
+    }
     try:
-        commit_if_absent(spark, _join(root, _GEN_LOG, f"v{version}.json"), record)
+        commit_if_absent(
+            spark,
+            _join(root, _GEN_LOG, f"v{version}.json"),
+            json.dumps(rec).encode("utf-8"),
+        )
     except FileExistsError as exc:
         raise FileExistsError(
             f"pointer v{version} at {root!r} already committed — concurrent "
             "maintenance race; re-run against the new live generation "
             "(rerun_on_generation_conflict is the bounded wrapper)"
         ) from exc
+    # the committer KNOWS this record is the truth at (root, version) —
+    # caching it here (not just on read) keeps a deleted-and-rebuilt root
+    # (scratch wipes restart versions at 0) from serving the old root's
+    # cached record to its own process
+    _cache_pointer(root, version, rec)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         _write_head_hint(root, version)  # opportunistic; failure tolerated
     return version

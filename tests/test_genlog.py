@@ -927,3 +927,31 @@ def test_ivf_fully_erased_delta_drops_out_of_the_segment_list(spark, tmp_path):
     got = ivf_probe_topk(spark, root, None, "embedding", "vec_id", q, k=5, n_probe=4)
     want = cosine_topk(emb.filter("vec_id < 30"), "embedding", "vec_id", q, k=5)
     assert [r["vec_id"] for r in got.collect()] == [r["vec_id"] for r in want.collect()]
+
+
+def test_rebuilt_root_never_serves_the_old_roots_cached_pointer(spark, tmp_path):
+    """The bench/test scratch pattern: DELETE the whole index root and
+    rebuild at the same path — versions restart at v0, so the pointer
+    cache's (root, version) key now names NEW content. The committer
+    updates the cache with the record it just wrote, so the same-process
+    rebuild must resolve its own generation, never the deleted one
+    (regression: the r13 bench crashed exactly here — run 2 of a
+    lifecycle probe read run 1's cached v0 and probed a deleted
+    generation)."""
+    import shutil
+
+    from etl_hiscox_spark.operators.dedup import write_minhash_index
+    from etl_hiscox_spark.sources import genlog
+
+    local = str(tmp_path / "mh")
+    root = "file://" + local
+    docs = _docs(spark)
+    write_minhash_index(docs, "text", "doc_id", root)
+    gen1 = genlog.current_generation(spark, root)[1]
+    assert _probe_pairs(spark, root, docs)
+
+    shutil.rmtree(local)  # the scratch wipe
+    write_minhash_index(docs, "text", "doc_id", root)
+    v, gen2 = genlog.current_generation(spark, root)
+    assert v == 0 and gen2 != gen1  # the NEW build's generation, not the cache's
+    assert _probe_pairs(spark, root, docs)  # probes the rebuilt index
