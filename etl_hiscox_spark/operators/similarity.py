@@ -1079,8 +1079,10 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
         n_erased = 0
         new_segments: list[str] = []
         first_rewritten: str | None = None
+        schema = None
         for name in seg_names:
             idx_seg = spark.read.parquet(genlog._join(root, name))
+            schema = schema or idx_seg.schema
             hits = idx_seg.join(k, id_col, "left_semi").count()
             if hits == 0:
                 new_segments.append(name)
@@ -1101,8 +1103,18 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
         if n_erased == 0:
             return 0
         if not new_segments:
+            # fully-erased index: a centroids-only tree is UNREADABLE
+            # (review — probes/erases crash on schema inference and the
+            # index is unrecoverable without a rebuild). Write a READABLE
+            # zero-row dataset carrying the full schema (__cluster rides
+            # as a plain column; Spark writes the schema file for an
+            # empty NON-partitioned frame) plus the geometry record —
+            # probes answer empty, appends stage deltas beside it, the
+            # next compact drops it.
             gen = genlog.new_generation_name()
-            _write_ivf_centroids(spark, genlog._join(root, gen), C, quantized=quantized)
+            target = genlog._join(root, gen)
+            spark.createDataFrame([], schema).write.mode("error").parquet(target)
+            _write_ivf_centroids(spark, target, C, quantized=quantized)
             new_segments, first_rewritten = [gen], gen
         genlog.commit_generation(
             spark, path, first_rewritten or new_segments[0], "erase",

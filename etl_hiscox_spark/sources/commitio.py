@@ -189,12 +189,13 @@ def replace_put(filesystem, path: str, data: bytes) -> None:
     window costs one LIST fallback, never a wrong answer. NOT for commit
     records — those are :func:`commit_if_absent`. Staged tmp + move;
     HDFS rename refuses an existing destination, so on that refusal the
-    old file is deleted and the move retried (same semantics as
-    ``TxnTable._fs_replace``, which keeps its own os fast path)."""
+    old file is deleted and the move retried. The parent directory must
+    already exist — both hint writers (txn checkpoint, gen-log
+    checkpoint) target the log directory their commit just wrote into,
+    so an extra create_dir RPC per hint would be pure tax."""
     from pyarrow import fs as pafs
 
     parent = path.rsplit("/", 1)[0]
-    filesystem.create_dir(parent, recursive=True)
     tmp = f"{parent}/.{path.rsplit('/', 1)[1]}.{uuid.uuid4().hex}.tmp"
     with filesystem.open_output_stream(tmp) as f:
         f.write(data)

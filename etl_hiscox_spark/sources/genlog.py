@@ -158,15 +158,24 @@ def _pointer_versions(root: str) -> list[int]:
 # new content is a root that was DELETED and rebuilt (tests and bench
 # scratch wipes; versions restart at 0): commit_generation therefore
 # updates the cache with the record it just committed, so the
-# same-process rebuild always reads its own truth.
+# same-process rebuild always reads its own truth. A root wiped and
+# rebuilt by a DIFFERENT process is outside the protocol (no protocol
+# op deletes a live root — vacuum trims pointer prefixes and never
+# reuses versions); a session that must survive an external
+# delete-and-recreate restarts or moves to a fresh root. Entries are
+# stored and served as COPIES — a caller mutating a record it got from
+# read_pointer/list_generations must never poison the process-wide
+# cache (review).
 _POINTER_CACHE: dict[tuple[str, int], dict] = {}
 _POINTER_CACHE_MAX = 512
 
 
 def _cache_pointer(root: str, version: int, rec: dict) -> None:
+    import copy
+
     if len(_POINTER_CACHE) >= _POINTER_CACHE_MAX:
         _POINTER_CACHE.pop(next(iter(_POINTER_CACHE)))
-    _POINTER_CACHE[(root.rstrip("/"), int(version))] = rec
+    _POINTER_CACHE[(root.rstrip("/"), int(version))] = copy.deepcopy(rec)
 
 
 def _pointer_exists(root: str, version: int) -> bool:
@@ -231,10 +240,12 @@ def _head_version(root: str) -> int | None:
 
 
 def read_pointer(root: str, version: int) -> dict:
+    import copy
+
     key = (root.rstrip("/"), int(version))
     hit = _POINTER_CACHE.get(key)
     if hit is not None:
-        return hit
+        return copy.deepcopy(hit)
     filesystem, p = _fs(_join(root, _GEN_LOG, f"v{version}.json"))
     with filesystem.open_input_file(p) as f:
         rec = json.loads(f.read().decode("utf-8"))

@@ -282,37 +282,17 @@ class TxnTable:
 
     def _fs_replace(self, filesystem, tmp: str, final: str, data: bytes) -> None:
         """Write ``data`` at ``final`` via staged tmp + move, replacing
-        any existing file, through ``pyarrow.fs``. Local rename and S3
-        copy+delete overwrite in one step; HDFS rename REFUSES an
-        existing destination (the commitio semantics), so on that
-        refusal the old file is deleted and the move retried — a brief
-        absence window the two callers tolerate by contract (checkpoint:
-        LIST fallback; erase repoint: documented maintenance window).
-        The staged tmp is cleaned up on failure, never leaked."""
-        from pyarrow import fs as pafs
+        any existing file, through ``pyarrow.fs`` — delegates to
+        :func:`commitio.replace_put`, THE one hint-record primitive
+        (review: two hand-rolled copies of the HDFS-rename-refusal dance
+        would drift on exactly the failure step a crash needs). The
+        brief no-file window on a rename-refusing store is tolerated by
+        both callers' contracts (checkpoint: LIST fallback; erase
+        repoint: documented maintenance window). ``tmp`` is unused —
+        the primitive stages its own."""
+        from etl_hiscox_spark.sources.commitio import replace_put
 
-        with filesystem.open_output_stream(tmp) as f:
-            f.write(data)
-        try:
-            filesystem.move(tmp, final)
-            return
-        except OSError:
-            if filesystem.get_file_info(final).type == pafs.FileType.NotFound:
-                # not a rename-refusal: surface the real error, drop tmp
-                try:
-                    filesystem.delete_file(tmp)
-                finally:
-                    pass
-                raise
-        try:
-            filesystem.delete_file(final)
-            filesystem.move(tmp, final)
-        except OSError:
-            try:
-                filesystem.delete_file(tmp)
-            except OSError:
-                pass
-            raise
+        replace_put(filesystem, final, data)
 
     def _drop_checkpoint(self) -> None:
         """Remove the head hint entirely — readers fall back to the full

@@ -955,3 +955,42 @@ def test_rebuilt_root_never_serves_the_old_roots_cached_pointer(spark, tmp_path)
     v, gen2 = genlog.current_generation(spark, root)
     assert v == 0 and gen2 != gen1  # the NEW build's generation, not the cache's
     assert _probe_pairs(spark, root, docs)  # probes the rebuilt index
+
+
+def test_fully_erased_ivf_index_stays_readable_and_recoverable(spark, tmp_path):
+    """Erasing EVERY row of an IVF index must leave it readable (probes
+    answer empty) and recoverable (appends land, probes then answer from
+    the delta) — review: a centroids-only fallback generation crashed
+    every subsequent probe/erase on schema inference, unrecoverable
+    without a rebuild."""
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        erase_from_ivf_index,
+        ivf_probe_topk,
+        random_hyperplanes,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(19)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(24)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    root = "file://" + str(tmp_path / "ivf")
+    write_ivf_index(
+        emb.filter("vec_id < 12"), root, "embedding", "vec_id",
+        centroids=random_hyperplanes(dim=8, n_planes=4, seed=3),
+    )
+    q = rows[0][1]
+    n = erase_from_ivf_index(spark, root, emb.select("vec_id"), "vec_id")
+    assert n == 12
+    # readable: empty answer, not a schema-inference crash
+    got = ivf_probe_topk(spark, root, None, "embedding", "vec_id", q, k=5, n_probe=4)
+    assert got.count() == 0
+    # recoverable: an append lands beside the empty segment and probes answer
+    append_to_ivf_index(emb.filter("vec_id >= 12"), root, "embedding", "vec_id")
+    got = ivf_probe_topk(spark, root, None, "embedding", "vec_id", q, k=5, n_probe=4)
+    assert got.count() == 5
+    # and a second erase still works (reads the empty segment fine)
+    n2 = erase_from_ivf_index(
+        spark, root, emb.filter("vec_id = 12").select("vec_id"), "vec_id"
+    )
+    assert n2 == 1
