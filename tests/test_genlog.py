@@ -994,3 +994,40 @@ def test_fully_erased_ivf_index_stays_readable_and_recoverable(spark, tmp_path):
         spark, root, emb.filter("vec_id = 12").select("vec_id"), "vec_id"
     )
     assert n2 == 1
+
+
+def test_vacuum_keeps_by_reference_segments_of_the_live_head(spark, tmp_path):
+    """Selective erase carries untouched segments into the new pointer BY
+    REFERENCE — vacuum's liveness is the UNION of the kept pointers'
+    segment lists, so a build directory committed at v0 must survive a
+    keep_last=1 vacuum when the v2 head still references it, while the
+    superseded delta directory is reclaimed."""
+    from etl_hiscox_spark.operators.dedup import (
+        erase_from_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.sources import genlog
+
+    local = str(tmp_path / "mh")
+    root = "file://" + local
+    docs = _docs(spark)
+    write_minhash_index(docs.filter("doc_id < 20"), "text", "doc_id", root)  # v0
+    write_minhash_index(
+        docs.filter("doc_id >= 20"), "text", "doc_id", root, mode="append"   # v1
+    )
+    # doc 23 lives only in the delta -> v2 = [build (by reference), delta']
+    erase_from_minhash_index(
+        spark, root, spark.createDataFrame([(23,)], "doc_id long"), "doc_id"
+    )
+    head = genlog.pointer_segments(
+        genlog.read_pointer(
+            genlog.resolve_root(spark, root),
+            genlog.current_generation(spark, root)[0],
+        )
+    )
+    build_gen = head[0]
+    removed = genlog.vacuum_generations(spark, root, keep_last=1)
+    assert removed == 1  # ONLY the superseded original delta
+    on_disk = {d for d in os.listdir(local) if d.startswith("gen-")}
+    assert build_gen in on_disk and on_disk == set(head)
+    assert 3 in _probe_pairs(spark, root, docs)  # build segment still answers
