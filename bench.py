@@ -144,6 +144,9 @@ HEADLINE = [
     "l3_ivf_delta_append_probe",
     "l2_stream_index_ingest",
     "x18_txn_time_travel",
+    # round-14 addition: readable-empty lifecycle (full erase → no-op
+    # compact → append recovery; declared mid-r14, banks in r15)
+    "l3_ivf_full_erase_recovery_probe",
 ]
 
 

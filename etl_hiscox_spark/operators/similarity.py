@@ -936,9 +936,13 @@ def compact_ivf_index(spark, path: str, target_file_mb: int = 256) -> int:
                 ):
                     dirs.append((int(info.base_name.split("=", 1)[1]), genlog._join(seg, info.base_name)))
         if not dirs:
-            raise ValueError(
-                f"no __cluster= partitions under {segs!r} — not a written IVF index"
-            )
+            # FULLY-ERASED head (the readable-empty contract, fc6a9d5):
+            # the zero-row placeholder generation has a geometry record —
+            # proven by load_ivf_centroids above — but no __cluster=
+            # partitions, and scheduled compaction landing on it must be
+            # a no-op, not an error (ADVICE r13: erase-everything then
+            # compact errored until an append or rebuild arrived)
+            return 0
         sizes: dict[int, int] = {}
         for r in distributed_dir_stats(spark, dirs).collect():
             sizes[int(r["key"])] = sizes.get(int(r["key"]), 0) + int(r["total_bytes"])
@@ -985,7 +989,10 @@ def compact_ivf_index(spark, path: str, target_file_mb: int = 256) -> int:
             if f.endswith(".parquet")
         )
     if not sizes:
-        raise ValueError(f"no __cluster= partitions under {path!r} — not a written IVF index")
+        # fully-erased flat index: geometry record present (validated
+        # above), zero partitions — same no-op contract as the
+        # generational branch (ADVICE r13)
+        return 0
     step = target_file_mb * 1024 * 1024
     n_files = {c: max(1, -(-b // step)) for c, b in sizes.items()}
     df = spark.read.parquet(path)

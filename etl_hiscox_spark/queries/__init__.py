@@ -809,16 +809,27 @@ WINDOW_R14: tuple[str, ...] = (
 # (l3_ivf_rebuild_probe / s19_gdpr_erase_subject /
 # x13_exactly_once_txn_sink / x14_txn_optimize_compaction) lead, then
 # the remaining 44 r11 greens (the r11 cohort minus l2_lsh_rebuild_probe
-# / l3_ivf_quantized_probe, which banked as r14 prechecks). Then 2 of
-# the 50 r12 greens as early prechecks — the heaviest oracle shapes
-# (the generation-pointer lifecycles); the 48 remaining r12 greens defer
-# to a mandatory WINDOW_R16 head. The r15 builder SWAPS prechecks for
-# new declarations (new queries must lead; displaced r12-green
-# prechecks move toward r16) — keep new declarations <= ~2 here (only 2
-# precheck slots exist; more displaces mandatory r11 entries, which
-# must NOT happen) and ALWAYS recompute cohorts from the CORRECTNESS
-# artifacts before editing.
+# / l3_ivf_quantized_probe, which banked as r14 prechecks). Then the
+# r12-green precheck slots — originally 2 (the heaviest oracle shapes,
+# the generation-pointer lifecycles); the r14 builder used one slot for
+# its mid-round declaration (l3_ivf_full_erase_recovery_probe leads,
+# l3_ivf_gen_lifecycle_probe moved to WINDOW_R16's mandatory head), so
+# ONE r12 precheck remains; the other r12 greens defer to a mandatory
+# WINDOW_R16 head. The r15 builder SWAPS prechecks for new declarations
+# (new queries must lead; displaced r12-green prechecks move toward
+# r16) — only 1 swappable slot remains (more displaces mandatory r11
+# entries, which must NOT happen) and ALWAYS recompute cohorts from the
+# CORRECTNESS artifacts before editing.
 WINDOW_R15: tuple[str, ...] = (
+    # new r14 declaration — never driver-checked, must lead (declared
+    # mid-r14 AFTER WINDOW_R14 was already being served, so it banks in
+    # r15): l3_ivf_full_erase_recovery_probe (the readable-empty
+    # lifecycle: full erase → placeholder head probes empty → compact
+    # NO-OPS without committing (ADVICE r13 fix) → append recovers →
+    # odds-only exact-cosine oracle). It displaces the
+    # l3_ivf_gen_lifecycle_probe r12-green precheck (same family), which
+    # moves to WINDOW_R16's mandatory head.
+    "l3_ivf_full_erase_recovery_probe",
     # mandatory: latest green r11 — stale-beyond-3 at current=15; the 4
     # prechecks displaced from WINDOW_R14 lead
     "l3_ivf_rebuild_probe",
@@ -869,9 +880,78 @@ WINDOW_R15: tuple[str, ...] = (
     "x1_x2_stream_roundtrip",
     "x6_stateful_dedup_batch_twin",
     "x7_upsert_batch_twin",
-    # r12-green prechecks (2 of 50) — the heaviest shapes, smoothing r16
+    # r12-green precheck (1 of 50 after the r14 declaration took the
+    # other slot; l3_ivf_gen_lifecycle_probe moved to WINDOW_R16's
+    # mandatory head) — the heaviest shape, smoothing r16
     "l2_lsh_gen_lifecycle_probe",
+)
+
+# Round 16 window — PRE-DEFINED at the end of r14 (same self-advance
+# mechanism; ``active_window()`` serves this once CORRECTNESS_r15.json
+# exists). Composition (recomputed programmatically from the CORRECTNESS
+# artifacts + the pre-defined R14/R15 windows, assuming both bank green:
+# {r12: 49, r13: 50, r14: 50, r15: 50} over 199 + s7): head = ALL 49
+# r12-latest greens (stale-beyond-3 at current=16) — the r12 cohort
+# minus l2_lsh_gen_lifecycle_probe (banks as an r15 precheck), plus
+# l3_ivf_gen_lifecycle_probe (displaced from WINDOW_R15 by the r14
+# declaration). Then 1 r13-green precheck — the heaviest remaining
+# oracle shape (the LSH compact lifecycle); the other r13 greens defer
+# to a mandatory WINDOW_R17 head. The r16 builder SWAPS the precheck
+# for a new declaration (new queries must lead; at most 1 here — more
+# displaces mandatory r12 entries, which must NOT happen) and ALWAYS
+# recomputes cohorts from the CORRECTNESS artifacts before editing.
+WINDOW_R16: tuple[str, ...] = (
+    "a10_rollup_summary",
+    "a12_percentiles",
+    "a13_histogram",
+    "a14_pivot",
+    "a15_distinct_rollup",
+    "a6_grouped_pricing_summary",
+    "a7_conditional_aggregate",
+    "a9_duplicate_stats",
+    "f17_golden_record",
+    "f7_freshness_tiers",
+    "g2_top_unshipped_orders",
+    "g3_supplier_part_matrix",
+    "g4_promo_revenue_share",
+    "g5_exists_late_orders",
+    "g6_having_large_customers",
+    "j1_inner_equijoin",
+    "j2_left_outer_join",
+    "j5_left_anti_join",
+    "l2_minhash_near_dup",
+    "l2_transitive_clusters",
+    "l3_ann_topk",
+    "l3_embedding_near_pairs",
+    "l3_ivf_append_probe",
     "l3_ivf_gen_lifecycle_probe",
+    "l3_ivf_recover_rebuild_probe",
+    "l3_mmr_topk",
+    "l5_bpe_token_count",
+    "l6_from_json_struct",
+    "m10_video_frame_near_dup",
+    "m9_media_near_dup_pairs",
+    "p2_computed_columns",
+    "p4_filter_range",
+    "p7_filter_regex",
+    "p8_filter_cross_column",
+    "s14_incremental_refresh",
+    "s20_bulk_frame_erase",
+    "s4_sql_entry_point",
+    "t12_weighted_sample",
+    "t25_token_budget_sample",
+    "t26_dsir_weights",
+    "t27_boilerplate_lines",
+    "t28_domain_quality_gate",
+    "t29_gumbel_weighted_topk",
+    "t30_domain_blocklist",
+    "t31_perplexity_buckets",
+    "t3_fingerprint",
+    "t7_mixture_sample",
+    "v4_pca_projection",
+    "x15_txn_multi_writer_occ",
+    # r13-green precheck (1 of 50) — the heaviest shape, smoothing r17
+    "l2_lsh_compact_probe",
 )
 
 WINDOWS: dict[int, tuple[str, ...]] = {
@@ -883,6 +963,7 @@ WINDOWS: dict[int, tuple[str, ...]] = {
     13: WINDOW_R13,
     14: WINDOW_R14,
     15: WINDOW_R15,
+    16: WINDOW_R16,
 }
 
 

@@ -2129,6 +2129,72 @@ def l3_ivf_erase_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
 
 
+@register(
+    "l3_ivf_full_erase_recovery_probe",
+    oracle=_cosine_oracle("\n      WHERE vec_id % 2 = 1"),
+)
+def l3_ivf_full_erase_recovery_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The READABLE-EMPTY lifecycle end-to-end, driver-side (r14: the
+    # fc6a9d5 recoverable-full-erase contract + the ADVICE r13 fix that
+    # scheduled compaction landing on a fully-erased head must NO-OP,
+    # not error until an append or rebuild arrives). Build generational
+    # (the r13 DEFAULT — asserted, not assumed) on the EVEN vec_ids,
+    # erase EVERYTHING (the head becomes the zero-row schema-carrying
+    # placeholder), probe → must answer empty, compact → must return 0
+    # WITHOUT committing a pointer (history stays [build, erase]), then
+    # append the ODD half beside the placeholder and full-probe: the
+    # exact brute-force top-10 over the odds only. A compact that
+    # errored, a placeholder that lost the schema, a resurrected erased
+    # row, or a dropped appended row all raise in-query or hash-fail
+    # against the odds-only cosine twin.
+    import os as _os
+
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        erase_from_ivf_index,
+        ivf_probe_topk,
+        random_hyperplanes,
+        write_ivf_index,
+    )
+    from etl_hiscox_spark.queries.writes import _scratch
+    from etl_hiscox_spark.sources import genlog
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    path = _os.path.join(_scratch("l3_ivf_full_erase", sf_dir), "ivf_index")
+    # explicit pinned geometry: output is centroid-independent (full
+    # probe) — see l3_ivf_append_probe
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    write_ivf_index(
+        evens, path, "embedding", "vec_id",
+        centroids=random_hyperplanes(dim=64, n_planes=16, seed=42),
+    )
+    if not genlog.is_generational(spark, path):
+        raise ValueError("a bare build must produce the generational layout (r13)")
+    expected = evens.count()
+    n_erased = erase_from_ivf_index(spark, path, evens.select("vec_id"), "vec_id")
+    if n_erased != expected:
+        raise ValueError(
+            f"full erase removed {n_erased} rows, the build held {expected}"
+        )
+    empty = ivf_probe_topk(spark, path, None, "embedding", "vec_id", qvec, k=10, n_probe=16)
+    if empty.count() != 0:
+        raise ValueError("a fully-erased index must probe EMPTY, not crash or answer")
+    if compact_ivf_index(spark, path) != 0:
+        raise ValueError("compacting the fully-erased placeholder must no-op (0)")
+    ops = [g["operation"] for g in genlog.list_generations(spark, path)]
+    if ops != ["build", "erase"]:
+        raise ValueError(
+            f"pointer history records {ops} — the no-op compact must not commit"
+        )
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path, "embedding", "vec_id")
+    out = ivf_probe_topk(
+        spark, path, None, "embedding", "vec_id", qvec, k=10, n_probe=16
+    )
+    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+
+
 def _drift_centroid_values() -> str:
     """The drift query's pinned geometry as a SQL VALUES matrix — seeded
     data-independent numpy draws, the same literal-matrix oracle
@@ -4479,23 +4545,21 @@ def l2_lsh_collision_rerun_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError("a bare build must produce the generational layout (r13)")
     erase = old.filter(F.col("doc_id") % 10 == 6).select("doc_id")
 
-    real_current = genlog.current_generation
+    # the SCOPED hook (ADVICE r13: swapping genlog's module attribute was
+    # process-global — a concurrent head resolve on the same driver would
+    # pass through the probe's hook); disarmed while the hook runs, so
+    # the injected erase resolves for real
     fired = {"done": False}
 
-    def racing_current(spark_, root_):
-        out = real_current(spark_, root_)
+    def racing_current(real, spark_, root_):
+        out = real(spark_, root_)
         if not fired["done"]:
             fired["done"] = True
-            genlog.current_generation = real_current
             erase_from_minhash_index(spark, root, erase, "doc_id")
-            genlog.current_generation = racing_current
         return out
 
-    genlog.current_generation = racing_current
-    try:
+    with genlog.interpose_head_resolution(racing_current):
         genlog.rerun_on_generation_conflict(compact_minhash_index, spark, root)
-    finally:
-        genlog.current_generation = real_current
     ops = [g["operation"] for g in genlog.list_generations(spark, root)]
     if ops != ["build", "erase", "compact"]:
         raise ValueError(
@@ -4574,27 +4638,24 @@ def l2_lsh_delta_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # fire the erase on the append's SECOND head resolve — inside
     # append_segment, after the delta staged — so the append's first
-    # pointer commit genuinely collides and the bounded retry must land
-    real_current = genlog.current_generation
+    # pointer commit genuinely collides and the bounded retry must land.
+    # Scoped hook (ADVICE r13): thread-local, disarmed while it runs, so
+    # the injected erase resolves for real and concurrent queries on the
+    # same driver never pass through the probe's interposition.
     calls = {"n": 0}
 
-    def racing_current(spark_, root_):
-        out = real_current(spark_, root_)
+    def racing_current(real, spark_, root_):
+        out = real(spark_, root_)
         calls["n"] += 1
         if calls["n"] == 2:
-            genlog.current_generation = real_current
             erase_from_minhash_index(spark, root, erase, "doc_id")
-            genlog.current_generation = racing_current
         return out
 
-    genlog.current_generation = racing_current
-    try:
+    with genlog.interpose_head_resolution(racing_current):
         write_minhash_index(
             docs.filter(F.col("doc_id") % 4 == 2), "text", "doc_id", root,
             num_hashes=24, num_bands=6, mode="append",
         )
-    finally:
-        genlog.current_generation = real_current
 
     ops = [g["operation"] for g in genlog.list_generations(spark, root)]
     if ops != ["build", "erase", "append"]:

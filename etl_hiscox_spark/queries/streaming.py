@@ -765,6 +765,8 @@ def x18_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_hiscox_spark.queries.writes import _scratch
     from etl_hiscox_spark.sources.txnlog import TxnTable
 
+    import time as _time
+
     cust = load_table(spark, "customer", sf_dir).select(
         "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("c_acctbal")
     )
@@ -772,6 +774,14 @@ def x18_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = TxnTable(spark, root)
     for m in (0, 1, 2):
         t.write(cust.filter(F.col("c_custkey") % 3 == m), mode="append")
+        # GUARANTEE strictly-increasing commit timestamps instead of
+        # refusing after the fact (ADVICE r13: time.time() can quantize
+        # on some VMs, and a tie would deterministically fail the probe
+        # rather than test time travel): spin until the clock strictly
+        # passes the commit just landed before starting the next one
+        last = t.history()[-1]["committed_at"]
+        while _time.time() <= last:
+            _time.sleep(0.001)
     ts = [m["committed_at"] for m in t.history()]
     if not (ts[0] < ts[1] < ts[2]):
         raise ValueError(f"commit timestamps not strictly increasing: {ts}")

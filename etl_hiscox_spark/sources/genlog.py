@@ -54,6 +54,8 @@ path an ``s3://`` deployment runs.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import json
 import re
 import time
@@ -152,30 +154,82 @@ def _pointer_versions(root: str) -> list[int]:
 # this kills the second GET every head resolve used to pay
 # (current_generation reads the record for the generation name, then
 # the caller re-reads it for segments/geometry/watermarks). Bounded
-# FIFO; vacuum deleting an old pointer file does not invalidate the
-# cached bytes, which is fine — nothing probes pointer deletion through
-# read_pointer. The ONE way a (root, version) key can legitimately name
-# new content is a root that was DELETED and rebuilt (tests and bench
-# scratch wipes; versions restart at 0): commit_generation therefore
-# updates the cache with the record it just committed, so the
-# same-process rebuild always reads its own truth. A root wiped and
-# rebuilt by a DIFFERENT process is outside the protocol (no protocol
-# op deletes a live root — vacuum trims pointer prefixes and never
-# reuses versions); a session that must survive an external
-# delete-and-recreate restarts or moves to a fresh root. Entries are
-# stored and served as COPIES — a caller mutating a record it got from
-# read_pointer/list_generations must never poison the process-wide
-# cache (review).
-_POINTER_CACHE: dict[tuple[str, int], dict] = {}
+# FIFO. Entries are stored and served as COPIES — a caller mutating a
+# record it got from read_pointer/list_generations must never poison
+# the process-wide cache (review).
+#
+# Staleness guard (r14, closing the r13 carve-out): the ONE way a
+# (root, version) key can legitimately name new content is a root that
+# was DELETED and rebuilt (scratch wipes; versions restart at 0). A
+# same-process rebuild was already covered (commit_generation refreshes
+# the cache with the record it just committed); an EXTERNAL
+# delete-and-recreate used to be documentation-guarded only. Now every
+# entry carries the pointer file's (size, mtime_ns) fingerprint,
+# captured at cache time, and every cache hit re-stats the file and
+# compares — a mismatch (or a vanished file) means the bytes on disk
+# are not the bytes we cached, so ALL of the root's entries are
+# dropped and the read goes to disk. Cost: one metadata stat per hit
+# instead of the GET the cache still saves; pointer files are written
+# once, so a false drop needs a same-size same-mtime_ns rewrite, which
+# no protocol op performs. Keys are canonicalized by _cache_key
+# (ADVICE r13: '/x' and 'file:///x' must hit the same entry, or the
+# commit-time refresh covers only one spelling).
+_POINTER_CACHE: dict[tuple[str, int], tuple[dict, tuple]] = {}
 _POINTER_CACHE_MAX = 512
 
 
-def _cache_pointer(root: str, version: int, rec: dict) -> None:
+def _cache_key(root: str) -> str:
+    """One canonical cache key per physical root (ADVICE r13): a local
+    root is legally addressed as ``/x``, ``file:/x`` or ``file:///x`` by
+    different callers — Hadoop renders single-slash, tests pass plain
+    paths — and a per-spelling key would let a rebuild committed under
+    one spelling serve stale records under another. ``file:`` with an
+    empty authority strips to the plain path; a non-empty authority
+    (``file://host/x``) is not a local spelling and stays verbatim, as
+    do all other schemes (scheme+bucket are identity there)."""
+    r = root.rstrip("/")
+    if r.startswith("file:"):
+        rest = r[5:]
+        if rest.startswith("//") and not rest.startswith("///"):
+            return r
+        return re.sub("^/+", "/", rest)
+    return r
+
+
+def _pointer_fingerprint(root: str, version: int) -> tuple | None:
+    """(size, mtime_ns) of the pointer file — the identity a cached
+    record is verified against on every hit — or None when the file
+    cannot be statted as a file (missing, or a store error: the caller
+    then skips caching / drops the hit and reads the disk truth)."""
+    from pyarrow import fs as pafs
+
+    try:
+        filesystem, p = _fs(_join(root, _GEN_LOG, f"v{version}.json"))
+        info = filesystem.get_file_info(p)
+    except OSError:
+        return None
+    if info.type != pafs.FileType.File:
+        return None
+    mt = info.mtime_ns
+    if mt is None and info.mtime is not None:
+        mt = int(info.mtime.timestamp() * 1_000_000_000)
+    return (info.size, mt)
+
+
+def _drop_root_cache(root: str) -> None:
+    key = _cache_key(root)
+    for k in [k for k in _POINTER_CACHE if k[0] == key]:
+        _POINTER_CACHE.pop(k, None)
+
+
+def _cache_pointer(root: str, version: int, rec: dict, fingerprint: tuple | None) -> None:
     import copy
 
+    if fingerprint is None:
+        return  # unverifiable entries are not worth serving later
     if len(_POINTER_CACHE) >= _POINTER_CACHE_MAX:
         _POINTER_CACHE.pop(next(iter(_POINTER_CACHE)))
-    _POINTER_CACHE[(root.rstrip("/"), int(version))] = copy.deepcopy(rec)
+    _POINTER_CACHE[(_cache_key(root), int(version))] = (copy.deepcopy(rec), fingerprint)
 
 
 def _pointer_exists(root: str, version: int) -> bool:
@@ -242,15 +296,56 @@ def _head_version(root: str) -> int | None:
 def read_pointer(root: str, version: int) -> dict:
     import copy
 
-    key = (root.rstrip("/"), int(version))
+    key = (_cache_key(root), int(version))
     hit = _POINTER_CACHE.get(key)
     if hit is not None:
-        return copy.deepcopy(hit)
+        rec, fingerprint = hit
+        if _pointer_fingerprint(root, version) == fingerprint:
+            return copy.deepcopy(rec)
+        # the file at (root, version) is not the file we cached — an
+        # externally wiped-and-rebuilt root (versions restart at 0), so
+        # EVERY cached record for this root is suspect (r14, closing the
+        # r13 stale-pointer carve-out)
+        _drop_root_cache(root)
+    # fingerprint BEFORE the read: if the file is replaced in the
+    # stat→read window we cache new bytes under the old fingerprint, the
+    # next hit's verify mismatches, and the entry self-heals — the
+    # opposite order could pin new-fingerprint/old-bytes as verified
+    fingerprint = _pointer_fingerprint(root, version)
     filesystem, p = _fs(_join(root, _GEN_LOG, f"v{version}.json"))
     with filesystem.open_input_file(p) as f:
         rec = json.loads(f.read().decode("utf-8"))
-    _cache_pointer(root, version, rec)
+    _cache_pointer(root, version, rec, fingerprint)
     return rec
+
+
+# Scoped race-injection point for tests and the declared race probes
+# (ADVICE r13: the probes used to swap the MODULE attribute, which is
+# process-global — any concurrent head resolve on the same driver would
+# pass through the probe's hook and could fire its injected side effect
+# against the wrong call sequence). The contextvar scopes the hook to
+# the installing thread/context only.
+_HEAD_INTERPOSE: contextvars.ContextVar = contextvars.ContextVar(
+    "genlog_head_interpose", default=None
+)
+
+
+@contextlib.contextmanager
+def interpose_head_resolution(hook):
+    """Install ``hook(real, spark, root) -> (version, gen)`` as THIS
+    context's :func:`current_generation` for the duration of the block —
+    the supported way to inject a racing commit between an operation's
+    head resolve and its pointer commit (the deterministic interleaves
+    the collision/delta probes and tests/test_genlog.py drive). While
+    the hook itself runs, the interposition is disarmed, so protocol
+    calls the hook makes (e.g. firing the racing erase) resolve for real
+    without the restore/re-arm dance the module-attribute swap needed.
+    Other threads are untouched."""
+    token = _HEAD_INTERPOSE.set(hook)
+    try:
+        yield
+    finally:
+        _HEAD_INTERPOSE.reset(token)
 
 
 def current_generation(spark, root: str) -> tuple[int, str]:
@@ -259,6 +354,17 @@ def current_generation(spark, root: str) -> tuple[int, str]:
     may exist but nothing ever became live). Resolution goes through the
     checkpoint hint (:func:`_head_version`) — O(commits-since-checkpoint)
     probes on the hot path, LIST only as fallback."""
+    hook = _HEAD_INTERPOSE.get()
+    if hook is not None:
+        token = _HEAD_INTERPOSE.set(None)  # disarm while the hook runs
+        try:
+            return hook(_current_generation, spark, root)
+        finally:
+            _HEAD_INTERPOSE.reset(token)
+    return _current_generation(spark, root)
+
+
+def _current_generation(spark, root: str) -> tuple[int, str]:
     root = resolve_root(spark, root)
     head = _head_version(root)
     if head is None:
@@ -388,8 +494,9 @@ def commit_generation(
     # the committer KNOWS this record is the truth at (root, version) —
     # caching it here (not just on read) keeps a deleted-and-rebuilt root
     # (scratch wipes restart versions at 0) from serving the old root's
-    # cached record to its own process
-    _cache_pointer(root, version, rec)
+    # cached record to its own process; the fingerprint stat pins the
+    # entry to the file just committed (r14 staleness guard)
+    _cache_pointer(root, version, rec, _pointer_fingerprint(root, version))
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         _write_head_hint(root, version)  # opportunistic; failure tolerated
     return version
@@ -554,7 +661,18 @@ def vacuum_generations(
     stage (deleting it corrupts the commit that is about to land), and
     the two are indistinguishable — so orphans younger than
     ``min_age_seconds`` are kept. Pass 0 only when no maintenance op can
-    be mid-flight."""
+    be mid-flight.
+
+    CONCURRENT vacuums are tolerated (r14, found by the multi-actor
+    stress): two vacuums race on the same prefix, so every read or
+    delete of a pointer file this call listed may find the file already
+    gone — that is the OTHER vacuum having done the same work, never
+    data loss. Missing pointers are skipped: a skipped old record can
+    only SHRINK the ever-committed set, which flips its segments into
+    the never-committed branch where the age gate keeps anything a
+    concurrent op could still reference (commits that landed after this
+    call's LIST are protected the same way — their generations are
+    younger than ``min_age_seconds`` by construction)."""
     from pyarrow import fs as pafs
 
     root = resolve_root(spark, root)
@@ -568,18 +686,31 @@ def vacuum_generations(
     # files, and a hint pointing into that prefix would force every head
     # read onto the LIST fallback until the next checkpoint boundary
     _write_head_hint(root, versions[-1])
+
+    def _segments_or_none(v: int) -> list[str] | None:
+        try:
+            return pointer_segments(read_pointer(root, v))
+        except (FileNotFoundError, OSError):
+            return None  # trimmed by a concurrent vacuum mid-call
+
     # union over SEGMENTS, not just the committing generation: an append
     # pointer keeps every parent segment live, so a build segment referenced
     # by the newest pointer survives however old its own commit is (r13)
     ever_committed: set[str] = set()
-    for v in versions:
-        ever_committed.update(pointer_segments(read_pointer(root, v)))
     live: set[str] = set()
-    for v in keep:
-        live.update(pointer_segments(read_pointer(root, v)))
+    for v in versions:
+        segs = _segments_or_none(v)
+        if segs is None:
+            continue
+        ever_committed.update(segs)
+        if v in keep:
+            live.update(segs)
     filesystem, log_path = _fs(_join(root, _GEN_LOG))
     for v in versions[: -keep_last] if len(versions) > keep_last else []:
-        filesystem.delete_file(f"{log_path}/v{v}.json")
+        try:
+            filesystem.delete_file(f"{log_path}/v{v}.json")
+        except (FileNotFoundError, OSError):
+            pass  # the concurrent vacuum got there first
     rootfs, root_path = _fs(root)
     cutoff = time.time() - min_age_seconds
     removed = 0
@@ -595,6 +726,9 @@ def vacuum_generations(
             mtime = info.mtime.timestamp() if info.mtime else 0.0
             if mtime > cutoff:
                 continue
-        rootfs.delete_dir(info.path)
+        try:
+            rootfs.delete_dir(info.path)
+        except (FileNotFoundError, OSError):
+            continue  # already reclaimed by the racing vacuum
         removed += 1
     return removed

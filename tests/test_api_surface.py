@@ -220,13 +220,12 @@ def test_never_checked_queries_lead_the_window():
 # r7-declared PENDING queries, this round's new declarations, then
 # r5-stale greens. Queries declared during r8 AFTER the window fills go
 # here and lead WINDOW_R9.)
-# r13 mid-round declarations: WINDOW_R13 was already being served when
-# these were declared, so they lead WINDOW_R14 instead (pinned there).
+# r14: the four r13 mid-round declarations now LEAD the served
+# WINDOW_R14 (they are "in the window", no exemption needed).
+# r14 mid-round declarations: WINDOW_R14 was already being served when
+# these were declared, so they lead WINDOW_R15 instead (pinned there).
 PENDING_NEXT_WINDOW: set[str] = {
-    "l2_lsh_delta_append_probe",
-    "l3_ivf_delta_append_probe",
-    "l2_stream_index_ingest",
-    "x18_txn_time_travel",
+    "l3_ivf_full_erase_recovery_probe",
 }
 
 

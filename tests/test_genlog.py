@@ -196,27 +196,22 @@ def test_generational_maintenance_race_collides_end_to_end(spark, tmp_path):
     write_minhash_index(docs, "text", "doc_id", root, generational=True)
 
     # interleave deterministically: when compact resolves its base, fire
-    # the erase BEFORE compact's own commit lands
-    real_current = genlog.current_generation
+    # the erase BEFORE compact's own commit lands (the scoped hook is
+    # disarmed while it runs, so the erase inside resolves for real)
     fired = {"done": False}
 
-    def racing_current(spark_, root_):
-        out = real_current(spark_, root_)
+    def racing_current(real, spark_, root_):
+        out = real(spark_, root_)
         if not fired["done"]:
             fired["done"] = True
-            genlog.current_generation = real_current
             erase_from_minhash_index(
                 spark, root, spark.createDataFrame([(3,)], "doc_id long"), "doc_id"
             )
-            genlog.current_generation = racing_current
         return out
 
-    genlog.current_generation = racing_current
-    try:
+    with genlog.interpose_head_resolution(racing_current):
         with pytest.raises(FileExistsError):
             compact_minhash_index(spark, root)
-    finally:
-        genlog.current_generation = real_current
     # the erase won; its generation is live and doc 3 stays forgotten
     assert 3 not in _probe_pairs(spark, root, docs)
     ops = [g["operation"] for g in genlog.list_generations(spark, root)]
@@ -567,27 +562,21 @@ def test_occ_append_survives_racing_erase(spark, tmp_path):
     # read — so the returned head is stale by the time the commit lands:
     # the append's first pointer commit genuinely COLLIDES
     # (FileExistsError) and the bounded retry must re-resolve and land
-    real_current = genlog.current_generation
     calls = {"n": 0}
 
-    def racing_current(spark_, root_):
-        out = real_current(spark_, root_)
+    def racing_current(real, spark_, root_):
+        out = real(spark_, root_)
         calls["n"] += 1
         if calls["n"] == 2:
-            genlog.current_generation = real_current
             erase_from_minhash_index(
                 spark, root, spark.createDataFrame([(3,)], "doc_id long"), "doc_id"
             )
-            genlog.current_generation = racing_current
         return out
 
-    genlog.current_generation = racing_current
-    try:
+    with genlog.interpose_head_resolution(racing_current):
         write_minhash_index(
             docs.filter("doc_id >= 20"), "text", "doc_id", root, mode="append"
         )
-    finally:
-        genlog.current_generation = real_current
 
     ops = [g["operation"] for g in genlog.list_generations(spark, root)]
     assert ops == ["build", "erase", "append"]  # append retried PAST the erase
@@ -629,23 +618,17 @@ def test_occ_append_restages_after_geometry_rebuild(spark, tmp_path):
         centroids=planes, generational=True,
     )
 
-    real_current = genlog.current_generation
     fired = {"done": False}
 
-    def racing_current(spark_, root_):
-        out = real_current(spark_, root_)
+    def racing_current(real, spark_, root_):
+        out = real(spark_, root_)
         if not fired["done"]:
             fired["done"] = True
-            genlog.current_generation = real_current
             rebuild_ivf_index(spark, root, "embedding", "vec_id", max_iter=2)
-            genlog.current_generation = racing_current
         return out
 
-    genlog.current_generation = racing_current
-    try:
+    with genlog.interpose_head_resolution(racing_current):
         append_to_ivf_index(emb.filter("vec_id >= 40"), root, "embedding", "vec_id")
-    finally:
-        genlog.current_generation = real_current
 
     ops = [g["operation"] for g in genlog.list_generations(spark, root)]
     assert ops == ["build", "rebuild", "append"]  # re-staged PAST the rebuild
@@ -1031,3 +1014,143 @@ def test_vacuum_keeps_by_reference_segments_of_the_live_head(spark, tmp_path):
     on_disk = {d for d in os.listdir(local) if d.startswith("gen-")}
     assert build_gen in on_disk and on_disk == set(head)
     assert 3 in _probe_pairs(spark, root, docs)  # build segment still answers
+
+
+def test_externally_wiped_and_rebuilt_root_recovers_via_fingerprint(spark, tmp_path):
+    """r14 (VERDICT r13 item 4, closing the documented carve-out): a root
+    wiped and rebuilt by a DIFFERENT process never runs this process's
+    commit-time cache refresh — the cached (root, v0) record names deleted
+    content. The stat-verify guard must notice (size/mtime fingerprint
+    mismatch), drop the root's cache, and serve the on-disk truth.
+    Emulated by building the replacement at a SIBLING path and moving it
+    over, so no commit for this root ever runs in-process."""
+    import shutil
+
+    from etl_hiscox_spark.operators.dedup import write_minhash_index
+    from etl_hiscox_spark.sources import genlog
+
+    local = str(tmp_path / "mh")
+    root = "file://" + local
+    docs = _docs(spark)
+    write_minhash_index(docs.filter("doc_id < 20"), "text", "doc_id", root)
+    v, gen1 = genlog.current_generation(spark, root)
+    assert v == 0
+
+    # the "other process": a fresh index staged elsewhere, moved over the
+    # wiped root (mtime/size of its v0.json differ from the cached one)
+    other = str(tmp_path / "other")
+    write_minhash_index(docs, "text", "doc_id", "file://" + other)
+    shutil.rmtree(local)
+    shutil.move(other, local)
+
+    v2, gen2 = genlog.current_generation(spark, root)
+    assert v2 == 0 and gen2 != gen1  # the moved-in build, not the cache
+    assert _probe_pairs(spark, root, docs)  # and it actually answers
+
+
+def test_pointer_cache_key_unifies_local_spellings(spark, tmp_path):
+    """ADVICE r13: '/x', 'file:/x' and 'file:///x' address the same
+    physical root and must share ONE cache entry — a rebuild committed
+    under one spelling used to leave stale records served under the
+    others. Unit-checks the canonicalization, then drives the scenario:
+    populate the cache under the plain spelling, wipe, rebuild under the
+    file:// spelling (commit refreshes the canonical key), and resolve
+    under the plain spelling again."""
+    import shutil
+
+    from etl_hiscox_spark.operators.dedup import write_minhash_index
+    from etl_hiscox_spark.sources import genlog
+
+    assert (
+        genlog._cache_key("file:///x/y")
+        == genlog._cache_key("file:/x/y")
+        == genlog._cache_key("/x/y/")
+        == "/x/y"
+    )
+    # a non-empty authority is NOT a local spelling; other schemes keep
+    # scheme+bucket as identity
+    assert genlog._cache_key("file://host/x") == "file://host/x"
+    assert genlog._cache_key("s3://bucket/x/") == "s3://bucket/x"
+
+    local = str(tmp_path / "mh")
+    docs = _docs(spark)
+    write_minhash_index(docs.filter("doc_id < 20"), "text", "doc_id", local)
+    gen1 = genlog.current_generation(spark, local)[1]  # cached under '/x'
+    shutil.rmtree(local)
+    write_minhash_index(docs, "text", "doc_id", "file://" + local)  # refresh 'file:///x'
+    v, gen2 = genlog.current_generation(spark, local)  # resolved under '/x'
+    assert v == 0 and gen2 != gen1
+    assert _probe_pairs(spark, local, docs)
+
+
+def test_interpose_head_resolution_is_context_scoped(spark, tmp_path):
+    """ADVICE r13: the race probes' interposition must not leak to other
+    threads on the same driver. The hook armed in the main thread fires
+    for the main thread's resolves only; a worker thread resolving the
+    same root concurrently goes through the real resolution."""
+    import threading
+
+    from etl_hiscox_spark.operators.dedup import write_minhash_index
+    from etl_hiscox_spark.sources import genlog
+
+    root = "file://" + str(tmp_path / "mh")
+    docs = _docs(spark)
+    write_minhash_index(docs.filter("doc_id < 20"), "text", "doc_id", root)
+
+    seen = {"hook": 0}
+
+    def hook(real, spark_, root_):
+        seen["hook"] += 1
+        return real(spark_, root_)
+
+    worker_result = {}
+
+    def worker():
+        worker_result["head"] = genlog.current_generation(spark, root)
+
+    with genlog.interpose_head_resolution(hook):
+        main_head = genlog.current_generation(spark, root)
+        assert seen["hook"] == 1
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join()
+    assert worker_result["head"] == main_head
+    assert seen["hook"] == 1  # the worker thread never passed through the hook
+    # and the hook is disarmed outside the block
+    genlog.current_generation(spark, root)
+    assert seen["hook"] == 1
+
+
+def test_compact_after_full_erase_is_a_noop_not_an_error(spark, tmp_path):
+    """ADVICE r13: erase-everything leaves the readable-empty placeholder
+    head (fc6a9d5); a scheduled compaction landing on it must no-op
+    (return 0, no new commit) — not error until an append or rebuild
+    arrives — and the index must stay appendable afterwards."""
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        erase_from_ivf_index,
+        ivf_probe_topk,
+        random_hyperplanes,
+        write_ivf_index,
+    )
+    from etl_hiscox_spark.sources import genlog
+
+    rng = np.random.default_rng(23)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(24)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    root = "file://" + str(tmp_path / "ivf")
+    write_ivf_index(
+        emb.filter("vec_id < 12"), root, "embedding", "vec_id",
+        centroids=random_hyperplanes(dim=8, n_planes=4, seed=3),
+    )
+    assert erase_from_ivf_index(spark, root, emb.select("vec_id"), "vec_id") == 12
+    ops_before = [g["operation"] for g in genlog.list_generations(spark, root)]
+    assert compact_ivf_index(spark, root) == 0  # no-op, loudly nothing
+    ops_after = [g["operation"] for g in genlog.list_generations(spark, root)]
+    assert ops_after == ops_before == ["build", "erase"]  # no new commit
+    # still recoverable: append + probe answer from the delta
+    append_to_ivf_index(emb.filter("vec_id >= 12"), root, "embedding", "vec_id")
+    q = rows[0][1]
+    got = ivf_probe_topk(spark, root, None, "embedding", "vec_id", q, k=5, n_probe=4)
+    assert got.count() == 5

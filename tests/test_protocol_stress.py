@@ -1,0 +1,246 @@
+"""Randomized multi-actor stress for the generation-pointer protocol
+(r14, VERDICT r13 item 3: every documented race had a deterministic
+two-actor test, but protocol bugs that survive pairwise tests are
+exactly the interleaving kind — run append + compact + erase + vacuum
+concurrently over many rounds on one root and check invariants at
+quiescence).
+
+Two tiers, fixed seeds (repeatable):
+
+- ``test_pointer_protocol_multiactor_stress`` — the pure pointer
+  protocol, no Spark: N threads fire hundreds of randomized
+  append/compact/erase/vacuum ops at one ``file://`` root through the
+  REAL genlog entry points (``append_segment``,
+  ``rerun_on_generation_conflict`` + ``commit_generation``,
+  ``vacuum_generations``), with commits crossing checkpoint boundaries.
+- ``test_minhash_multiactor_stress`` — the real index ops through
+  Spark: concurrent appender / eraser / compactor on one minhash root,
+  final membership checked by probe.
+
+Quiescence invariants (the protocol's whole contract):
+1. surviving pointer versions are DENSE and end at the head;
+2. head == total successful commits - 1 (versions are never reused;
+   vacuum only trims the prefix);
+3. every consecutive surviving transition is a LEGAL op (append extends
+   the parent's segment list by exactly one; compact/erase replace it);
+4. a segment dropped by an erase never resurfaces in a later record;
+5. every live segment directory exists on disk (vacuum never reclaimed
+   a live segment);
+6. the head resolves cleanly through ``current_generation``.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _stage_fake_segment(local_root: str, name: str) -> None:
+    d = os.path.join(local_root, name)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "part-0.bin"), "wb") as f:
+        f.write(b"segment-data")
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_pointer_protocol_multiactor_stress(tmp_path, seed):
+    from etl_hiscox_spark.sources import genlog
+
+    local = str(tmp_path / "stress")
+    root = "file://" + local
+    os.makedirs(local, exist_ok=True)
+    gid = genlog.new_geometry_id()
+    _stage_fake_segment(local, "gen-build")
+    genlog.commit_generation(None, root, "gen-build", "build", None, geometry_id=gid)
+
+    n_actors, ops_per_actor = 4, 20
+    commits_lock = threading.Lock()
+    commits: list[tuple[int, str]] = [(0, "build")]  # (version, op)
+    errors: list[BaseException] = []
+
+    def record(version: int, op: str) -> None:
+        with commits_lock:
+            commits.append((version, op))
+
+    def actor(idx: int) -> None:
+        rng = random.Random(seed * 1000 + idx)
+        try:
+            for i in range(ops_per_actor):
+                op = rng.choice(
+                    ["append", "append", "append", "compact", "erase", "vacuum"]
+                )
+                if op == "append":
+                    name = f"gen-a{idx}x{i}"
+                    _stage_fake_segment(local, name)
+                    record(
+                        genlog.append_segment(None, root, name, attempts=60),
+                        "append",
+                    )
+                elif op == "compact":
+                    def do_compact():
+                        base, _ = genlog.current_generation(None, root)
+                        rec = genlog.read_pointer(root, base)
+                        name = f"gen-c{idx}x{i}"
+                        _stage_fake_segment(local, name)
+                        return genlog.commit_generation(
+                            None, root, name, "compact", base,
+                            segments=[name], geometry_id=rec.get("geometry_id"),
+                            txn_watermarks=rec.get("txn_watermarks"),
+                        )
+
+                    record(
+                        genlog.rerun_on_generation_conflict(do_compact, attempts=60),
+                        "compact",
+                    )
+                elif op == "erase":
+                    def do_erase():
+                        base, _ = genlog.current_generation(None, root)
+                        rec = genlog.read_pointer(root, base)
+                        segs = genlog.pointer_segments(rec)
+                        if len(segs) < 2:
+                            return None  # nothing selectively erasable
+                        kept = segs[:-1]
+                        return genlog.commit_generation(
+                            None, root, kept[0], "erase", base,
+                            segments=kept, geometry_id=rec.get("geometry_id"),
+                            txn_watermarks=rec.get("txn_watermarks"),
+                        )
+
+                    v = genlog.rerun_on_generation_conflict(do_erase, attempts=60)
+                    if v is not None:
+                        record(v, "erase")
+                else:
+                    # min_age >> test duration: in-flight stages and
+                    # concurrently-committed generations this vacuum's
+                    # LIST missed are age-protected (the documented
+                    # contract — pass 0 only at quiescence)
+                    genlog.vacuum_generations(
+                        None, root, keep_last=3, min_age_seconds=600.0
+                    )
+        except BaseException as exc:  # noqa: BLE001 — surfaced below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=actor, args=(i,)) for i in range(n_actors)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, f"actor crashed: {errors[:3]}"
+
+    # -- invariants at quiescence ------------------------------------------
+    head, _gen = genlog.current_generation(None, root)  # (6) resolves
+    surviving = genlog._pointer_versions(root)
+    assert surviving == list(range(surviving[0], head + 1))  # (1) dense
+    assert head == len(commits) - 1  # (2) every success has its version
+    records = {v: genlog.read_pointer(root, v) for v in surviving}
+    for v in surviving[1:]:
+        if v - 1 not in records:
+            continue
+        parent = genlog.pointer_segments(records[v - 1])
+        child = genlog.pointer_segments(records[v])
+        op = records[v]["operation"]
+        if op == "append":  # (3) extends by exactly one fresh segment
+            assert child[:-1] == parent and child[-1] not in parent
+        elif op == "compact":
+            assert len(child) == 1 and child[0] not in parent
+        elif op == "erase":
+            assert child == parent[:-1]
+        else:
+            raise AssertionError(f"illegal operation {op!r} at v{v}")
+    # (4) dropped segments never resurface past their drop
+    erase_versions = {v for v in surviving if records[v]["operation"] == "erase"}
+    for ev in erase_versions:
+        gone = set(genlog.pointer_segments(records[ev - 1])) - set(
+            genlog.pointer_segments(records[ev])
+        ) if ev - 1 in records else set()
+        for later in surviving:
+            if later > ev:
+                assert not (gone & set(genlog.pointer_segments(records[later])))
+    live = genlog.live_index_paths(None, root)  # (5) all live dirs exist
+    for seg_path in live:
+        p = seg_path[len("file://"):]
+        assert os.path.isdir(p) and os.listdir(p), f"live segment missing: {p}"
+
+
+def test_minhash_multiactor_stress(spark, tmp_path):
+    """The real index ops through Spark, concurrently: an appender lands
+    two delta batches, an eraser forgets two BUILD docs, a compactor
+    compacts twice — all racing on one root through the OCC wrappers.
+    Final membership is deterministic regardless of interleaving (erase
+    targets only build docs, appends carry only new docs): probes must
+    answer for surviving build + appended docs and never for the erased."""
+    from etl_hiscox_spark.operators.dedup import (
+        _read_index_meta,
+        compact_minhash_index,
+        erase_from_minhash_index,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.sources import genlog
+
+    rows = [
+        (i, f"shared filler text body number {i} common tokens run")
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    root = "file://" + str(tmp_path / "mh")
+    write_minhash_index(docs.filter("doc_id < 40"), "text", "doc_id", root)
+    errors: list[BaseException] = []
+
+    def run(fn):
+        try:
+            fn()
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def appender():
+        for lo, hi in ((40, 60), (60, 80)):
+            write_minhash_index(
+                docs.filter(f"doc_id >= {lo} and doc_id < {hi}"),
+                "text", "doc_id", root, mode="append",
+            )
+
+    def eraser():
+        for key in (3, 7):
+            genlog.rerun_on_generation_conflict(
+                erase_from_minhash_index, spark, root,
+                spark.createDataFrame([(key,)], "doc_id long"), "doc_id",
+                attempts=30,
+            )
+
+    def compactor():
+        for _ in range(2):
+            genlog.rerun_on_generation_conflict(
+                compact_minhash_index, spark, root, attempts=30
+            )
+
+    threads = [
+        threading.Thread(target=run, args=(fn,))
+        for fn in (appender, eraser, compactor)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, f"actor crashed: {errors[:3]}"
+
+    ops = {g["operation"] for g in genlog.list_generations(spark, root)}
+    assert ops <= {"build", "append", "erase", "compact"}
+    assert _read_index_meta(spark, root)[:2] == (24, 6)  # banding stable
+
+    def hits(doc_id: int) -> bool:
+        probe = spark.createDataFrame(
+            [(9000, f"shared filler text body number {doc_id} common tokens run")],
+            "doc_id long, text string",
+        )
+        out = probe_minhash_index(probe, "text", "doc_id", root)
+        return doc_id in {r["dup_of"] for r in out.collect()}
+
+    for erased in (3, 7):
+        assert not hits(erased), f"erased doc {erased} resurfaced"
+    for present in (23, 45, 67):
+        assert hits(present), f"doc {present} lost in the race"
