@@ -9,7 +9,7 @@ Two tiers, fixed seeds (repeatable):
 
 - ``test_pointer_protocol_multiactor_stress`` — the pure pointer
   protocol, no Spark: N threads fire hundreds of randomized
-  append/compact/erase/vacuum ops at one ``file://`` root through the
+  append/compact/erase/rebuild/vacuum ops at one ``file://`` root through the
   REAL genlog entry points (``append_segment``,
   ``rerun_on_generation_conflict`` + ``commit_generation``,
   ``vacuum_generations``), with commits crossing checkpoint boundaries.
@@ -71,7 +71,8 @@ def test_pointer_protocol_multiactor_stress(tmp_path, seed):
         try:
             for i in range(ops_per_actor):
                 op = rng.choice(
-                    ["append", "append", "append", "compact", "erase", "vacuum"]
+                    ["append", "append", "append", "compact", "erase",
+                     "rebuild", "vacuum"]
                 )
                 if op == "append":
                     name = f"gen-a{idx}x{i}"
@@ -95,6 +96,23 @@ def test_pointer_protocol_multiactor_stress(tmp_path, seed):
                     record(
                         genlog.rerun_on_generation_conflict(do_compact, attempts=60),
                         "compact",
+                    )
+                elif op == "rebuild":
+                    def do_rebuild():
+                        base, _ = genlog.current_generation(None, root)
+                        name = f"gen-r{idx}x{i}"
+                        _stage_fake_segment(local, name)
+                        # a rebuild MINTS a fresh geometry epoch — the one
+                        # commit kind whose geometry_id must change
+                        return genlog.commit_generation(
+                            None, root, name, "rebuild", base,
+                            segments=[name],
+                            geometry_id=genlog.new_geometry_id(),
+                        )
+
+                    record(
+                        genlog.rerun_on_generation_conflict(do_rebuild, attempts=60),
+                        "rebuild",
                     )
                 elif op == "erase":
                     def do_erase():
@@ -145,12 +163,18 @@ def test_pointer_protocol_multiactor_stress(tmp_path, seed):
         op = records[v]["operation"]
         if op == "append":  # (3) extends by exactly one fresh segment
             assert child[:-1] == parent and child[-1] not in parent
-        elif op == "compact":
+        elif op in ("compact", "rebuild"):
             assert len(child) == 1 and child[0] not in parent
         elif op == "erase":
             assert child == parent[:-1]
         else:
             raise AssertionError(f"illegal operation {op!r} at v{v}")
+        # geometry epoch: minted ONLY by rebuild, carried verbatim by
+        # every other commit kind (the GeometryChanged detection contract)
+        if op == "rebuild":
+            assert records[v]["geometry_id"] != records[v - 1]["geometry_id"]
+        else:
+            assert records[v]["geometry_id"] == records[v - 1]["geometry_id"]
     # (4) dropped segments never resurface past their drop
     erase_versions = {v for v in surviving if records[v]["operation"] == "erase"}
     for ev in erase_versions:

@@ -264,3 +264,31 @@ def test_txn_manifest_protocol_on_s3_root(s3env, s3hook):
     assert t.version_as_of(time.time()) == 2
     with pytest.raises(FileNotFoundError):
         t.version_as_of(manifests[0]["committed_at"] - 10.0)
+
+
+def test_txn_expire_on_s3_degrades_checkpoint_and_expires(s3env, s3hook, monkeypatch):
+    """``expire_versions`` on a store whose hint writes fail (injected,
+    same rationale as the vacuum test): the checkpoint advance is a
+    correctness PREcondition, so a failed advance must degrade to
+    DROPPING the hint — an absent hint means LIST-fallback head reads,
+    always correct — and still expire; expired manifests then time-travel
+    loudly instead of partially reading."""
+    import time
+
+    from etl_hiscox_spark.sources import commitio
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    def refuse_put(filesystem, path, data):
+        raise OSError("store refuses the multipart hint write")
+
+    monkeypatch.setattr(commitio, "replace_put", refuse_put)
+    t = TxnTable(None, f"s3://{BUCKET}/expire")
+    for v in range(3):
+        t._commit(v, {"version": v, "mode": "append",
+                      "files": [f"p{v}.parquet"], "schema": "{}",
+                      "committed_at": time.time(), "n_added": 1})
+    assert t.expire_versions(keep_last=1) == 2
+    assert t.latest_version() == 2
+    assert t.last_head_resolution["mode"] == "list"  # hint dropped, not stale
+    with pytest.raises(FileNotFoundError):
+        t._read_manifest(0)
