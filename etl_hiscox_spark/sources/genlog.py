@@ -701,6 +701,16 @@ def vacuum_generations(
     for v in versions:
         segs = _segments_or_none(v)
         if segs is None:
+            if v in keep:
+                # a KEEP pointer vanished: the concurrent vacuum advanced
+                # PAST this call's snapshot (>= keep_last newer commits
+                # landed since our LIST), so this liveness view is stale —
+                # an old by-reference segment could look unreferenced here
+                # while the real head still names it. Directory reclamation
+                # belongs to the vacuum holding the newer snapshot (or the
+                # next scheduled run); the prefix trim below this point has
+                # not started, so nothing was deleted under the stale view.
+                return 0
             continue
         ever_committed.update(segs)
         if v in keep:

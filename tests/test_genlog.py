@@ -1154,3 +1154,63 @@ def test_compact_after_full_erase_is_a_noop_not_an_error(spark, tmp_path):
     q = rows[0][1]
     got = ivf_probe_topk(spark, root, None, "embedding", "vec_id", q, k=5, n_probe=4)
     assert got.count() == 5
+
+
+def test_vacuum_with_stale_snapshot_never_reclaims_the_real_heads_segments(
+    spark, tmp_path, monkeypatch
+):
+    """r14 self-review of the concurrent-vacuum tolerance: if ANOTHER
+    vacuum advances so far that every pointer in THIS call's keep window
+    is deleted (>= keep_last commits landed between our LIST and our
+    reads), the stale snapshot would compute an EMPTY liveness set — and
+    an old by-reference segment (old mtime, its committing pointers gone)
+    would fall through the age gate and be wrongly reclaimed while the
+    real head still references it. The fix: a missing KEEP pointer means
+    the snapshot is stale — skip directory reclamation entirely (return
+    0); the vacuum holding the newer snapshot owns it."""
+    import time as _time
+
+    from etl_hiscox_spark.sources import genlog
+
+    local = str(tmp_path / "stale")
+    root = "file://" + local
+    os.makedirs(local, exist_ok=True)
+    gid = genlog.new_geometry_id()
+
+    def seg(name):
+        d = os.path.join(local, name)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-0.bin"), "wb") as f:
+            f.write(b"d")
+
+    seg("gen-build")
+    genlog.commit_generation(None, root, "gen-build", "build", None, geometry_id=gid)
+    seg("gen-d1")
+    genlog.append_segment(None, root, "gen-d1")                       # v1
+    genlog.commit_generation(None, root, "gen-build", "erase", 1,     # v2
+                             segments=["gen-build"], geometry_id=gid)
+    for n in ("gen-d3", "gen-d4"):                                    # v3, v4
+        seg(n)
+        genlog.append_segment(None, root, n)
+    # make the build segment OLD so the never-committed age gate would
+    # not protect it under a stale (empty) liveness view
+    old = _time.time() - 7200
+    os.utime(os.path.join(local, "gen-build"), (old, old))
+
+    # vacuum B (the "other" vacuum, with the full snapshot) runs first
+    genlog.vacuum_generations(None, root, keep_last=3, min_age_seconds=600.0)
+    assert genlog._pointer_versions(root) == [2, 3, 4]
+
+    # vacuum A replays with the STALE pre-B snapshot: its keep window
+    # ({0, 1} at keep_last=3) is entirely deleted — it must reclaim
+    # NOTHING, not compute liveness from the stale view
+    monkeypatch.setattr(genlog, "_pointer_versions", lambda r: [0, 1])
+    assert genlog.vacuum_generations(
+        None, root, keep_last=3, min_age_seconds=600.0
+    ) == 0
+    monkeypatch.undo()
+    assert os.path.isdir(os.path.join(local, "gen-build"))  # head data intact
+    head_segs = genlog.pointer_segments(
+        genlog.read_pointer(root, genlog.current_generation(None, root)[0])
+    )
+    assert head_segs[0] == "gen-build"
