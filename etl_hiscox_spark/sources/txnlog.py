@@ -540,7 +540,11 @@ class TxnTable:
         # iteration, so later versions overwrite earlier ones)
         watermarks: dict[str, int] = {}
         for pv in self._versions():
-            for app, tv in (self._read_manifest(pv).get("txn") or {}).items():
+            try:
+                txn = self._read_manifest(pv).get("txn") or {}
+            except (FileNotFoundError, OSError):
+                continue  # expired by a concurrent retention run (r14)
+            for app, tv in txn.items():
                 watermarks[str(app)] = max(int(tv), watermarks.get(str(app), int(tv)))
         head = self.read(v)
         # expected_prev pins the OPTIMIZE commit to the snapshot it read:
@@ -594,10 +598,16 @@ class TxnTable:
                     "manifests a stale checkpoint may point into"
                 )
         for v in victims:
-            if self._use_os:
-                os.remove(os.path.join(self.log_dir, f"v{v}.json"))
-            else:
-                self._fs()[0].delete_file(f"{self._fs_log_path()}/v{v}.json")
+            # a concurrent expire_versions may have deleted this manifest
+            # already (r14, the multi-actor stress class): the other call
+            # did the same work — never a loss, never worth crashing over
+            try:
+                if self._use_os:
+                    os.remove(os.path.join(self.log_dir, f"v{v}.json"))
+                else:
+                    self._fs()[0].delete_file(f"{self._fs_log_path()}/v{v}.json")
+            except (FileNotFoundError, OSError):
+                pass
         return len(victims)
 
     def _file_sizes(self, rel_files: list[str]) -> list[int]:
@@ -617,9 +627,16 @@ class TxnTable:
     def last_txn_version(self, app_id: str) -> int | None:
         """Highest writer-transaction id committed for ``app_id`` (scanning
         manifests newest-first), or None — Delta's txnAppId/txnVersion
-        lookup."""
+        lookup. A manifest a concurrent expire_versions deletes mid-scan
+        is skipped (r14): the result is exactly what a scan started after
+        that expiry would return — retention semantics, not a race
+        (the advertised sequence compact → expire → vacuum carries
+        watermarks forward before any manifest is dropped)."""
         for v in reversed(self._versions()):
-            txn = self._read_manifest(v).get("txn") or {}
+            try:
+                txn = self._read_manifest(v).get("txn") or {}
+            except (FileNotFoundError, OSError):
+                continue
             if app_id in txn:
                 return int(txn[app_id])
         return None
@@ -705,8 +722,16 @@ class TxnTable:
         return out.select(*schema.fieldNames())
 
     def history(self) -> list[dict]:
-        """Commit log, oldest first (Delta DESCRIBE HISTORY shape)."""
-        return [self._read_manifest(v) for v in self._versions()]
+        """Commit log, oldest first (Delta DESCRIBE HISTORY shape). A
+        manifest a concurrent expire deletes mid-listing is omitted —
+        the same answer a listing started a moment later would give."""
+        out = []
+        for v in self._versions():
+            try:
+                out.append(self._read_manifest(v))
+            except (FileNotFoundError, OSError):
+                continue
+        return out
 
     def version_as_of(self, timestamp: float) -> int:
         """Newest version whose commit landed at or before ``timestamp``
@@ -717,7 +742,11 @@ class TxnTable:
         version (Delta errors the same way)."""
         best = None
         for v in self._versions():
-            if self._read_manifest(v)["committed_at"] <= timestamp:
+            try:
+                committed_at = self._read_manifest(v)["committed_at"]
+            except (FileNotFoundError, OSError):
+                continue  # expired mid-scan — cannot be resolvable history
+            if committed_at <= timestamp:
                 best = v
         if best is None:
             raise FileNotFoundError(
@@ -748,7 +777,33 @@ class TxnTable:
         only when no writer can be in flight)."""
         live: set[str] = set()
         for v in self._versions():
-            live.update(self._read_manifest(v)["files"])
+            try:
+                live.update(self._read_manifest(v)["files"])
+            except (FileNotFoundError, OSError):
+                # Two ways a listed manifest can vanish mid-call (r14,
+                # multi-actor stress class). (a) A concurrent
+                # expire_versions dropped it: it no longer appears in a
+                # fresh LIST, and skipping it reclaims exactly what a
+                # later vacuum would (expiry is prefix-only; append
+                # manifests carry their cumulative file list forward, so
+                # everything the table still serves is referenced by a
+                # surviving manifest). (b) An in-flight erase_keys
+                # REPLACE (the documented brief no-file window on
+                # rename-refusing stores): the version is still listed —
+                # retry the read, and if it stays unreadable REFUSE to
+                # vacuum rather than treat a repointing version's files
+                # as unreferenced.
+                if v not in self._versions():
+                    continue  # (a) expired — safe to skip
+                time.sleep(0.05)
+                try:
+                    live.update(self._read_manifest(v)["files"])
+                except (FileNotFoundError, OSError) as exc:
+                    raise RuntimeError(
+                        f"vacuum at {self.path!r}: manifest v{v} is listed "
+                        "but unreadable — likely an in-flight manifest "
+                        "replace; re-run vacuum after maintenance settles"
+                    ) from exc
         removed = 0
         cutoff = time.time() - min_age_seconds
         if self._use_os:
@@ -760,15 +815,21 @@ class TxnTable:
                 for f in os.listdir(bdir):
                     rel = f"data/{batch}/{f}"
                     full = os.path.join(bdir, f)
-                    if (
-                        f.endswith(".parquet")
-                        and rel not in live
-                        and os.path.getmtime(full) <= cutoff
-                    ):
-                        os.remove(full)
-                        removed += 1
-                if not os.listdir(bdir):
-                    os.rmdir(bdir)
+                    try:
+                        if (
+                            f.endswith(".parquet")
+                            and rel not in live
+                            and os.path.getmtime(full) <= cutoff
+                        ):
+                            os.remove(full)
+                            removed += 1
+                    except (FileNotFoundError, OSError):
+                        continue  # the racing vacuum reclaimed it first
+                try:
+                    if not os.listdir(bdir):
+                        os.rmdir(bdir)
+                except OSError:
+                    pass  # repopulated or removed by the racing vacuum
             return removed
         # pyarrow branch: ONE recursive LIST under data/ (object-store
         # LISTs are paginated-but-cheap; per-dir round trips are not),
@@ -788,7 +849,10 @@ class TxnTable:
             rel = f"data/{info.path[len(data_root):].lstrip('/')}"
             mtime = info.mtime.timestamp() if info.mtime else 0.0
             if rel not in live and mtime <= cutoff:
-                filesystem.delete_file(info.path)
+                try:
+                    filesystem.delete_file(info.path)
+                except (FileNotFoundError, OSError):
+                    continue  # the racing vacuum reclaimed it first
                 removed += 1
         return removed
 
