@@ -47,6 +47,17 @@ from typing import Callable
 # already exists, atomically (a conditional PUT, not exists-check+put).
 _PUT_IF_ABSENT: dict[str, Callable] = {}
 
+# fs-type-name -> fn(filesystem, final_path: str, data: bytes) -> None.
+# The fn replaces final_path ATOMICALLY with a SINGLE-SHOT write (r15,
+# VERDICT r14 item 3): the hint/repoint records replace_put carries are
+# KB-scale (checkpoints, expire watermarks, erase-repointed manifests)
+# and never need multipart upload — on S3-class stores a plain PutObject
+# IS the atomic replace, with no staged-tmp + copy+delete move and no
+# absence window, and it sidesteps emulators/proxies that choke on
+# CompleteMultipartUpload (the moto incompatibility that kept the r14
+# tests on injected degradation).
+_REPLACE_PUT: dict[str, Callable] = {}
+
 
 def register_put_if_absent(fs_type_name: str, fn: Callable) -> None:
     """Register the conditional-PUT commit hook for a ``pyarrow.fs``
@@ -59,6 +70,37 @@ def register_put_if_absent(fs_type_name: str, fn: Callable) -> None:
         _PUT_IF_ABSENT.pop(fs_type_name, None)
     else:
         _PUT_IF_ABSENT[fs_type_name] = fn
+
+
+def register_replace_put(fs_type_name: str, fn: Callable) -> None:
+    """Register the single-shot replace-PUT hook for a ``pyarrow.fs``
+    filesystem class (e.g. ``"S3FileSystem"``): one atomic full-object
+    write that REPLACES the destination — S3 ``PutObject``, GCS insert.
+    Used by :func:`replace_put` for KB-scale protocol records instead of
+    pyarrow's multipart output stream + copy/delete move. Passing
+    ``None`` unregisters."""
+    if fn is None:
+        _REPLACE_PUT.pop(fs_type_name, None)
+    else:
+        _REPLACE_PUT[fs_type_name] = fn
+
+
+def s3_replace_put_hook():
+    """Reference replace-PUT hook for S3 (register with
+    ``register_replace_put("S3FileSystem", s3_replace_put_hook())``):
+    a plain single-shot ``PutObject`` — on S3 that is natively an atomic
+    last-writer-wins replace, exactly replace_put's contract, with none
+    of multipart's moving parts. Requires boto3 (same deployment gate as
+    :func:`s3_conditional_put_hook`)."""
+    import boto3  # deployment-only dependency; ImportError is the gate
+
+    client = boto3.client("s3")
+
+    def do_replace(filesystem, path: str, data: bytes) -> None:
+        bucket, key = path.split("/", 1)
+        client.put_object(Bucket=bucket, Key=key, Body=data)
+
+    return do_replace
 
 
 def s3_conditional_put_hook():
@@ -187,12 +229,20 @@ def replace_put(filesystem, path: str, data: bytes) -> None:
     ``pyarrow.fs`` — the hint-record primitive (checkpoint pointers),
     where last-writer-wins is correct by contract and a brief absence
     window costs one LIST fallback, never a wrong answer. NOT for commit
-    records — those are :func:`commit_if_absent`. Staged tmp + move;
-    HDFS rename refuses an existing destination, so on that refusal the
-    old file is deleted and the move retried. The parent directory must
-    already exist — both hint writers (txn checkpoint, gen-log
-    checkpoint) target the log directory their commit just wrote into,
-    so an extra create_dir RPC per hint would be pure tax."""
+    records — those are :func:`commit_if_absent`. With a registered
+    single-shot hook (:func:`register_replace_put` — S3-class stores,
+    where a plain PUT is natively an atomic replace) the write is ONE
+    full-object PUT: no multipart, no staged tmp, no copy+delete move,
+    no absence window. Otherwise: staged tmp + move; HDFS rename refuses
+    an existing destination, so on that refusal the old file is deleted
+    and the move retried. The parent directory must already exist — both
+    hint writers (txn checkpoint, gen-log checkpoint) target the log
+    directory their commit just wrote into, so an extra create_dir RPC
+    per hint would be pure tax."""
+    hook = _REPLACE_PUT.get(type(filesystem).__name__)
+    if hook is not None:
+        hook(filesystem, path, data)
+        return
     from pyarrow import fs as pafs
 
     parent = path.rsplit("/", 1)[0]
