@@ -218,6 +218,29 @@ SF1_DIR = os.environ.get(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "sf1"),
 )
 
+# Pinned standalone ANCHORS (r15, VERDICT r14 item 2). Three queries
+# whose code is deliberately untouched round over round, measured inside
+# the SAME process / protocol / pass interleave as everything else.
+# Their round-over-round ratios estimate the HOST band (contention,
+# thermal/turbo state, page-cache pressure): r14's driver bench ran
+# 1.36x its own code's quiet-host time purely from host contention, and
+# ONE anchor (s14) could flag that but not quantify it per family.
+# tools/band_ratio.py divides every per-query ratio by the anchor band
+# (geometric mean of the three anchor ratios) so code movement and host
+# movement separate mechanically; SCALING.md's per-round measurement
+# notes record the result. Keep these three OUT of any refactor — an
+# anchor that changes code stops being an anchor.
+ANCHORS = {
+    # pure CPU-bound SQL (star join + agg), code unchanged since r3
+    "cpu_sql": "g1_star_join_revenue",
+    # write-IO lifecycle (build → full rebuild through the pointer
+    # protocol), code unchanged since r11
+    "write_io": "l2_lsh_rebuild_probe",
+    # the double-pipeline incremental refresh, the r11-r14 standalone
+    # anchor, code unchanged since r11
+    "pipeline_refresh": "s14_incremental_refresh",
+}
+
 
 def main() -> None:
     from etl_hiscox_spark.queries import all_queries
@@ -270,6 +293,13 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
         "protocol": f"median_of_{n_runs}_interleaved",
+        # the pinned host-band anchors (see ANCHORS): medians from THIS
+        # run, keyed by anchor role — tools/band_ratio.py consumes these
+        "anchors": {
+            role: {"query": q, "sec": timings[q]}
+            for role, q in ANCHORS.items()
+            if q in timings
+        },
     }
 
     run_sf1 = os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0"
@@ -345,6 +375,13 @@ def compact_line(out: dict, timings: dict, limit: int = 1500) -> str:
         "n_queries": len(timings),
         "detail": "BENCH_DETAIL.json",
     }
+    if "anchors" in out:
+        # host-band anchors ride the compact line too (~70 chars): a
+        # contended driver run is then interpretable from the recorded
+        # BENCH_r{N}.json alone, without the sidecar
+        compact["anchors"] = {
+            role: a["sec"] for role, a in out["anchors"].items()
+        }
     if "sf1" in out:
         compact["sf1_total"] = out["sf1"]["total"]
     with_queries = dict(compact, queries=timings)

@@ -64,3 +64,78 @@ def test_compact_line_is_final_json_parseable_from_tail():
     last = [ln for ln in tail.strip().splitlines() if ln.strip()][-1]
     d = json.loads(last)
     assert d["value"] == out["value"]
+
+
+# -- r15: pinned host-band anchors (VERDICT r14 item 2) ----------------------
+
+
+def test_anchors_are_headline_queries():
+    from bench import ANCHORS
+
+    for role, q in ANCHORS.items():
+        assert q in HEADLINE, f"anchor {role} ({q}) must be measured in-process"
+
+
+def test_compact_line_carries_anchor_seconds():
+    from bench import ANCHORS
+
+    timings = {n: 1.234 for n in HEADLINE}
+    out = _out(timings)
+    out["anchors"] = {
+        role: {"query": q, "sec": timings[q]} for role, q in ANCHORS.items()
+    }
+    line = compact_line(out, timings)
+    d = json.loads(line)
+    assert d["anchors"] == {role: 1.234 for role in ANCHORS}
+    assert len(line) <= 1500
+
+
+def test_band_ratio_normalizes_uniform_host_slowdown():
+    """A uniform 1.4x host slowdown (the r14 driver scenario): every raw
+    ratio is ~1.4, the anchor band absorbs it, normalized ratios ~1.0,
+    nothing flagged."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from band_ratio import band_and_ratios
+
+    old = {"queries": {f"q{i}": 1.0 for i in range(20)}}
+    old["queries"].update(
+        g1_star_join_revenue=1.6, l2_lsh_rebuild_probe=5.0,
+        s14_incremental_refresh=3.4,
+    )
+    new = {"queries": {k: round(v * 1.4, 3) for k, v in old["queries"].items()}}
+    res = band_and_ratios(old, new)
+    assert abs(res["band"] - 1.4) < 0.01
+    assert res["flagged"] == []
+    assert all(abs(r["normalized_ratio"] - 1.0) < 0.02 for r in res["rows"])
+
+
+def test_band_ratio_flags_a_real_code_regression_under_contention():
+    """A genuine 2x regression in ONE query must still be flagged even
+    when the whole run is 1.3x slower from contention — and a query that
+    merely rode the contention must not be."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from band_ratio import band_and_ratios
+
+    old = {
+        "queries": {
+            "g1_star_join_revenue": 1.6, "l2_lsh_rebuild_probe": 5.0,
+            "s14_incremental_refresh": 3.4, "innocent_query": 2.0,
+            "regressed_query": 2.0,
+        }
+    }
+    new = {
+        "queries": {
+            "g1_star_join_revenue": 1.6 * 1.3, "l2_lsh_rebuild_probe": 5.0 * 1.3,
+            "s14_incremental_refresh": 3.4 * 1.3, "innocent_query": 2.0 * 1.3,
+            "regressed_query": 2.0 * 1.3 * 2.0,
+        }
+    }
+    res = band_and_ratios(old, new)
+    assert res["flagged"] == ["regressed_query"]
+    # anchors block (new-style detail) takes precedence over the fallback
+    new2 = dict(new, anchors={
+        "cpu_sql": {"query": "g1_star_join_revenue", "sec": 1.6 * 1.3},
+        "write_io": {"query": "l2_lsh_rebuild_probe", "sec": 5.0 * 1.3},
+        "pipeline_refresh": {"query": "s14_incremental_refresh", "sec": 3.4 * 1.3},
+    })
+    assert band_and_ratios(old, new2)["flagged"] == ["regressed_query"]
