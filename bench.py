@@ -147,6 +147,11 @@ HEADLINE = [
     # round-14 addition: readable-empty lifecycle (full erase → no-op
     # compact → append recovery; declared mid-r14, banks in r15)
     "l3_ivf_full_erase_recovery_probe",
+    # round-15 addition: retention version-reuse guard lifecycle (build →
+    # delta append → compact → vacuum behind the floor marker → stale
+    # commit at the retired name REFUSED → erase recovers; declared
+    # mid-r15, banks in r16)
+    "l2_lsh_retired_version_guard_probe",
 ]
 
 

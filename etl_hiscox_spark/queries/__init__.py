@@ -901,6 +901,17 @@ WINDOW_R15: tuple[str, ...] = (
 # displaces mandatory r12 entries, which must NOT happen) and ALWAYS
 # recomputes cohorts from the CORRECTNESS artifacts before editing.
 WINDOW_R16: tuple[str, ...] = (
+    # new r15 declaration — never driver-checked, must lead (declared
+    # mid-r15 AFTER WINDOW_R15 was already being served, so it banks in
+    # r16): l2_lsh_retired_version_guard_probe (the retention
+    # version-number reuse guard found by the r15 multi-actor stress:
+    # build → delta append → compact → vacuum trims the pointer prefix
+    # behind the immutable floor marker → a stale compact staged from
+    # the vacuumed v0 snapshot is REFUSED at the retired v1 name →
+    # erase recovers above the floor → odds-vs-evens exact-Jaccard
+    # oracle). It displaces the l2_lsh_compact_probe r13-green precheck
+    # (same family), which moves to WINDOW_R17's mandatory head.
+    "l2_lsh_retired_version_guard_probe",
     "a10_rollup_summary",
     "a12_percentiles",
     "a13_histogram",
@@ -950,8 +961,8 @@ WINDOW_R16: tuple[str, ...] = (
     "t7_mixture_sample",
     "v4_pca_projection",
     "x15_txn_multi_writer_occ",
-    # r13-green precheck (1 of 50) — the heaviest shape, smoothing r17
-    "l2_lsh_compact_probe",
+    # the r13-green precheck slot was taken by the r15 declaration above
+    # (l2_lsh_compact_probe moved to WINDOW_R17's mandatory head)
 )
 
 WINDOWS: dict[int, tuple[str, ...]] = {

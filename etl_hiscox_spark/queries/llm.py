@@ -4679,6 +4679,120 @@ def l2_lsh_delta_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l2_lsh_retired_version_guard_probe",
+    # the l2_lsh_delta_append_probe oracle, unchanged: the index ends
+    # holding ALL evens (built %4==0 + appended %4==2) minus the erased
+    # %20==16 docs, so the odds-vs-evens exact cross-batch Jaccard graph
+    # is the same hard-equality recall tripwire — if the retired-version
+    # refusal had NOT fired and the stale compact (staged from the
+    # pre-append v0 snapshot) had published, the appended %4==2 half
+    # would vanish from the head and every probe pair whose dup_of ≡ 2
+    # (mod 4) would hash-fail.
+    oracle="\n    WITH "
+    + _ORACLE_SHINGLE_N_CTE
+    + r""",
+    inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS dup_of, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND b.doc_id % 20 <> 16
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT new_id, dup_of,
+           ROUND(i / CAST(na.n + nb.n - i AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN n na ON new_id = na.doc_id JOIN n nb ON dup_of = nb.doc_id
+    WHERE 5 * i >= 4 * (na.n + nb.n - i)
+    """,
+)
+def l2_lsh_retired_version_guard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VERSION-NUMBER REUSE GUARD, driver-executed for real (r15 — the
+    # hole this round's multi-actor stress caught): create-if-absent can
+    # only collide with a pointer name that still EXISTS, and vacuum
+    # trims the pointer PREFIX, so a maintenance op staged from a stale
+    # head resolve used to be able to "win" a retired version number —
+    # a commit below the surviving prefix the next vacuum silently
+    # trims, i.e. a lost write. Lifecycle here: build (%4==0) → OCC
+    # delta append (%4==2) → compact → vacuum keep_last=1 (pointer
+    # prefix trimmed, the immutable _floor_v1 marker committed BEFORE
+    # the trim). Then the STALE REPLAY: a compact staged from the
+    # long-gone v0 snapshot commits at v1 — a vacuumed name — and must
+    # be REFUSED (unwound + the standard OCC collision), never
+    # published; the head must stay exactly as it was. Recovery above
+    # the floor is then proven live: an erase through the bounded
+    # conflict wrapper lands at v3, and the probe (odds, exact-Jaccard
+    # verified) reads the final head.
+    import os as _os
+
+    from etl_hiscox_spark.operators.dedup import (
+        compact_minhash_index,
+        erase_from_minhash_index,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.queries.writes import _scratch
+    from etl_hiscox_spark.sources import genlog
+
+    docs = load_table(spark, "documents", sf_dir)
+    root = _os.path.join(_scratch("l2_lsh_floor", sf_dir), "minhash_index")
+    write_minhash_index(
+        docs.filter(F.col("doc_id") % 4 == 0), "text", "doc_id", root,
+        num_hashes=24, num_bands=6,
+    )
+    write_minhash_index(
+        docs.filter(F.col("doc_id") % 4 == 2), "text", "doc_id", root,
+        num_hashes=24, num_bands=6, mode="append",
+    )
+    genlog.rerun_on_generation_conflict(compact_minhash_index, spark, root)
+    genlog.vacuum_generations(spark, root, keep_last=1, min_age_seconds=0.0)
+
+    resolved = genlog.resolve_root(spark, root)
+    if genlog._pointer_versions(resolved) != [2]:
+        raise ValueError(
+            f"expected the vacuum to trim the pointer prefix to [2], got "
+            f"{genlog._pointer_versions(resolved)}"
+        )
+    floor = genlog._read_vacuum_floor(resolved)
+    if floor != 1:
+        raise ValueError(f"vacuum floor marker records {floor}, expected 1")
+
+    # the stale replay: a "compact" staged from the pre-append snapshot
+    # (base v0, long vacuumed) — its commit wins the create-if-absent at
+    # the retired v1 name and MUST be refused by the floor guard
+    head = genlog.read_pointer(resolved, 2)
+    refused = False
+    try:
+        genlog.commit_generation(
+            spark, root, head["generation"], "compact", base_version=0,
+            segments=genlog.pointer_segments(head),
+            geometry_id=head.get("geometry_id"),
+        )
+    except FileExistsError as exc:
+        refused = "retired by vacuum" in str(exc)
+    if not refused:
+        raise ValueError(
+            "a stale-resolved commit at a vacuumed version number was NOT "
+            "refused — the retention reuse guard is broken"
+        )
+    if genlog._pointer_versions(resolved) != [2]:
+        raise ValueError("the refused commit left debris in the pointer log")
+
+    # recovery above the floor: the production conflict wrapper re-runs
+    # the erase against the live head and lands normally at v3
+    genlog.rerun_on_generation_conflict(
+        erase_from_minhash_index, spark, root,
+        docs.filter(F.col("doc_id") % 20 == 16).select("doc_id"), "doc_id",
+    )
+    if genlog.current_generation(spark, root)[0] != 3:
+        raise ValueError("the post-refusal erase did not land at v3")
+
+    out = probe_minhash_index(
+        docs.filter(F.col("doc_id") % 2 == 1), "text", "doc_id", root,
+        verify_df=docs, threshold=0.8,
+    )
+    return out.select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
     "l2_stream_index_ingest",
     # the l2_incremental_probe oracle, unchanged: after the stream lands,
     # the index holds ALL evens (built %4==0 + streamed %4==2), so the

@@ -222,10 +222,11 @@ def test_never_checked_queries_lead_the_window():
 # here and lead WINDOW_R9.)
 # r14: the four r13 mid-round declarations now LEAD the served
 # WINDOW_R14 (they are "in the window", no exemption needed).
-# r15: l3_ivf_full_erase_recovery_probe (declared mid-r14) now LEADS the
-# served WINDOW_R15 — the never-checked-leads-the-window rule covers it
-# without an exemption, so the set is empty until a mid-r15 declaration.
-PENDING_NEXT_WINDOW: set[str] = set()
+# r15 mid-round declaration: WINDOW_R15 was already being served when
+# this was declared, so it leads WINDOW_R16 instead (pinned there).
+PENDING_NEXT_WINDOW: set[str] = {
+    "l2_lsh_retired_version_guard_probe",
+}
 
 
 def test_every_query_has_driver_coverage_plan():
