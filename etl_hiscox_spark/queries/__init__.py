@@ -965,6 +965,72 @@ WINDOW_R16: tuple[str, ...] = (
     # (l2_lsh_compact_probe moved to WINDOW_R17's mandatory head)
 )
 
+# Round 17 window — PRE-DEFINED at the end of r15 (same self-advance
+# mechanism; ``active_window()`` serves this once CORRECTNESS_r16.json
+# exists). Composition recomputed programmatically (simulate r15/r16
+# banking their pre-defined windows green over the CORRECTNESS
+# artifacts; cohorts then {r13: 50, r14: 50, r15: 50, r16: 50} over 200
+# + s7): ALL 50 r13-latest greens are stale-beyond-3 at current=17 —
+# the window is exactly that cohort, ZERO precheck slots. NOTE FOR THE
+# r16 BUILDER: the oracle-checked population (200) now saturates the
+# 50-slot × 4-round rotation exactly; a new mid-r16 declaration CANNOT
+# swap into this window without going red — either relax the staleness
+# bound to four rounds in tests/test_api_surface.py first (the r7
+# precedent: the bound moved 2→3 for the same arithmetic reason), or
+# declare nothing new.
+WINDOW_R17: tuple[str, ...] = (
+    "f16_fuzzy_name_pairs",
+    "g13_top_revenue_supplier",
+    "g14_custdist",
+    "g8_large_order_customers",
+    "g9_exclusive_late_supplier",
+    "j4_left_semi_join",
+    "l2_lsh_collision_rerun_probe",
+    "l2_lsh_compact_probe",
+    "l2_lsh_erase_probe",
+    "l2_ngram_jaccard_pairs",
+    "l2_simhash_candidates",
+    "l3_ivf_compact_probe",
+    "l3_ivf_erase_probe",
+    "p1_column_projection",
+    "p3_filter_equality",
+    "p5_filter_not_null",
+    "p6_filter_in_list",
+    "q2_rule_profile",
+    "q3_threshold_alerts",
+    "q4_failure_tagging",
+    "q5_store_failures",
+    "q7_outlier_zscore",
+    "q8_median_imputation",
+    "s13_fixed_width_roundtrip",
+    "s18_bucketed_colocated_join",
+    "s21_schema_widen_append",
+    "t10_repetition_stats",
+    "t11_gopher_flags",
+    "t13_corpus_prep_pipeline",
+    "t18_span_dedup",
+    "t19_nb_language_classifier",
+    "t20_tfidf_keywords",
+    "t21_bpe_merges",
+    "t32_cluster_keep_best",
+    "t33_leakage_safe_split",
+    "t34_ngram_novelty_score",
+    "t5_bigram_frequency",
+    "t8_pack_sequences",
+    "u1_union_append",
+    "u2_except_difference",
+    "u3_intersect",
+    "w1_dedup_rank",
+    "w2_rolling_average",
+    "w3_lag_delta",
+    "w4_rank_per_group",
+    "w4_rank_with_ties",
+    "w6_trailing_week_spend",
+    "w7_distribution_ranks",
+    "x16_txn_checkpoint_head",
+    "x17_txn_object_store_roundtrip",
+)
+
 WINDOWS: dict[int, tuple[str, ...]] = {
     8: WINDOW_R8,
     9: WINDOW_R9,
@@ -975,6 +1041,7 @@ WINDOWS: dict[int, tuple[str, ...]] = {
     14: WINDOW_R14,
     15: WINDOW_R15,
     16: WINDOW_R16,
+    17: WINDOW_R17,
 }
 
 
