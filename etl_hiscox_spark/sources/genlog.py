@@ -610,7 +610,16 @@ def commit_generation(
     # lost write. The vacuum that trimmed old-v{version} committed a
     # floor marker >= version BEFORE deleting, so the check is sound:
     # unwind the bogus pointer and surface the standard conflict.
-    if _vacuum_floor_trimmed_ever(root) and version <= _read_vacuum_floor(root):
+    # a store hiccup READING the floor must not fail a commit that has
+    # already landed (the caller would retry and double-commit): an
+    # unreadable floor means "unknown" and the commit proceeds — exactly
+    # the pre-guard behavior, and the lost-write needs a stale resolve
+    # AND a retention run besides
+    try:
+        reused = _vacuum_floor_trimmed_ever(root) and version <= _read_vacuum_floor(root)
+    except OSError:
+        reused = False
+    if reused:
         try:
             filesystem, p = _fs(_join(root, _GEN_LOG, f"v{version}.json"))
             filesystem.delete_file(p)

@@ -261,7 +261,17 @@ class TxnTable:
         # writer marked the watermark BEFORE deleting, so the check is
         # sound: unwind and surface the standard OCC collision (the
         # commit loop re-resolves the true head and retries).
-        if self._expired_ever() and version <= self._read_expire_watermark():
+        # an unreadable sentinel/watermark (store hiccup) means "unknown"
+        # and the commit proceeds — failing HERE would error a commit
+        # that already landed, and the caller's retry would double-commit
+        try:
+            retired = (
+                self._expired_ever()
+                and version <= self._read_expire_watermark()
+            )
+        except OSError:
+            retired = False
+        if retired:
             try:
                 if self._use_os:
                     os.remove(os.path.join(self.log_dir, f"v{version}.json"))
