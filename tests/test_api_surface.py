@@ -174,18 +174,27 @@ def _latest_green_rounds() -> dict[str, int]:
     return latest_green_rounds()
 
 
-def test_current_window_leaves_no_query_stale_beyond_three_rounds():
-    """Mechanized staleness invariant (VERDICT r5 item 7, bound relaxed in
-    r7): at window-freeze time, every query whose latest driver signal
-    would be MORE than three rounds old after this round's check must be
-    in the current window. Current round = max CORRECTNESS round + 1;
-    anything last checked at or before (current - 4) and not in the window
-    fails loudly.
+def test_current_window_leaves_no_query_stale_beyond_four_rounds():
+    """Mechanized staleness invariant (VERDICT r5 item 7; bound relaxed in
+    r7 and again in r16): at window-freeze time, every query whose latest
+    driver signal would be MORE than four rounds old after this round's
+    check must be in the current window. Current round = max CORRECTNESS
+    round + 1; anything last checked at or before (current - 5) and not in
+    the window fails loudly.
 
-    Why 3 and not the original 2: a 50-slot window with a "≤2 rounds
-    stale" bound sustains at most 150 queries (every query needs a slot
-    every 3rd round) — exactly the current population, leaving zero slots
-    for new declarations forever. Bound 3 sustains 200.
+    Bound history (each relaxation is the same arithmetic): a 50-slot
+    window at bound N sustains 50*(N+1) queries (every query needs a slot
+    every (N+1)th round). Bound 2 saturated at the r7 population of 150;
+    bound 3 saturated at the r15 population of 200 (VERDICT r15 "What's
+    missing" #4 flagged the zero headroom and asked for an explicit policy
+    BEFORE the next declaration). r16 policy decision: relax to bound 4
+    (capacity 250) rather than retire probes — every one of the 200
+    oracle-checked queries exercises a distinct code path or lifecycle
+    stage (e.g. l3_ann_topk pins the hyperplane-LSH family the IVF probes
+    do not touch), so retirement would trade real coverage for slots,
+    while a 4-round-stale hash-green remains a current signal because the
+    FULL 201-query sweep (VERIFY_LOCAL_r{N}.txt) re-verifies every query
+    at every closing commit regardless of the driver window.
 
     Checked against the ACTIVE window (self-advancing since r8), so this
     stays green across the driver's banking instead of demanding a
@@ -195,8 +204,8 @@ def test_current_window_leaves_no_query_stale_beyond_three_rounds():
     _, win = active_window()
     last = _latest_green_rounds()
     current = max(last.values()) + 1
-    too_stale = [n for n, r in last.items() if r <= current - 4 and n not in win]
-    assert not too_stale, f"stale-beyond-3-rounds queries missing from the active window: {too_stale}"
+    too_stale = [n for n, r in last.items() if r <= current - 5 and n not in win]
+    assert not too_stale, f"stale-beyond-4-rounds queries missing from the active window: {too_stale}"
 
 
 def test_never_checked_queries_lead_the_window():
@@ -223,10 +232,9 @@ def test_never_checked_queries_lead_the_window():
 # r14: the four r13 mid-round declarations now LEAD the served
 # WINDOW_R14 (they are "in the window", no exemption needed).
 # r15 mid-round declaration: WINDOW_R15 was already being served when
-# this was declared, so it leads WINDOW_R16 instead (pinned there).
-PENDING_NEXT_WINDOW: set[str] = {
-    "l2_lsh_retired_version_guard_probe",
-}
+# this was declared, so it led WINDOW_R16 (removed at the start of r16
+# once that window was being served — the one-round-grace tidy rule).
+PENDING_NEXT_WINDOW: set[str] = set()
 
 
 def test_every_query_has_driver_coverage_plan():
