@@ -152,6 +152,11 @@ HEADLINE = [
     # commit at the retired name REFUSED → erase recovers; declared
     # mid-r15, banks in r16)
     "l2_lsh_retired_version_guard_probe",
+    # round-16 addition: retired-name tombstone lifecycle (vacuum
+    # tombstones trimmed pointers, stale commits refuse naturally, pairs
+    # coalesce one cycle later behind the floor guard; declared mid-r16,
+    # banks in r17)
+    "l2_lsh_tombstone_coalesce_probe",
 ]
 
 
@@ -217,6 +222,10 @@ SCALE_SUBSET = [
     "l2_lsh_gen_lifecycle_probe",
     "l3_ivf_gen_lifecycle_probe",
     "s20_bulk_frame_erase",
+    # round-16: the tombstone-coalesce lifecycle (two vacuums + two
+    # refused stale commits over the same index shapes as the other
+    # lifecycle probes)
+    "l2_lsh_tombstone_coalesce_probe",
 ]
 SF1_DIR = os.environ.get(
     "SPARK_GRAFT_SF1_DIR",

@@ -979,6 +979,17 @@ WINDOW_R16: tuple[str, ...] = (
 # precedent: the bound moved 2→3 for the same arithmetic reason), or
 # declare nothing new.
 WINDOW_R17: tuple[str, ...] = (
+    # new r16 declaration — never driver-checked, must lead (declared
+    # mid-r16 AFTER WINDOW_R16 was already being served, so it banks in
+    # r17): l2_lsh_tombstone_coalesce_probe (the r16 retired-name
+    # tombstone protocol: vacuum tombstones trimmed pointers instead of
+    # deleting them, stale commits refuse naturally at occupied names,
+    # pairs coalesce one cycle later with the floor guard covering the
+    # freed names — odds-vs-evens exact-Jaccard oracle). It displaces
+    # the w4_rank_with_ties r13-green, which moves to WINDOW_R18's head
+    # (legal under the r16 four-round staleness bound: at current=17
+    # nothing r13 is stale yet, and WINDOW_R18 re-banks it at r18).
+    "l2_lsh_tombstone_coalesce_probe",
     "f16_fuzzy_name_pairs",
     "g13_top_revenue_supplier",
     "g14_custdist",
@@ -1024,7 +1035,7 @@ WINDOW_R17: tuple[str, ...] = (
     "w2_rolling_average",
     "w3_lag_delta",
     "w4_rank_per_group",
-    "w4_rank_with_ties",
+    # w4_rank_with_ties displaced to WINDOW_R18 by the r16 declaration
     "w6_trailing_week_spend",
     "w7_distribution_ranks",
     "x16_txn_checkpoint_head",

@@ -4793,6 +4793,150 @@ def l2_lsh_retired_version_guard_probe(spark: SparkSession, sf_dir: str) -> Data
 
 
 @register(
+    "l2_lsh_tombstone_coalesce_probe",
+    # the retired-version-guard oracle, unchanged end state: the index
+    # holds ALL evens (built %4==0 + appended %4==2) minus the erased
+    # %20==16 docs, so the odds-vs-evens exact cross-batch Jaccard graph
+    # is the same hard-equality recall tripwire. If either refused stale
+    # commit had published (at the tombstoned v1 or at the coalesced-and-
+    # freed v1), the head would regress to a pre-append or pre-erase
+    # snapshot and the probe pairs would hash-fail.
+    oracle="\n    WITH "
+    + _ORACLE_SHINGLE_N_CTE
+    + r""",
+    inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS dup_of, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND b.doc_id % 20 <> 16
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT new_id, dup_of,
+           ROUND(i / CAST(na.n + nb.n - i AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN n na ON new_id = na.doc_id JOIN n nb ON dup_of = nb.doc_id
+    WHERE 5 * i >= 4 * (na.n + nb.n - i)
+    """,
+)
+def l2_lsh_tombstone_coalesce_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RETIRED-NAME TOMBSTONE LIFECYCLE, driver-executed for real (r16,
+    # ADVICE r15: the r15 floor guard classified post-link by version
+    # arithmetic alone, which could unwind a FRESH commit swept by a
+    # concurrent retention run — a false OCC conflict whose retry
+    # double-appends). r16 makes trims observable per name: vacuum
+    # REPLACES each retired pointer with a tombstone (+ a ``.retired``
+    # listing sidecar) instead of deleting it, so a stale writer's
+    # create-if-absent fails naturally; one retention cycle later the
+    # pair is COALESCED and the immutable floor marker alone keeps the
+    # freed name refused. Lifecycle: build (%4==0) → OCC delta append
+    # (%4==2) → compact → vacuum#1 (v0/v1 TOMBSTONED, floor=1, both
+    # delisted but their names still occupied) → stale commit at the
+    # tombstoned v1 REFUSED pre-link → erase (%20==16) lands at v3 →
+    # vacuum#2 (v2 tombstoned, floor=2, the v0/v1 tombstone pairs
+    # coalesced away) → stale commit at the now-FREED v1 still REFUSED
+    # (floor guard) → probe (odds, exact-Jaccard verified) reads the
+    # final head.
+    import json as _json
+    import os as _os
+
+    from etl_hiscox_spark.operators.dedup import (
+        compact_minhash_index,
+        erase_from_minhash_index,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.queries.writes import _scratch
+    from etl_hiscox_spark.sources import genlog
+
+    docs = load_table(spark, "documents", sf_dir)
+    root = _os.path.join(_scratch("l2_lsh_tomb", sf_dir), "minhash_index")
+    write_minhash_index(
+        docs.filter(F.col("doc_id") % 4 == 0), "text", "doc_id", root,
+        num_hashes=24, num_bands=6,
+    )
+    write_minhash_index(
+        docs.filter(F.col("doc_id") % 4 == 2), "text", "doc_id", root,
+        num_hashes=24, num_bands=6, mode="append",
+    )
+    genlog.rerun_on_generation_conflict(compact_minhash_index, spark, root)
+    genlog.vacuum_generations(spark, root, keep_last=1, min_age_seconds=0.0)
+
+    resolved = genlog.resolve_root(spark, root)
+    if genlog._pointer_versions(resolved) != [2]:
+        raise ValueError(
+            f"vacuum#1 must delist v0/v1, got {genlog._pointer_versions(resolved)}"
+        )
+    filesystem, log_path = genlog._fs(genlog._join(resolved, genlog._GEN_LOG))
+    for v in (0, 1):
+        with filesystem.open_input_file(f"{log_path}/v{v}.json") as f:
+            if not _json.loads(f.read().decode("utf-8")).get("tombstone"):
+                raise ValueError(f"retired v{v} must hold a tombstone record")
+    names = {i.base_name for i in genlog._log_infos(resolved)}
+    if not {"v0.retired", "v1.retired"} <= names:
+        raise ValueError(f"retired sidecars missing from the log listing: {names}")
+
+    # stale commit at the TOMBSTONED v1: the name still exists, so the
+    # pre-link floor guard (or the create-if-absent itself) refuses it
+    head = genlog.read_pointer(resolved, 2)
+    try:
+        genlog.commit_generation(
+            spark, root, head["generation"], "compact", base_version=0,
+            segments=genlog.pointer_segments(head),
+            geometry_id=head.get("geometry_id"),
+        )
+        raise ValueError("stale commit at a tombstoned name was NOT refused")
+    except FileExistsError:
+        pass
+    # a retired version reads as gone — loudly, never a stale record
+    try:
+        genlog.read_pointer(resolved, 1)
+        raise ValueError("reading a tombstoned pointer must raise")
+    except FileNotFoundError:
+        pass
+
+    genlog.rerun_on_generation_conflict(
+        erase_from_minhash_index, spark, root,
+        docs.filter(F.col("doc_id") % 20 == 16).select("doc_id"), "doc_id",
+    )
+    if genlog.current_generation(spark, root)[0] != 3:
+        raise ValueError("the erase did not land at v3")
+
+    # vacuum#2: v2 joins the tombstones (floor 2), and the v0/v1 pairs —
+    # covered by the floor since BEFORE this run — are coalesced away
+    genlog.vacuum_generations(spark, root, keep_last=1, min_age_seconds=0.0)
+    names = {i.base_name for i in genlog._log_infos(resolved)}
+    for gone in ("v0.json", "v0.retired", "v1.json", "v1.retired"):
+        if gone in names:
+            raise ValueError(f"vacuum#2 must coalesce {gone}, still listed: {names}")
+    if not {"v2.json", "v2.retired"} <= names:
+        raise ValueError(f"the newest trim (v2) must stay tombstoned: {names}")
+    if genlog._read_vacuum_floor(resolved) != 2:
+        raise ValueError("the floor marker must record the v2 trim")
+    if genlog._pointer_versions(resolved) != [3]:
+        raise ValueError("the erase head must be the only live pointer")
+
+    # stale commit at the now-FREED v1: nothing occupies the name any
+    # more, so only the pre-link floor guard stands between a stale
+    # writer and a silent lost write — it must refuse, with no debris
+    try:
+        genlog.commit_generation(
+            spark, root, head["generation"], "compact", base_version=0,
+            segments=genlog.pointer_segments(head),
+            geometry_id=head.get("geometry_id"),
+        )
+        raise ValueError("stale commit at a coalesced name was NOT refused")
+    except FileExistsError:
+        pass
+    if "v1.json" in {i.base_name for i in genlog._log_infos(resolved)}:
+        raise ValueError("the refused commit left debris at the freed name")
+
+    out = probe_minhash_index(
+        docs.filter(F.col("doc_id") % 2 == 1), "text", "doc_id", root,
+        verify_df=docs, threshold=0.8,
+    )
+    return out.select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
     "l2_stream_index_ingest",
     # the l2_incremental_probe oracle, unchanged: after the stream lands,
     # the index holds ALL evens (built %4==0 + streamed %4==2), so the

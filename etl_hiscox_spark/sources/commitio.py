@@ -91,14 +91,25 @@ def s3_replace_put_hook():
     a plain single-shot ``PutObject`` — on S3 that is natively an atomic
     last-writer-wins replace, exactly replace_put's contract, with none
     of multipart's moving parts. Requires boto3 (same deployment gate as
-    :func:`s3_conditional_put_hook`)."""
+    :func:`s3_conditional_put_hook`).
+
+    botocore failures are re-raised as ``OSError`` (r16, ADVICE r15:
+    ClientError/BotoCoreError are NOT OSError subclasses, but the
+    best-effort hint writers — genlog's head hint, TxnTable's checkpoint
+    — swallow exactly OSError; a raw botocore error on a hint write
+    would fail a writer whose COMMIT already landed, and the caller's
+    retry would double-commit)."""
     import boto3  # deployment-only dependency; ImportError is the gate
+    from botocore.exceptions import BotoCoreError, ClientError
 
     client = boto3.client("s3")
 
     def do_replace(filesystem, path: str, data: bytes) -> None:
         bucket, key = path.split("/", 1)
-        client.put_object(Bucket=bucket, Key=key, Body=data)
+        try:
+            client.put_object(Bucket=bucket, Key=key, Body=data)
+        except (ClientError, BotoCoreError) as exc:
+            raise OSError(str(exc)) from exc
 
     return do_replace
 
@@ -112,7 +123,7 @@ def s3_conditional_put_hook():
     dependency, not baked into this container — the import is the gate);
     bucket/key come from the pyarrow-resolved path (``bucket/key...``)."""
     import boto3  # deployment-only dependency; ImportError is the gate
-    from botocore.exceptions import ClientError
+    from botocore.exceptions import BotoCoreError, ClientError
 
     client = boto3.client("s3")
 
@@ -124,7 +135,13 @@ def s3_conditional_put_hook():
             code = exc.response.get("Error", {}).get("Code")
             if code in ("PreconditionFailed", "412"):
                 raise FileExistsError(path) from exc
-            raise
+            # non-collision failures surface as OSError (r16, same
+            # contract as the replace hook: the best-effort marker
+            # writers — e.g. vacuum's floor-marker wrapper — swallow
+            # exactly OSError, and botocore errors are not OSErrors)
+            raise OSError(str(exc)) from exc
+        except BotoCoreError as exc:
+            raise OSError(str(exc)) from exc
 
     return put_if_absent
 

@@ -150,12 +150,25 @@ def _log_infos(root: str) -> list:
 
 
 def _pointer_versions(root: str) -> list[int]:
+    """LIVE pointer versions, sorted — one LIST. Versions retired by
+    vacuum are EXCLUDED via their ``v{N}.retired`` sidecar (r16: vacuum
+    tombstones retired names instead of deleting them, so the name keeps
+    refusing create-if-absent; the sidecar keeps a single name-based
+    LIST sufficient to separate live from retired without a GET per
+    file). A tombstoned name whose sidecar write was lost shows up here
+    as live; its read then raises the loud retired error — hidden-live
+    and listed-retired converge on the same reader behavior."""
     from pyarrow import fs as pafs
 
-    out = []
-    for info in _log_infos(root):
-        m = _POINTER_RE.match(info.base_name)
+    out, retired = [], set()
+    infos = _log_infos(root)
+    for info in infos:
+        m = _RETIRED_RE.match(info.base_name)
         if m and info.type == pafs.FileType.File:
+            retired.add(int(m.group(1)))
+    for info in infos:
+        m = _POINTER_RE.match(info.base_name)
+        if m and info.type == pafs.FileType.File and int(m.group(1)) not in retired:
             out.append(int(m.group(1)))
     return sorted(out)
 
@@ -188,6 +201,101 @@ def _pointer_versions(root: str) -> list[int]:
 
 _FLOOR_SENTINEL = "_floor"
 _FLOOR_RE = re.compile(r"^_floor_v(\d+)$")
+
+# -- retired-name tombstones (r16, ADVICE r15 low) ----------------------------
+#
+# The r15 floor guard was POST-link only: a commit that won
+# create-if-absent re-read the floor and unwound itself when
+# version <= floor. That classifier has a false positive — a FRESH
+# commit whose version a concurrent retention pass swept between the
+# link and the floor read was unwound and surfaced as an OCC conflict,
+# and the caller's retry re-appended the same delta (duplicate rows for
+# non-txn appends). r16 makes trims observable PER NAME instead:
+#
+# - vacuum REPLACES each retired ``v{N}.json`` with a tombstone record
+#   (atomic single-shot replace) rather than deleting it, and marks the
+#   retirement in the LISTING with an empty ``v{N}.retired`` sidecar —
+#   so a stale writer's create-if-absent at a retired name fails
+#   NATURALLY (the name still exists), and the listing stays name-based
+#   (no GET per file to separate live from retired).
+# - the committer refuses version <= floor BEFORE linking (nothing has
+#   landed, so the refusal can never unwind a live commit), and the
+#   narrowed POST-link check classifies by CONTENT: my-bytes means a
+#   stale reuse that slipped both guards (possible only on a
+#   rename-refusing store's replace window) and unwinds; a tombstone or
+#   a missing file means THIS fresh commit was legitimately retired
+#   after landing (newer commits already carried it forward) and the
+#   commit reports success — the ADVICE r15 false positive, resolved
+#   correctly instead of double-appending.
+# - tombstone pairs are COALESCED one retention cycle later (deleted
+#   once their version is at or below the floor the PREVIOUS vacuum
+#   recorded), bounding the log-directory file count; names freed by
+#   coalescing stay refused by the pre-link floor guard, which their
+#   immutable floor marker has covered since before they were freed.
+#
+# Residual window (documented tradeoff, per ADVICE r15): a commit whose
+# post-link check lands inside a concurrent vacuum's floor-mark →
+# tombstone-replace gap still sees my-bytes with version <= floor and
+# unwinds a fresh commit. Vacuum tombstones victims NEWEST-FIRST so
+# that gap is one replace op wide for the only version a fresh commit
+# can hold.
+
+_RETIRED_RE = re.compile(r"^v(\d+)\.retired$")
+
+
+def _tombstone_bytes() -> bytes:
+    return json.dumps({"tombstone": True, "retired_at": time.time()}).encode("utf-8")
+
+
+def _retire_pointer(root: str, version: int) -> bool:
+    """Tombstone one retired pointer name: sidecar first (listing), then
+    the atomic content replace. Store errors are absorbed — a skipped
+    victim is retried by the next vacuum, and a sidecar-less tombstone
+    (or tombstone-less sidecar) degrades to behavior readers already
+    handle. Returns False when nothing could be written."""
+    from etl_hiscox_spark.sources.commitio import replace_put
+
+    filesystem, log_path = _fs(_join(root, _GEN_LOG))
+    try:
+        replace_put(filesystem, f"{log_path}/v{version}.retired", b"")
+    except OSError:
+        return False
+    try:
+        replace_put(filesystem, f"{log_path}/v{version}.json", _tombstone_bytes())
+    except OSError:
+        pass  # hidden-live: listed retired, content still readable
+    return True
+
+
+def _coalesce_tombstones(root: str, floor_before: int) -> None:
+    """Delete tombstone pairs whose version the floor ALREADY covered
+    before this run — they have survived a full retention cycle, and the
+    pre-link floor guard keeps refusing their (now freed) names. Only
+    names whose content IS a tombstone are deleted: a live record at a
+    retired version is a crashed stale commit's leftover — the next
+    vacuum victims it — never coalesce-bait (deleting it while its
+    writer's post-link check runs would misreport the loss as success).
+    Racing deletes absorbed."""
+    if floor_before < 0:
+        return
+    filesystem, log_path = _fs(_join(root, _GEN_LOG))
+    for info in _log_infos(root):
+        m = _RETIRED_RE.match(info.base_name)
+        if not m or int(m.group(1)) > floor_before:
+            continue
+        v = int(m.group(1))
+        try:
+            with filesystem.open_input_file(f"{log_path}/v{v}.json") as f:
+                rec = json.loads(f.read().decode("utf-8"))
+            if not rec.get("tombstone"):
+                continue
+            filesystem.delete_file(f"{log_path}/v{v}.json")
+        except (FileNotFoundError, ValueError, OSError):
+            pass  # already coalesced / unreadable: sidecar cleanup below
+        try:
+            filesystem.delete_file(info.path)
+        except (FileNotFoundError, OSError):
+            pass
 
 
 def _vacuum_floor_trimmed_ever(root: str) -> bool:
@@ -295,15 +403,22 @@ def _pointer_fingerprint(root: str, version: int) -> tuple | None:
     (missing, or a store error: the caller then skips caching / drops
     the hit and reads the disk truth). Two forms (r15, ADVICE r14):
 
-    - ``("ns", size, mtime_ns)`` where the store exposes nanosecond
+    - ``("ns", size, mtime_ns)`` where the store exposes sub-second
       mtimes (local filesystems) — one metadata stat per verify;
-    - ``("sha", digest)`` where mtime is coarse (S3-class stores report
-      seconds): pointer records are near-fixed-size JSON, so an external
-      same-second same-size wipe-and-rebuild would defeat a (size,
-      mtime) fingerprint — bind the identity to the BYTES instead. The
-      verify then costs one KB-scale GET on those stores only; the
-      cache still saves the parse, and correctness no longer rides on
-      mtime granularity."""
+    - ``("sha", digest)`` where mtime is coarse: pointer records are
+      near-fixed-size JSON, so an external same-second same-size
+      wipe-and-rebuild would defeat a (size, mtime) fingerprint — bind
+      the identity to the BYTES instead. The verify then costs one
+      KB-scale GET on those stores only; the cache still saves the
+      parse, and correctness no longer rides on mtime granularity.
+
+    Coarse means ``mtime_ns is None`` OR a whole-second stamp (r16,
+    ADVICE r15: pyarrow's S3FileSystem reports a NON-None mtime_ns of
+    seconds*1e9, so a None-only test never took the sha branch on the
+    exact store class it was written for — moto-verified in
+    tests/test_s3_commit.py). A local file legitimately landing on a
+    whole-second boundary just pays one sha GET — correct either way,
+    so the discriminator can be store-agnostic."""
     from pyarrow import fs as pafs
 
     try:
@@ -313,7 +428,7 @@ def _pointer_fingerprint(root: str, version: int) -> tuple | None:
         return None
     if info.type != pafs.FileType.File:
         return None
-    if info.mtime_ns is not None:
+    if info.mtime_ns is not None and info.mtime_ns % 1_000_000_000 != 0:
         return ("ns", info.size, info.mtime_ns)
     try:
         with filesystem.open_input_file(p) as f:
@@ -422,6 +537,15 @@ def read_pointer(root: str, version: int) -> dict:
     with filesystem.open_input_file(p) as f:
         raw = f.read()
     rec = json.loads(raw.decode("utf-8"))
+    if rec.get("tombstone"):
+        # retired by vacuum (r16: trims tombstone the name instead of
+        # deleting it) — same loud signal a deleted name always gave, so
+        # every concurrent-retention handler upstream works unchanged;
+        # never cached (the name's content is terminal, the error cheap)
+        raise FileNotFoundError(
+            f"pointer v{version} at {root!r} was retired by vacuum "
+            "(generation expired by retention) — re-resolve the live head"
+        )
     if fingerprint is not None and fingerprint[0] == "sha":
         # content-bound form: re-derive from the exact bytes being
         # cached — then the fingerprint is consistent with the cached
@@ -591,51 +715,83 @@ def commit_generation(
         "operation": operation,
         "committed_at": time.time(),
     }
+    # version-number reuse guard, PRE-link half (r16, ADVICE r15 low):
+    # refuse a version the vacuum floor already covers BEFORE anything
+    # lands — nothing to unwind, so this refusal can never misclassify a
+    # live commit. Catches names freed by tombstone coalescing (and any
+    # r15-era deleted name); names retired but not yet coalesced refuse
+    # themselves at the create-if-absent below (tombstoned names still
+    # EXIST — the r16 protocol). An unreadable floor means "unknown" and
+    # the commit proceeds — the post-link classifier is the backstop.
     try:
-        commit_if_absent(
-            spark,
-            _join(root, _GEN_LOG, f"v{version}.json"),
-            json.dumps(rec).encode("utf-8"),
+        retired_name = (
+            _vacuum_floor_trimmed_ever(root) and version <= _read_vacuum_floor(root)
         )
+    except OSError:
+        retired_name = False
+    if retired_name:
+        raise FileExistsError(
+            f"pointer v{version} at {root!r} was already retired by vacuum "
+            "(stale head resolve spanning a retention run) — re-run "
+            "against the new live generation"
+        )
+    raw = json.dumps(rec).encode("utf-8")
+    try:
+        commit_if_absent(spark, _join(root, _GEN_LOG, f"v{version}.json"), raw)
     except FileExistsError as exc:
         raise FileExistsError(
             f"pointer v{version} at {root!r} already committed — concurrent "
             "maintenance race; re-run against the new live generation "
             "(rerun_on_generation_conflict is the bounded wrapper)"
         ) from exc
-    # version-number reuse guard (r15, found by the multi-actor stress):
-    # create-if-absent cannot collide with a name vacuum DELETED, so a
-    # commit staged from a stale head resolve could land below the
-    # surviving prefix and be silently trimmed by the next vacuum — a
-    # lost write. The vacuum that trimmed old-v{version} committed a
-    # floor marker >= version BEFORE deleting, so the check is sound:
-    # unwind the bogus pointer and surface the standard conflict.
-    # a store hiccup READING the floor must not fail a commit that has
-    # already landed (the caller would retry and double-commit): an
-    # unreadable floor means "unknown" and the commit proceeds — exactly
-    # the pre-guard behavior, and the lost-write needs a stale resolve
-    # AND a retention run besides
+    # POST-link half: the floor may have advanced mid-commit. r15
+    # compared version <= floor alone, which has a false positive — a
+    # FRESH commit swept by a concurrent retention run in this window
+    # was unwound and surfaced as an OCC conflict, and the caller's
+    # retry re-appended the same delta (ADVICE r15). Classify by
+    # CONTENT instead: the name holding MY bytes means the link won a
+    # freed retired name (a true stale reuse that slipped the pre-link
+    # guard — the rename-refusing-store replace window) and unwinds; a
+    # tombstone or a missing file means THIS commit landed live and was
+    # already legitimately retired (newer commits carried it forward) —
+    # success, NOT a conflict. Store hiccups must not fail a commit
+    # that has already landed (the retry would double-commit): any
+    # unreadable state proceeds as success.
     try:
-        reused = _vacuum_floor_trimmed_ever(root) and version <= _read_vacuum_floor(root)
+        floor_advanced = (
+            _vacuum_floor_trimmed_ever(root) and version <= _read_vacuum_floor(root)
+        )
     except OSError:
-        reused = False
-    if reused:
+        floor_advanced = False
+    if floor_advanced:
+        mine = False
         try:
             filesystem, p = _fs(_join(root, _GEN_LOG, f"v{version}.json"))
-            filesystem.delete_file(p)
+            with filesystem.open_input_file(p) as f:
+                mine = f.read() == raw
         except OSError:
-            pass  # a racing vacuum trimmed the bogus pointer already
-        raise FileExistsError(
-            f"pointer v{version} at {root!r} was already retired by vacuum "
-            "(stale head resolve spanning a retention run) — re-run "
-            "against the new live generation"
-        )
+            mine = False  # tombstoned+coalesced or unreadable: landed live
+        if mine:
+            try:
+                filesystem.delete_file(p)
+            except OSError:
+                pass  # a racing vacuum tombstoned the bogus pointer already
+            raise FileExistsError(
+                f"pointer v{version} at {root!r} was already retired by vacuum "
+                "(stale head resolve spanning a retention run) — re-run "
+                "against the new live generation"
+            )
     # the committer KNOWS this record is the truth at (root, version) —
     # caching it here (not just on read) keeps a deleted-and-rebuilt root
     # (scratch wipes restart versions at 0) from serving the old root's
     # cached record to its own process; the fingerprint stat pins the
-    # entry to the file just committed (r14 staleness guard)
-    _cache_pointer(root, version, rec, _pointer_fingerprint(root, version))
+    # entry to the file just committed (r14 staleness guard). SKIPPED on
+    # the retired-after-landing success path (r16): the name now holds a
+    # tombstone, and caching the live record against the TOMBSTONE's
+    # fingerprint would make a later hit verify clean and serve the
+    # retired record as live.
+    if not floor_advanced:
+        _cache_pointer(root, version, rec, _pointer_fingerprint(root, version))
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         _write_head_hint(root, version)  # opportunistic; failure tolerated
     return version
@@ -778,9 +934,18 @@ def is_replay(record: dict, txn: tuple[str, int] | None) -> bool:
 
 
 def list_generations(spark, root: str) -> list[dict]:
-    """Pointer history, oldest first (the index's DESCRIBE HISTORY)."""
+    """Pointer history, oldest first (the index's DESCRIBE HISTORY).
+    A version retired between the LIST and its read (concurrent vacuum)
+    is skipped — the answer a call started after that vacuum would
+    give."""
     root = resolve_root(spark, root)
-    return [read_pointer(root, v) for v in _pointer_versions(root)]
+    out = []
+    for v in _pointer_versions(root):
+        try:
+            out.append(read_pointer(root, v))
+        except FileNotFoundError:
+            continue
+    return out
 
 
 def vacuum_generations(
@@ -863,14 +1028,19 @@ def vacuum_generations(
         ever_committed.update(segs)
         if v in keep:
             live.update(segs)
-    filesystem, log_path = _fs(_join(root, _GEN_LOG))
     victims = versions[:-keep_last] if len(versions) > keep_last else []
     if victims:
-        # floor marker DOWN before any pointer delete (r15): without it a
-        # stale-resolved commit could silently reuse a trimmed version
-        # number (see the module's vacuum-floor note). If the marker
-        # cannot land, skip the pointer trim this run — directory
+        # floor marker DOWN before any pointer retirement (r15): without
+        # it a stale-resolved commit could silently reuse a trimmed
+        # version number (see the module's vacuum-floor note). If the
+        # marker cannot land, skip the pointer trim this run — directory
         # reclamation below is independent and still safe.
+        try:
+            floor_before = (
+                _read_vacuum_floor(root) if _vacuum_floor_trimmed_ever(root) else -1
+            )
+        except OSError:
+            floor_before = -1  # unknown: coalesce nothing this run
         try:
             _mark_vacuum_floor(spark, root, victims[-1])
         except OSError:
@@ -880,12 +1050,16 @@ def vacuum_generations(
                 root,
             )
             victims = []
-    for v in victims:
-        try:
-            filesystem.delete_file(f"{log_path}/v{v}.json")
-        except (FileNotFoundError, OSError):
-            pass  # the concurrent vacuum got there first
+    # retired names are TOMBSTONED, not deleted (r16, ADVICE r15 low):
+    # the name keeps refusing create-if-absent, so a stale writer fails
+    # naturally and a fresh commit is never misclassified as a reuse.
+    # NEWEST victim first — the only version a fresh commit can hold is
+    # the highest victim, so retiring it first shrinks the residual
+    # floor-marked-but-not-yet-tombstoned gap to one replace op.
+    for v in reversed(victims):
+        _retire_pointer(root, v)
     if victims:
+        _coalesce_tombstones(root, floor_before)
         _cleanup_floor_markers(root, victims[-1])
     rootfs, root_path = _fs(root)
     cutoff = time.time() - min_age_seconds

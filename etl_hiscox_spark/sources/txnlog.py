@@ -188,15 +188,29 @@ class TxnTable:
         return [i.base_name for i in infos]
 
     def _versions(self) -> list[int]:
-        """FULL manifest listing — maintenance/history surfaces only; the
-        head-read hot path is :meth:`latest_version`'s checkpoint probe."""
-        out = []
-        for name in self._log_names():
-            if name.startswith("v") and name.endswith(".json"):
+        """LIVE manifest listing — maintenance/history surfaces only; the
+        head-read hot path is :meth:`latest_version`'s checkpoint probe.
+        Versions retired by :meth:`expire_versions` are EXCLUDED via
+        their ``v{N}.retired`` sidecar (r16: expiry tombstones retired
+        names instead of deleting them, so the name keeps refusing
+        create-if-absent; the sidecar keeps one name-based LIST
+        sufficient — no GET per file)."""
+        out, retired = [], set()
+        names = self._log_names()
+        for name in names:
+            if name.startswith("v") and name.endswith(".retired"):
                 try:
-                    out.append(int(name[1:-5]))
+                    retired.add(int(name[1:-8]))
                 except ValueError:
                     continue
+        for name in names:
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    v = int(name[1:-5])
+                except ValueError:
+                    continue
+                if v not in retired:
+                    out.append(v)
         return sorted(out)
 
     def _manifest_exists(self, version: int) -> bool:
@@ -234,12 +248,25 @@ class TxnTable:
     def _read_manifest(self, version: int) -> dict:
         if self._use_os:
             with open(os.path.join(self.log_dir, f"v{version}.json")) as f:
-                return json.load(f)
-        filesystem, _ = self._fs()
-        with filesystem.open_input_file(
-            f"{self._fs_log_path()}/v{version}.json"
-        ) as f:
-            return json.loads(f.read().decode("utf-8"))
+                m = json.load(f)
+        else:
+            filesystem, _ = self._fs()
+            with filesystem.open_input_file(
+                f"{self._fs_log_path()}/v{version}.json"
+            ) as f:
+                m = json.loads(f.read().decode("utf-8"))
+        if m.get("tombstone"):
+            # retired by expire_versions (r16: retention tombstones the
+            # name instead of deleting it) — raise the same LOUD signal a
+            # deleted manifest always gave (time travel to an expired
+            # version fails cleanly; every concurrent-retention handler
+            # upstream, incl. _read_manifest_tolerant's watermark branch,
+            # works unchanged)
+            raise FileNotFoundError(
+                f"manifest v{version} at {self.path!r} was expired by "
+                "retention — the version is no longer time-travelable"
+            )
+        return m
 
     def _commit(self, version: int, manifest: dict) -> None:
         """Atomic commit via :func:`commitio.commit_if_absent` — the
@@ -251,41 +278,80 @@ class TxnTable:
         checkpoint boundary, the head hint is refreshed."""
         from etl_hiscox_spark.sources.commitio import commit_if_absent
 
-        uri = "/".join([self.path.rstrip("/"), _LOG_DIR, f"v{version}.json"])
-        commit_if_absent(self.spark, uri, json.dumps(manifest).encode("utf-8"))
-        # version-number reuse guard (r15): create-if-absent cannot
-        # collide with a manifest name expire_versions DELETED, so a
-        # commit whose head resolve went stale across an expire could
-        # "win" a retired version below the surviving prefix — a lost
-        # write the next vacuum would silently reclaim. The expiring
-        # writer marked the watermark BEFORE deleting, so the check is
-        # sound: unwind and surface the standard OCC collision (the
-        # commit loop re-resolves the true head and retries).
-        # an unreadable sentinel/watermark (store hiccup) means "unknown"
-        # and the commit proceeds — failing HERE would error a commit
-        # that already landed, and the caller's retry would double-commit
+        # version-number reuse guard, PRE-link half (r16, ADVICE r15
+        # low): refuse a version the expire watermark already covers
+        # BEFORE anything lands — nothing to unwind, so the refusal can
+        # never misclassify a live commit. Catches names freed by
+        # tombstone coalescing (and any r15-era deleted name); retired
+        # but not-yet-coalesced names refuse themselves at the
+        # create-if-absent below (tombstoned names still EXIST — r16).
+        # An unreadable sentinel/watermark means "unknown" and the
+        # commit proceeds — the post-link classifier is the backstop.
         try:
-            retired = (
+            retired_name = (
                 self._expired_ever()
                 and version <= self._read_expire_watermark()
             )
         except OSError:
-            retired = False
-        if retired:
-            try:
-                if self._use_os:
-                    os.remove(os.path.join(self.log_dir, f"v{version}.json"))
-                else:
-                    self._fs()[0].delete_file(
-                        f"{self._fs_log_path()}/v{version}.json"
-                    )
-            except (FileNotFoundError, OSError):
-                pass
+            retired_name = False
+        if retired_name:
             raise FileExistsError(
                 f"manifest v{version} at {self.path!r} was already retired "
                 "by expire_versions (stale head resolve spanning a "
                 "retention run) — re-resolve the log head and re-run"
             )
+        uri = "/".join([self.path.rstrip("/"), _LOG_DIR, f"v{version}.json"])
+        raw = json.dumps(manifest).encode("utf-8")
+        commit_if_absent(self.spark, uri, raw)
+        # POST-link half: the watermark may have advanced mid-commit.
+        # r15 compared version <= watermark alone — false positive: a
+        # FRESH commit swept by a concurrent retention run in this
+        # window was unwound and surfaced as an OCC conflict, and the
+        # caller's retry re-appended the same batch (ADVICE r15).
+        # Classify by CONTENT: my-bytes means the link won a freed
+        # retired name (true stale reuse that slipped the pre-link
+        # guard) and unwinds; a tombstone or missing file means THIS
+        # commit landed live and was already legitimately retired
+        # (newer commits carried its cumulative file list forward) —
+        # success, NOT a conflict. Store hiccups must not fail a commit
+        # that already landed: unreadable states proceed as success.
+        try:
+            wm_advanced = (
+                self._expired_ever()
+                and version <= self._read_expire_watermark()
+            )
+        except OSError:
+            wm_advanced = False
+        if wm_advanced:
+            mine = False
+            try:
+                if self._use_os:
+                    with open(
+                        os.path.join(self.log_dir, f"v{version}.json"), "rb"
+                    ) as f:
+                        mine = f.read() == raw
+                else:
+                    with self._fs()[0].open_input_file(
+                        f"{self._fs_log_path()}/v{version}.json"
+                    ) as f:
+                        mine = f.read() == raw
+            except OSError:
+                mine = False  # tombstoned+coalesced or unreadable: landed live
+            if mine:
+                try:
+                    if self._use_os:
+                        os.remove(os.path.join(self.log_dir, f"v{version}.json"))
+                    else:
+                        self._fs()[0].delete_file(
+                            f"{self._fs_log_path()}/v{version}.json"
+                        )
+                except (FileNotFoundError, OSError):
+                    pass
+                raise FileExistsError(
+                    f"manifest v{version} at {self.path!r} was already retired "
+                    "by expire_versions (stale head resolve spanning a "
+                    "retention run) — re-resolve the log head and re-run"
+                )
         if version > 0 and version % self.checkpoint_interval == 0:
             self._write_checkpoint(version)
 
@@ -386,11 +452,18 @@ class TxnTable:
     #   repoint as expired and could drop its files from vacuum's live
     #   set). Expiry is prefix-only and marks first, so a missing
     #   manifest with version > watermark CANNOT have been expired.
-    # - the version-number REUSE guard in :meth:`_commit`:
-    #   create-if-absent cannot collide with a name expiry DELETED, so a
-    #   commit whose head resolve went stale across an expire could land
-    #   at a retired version number below the surviving prefix — a lost
-    #   write. Marker-before-delete makes the post-link check sound.
+    # - the version-number REUSE guard in :meth:`_commit`. r16 (ADVICE
+    #   r15 low): expiry now TOMBSTONES retired names instead of
+    #   deleting them (``_retire_manifest`` — the name keeps refusing
+    #   create-if-absent naturally, with a ``v{N}.retired`` sidecar
+    #   keeping the LIST name-based), so the watermark's commit-guard
+    #   role narrows to the PRE-link refusal of names freed by
+    #   tombstone COALESCING (one retention cycle later) and to
+    #   classifying the post-link window — where my-bytes means a true
+    #   stale reuse and a tombstone/missing file means a fresh commit
+    #   that retention legitimately swept after it landed (the r15
+    #   classifier unwound that fresh commit as a false OCC conflict,
+    #   and the caller's retry double-appended).
     #
     # Markers are create-if-absent and never replaced: the watermark
     # (max marker) is monotonic by construction, immune to the
@@ -436,6 +509,71 @@ class TxnTable:
                 )
             except FileExistsError:
                 pass
+
+    def _retire_manifest(self, version: int) -> None:
+        """Tombstone one retired manifest name (r16, ADVICE r15 low):
+        sidecar first (listing), then the atomic content replace — the
+        name keeps refusing create-if-absent, so a stale-resolved commit
+        fails naturally instead of winning a freed name. Store errors
+        absorbed: a skipped victim is retried by the next expire, and a
+        half-retired pair degrades to states readers already handle."""
+        tomb = json.dumps({"tombstone": True, "retired_at": time.time()}).encode(
+            "utf-8"
+        )
+        if self._use_os:
+            try:
+                with open(os.path.join(self.log_dir, f"v{version}.retired"), "wb"):
+                    pass
+                tmp = os.path.join(self.log_dir, f".v{version}.retire.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(tomb)
+                os.replace(tmp, os.path.join(self.log_dir, f"v{version}.json"))
+            except OSError:
+                pass
+            return
+        from etl_hiscox_spark.sources.commitio import replace_put
+
+        filesystem, _ = self._fs()
+        log_path = self._fs_log_path()
+        try:
+            replace_put(filesystem, f"{log_path}/v{version}.retired", b"")
+            replace_put(filesystem, f"{log_path}/v{version}.json", tomb)
+        except OSError:
+            pass
+
+    def _coalesce_manifest_tombstones(self, floor_before: int) -> None:
+        """Delete tombstone pairs the watermark already covered BEFORE
+        this run — they survived a full retention cycle, and the
+        pre-link watermark guard keeps refusing their freed names. Only
+        names whose content IS a tombstone are deleted (a live record at
+        a retired version is a crashed stale commit's leftover — never
+        coalesce-bait). Racing deletes absorbed."""
+        if floor_before < 0:
+            return
+        for name in self._log_names():
+            if not (name.startswith("v") and name.endswith(".retired")):
+                continue
+            try:
+                v = int(name[1:-8])
+            except ValueError:
+                continue
+            if v > floor_before:
+                continue
+            try:
+                self._read_manifest(v)
+                continue  # read succeeded => LIVE content: skip the pair
+            except FileNotFoundError:
+                pass  # tombstone (or already coalesced): delete below
+            except OSError:
+                continue  # unreadable: let the next run decide
+            for fname in (f"v{v}.json", name):
+                try:
+                    if self._use_os:
+                        os.remove(os.path.join(self.log_dir, fname))
+                    else:
+                        self._fs()[0].delete_file(f"{self._fs_log_path()}/{fname}")
+                except (FileNotFoundError, OSError):
+                    pass
 
     def _cleanup_expire_markers(self, floor: int) -> None:
         """Drop markers strictly below ``floor`` — the max marker never
@@ -762,12 +900,16 @@ class TxnTable:
                     "manifests a stale checkpoint may point into"
                 )
         # the expire WATERMARK marker goes down BEFORE any manifest is
-        # deleted (r15, ADVICE r14) — a HARD precondition like the
+        # retired (r15, ADVICE r14) — a HARD precondition like the
         # checkpoint above, because two correctness properties ride on
         # it: vacuum/readers' expired-vs-mid-REPLACE classification, and
-        # _commit's version-number reuse guard. Deleting manifests
-        # without the marker would let a stale-resolved commit silently
-        # land at a retired version number.
+        # _commit's version-number reuse guard.
+        try:
+            floor_before = (
+                self._read_expire_watermark() if self._expired_ever() else -1
+            )
+        except OSError:
+            floor_before = -1  # unknown: coalesce nothing this run
         try:
             self._mark_expire_watermark(victims[-1])
         except OSError:
@@ -776,20 +918,20 @@ class TxnTable:
             raise RuntimeError(
                 f"expire_versions at {self.path!r}: could not commit the "
                 f"expire watermark marker for v{victims[-1]} — refusing to "
-                "delete manifests without it (a concurrent commit could "
+                "retire manifests without it (a concurrent commit could "
                 "otherwise silently reuse a retired version number)"
             )
-        for v in victims:
-            # a concurrent expire_versions may have deleted this manifest
-            # already (r14, the multi-actor stress class): the other call
-            # did the same work — never a loss, never worth crashing over
-            try:
-                if self._use_os:
-                    os.remove(os.path.join(self.log_dir, f"v{v}.json"))
-                else:
-                    self._fs()[0].delete_file(f"{self._fs_log_path()}/v{v}.json")
-            except (FileNotFoundError, OSError):
-                pass
+        # retired names are TOMBSTONED, not deleted (r16, ADVICE r15
+        # low): the name keeps refusing create-if-absent, so a stale
+        # writer fails naturally and a fresh commit swept mid-window is
+        # never misclassified as a reuse. NEWEST victim first — the only
+        # version a fresh commit can hold is the highest victim, so
+        # retiring it first shrinks the residual marked-but-not-retired
+        # gap to one replace op. A concurrent expire retiring the same
+        # name is the same work — replace is idempotent.
+        for v in reversed(victims):
+            self._retire_manifest(v)
+        self._coalesce_manifest_tombstones(floor_before)
         self._cleanup_expire_markers(victims[-1])
         return len(victims)
 

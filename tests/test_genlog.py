@@ -1223,15 +1223,20 @@ def test_vacuum_with_stale_snapshot_never_reclaims_the_real_heads_segments(
     assert head_segs[0] == "gen-build"
 
 
-def test_coarse_mtime_store_fingerprint_binds_to_content(tmp_path, monkeypatch):
-    """ADVICE r14 (low): on stores that report second-resolution mtimes
-    (S3-class), pointer records are near-fixed-size JSON, so an external
-    same-second same-SIZE wipe-and-rebuild defeated the (size, mtime)
-    fingerprint and the stale cached record was still served. On such
-    stores the fingerprint is now the content sha256 — simulated here by
-    hiding mtime_ns behind a proxy filesystem, then rebuilding v0.json
-    with different bytes of IDENTICAL length and IDENTICAL (coarse)
-    mtime."""
+@pytest.mark.parametrize("coarse_mtime_ns", [None, 1_786_905_098_000_000_000])
+def test_coarse_mtime_store_fingerprint_binds_to_content(
+    tmp_path, monkeypatch, coarse_mtime_ns
+):
+    """ADVICE r14 (low) + ADVICE r15 (medium): on stores with
+    second-resolution mtimes, pointer records are near-fixed-size JSON,
+    so an external same-second same-SIZE wipe-and-rebuild defeated the
+    (size, mtime) fingerprint and the stale cached record was still
+    served. On such stores the fingerprint is now the content sha256.
+    Both coarse shapes are covered: ``mtime_ns=None`` (the r15 fake) AND
+    the shape real pyarrow S3 actually reports — a NON-None whole-second
+    ``seconds*1e9`` stamp, which the r15 None-only discriminator missed
+    (the r16 fix; the moto test in test_s3_commit.py pins the real
+    store)."""
     from etl_hiscox_spark.sources import genlog
 
     local = str(tmp_path / "coarse")
@@ -1246,7 +1251,7 @@ def test_coarse_mtime_store_fingerprint_binds_to_content(tmp_path, monkeypatch):
         def __init__(self, info):
             self._info = info
 
-        mtime_ns = None  # what S3-class stores report through pyarrow
+        mtime_ns = coarse_mtime_ns  # what S3-class stores report through pyarrow
 
         def __getattr__(self, name):
             return getattr(self._info, name)
@@ -1365,3 +1370,75 @@ def test_pointer_commit_refuses_to_reuse_a_vacuumed_version(tmp_path):
         if n.startswith("_floor_v")
     )
     assert names == ["_floor_v4"]
+
+
+def test_fresh_pointer_swept_by_concurrent_vacuum_is_not_a_conflict(
+    tmp_path, monkeypatch
+):
+    """ADVICE r15 (low), the false-positive half of the reuse guard: a
+    FRESH pointer commit whose version a concurrent vacuum sweeps
+    between the winning create-if-absent and the post-link floor read
+    was unwound by the r15 classifier and surfaced as an OCC conflict —
+    the retry wrapper would then re-append the same delta (duplicates).
+    r16 classifies by CONTENT: the name now holds a tombstone (vacuum
+    replaced it after the commit landed live), so the commit reports
+    SUCCESS. Injected by running newer commits + a vacuum inside the
+    commit window, right after the link lands."""
+    from etl_hiscox_spark.sources import commitio, genlog
+
+    local = str(tmp_path / "sweep")
+    root = "file://" + local
+    os.makedirs(local, exist_ok=True)
+
+    def seg(name):
+        d = os.path.join(local, name)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-0.bin"), "wb") as f:
+            f.write(b"d")
+
+    gid = genlog.new_geometry_id()
+    seg("gen-0")
+    genlog.commit_generation(None, root, "gen-0", "build", None, geometry_id=gid)
+    for i in (1, 2):
+        seg(f"gen-{i}")
+        genlog.commit_generation(
+            None, root, f"gen-{i}", "rebuild", i - 1,
+            segments=[f"gen-{i}"], geometry_id=genlog.new_geometry_id(),
+        )
+
+    real_commit = commitio.commit_if_absent
+    state = {"fired": False}
+
+    def commit_then_sweep(sp, uri, data):
+        real_commit(sp, uri, data)
+        if uri.endswith("v3.json") and not state["fired"]:
+            state["fired"] = True  # nested commits recurse through here
+            for i in (4, 5):
+                seg(f"gen-{i}")
+                genlog.commit_generation(
+                    None, root, f"gen-{i}", "rebuild", i - 1,
+                    segments=[f"gen-{i}"], geometry_id=genlog.new_geometry_id(),
+                )
+            genlog.vacuum_generations(None, root, keep_last=2, min_age_seconds=600.0)
+            assert genlog._read_vacuum_floor(root) == 3  # v3 swept
+
+    monkeypatch.setattr(commitio, "commit_if_absent", commit_then_sweep)
+    seg("gen-3")
+    # the r15 classifier unwound this and raised FileExistsError — the
+    # false OCC conflict whose retry re-appends the same delta
+    assert genlog.commit_generation(
+        None, root, "gen-3", "rebuild", 2,
+        segments=["gen-3"], geometry_id=genlog.new_geometry_id(),
+    ) == 3
+    monkeypatch.undo()
+
+    # the swept commit entered the chain (v4 built on it); head is sane
+    assert genlog.current_generation(None, root)[0] == 5
+    assert genlog._pointer_versions(root) == [4, 5]
+    # and a TRUE stale reuse at the swept name still refuses loudly
+    seg("gen-stale")
+    with pytest.raises(FileExistsError, match="retired"):
+        genlog.commit_generation(
+            None, root, "gen-stale", "compact", 2,
+            segments=["gen-stale"], geometry_id=gid,
+        )

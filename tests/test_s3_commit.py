@@ -125,11 +125,33 @@ def test_hook_first_put_lands_second_collides(s3env, s3hook):
     assert body == b"first"  # the loser never replaced the winner
 
 
-def test_hook_non_collision_errors_surface_as_themselves(s3env, s3hook):
+def test_hook_non_collision_errors_surface_as_oserror(s3env, s3hook):
+    """Non-collision store failures surface as OSError, never FileExists
+    and never a raw botocore type (r16, ADVICE r15: ClientError is NOT an
+    OSError subclass, but the best-effort marker/hint writers swallow
+    exactly OSError — a raw ClientError there would fail a writer whose
+    commit already landed, and the retry would double-commit)."""
     from botocore.exceptions import ClientError
 
-    with pytest.raises(ClientError):
+    with pytest.raises(OSError) as exc_info:
         s3hook(None, "no-such-bucket-anywhere-zz/k.json", b"x")
+    assert not isinstance(exc_info.value, FileExistsError)
+    assert isinstance(exc_info.value.__cause__, ClientError)
+
+
+def test_replace_hook_errors_surface_as_oserror(s3env, s3hook):
+    """Same contract for the replace hook (the ADVICE r15 finding site):
+    genlog._write_head_hint and TxnTable._write_checkpoint swallow only
+    OSError around replace_put, so the hook must never leak botocore
+    types."""
+    from botocore.exceptions import ClientError
+
+    from etl_hiscox_spark.sources import commitio
+
+    hook = commitio.s3_replace_put_hook()
+    with pytest.raises(OSError) as exc_info:
+        hook(None, "no-such-bucket-anywhere-zz/k.json", b"x")
+    assert isinstance(exc_info.value.__cause__, ClientError)
 
 
 def test_commit_if_absent_refuses_without_hook_and_commits_with_one(s3env):
@@ -211,6 +233,45 @@ def test_genlog_pointer_protocol_on_s3_root(s3env, s3hook):
     assert b'"version": 10' in body  # the hint really landed on the store
 
 
+def test_pointer_fingerprint_is_content_bound_on_s3(s3env, s3hook):
+    """ADVICE r15 (medium): pyarrow's S3FileSystem reports a NON-None
+    mtime_ns (whole seconds * 1e9), so the r15 ``mtime_ns is None``
+    discriminator never took the content-sha branch on the exact store
+    class it was written for — the same-second same-size rebuild hole
+    stayed open on real S3. The discriminator is now granularity-based;
+    this moto-backed test asserts (a) the sha form is actually chosen on
+    S3 and (b) the hole it closes: a same-LENGTH different-content
+    pointer rewrite is detected and the fresh record served."""
+    import json
+
+    from etl_hiscox_spark.sources import genlog
+
+    root = f"s3://{BUCKET}/fpr"
+    gid = genlog.new_geometry_id()
+    genlog.commit_generation(None, root, "gen-a", "build", None, geometry_id=gid)
+    rec = genlog.read_pointer(root, 0)
+    cached = genlog._POINTER_CACHE[(genlog._cache_key(root), 0)]
+    assert cached[1][0] == "sha", (
+        "S3 store must use the content-bound fingerprint form, got "
+        f"{cached[1][0]!r} (pyarrow S3 mtime_ns is whole-second — a "
+        "(size, mtime) form cannot see a same-second same-size rebuild)"
+    )
+
+    # the external rebuild: same byte length, different content — a
+    # (size, mtime) fingerprint would MATCH and serve the stale record
+    new_gid = genlog.new_geometry_id()
+    assert len(new_gid) == len(rec["geometry_id"])
+    raw = (
+        s3env["client"]
+        .get_object(Bucket=BUCKET, Key="fpr/_gen_log/v0.json")["Body"]
+        .read()
+    )
+    rebuilt = raw.replace(rec["geometry_id"].encode(), new_gid.encode())
+    assert len(rebuilt) == len(raw) and rebuilt != raw
+    s3env["client"].put_object(Bucket=BUCKET, Key="fpr/_gen_log/v0.json", Body=rebuilt)
+    assert genlog.read_pointer(root, 0)["geometry_id"] == new_gid
+
+
 def test_genlog_vacuum_reclaims_on_s3(s3env, s3hook):
     """Vacuum on ``s3://``: pointer-prefix deletion and unreferenced
     generation-directory reclamation through pyarrow deletes, no renames
@@ -238,7 +299,17 @@ def test_genlog_vacuum_reclaims_on_s3(s3env, s3hook):
     }
     assert "vac/gen-b/part-0.bin" in keys
     assert not any(k.startswith("vac/gen-a/") for k in keys)
-    assert "vac/_gen_log/v0.json" not in keys  # pointer prefix dropped
+    # r16: the retired pointer name is TOMBSTONED (single-shot PUT
+    # through the replace hook), not deleted — the name keeps refusing
+    # create-if-absent; the sidecar keeps listings name-based
+    import json as _json
+
+    tomb = _json.loads(
+        c.get_object(Bucket=BUCKET, Key="vac/_gen_log/v0.json")["Body"].read()
+    )
+    assert tomb.get("tombstone") is True
+    assert "vac/_gen_log/v0.retired" in keys
+    assert genlog._pointer_versions(root) == [1]  # retired name delisted
     assert "vac/_gen_log/_floor_v0" in keys  # reuse-guard marker landed
     assert "vac/_gen_log/_last_checkpoint" in keys  # REAL hint write landed
     assert genlog.current_generation(None, root) == (1, "gen-b")

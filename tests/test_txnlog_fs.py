@@ -518,12 +518,14 @@ def test_expire_marks_watermark_first_and_refuses_without_it(
 
 
 def test_commit_refuses_to_reuse_an_expired_version_number(spark, tmp_path):
-    """r15 version-number reuse guard (the hole the multi-actor stress
-    caught on the pointer log — same mechanics here): create-if-absent
-    cannot collide with a manifest name expire_versions DELETED, so a
-    commit from a stale head resolve could land below the surviving
-    prefix and be silently reclaimed later. The post-link guard unwinds
-    it and raises the standard OCC collision instead."""
+    """r15 version-number reuse guard, r16 mechanics (ADVICE r15 low):
+    expire_versions TOMBSTONES retired manifest names instead of
+    deleting them, so a commit from a stale head resolve is refused
+    BEFORE anything lands (the pre-link watermark guard; the name
+    itself also still exists and would refuse the create-if-absent) —
+    no unwind, and a fresh commit can never be misclassified as a
+    reuse. The stale bytes must never appear at the retired name."""
+    import json as _json
     import time as _time
 
     from etl_hiscox_spark.sources.txnlog import TxnTable
@@ -538,7 +540,71 @@ def test_commit_refuses_to_reuse_an_expired_version_number(spark, tmp_path):
              "schema": "{}", "committed_at": _time.time(), "n_added": 1}
     with pytest.raises(FileExistsError, match="already retired"):
         t._commit(1, stale)
-    assert not os.path.exists(os.path.join(root, "_txn_log", "v1.json"))
+    # the retired name holds a TOMBSTONE, never the stale manifest
+    with open(os.path.join(root, "_txn_log", "v1.json")) as f:
+        assert _json.load(f).get("tombstone") is True
+    assert os.path.exists(os.path.join(root, "_txn_log", "v1.retired"))
     assert t._versions() == [2, 3]  # log exactly as before the attempt
+    with pytest.raises(FileNotFoundError, match="expired"):
+        t.read(1)  # time travel to the retired version stays LOUD
     # and the public OCC write path still lands fresh commits normally
     assert t.write(_events(spark, 40, 45), mode="append") == 4
+
+    # one retention cycle later the tombstone pair is COALESCED (the
+    # watermark keeps refusing the freed name via the pre-link guard)
+    assert t.expire_versions(keep_last=2) == 1  # v2 retired
+    log = os.listdir(os.path.join(root, "_txn_log"))
+    assert "v0.json" not in log and "v0.retired" not in log
+    assert "v1.json" not in log and "v1.retired" not in log
+    assert "v2.json" in log and "v2.retired" in log  # newest trim retained
+    with pytest.raises(FileExistsError, match="already retired"):
+        t._commit(0, stale)  # freed name still refused (watermark guard)
+
+
+def test_fresh_commit_swept_by_concurrent_retention_is_not_a_conflict(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r15 (low), the false-positive half of the reuse guard: a
+    FRESH commit whose version a concurrent retention run sweeps between
+    the winning create-if-absent and the post-link watermark read was
+    unwound by the r15 classifier and surfaced as an OCC conflict — and
+    the caller's retry re-appended the same batch (duplicate rows for
+    non-txn appends). r16 classifies by CONTENT: the name now holds a
+    tombstone (retention replaced it after the commit landed live), so
+    the commit reports SUCCESS and nothing is re-appended. Injected by
+    running newer commits + expire_versions inside the commit window,
+    right after the link lands."""
+    from etl_hiscox_spark.sources import commitio
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = str(tmp_path / "sweep")
+    t = TxnTable(spark, root)
+    for lo in (0, 10, 20, 30):
+        t.write(_events(spark, lo, lo + 10), mode="append")
+    assert t.latest_version() == 3
+
+    real_commit = commitio.commit_if_absent
+    state = {"fired": False}
+
+    def commit_then_sweep(sp, uri, data):
+        real_commit(sp, uri, data)
+        if uri.endswith("v4.json") and not state["fired"]:
+            state["fired"] = True  # nested writes recurse through here
+            other = TxnTable(spark, root)
+            other.write(_events(spark, 50, 55), mode="append")   # v5
+            other.write(_events(spark, 60, 65), mode="append")   # v6
+            assert other.expire_versions(keep_last=2) == 5       # sweeps v4
+            assert other._read_expire_watermark() == 4
+
+    monkeypatch.setattr(commitio, "commit_if_absent", commit_then_sweep)
+    # the r15 classifier would raise FileExistsError here and the OCC
+    # loop would re-commit the same staged batch at v7 — duplicates
+    assert t.write(_events(spark, 40, 45), mode="append") == 4
+    monkeypatch.undo()
+
+    # exactly-once outcome: the swept commit's rows appear ONCE in the
+    # head (v5/v6 carried its cumulative file list forward)
+    head = t.read()
+    assert head.count() == 40 + 5 + 5 + 5
+    assert head.filter("event_id >= 40 AND event_id < 45").count() == 5
+    assert t.latest_version() == 6
