@@ -139,3 +139,62 @@ def test_band_ratio_flags_a_real_code_regression_under_contention():
         "pipeline_refresh": {"query": "s14_incremental_refresh", "sec": 3.4 * 1.3},
     })
     assert band_and_ratios(old, new2)["flagged"] == ["regressed_query"]
+
+
+def test_band_ratio_flag_floor_suppresses_small_denominator_noise():
+    """r16 (VERDICT r15 item 4, the g15 promise): a 1.7x mover whose NEW
+    runtime is sub-2s is scheduling noise, not a regression — reported
+    with a 'sub-floor' note, never flagged. A mover whose new runtime
+    crosses the floor still flags."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from band_ratio import band_and_ratios
+
+    old = {
+        "queries": {
+            "g1_star_join_revenue": 1.6, "l2_lsh_rebuild_probe": 5.0,
+            "s14_incremental_refresh": 3.4,
+            "g15_small_quantity_revenue": 0.84,  # the r15 small-denominator case
+            "really_regressed": 1.5,
+        }
+    }
+    new = {
+        "queries": {
+            "g1_star_join_revenue": 1.6, "l2_lsh_rebuild_probe": 5.0,
+            "s14_incremental_refresh": 3.4,
+            "g15_small_quantity_revenue": 1.45,  # 1.72x but still sub-floor
+            "really_regressed": 3.2,             # 2.1x AND crosses the floor
+        }
+    }
+    res = band_and_ratios(old, new)
+    assert res["flagged"] == ["really_regressed"]
+    notes = {r["query"]: r["note"] for r in res["rows"]}
+    assert notes["g15_small_quantity_revenue"] == "sub-floor"
+    assert notes["really_regressed"] == "FLAG"
+
+
+def test_band_ratio_contention_sensitive_class_never_flags():
+    """r16 (VERDICT r15 item 3): x15's two-writer probe amplifies host
+    contention in a way single-stream anchors cannot normalize (2.5x
+    same-code spread across quiet runs) — it is reported, annotated
+    'contention-sensitive', and never flagged."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from band_ratio import band_and_ratios
+
+    old = {
+        "queries": {
+            "g1_star_join_revenue": 1.6, "l2_lsh_rebuild_probe": 5.0,
+            "s14_incremental_refresh": 3.4,
+            "x15_txn_multi_writer_occ": 1.65,
+        }
+    }
+    new = {
+        "queries": {
+            "g1_star_join_revenue": 1.6, "l2_lsh_rebuild_probe": 5.0,
+            "s14_incremental_refresh": 3.4,
+            "x15_txn_multi_writer_occ": 4.17,  # the r15 driver-run spread
+        }
+    }
+    res = band_and_ratios(old, new)
+    assert res["flagged"] == []
+    notes = {r["query"]: r["note"] for r in res["rows"]}
+    assert notes["x15_txn_multi_writer_occ"] == "contention-sensitive"

@@ -27,6 +27,26 @@ import sys
 
 FLAG_AT = 1.5
 
+# Minimum NEW runtime for a mover to be flagged (r16, VERDICT r15 item
+# 4 — the g15 promise): sub-second queries carry Spark scheduling noise
+# comparable to their whole runtime, so a 1.5x "regression" on a 0.9 s
+# query is usually a small-denominator artifact (g15 flagged 1.72x in
+# r15, re-measured 0.84-1.18 s same-code). Ratios for such queries are
+# still PRINTED — only the flag is suppressed, annotated "sub-floor".
+# A genuine regression that pushes a small query past the floor still
+# flags on its new_sec.
+FLAG_FLOOR_SEC = 2.0
+
+# Queries whose runtime is dominated by multi-writer contention
+# mechanics — thread scheduling, OCC collision re-resolves, the
+# tolerant-read backoff sleeps — not by code under measurement (r16,
+# VERDICT r15 item 3): x15 moved 2.03x in the r14->r15 driver band
+# comparison while the same code measured 2.5x apart across two quiet
+# runs. Host contention amplifies a two-thread probe in a way the
+# single-stream anchors cannot normalize, so these are reported but
+# never flagged; annotated "contention-sensitive".
+CONTENTION_SENSITIVE = {"x15_txn_multi_writer_occ"}
+
 # anchor fallback for OLD detail files that predate the anchors block
 # (r14 and earlier): the same pinned queries, read from "queries"
 _ANCHOR_QUERIES = {
@@ -69,13 +89,23 @@ def band_and_ratios(old: dict, new: dict) -> dict:
         if float(qo[name]) <= 0:
             continue
         raw = float(qn[name]) / float(qo[name])
+        norm = raw / band
+        if norm < FLAG_AT:
+            note = ""
+        elif name in CONTENTION_SENSITIVE:
+            note = "contention-sensitive"
+        elif float(qn[name]) < FLAG_FLOOR_SEC:
+            note = "sub-floor"
+        else:
+            note = "FLAG"
         rows.append(
             {
                 "query": name,
                 "old_sec": float(qo[name]),
                 "new_sec": float(qn[name]),
                 "raw_ratio": round(raw, 3),
-                "normalized_ratio": round(raw / band, 3),
+                "normalized_ratio": round(norm, 3),
+                "note": note,
             }
         )
     rows.sort(key=lambda r: -r["normalized_ratio"])
@@ -89,7 +119,7 @@ def band_and_ratios(old: dict, new: dict) -> dict:
         "median_normalized": (
             round(sorted(ratios)[mid], 3) if ratios else None
         ),
-        "flagged": [r["query"] for r in rows if r["normalized_ratio"] >= FLAG_AT],
+        "flagged": [r["query"] for r in rows if r["note"] == "FLAG"],
     }
 
 
@@ -112,15 +142,19 @@ def main(argv: list[str]) -> int:
     )
     print(f"{'query':44s} {'old_s':>8s} {'new_s':>8s} {'raw':>7s} {'norm':>7s}")
     for r in res["rows"]:
-        mark = "  <-- FLAG" if r["normalized_ratio"] >= FLAG_AT else ""
+        mark = f"  <-- {r['note']}" if r["note"] else ""
         print(
             f"{r['query']:44s} {r['old_sec']:8.3f} {r['new_sec']:8.3f} "
             f"{r['raw_ratio']:7.3f} {r['normalized_ratio']:7.3f}{mark}"
         )
     if res["flagged"]:
-        print(f"\nflagged (normalized >= {FLAG_AT}): {res['flagged']}")
+        print(f"\nflagged (normalized >= {FLAG_AT}, new >= {FLAG_FLOOR_SEC}s): {res['flagged']}")
     else:
-        print(f"\nno queries moved >= {FLAG_AT}x after band normalization")
+        print(
+            f"\nno flaggable queries moved >= {FLAG_AT}x after band "
+            "normalization (sub-floor and contention-sensitive movers, "
+            "if any, are annotated above)"
+        )
     return 0
 
 
