@@ -48,8 +48,12 @@ COPY_ASIS = ("region", "nation")
 
 
 def _key_bases(src: str) -> dict[str, int]:
+    return _key_bases_for(src, KEYED)
+
+
+def _key_bases_for(src: str, keyed: dict) -> dict[str, int]:
     spaces = {}
-    for table, cols in KEYED.items():
+    for table, cols in keyed.items():
         t = pq.read_table(os.path.join(src, f"{table}.parquet"))
         for col, space in cols.items():
             hi = pc.max(t[col]).as_py() + 1
@@ -85,15 +89,26 @@ def _perturb_embeddings(tbl: pa.Table, copy: int) -> pa.Table:
     return tbl.set_column(idx, "embedding", pa.array(out, tbl.schema.field(idx).type))
 
 
-def generate(src: str, dst: str, copies: int) -> None:
+def generate(src: str, dst: str, copies: int, tables: list[str] | None = None) -> None:
+    """``tables`` restricts generation to a subset (r16, VERDICT r15
+    item 5: the second-decade sf10 dataset is built only for the
+    scale-critical families' inputs — documents for LSH near-dup,
+    embeddings for IVF, events for the txn-append sink — so the dataset
+    stays a few hundred MB instead of ~1.7 GB). Key offsets are computed
+    from the loaded subset only; referential integrity to tables OUTSIDE
+    the subset is not maintained (none of the scale-family queries join
+    outside their own table)."""
     os.makedirs(dst, exist_ok=True)
-    bases = _key_bases(src)
+    keyed = {t: c for t, c in KEYED.items() if tables is None or t in tables}
+    bases = _key_bases_for(src, keyed)
     for table in COPY_ASIS:
+        if tables is not None and table not in tables:
+            continue
         # dims are fixed-size lookup tables — identical at every sf
         t = pq.read_table(os.path.join(src, f"{table}.parquet"))
         pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
         print(f"{table}: {t.num_rows} rows (copied)")
-    for table, cols in KEYED.items():
+    for table, cols in keyed.items():
         t0 = pq.read_table(os.path.join(src, f"{table}.parquet"))
         parts = []
         for i in range(copies):
@@ -117,5 +132,15 @@ if __name__ == "__main__":
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "sf1"))
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of tables to generate (default: all)",
+    )
     args = ap.parse_args()
-    generate(args.src, args.dst, args.copies)
+    generate(
+        args.src,
+        args.dst,
+        args.copies,
+        tables=args.tables.split(",") if args.tables else None,
+    )
