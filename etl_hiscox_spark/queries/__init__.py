@@ -1042,6 +1042,74 @@ WINDOW_R17: tuple[str, ...] = (
     "x17_txn_object_store_roundtrip",
 )
 
+# Round 18 window — PRE-DEFINED at the end of r16 (same self-advance
+# mechanism; ``active_window()`` serves this once CORRECTNESS_r17.json
+# exists). Composition recomputed programmatically (simulate r16/r17
+# banking their pre-defined windows green over the CORRECTNESS
+# artifacts; cohorts then {r13: 1, r14: 50, r15: 50, r16: 50, r17: 50}
+# over 201 + s7): head = w4_rank_with_ties — the one r13-green the r16
+# tombstone-probe declaration displaced from WINDOW_R17, mandatory here
+# under the four-round bound (last green r13, stale at current=18) —
+# then 49 of the 50 r14-latest greens. The remaining r14 green,
+# f6_f9_date_math, defers to WINDOW_R19's mandatory head (it is the
+# lowest-risk deferral: its date chains are double-covered by the
+# randomized oracle-dialect property tests). The r17 builder SWAPS tail
+# entries for new declarations (new queries must lead; displaced r14
+# entries move to WINDOW_R19 alongside f6_f9_date_math) and ALWAYS
+# recomputes cohorts from the CORRECTNESS artifacts before editing.
+WINDOW_R18: tuple[str, ...] = (
+    "w4_rank_with_ties",
+    "a11_table_stats",
+    "a17_order_items_array",
+    "a18_approx_quantile_rollup",
+    "f4_multiformat_dates",
+    "g10_volume_shipping",
+    "g11_disjunctive_brackets",
+    "g1_star_join_revenue",
+    "j3_broadcast_dim_join",
+    "j6_range_interval_join",
+    "j7_asof_join",
+    "l2_connected_clusters",
+    "l2_lsh_delta_append_probe",
+    "l2_lsh_rebuild_probe",
+    "l2_stream_index_ingest",
+    "l3_cosine_topk",
+    "l3_ivf_delta_append_probe",
+    "l3_ivf_drift_diag",
+    "l3_ivf_quantized_probe",
+    "l3_semantic_dedup",
+    "l4_text_stats",
+    "l5_token_stats",
+    "l6_json_extraction",
+    "m1_multimodal_features",
+    "m2_audio_features",
+    "m3_gif_frame_sample",
+    "s10_seed_load",
+    "s15_corrupt_json_quarantine",
+    "s1_csv_roundtrip",
+    "s6_json_roundtrip",
+    "s8_ctas_roundtrip",
+    "s9_scd2_snapshot",
+    "t1_language_id",
+    "t23_bpe_segmentation",
+    "t2_quality_score",
+    "t35_keep_best_survivors",
+    "t4_vocabulary",
+    "t6_train_test_split",
+    "v1_embedding_norms",
+    "v2_quantize_int8",
+    "v3_random_projection",
+    "x10_click_purchase_join",
+    "x11_funnel_stages",
+    "x12_click_abandonment",
+    "x18_txn_time_travel",
+    "x3_tumbling_window",
+    "x4_sliding_window",
+    "x5_session_window",
+    "x8_threshold_crossing",
+    "x9_stream_static_enrich",
+)
+
 WINDOWS: dict[int, tuple[str, ...]] = {
     8: WINDOW_R8,
     9: WINDOW_R9,
@@ -1053,6 +1121,7 @@ WINDOWS: dict[int, tuple[str, ...]] = {
     15: WINDOW_R15,
     16: WINDOW_R16,
     17: WINDOW_R17,
+    18: WINDOW_R18,
 }
 
 
