@@ -1442,3 +1442,65 @@ def test_fresh_pointer_swept_by_concurrent_vacuum_is_not_a_conflict(
             None, root, "gen-stale", "compact", 2,
             segments=["gen-stale"], geometry_id=gid,
         )
+
+
+def test_stale_reuse_that_slips_the_prelink_guard_is_unwound(tmp_path, monkeypatch):
+    """The post-link my-bytes branch (r16): when the pre-link floor read
+    fails (store hiccup -> guard skipped as 'unknown') and the target
+    name was coalesced-and-freed, the stale commit WINS the
+    create-if-absent — the post-link classifier must then read the name,
+    see the committer's own bytes (not a tombstone), unwind, and raise
+    the standard conflict. This is the rename-window / skipped-guard
+    backstop; the fresh-commit case (tombstone state) is proven
+    non-conflicting by the sweep test above."""
+    from etl_hiscox_spark.sources import genlog
+
+    local = str(tmp_path / "slip")
+    root = "file://" + local
+    os.makedirs(local, exist_ok=True)
+
+    def seg(name):
+        d = os.path.join(local, name)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-0.bin"), "wb") as f:
+            f.write(b"d")
+
+    gid = genlog.new_geometry_id()
+    seg("gen-0")
+    genlog.commit_generation(None, root, "gen-0", "build", None, geometry_id=gid)
+    for i in range(1, 5):
+        seg(f"gen-{i}")
+        genlog.commit_generation(
+            None, root, f"gen-{i}", "rebuild", i - 1,
+            segments=[f"gen-{i}"], geometry_id=genlog.new_geometry_id(),
+        )
+    # two retention cycles: vacuum#1 tombstones 0..2 (floor 2), vacuum#2
+    # tombstones 3 (floor 3) and COALESCES 0..2 — freeing those names
+    genlog.vacuum_generations(None, root, keep_last=2, min_age_seconds=600.0)
+    seg("gen-5")
+    genlog.append_segment(None, root, "gen-5")
+    genlog.vacuum_generations(None, root, keep_last=2, min_age_seconds=600.0)
+    log_dir = os.path.join(local, "_gen_log")
+    assert "v1.json" not in os.listdir(log_dir)  # coalesced: name freed
+
+    # pre-link guard blind-folded: floor reads fail ONCE each call site
+    real_floor = genlog._read_vacuum_floor
+    calls = {"n": 0}
+
+    def flaky_floor(r):
+        calls["n"] += 1
+        if calls["n"] == 1:  # the pre-link read only
+            raise OSError("floor store hiccup")
+        return real_floor(r)
+
+    monkeypatch.setattr(genlog, "_read_vacuum_floor", flaky_floor)
+    seg("gen-stale")
+    with pytest.raises(FileExistsError, match="retired by vacuum"):
+        genlog.commit_generation(
+            None, root, "gen-stale", "compact", 0,
+            segments=["gen-stale"], geometry_id=gid,
+        )
+    monkeypatch.undo()
+    # the unwind removed the bogus record from the freed name
+    assert "v1.json" not in os.listdir(log_dir)
+    assert genlog._pointer_versions(genlog.resolve_root(None, root)) == [4, 5]

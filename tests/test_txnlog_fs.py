@@ -608,3 +608,46 @@ def test_fresh_commit_swept_by_concurrent_retention_is_not_a_conflict(
     assert head.count() == 40 + 5 + 5 + 5
     assert head.filter("event_id >= 40 AND event_id < 45").count() == 5
     assert t.latest_version() == 6
+
+
+def test_stale_reuse_that_slips_the_prelink_guard_is_unwound(
+    spark, tmp_path, monkeypatch
+):
+    """The post-link my-bytes branch (r16, txn mirror of the genlog
+    test): pre-link watermark read fails (guard skipped as 'unknown'),
+    the target name was coalesced-and-freed, the stale commit wins the
+    create-if-absent — the classifier reads the name, sees its own
+    bytes, unwinds, and raises the standard conflict."""
+    import time as _time
+
+    from etl_hiscox_spark.sources import txnlog
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = str(tmp_path / "slip")
+    t = TxnTable(spark, root)
+    for lo in (0, 10, 20, 30, 40):
+        t.write(_events(spark, lo, lo + 10), mode="append")
+    # two retention cycles: expire#1 tombstones 0..2 (watermark 2),
+    # expire#2 tombstones 3 (watermark 3) and COALESCES 0..2
+    assert t.expire_versions(keep_last=2) == 3
+    t.write(_events(spark, 50, 55), mode="append")  # v5
+    assert t.expire_versions(keep_last=2) == 1
+    assert "v1.json" not in os.listdir(os.path.join(root, "_txn_log"))
+
+    real_wm = txnlog.TxnTable._read_expire_watermark
+    calls = {"n": 0}
+
+    def flaky_wm(self):
+        calls["n"] += 1
+        if calls["n"] == 1:  # the pre-link read only
+            raise OSError("watermark store hiccup")
+        return real_wm(self)
+
+    monkeypatch.setattr(txnlog.TxnTable, "_read_expire_watermark", flaky_wm)
+    stale = {"version": 1, "mode": "append", "files": ["data/zz/p.parquet"],
+             "schema": "{}", "committed_at": _time.time(), "n_added": 1}
+    with pytest.raises(FileExistsError, match="already retired"):
+        t._commit(1, stale)
+    monkeypatch.undo()
+    assert "v1.json" not in os.listdir(os.path.join(root, "_txn_log"))
+    assert t._versions() == [4, 5]
