@@ -56,7 +56,15 @@ SF10_TABLES = ("documents", "embeddings", "events")
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated override of the measured query set (each "
+        "must read only tables present in data/sf10)",
+    )
     args = ap.parse_args()
+    if args.queries:
+        QUERIES[:] = args.queries.split(",")
 
     from etl_hiscox_spark.queries import all_queries
     from etl_hiscox_spark.registry import load_table
