@@ -235,10 +235,10 @@ def test_never_checked_queries_lead_the_window():
 # this was declared, so it led WINDOW_R16 (removed at the start of r16
 # once that window was being served — the one-round-grace tidy rule).
 # r16 mid-round declaration: the retired-name tombstone lifecycle probe
-# leads WINDOW_R17 (banks in r17; remove at the start of r17).
-PENDING_NEXT_WINDOW: set[str] = {
-    "l2_lsh_tombstone_coalesce_probe",
-}
+# led WINDOW_R17 (removed at the start of r17 once that window was being
+# served — the one-round-grace tidy rule; it leads the served window, so
+# the never-checked-leads guard covers it without an exemption).
+PENDING_NEXT_WINDOW: set[str] = set()
 
 
 def test_every_query_has_driver_coverage_plan():
