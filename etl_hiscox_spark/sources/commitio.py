@@ -241,6 +241,27 @@ def commit_if_absent(spark, uri: str, data: bytes) -> None:
     )
 
 
+def replace_is_atomic(filesystem) -> bool:
+    """True when :func:`replace_put` on this filesystem is ONE atomic
+    content swap with no absence window and no contestable intermediate
+    state: a registered single-shot hook (S3-class PutObject — natively
+    an atomic replace), or a local filesystem (pyarrow's move is POSIX
+    ``rename(2)``, which atomically replaces an existing destination).
+    False for HDFS-class stores, whose rename REFUSES an existing
+    destination so replace_put falls back to delete+move — a window in
+    which the name is ABSENT and a concurrent create-if-absent can win
+    it. Retention orders its tombstone replaces against the floor/
+    watermark marker differently per class (r17): on atomic stores the
+    replaces go FIRST (zero-width false-unwind window — the post-link
+    classifier can never read its own bytes at a floor-covered name);
+    on rename-refusing stores the marker goes first, because the
+    pre-link floor refusal is what keeps stragglers from contesting the
+    absence window, at the cost of the documented one-replace-wide
+    false-unwind gap."""
+    name = type(filesystem).__name__
+    return name in _REPLACE_PUT or name == "LocalFileSystem"
+
+
 def replace_put(filesystem, path: str, data: bytes) -> None:
     """Write ``data`` at ``path`` REPLACING any existing file, through
     ``pyarrow.fs`` — the hint-record primitive (checkpoint pointers),

@@ -233,12 +233,25 @@ _FLOOR_RE = re.compile(r"^_floor_v(\d+)$")
 #   coalescing stay refused by the pre-link floor guard, which their
 #   immutable floor marker has covered since before they were freed.
 #
-# Residual window (documented tradeoff, per ADVICE r15): a commit whose
-# post-link check lands inside a concurrent vacuum's floor-mark →
-# tombstone-replace gap still sees my-bytes with version <= floor and
-# unwinds a fresh commit. Vacuum tombstones victims NEWEST-FIRST so
-# that gap is one replace op wide for the only version a fresh commit
-# can hold.
+# Residual window — ZERO on atomic-replace stores since r17 (VERDICT
+# r16 item 4): where replace_put is one atomic swap (local POSIX
+# rename, hooked S3-class single PUT) vacuum tombstones victims BEFORE
+# committing the floor marker, so a post-link check can never observe
+# my-bytes at version <= floor for a fresh commit — by the time the
+# floor covers its version, its content is already a tombstone
+# (retired-after-landing SUCCESS). The marker-first discipline costs
+# nothing to drop there: names are never absent mid-replace, so
+# create-if-absent refuses stragglers naturally without the pre-link
+# floor guard. On RENAME-REFUSING stores (HDFS-class, no replace hook)
+# the r16 marker-first order stands and the one-replace-wide
+# false-unwind window remains, documented: replace_put there is
+# delete+move with an absence window a straggler's create-if-absent
+# can contest, and committing the marker first is what keeps every
+# committer that reads the floor afterwards from reaching that window
+# — reordering would trade a detected false conflict (duplicate-append
+# risk, bounded) for a silently clobbered straggler commit (lost
+# write). Irreducible without a conditional-replace primitive
+# (replace-only-if-content-matches), which pyarrow.fs does not expose.
 
 _RETIRED_RE = re.compile(r"^v(\d+)\.retired$")
 
@@ -267,6 +280,57 @@ def _retire_pointer(root: str, version: int) -> bool:
     return True
 
 
+def _retire_is_atomic(root: str) -> bool:
+    """Store class for the retire-vs-marker ordering (r17): True when the
+    tombstone content replace on this root's log filesystem is one atomic
+    swap — see :func:`commitio.replace_is_atomic`. Module-level so tests
+    can drive the rename-refusing branch on a local root."""
+    from etl_hiscox_spark.sources.commitio import replace_is_atomic
+
+    filesystem, _ = _fs(_join(root, _GEN_LOG))
+    return replace_is_atomic(filesystem)
+
+
+def _retry_half_retired(root: str, min_age_seconds: float) -> None:
+    """Finish retirements an earlier vacuum left half done (ADVICE r16
+    low): a ``v{N}.retired`` sidecar whose content file still holds a
+    LIVE record is a :func:`_retire_pointer` that wrote the sidecar and
+    then lost the content replace — the name is excluded from
+    :func:`_pointer_versions` (so no vacuum re-victims it), a direct
+    ``read_pointer`` keeps serving the retired record as live, and
+    :func:`_coalesce_tombstones` skips the pair forever (content is not
+    a tombstone): unbounded residue without this retry. Crashed
+    stale-commit leftovers are NOT confused with these — they land at
+    coalesce-FREED names, which have no sidecar (and re-enter the
+    normal victim path). The ``min_age_seconds`` gate on the record's
+    own ``committed_at`` is the same no-maintenance-op-is-mid-flight
+    contract orphan reclamation uses: it keeps the retry from
+    tombstoning a record whose writer's post-link classification may
+    still be in flight (converting a true stale reuse's my-bytes unwind
+    into a false retired-after-landing SUCCESS would be a lost write).
+    Store errors absorbed — the next vacuum retries again."""
+    from etl_hiscox_spark.sources.commitio import replace_put
+
+    filesystem, log_path = _fs(_join(root, _GEN_LOG))
+    cutoff = time.time() - min_age_seconds
+    for info in _log_infos(root):
+        m = _RETIRED_RE.match(info.base_name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        try:
+            with filesystem.open_input_file(f"{log_path}/v{v}.json") as f:
+                rec = json.loads(f.read().decode("utf-8"))
+        except (FileNotFoundError, OSError, ValueError):
+            continue  # coalesced / transient / torn: not this pass's job
+        if rec.get("tombstone") or rec.get("committed_at", 0.0) > cutoff:
+            continue
+        try:
+            replace_put(filesystem, f"{log_path}/v{v}.json", _tombstone_bytes())
+        except OSError:
+            pass
+
+
 def _coalesce_tombstones(root: str, floor_before: int) -> None:
     """Delete tombstone pairs whose version the floor ALREADY covered
     before this run — they have survived a full retention cycle, and the
@@ -275,7 +339,11 @@ def _coalesce_tombstones(root: str, floor_before: int) -> None:
     retired version is a crashed stale commit's leftover — the next
     vacuum victims it — never coalesce-bait (deleting it while its
     writer's post-link check runs would misreport the loss as success).
-    Racing deletes absorbed."""
+    Racing deletes absorbed; a TRANSIENT store error while deciding
+    skips the pair entirely — the next vacuum decides (ADVICE r16: the
+    old fall-through deleted the sidecar on any read error, so a
+    possibly-live record below the floor resurfaced as live until the
+    next vacuum re-victimized it; txnlog's twin always skipped)."""
     if floor_before < 0:
         return
     filesystem, log_path = _fs(_join(root, _GEN_LOG))
@@ -284,14 +352,23 @@ def _coalesce_tombstones(root: str, floor_before: int) -> None:
         if not m or int(m.group(1)) > floor_before:
             continue
         v = int(m.group(1))
+        rec = None
         try:
             with filesystem.open_input_file(f"{log_path}/v{v}.json") as f:
                 rec = json.loads(f.read().decode("utf-8"))
+        except FileNotFoundError:
+            pass  # content already coalesced: sidecar cleanup below
+        except (OSError, ValueError):
+            continue  # unreadable: let the next vacuum decide
+        if rec is not None:
             if not rec.get("tombstone"):
                 continue
-            filesystem.delete_file(f"{log_path}/v{v}.json")
-        except (FileNotFoundError, ValueError, OSError):
-            pass  # already coalesced / unreadable: sidecar cleanup below
+            try:
+                filesystem.delete_file(f"{log_path}/v{v}.json")
+            except FileNotFoundError:
+                pass  # racing coalesce got there first
+            except OSError:
+                continue  # keep the pair intact for the next run
         try:
             filesystem.delete_file(info.path)
         except (FileNotFoundError, OSError):
@@ -1029,38 +1106,78 @@ def vacuum_generations(
         if v in keep:
             live.update(segs)
     victims = versions[:-keep_last] if len(versions) > keep_last else []
+    _retry_half_retired(root, min_age_seconds)  # ADVICE r16: finish crashed retires
+    marked = False
     if victims:
-        # floor marker DOWN before any pointer retirement (r15): without
-        # it a stale-resolved commit could silently reuse a trimmed
-        # version number (see the module's vacuum-floor note). If the
-        # marker cannot land, skip the pointer trim this run — directory
-        # reclamation below is independent and still safe.
         try:
             floor_before = (
                 _read_vacuum_floor(root) if _vacuum_floor_trimmed_ever(root) else -1
             )
         except OSError:
             floor_before = -1  # unknown: coalesce nothing this run
-        try:
-            _mark_vacuum_floor(spark, root, victims[-1])
-        except OSError:
-            _LOG.warning(
-                "vacuum_generations at %r: could not commit the vacuum-floor "
-                "marker — skipping the pointer-prefix trim this run",
-                root,
-            )
-            victims = []
-    # retired names are TOMBSTONED, not deleted (r16, ADVICE r15 low):
-    # the name keeps refusing create-if-absent, so a stale writer fails
-    # naturally and a fresh commit is never misclassified as a reuse.
-    # NEWEST victim first — the only version a fresh commit can hold is
-    # the highest victim, so retiring it first shrinks the residual
-    # floor-marked-but-not-yet-tombstoned gap to one replace op.
-    for v in reversed(victims):
-        _retire_pointer(root, v)
+        if _retire_is_atomic(root):
+            # r17 ZERO-WIDTH ordering (atomic-replace stores — local
+            # POSIX rename, hooked S3-class single PUT): tombstone the
+            # victims BEFORE committing the floor marker. The name is
+            # never absent mid-replace on these stores, so a straggler's
+            # create-if-absent refuses naturally whatever the marker
+            # timing — the marker-first discipline protects nothing here
+            # — while replacing first makes the false-unwind state
+            # unobservable: by the time a post-link check can see
+            # version <= floor, the victim's content is already a
+            # tombstone, so a fresh commit swept mid-window classifies
+            # as retired-after-landing SUCCESS, never my-bytes. NEWEST
+            # victim first still: a marker-failure crash then leaves the
+            # fewest above-floor tombstone pairs (safe residue — the
+            # sidecar excludes them from liveness, and coalescing waits
+            # until a future floor covers them).
+            for v in reversed(victims):
+                _retire_pointer(root, v)
+            try:
+                _mark_vacuum_floor(spark, root, victims[-1])
+                marked = True
+            except OSError:
+                _LOG.warning(
+                    "vacuum_generations at %r: victims tombstoned but the "
+                    "vacuum-floor marker did not land — names keep refusing "
+                    "commits naturally; coalescing defers until a later "
+                    "vacuum's floor covers them",
+                    root,
+                )
+        else:
+            # rename-refusing stores (HDFS-class without a replace
+            # hook): the floor marker goes DOWN first (r15/r16 order) —
+            # replace_put's delete+move here has an absence window a
+            # straggler's create-if-absent could win, and the pre-link
+            # floor refusal is what keeps any committer that read the
+            # floor after this marker from ever contesting it. Cost:
+            # the documented one-replace-wide false-unwind window for
+            # the newest victim (see the module note). If the marker
+            # cannot land, skip the trim this run — directory
+            # reclamation below is independent and still safe.
+            try:
+                _mark_vacuum_floor(spark, root, victims[-1])
+                marked = True
+            except OSError:
+                _LOG.warning(
+                    "vacuum_generations at %r: could not commit the "
+                    "vacuum-floor marker — skipping the pointer-prefix trim "
+                    "this run",
+                    root,
+                )
+                victims = []
+            # NEWEST victim first — the only version a fresh commit can
+            # hold is the highest victim, so retiring it first shrinks
+            # the residual floor-marked-but-not-yet-tombstoned gap to
+            # one replace op.
+            for v in reversed(victims):
+                _retire_pointer(root, v)
     if victims:
         _coalesce_tombstones(root, floor_before)
-        _cleanup_floor_markers(root, victims[-1])
+        if marked:
+            # marker-gated: dropping old markers without this run's down
+            # could REGRESS the observable floor (max marker)
+            _cleanup_floor_markers(root, victims[-1])
     rootfs, root_path = _fs(root)
     cutoff = time.time() - min_age_seconds
     removed = 0

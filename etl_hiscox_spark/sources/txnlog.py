@@ -59,6 +59,18 @@ from pyspark.sql import types as T
 
 _LOG = logging.getLogger("etl_hiscox_spark.txnlog")
 
+
+class ManifestRetired(FileNotFoundError):
+    """A manifest name whose content is a retention TOMBSTONE (r16: expiry
+    tombstones retired names instead of deleting them). Subclasses
+    ``FileNotFoundError`` so every concurrent-retention handler that
+    treated a deleted manifest as gone keeps working unchanged, while
+    carrying the r17 distinction the tolerant reader needs: tombstone
+    content PROVES the version was expired — only retention writes it —
+    independent of whether this expire run's watermark marker has landed
+    yet (the zero-width ordering on atomic-replace stores tombstones
+    first, marks second)."""
+
 _LOG_DIR = "_txn_log"
 _CKPT_NAME = "_last_checkpoint"
 # expire watermark (r15): "_expired" sentinel + immutable "_expired_v{F}"
@@ -259,10 +271,13 @@ class TxnTable:
             # retired by expire_versions (r16: retention tombstones the
             # name instead of deleting it) — raise the same LOUD signal a
             # deleted manifest always gave (time travel to an expired
-            # version fails cleanly; every concurrent-retention handler
-            # upstream, incl. _read_manifest_tolerant's watermark branch,
-            # works unchanged)
-            raise FileNotFoundError(
+            # version fails cleanly), as a subclass (r17) so the tolerant
+            # reader can classify by CONTENT: a tombstone is only ever
+            # written by retention, so it proves expiry without
+            # consulting the watermark — which matters under the r17
+            # zero-width ordering, where atomic-replace stores tombstone
+            # BEFORE the watermark marker lands
+            raise ManifestRetired(
                 f"manifest v{version} at {self.path!r} was expired by "
                 "retention — the version is no longer time-travelable"
             )
@@ -541,6 +556,47 @@ class TxnTable:
         except OSError:
             pass
 
+    def _retire_is_atomic(self) -> bool:
+        """Store class for the retire-vs-marker ordering (r17): True when
+        the tombstone content replace is one atomic swap (local
+        ``os.replace``, or a registered single-shot replace hook) —
+        see :func:`commitio.replace_is_atomic`. Separate method so tests
+        can drive the rename-refusing branch on a local root."""
+        from etl_hiscox_spark.sources.commitio import replace_is_atomic
+
+        return self._use_os or replace_is_atomic(self._fs()[0])
+
+    def _retry_half_retired_manifests(self, min_age_seconds: float = 600.0) -> None:
+        """Finish retirements an earlier expire left half done (ADVICE
+        r16 low, the txn twin of genlog's retry): a ``v{N}.retired``
+        sidecar whose content file still holds a LIVE manifest is a
+        :meth:`_retire_manifest` that wrote the sidecar and then lost
+        the content replace — the name is excluded from
+        :meth:`_versions` (no expire re-victims it), a direct read keeps
+        serving the retired manifest, and the coalesce pass skips the
+        pair forever: unbounded residue without this retry. Crashed
+        stale-commit leftovers are NOT confused with these — they land
+        at coalesce-FREED names, which have no sidecar. The age gate on
+        the manifest's own ``committed_at`` is the vacuum
+        no-maintenance-op-is-mid-flight contract: never tombstone a
+        record whose writer's post-link classification may still be in
+        flight. Store errors absorbed — the next expire retries."""
+        cutoff = time.time() - min_age_seconds
+        for name in self._log_names():
+            if not (name.startswith("v") and name.endswith(".retired")):
+                continue
+            try:
+                v = int(name[1:-8])
+            except ValueError:
+                continue
+            try:
+                m = self._read_manifest(v)
+            except (FileNotFoundError, OSError, ValueError):
+                continue  # tombstone / coalesced / transient: not this pass's job
+            if m.get("committed_at", 0.0) > cutoff:
+                continue
+            self._retire_manifest(v)
+
     def _coalesce_manifest_tombstones(self, floor_before: int) -> None:
         """Delete tombstone pairs the watermark already covered BEFORE
         this run — they survived a full retention cycle, and the
@@ -611,6 +667,14 @@ class TxnTable:
                 time.sleep(delay)
             try:
                 return self._read_manifest(version)
+            except ManifestRetired:
+                # tombstone content: only retention writes it, so this is
+                # proof of expiry by itself — no watermark consult (r17:
+                # under the zero-width ordering the tombstone can land
+                # before the watermark marker; classifying by content
+                # keeps a crashed tombstoned-but-unmarked expire from
+                # turning readers of that version into RuntimeErrors)
+                return None
             except (FileNotFoundError, OSError) as exc:
                 if version <= self._read_expire_watermark():
                     return None  # provably expired concurrently
@@ -862,7 +926,7 @@ class TxnTable:
             expected_prev=v,
         )
 
-    def expire_versions(self, keep_last: int) -> int:
+    def expire_versions(self, keep_last: int, min_age_seconds: float = 600.0) -> int:
         """Retention: drop the manifests of all but the newest
         ``keep_last`` versions, so :meth:`vacuum` can reclaim the data
         files only they referenced (post-compaction history storage —
@@ -876,11 +940,20 @@ class TxnTable:
         probe relies on manifests being dense ABOVE the checkpoint, and
         expiry deletes from the bottom — a checkpoint left pointing into
         the deleted range would make the probe see a gap and under-report
-        the head."""
+        the head.
+
+        ``min_age_seconds`` gates the half-retired repair pass (ADVICE
+        r16: re-running the tombstone replace for sidecar-listed names a
+        crashed expire left with live content) — the same
+        no-maintenance-op-is-mid-flight contract as :meth:`vacuum`'s
+        parameter of the same name. Pass 0 only when no commit can be
+        mid-flight."""
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         versions = self._versions()
         victims = versions[:-keep_last]
+        # ADVICE r16: finish crashed retires
+        self._retry_half_retired_manifests(min_age_seconds)
         if not victims:
             return 0
         self._write_checkpoint(versions[-1])
@@ -899,38 +972,58 @@ class TxnTable:
                     "or remove the head checkpoint — refusing to delete "
                     "manifests a stale checkpoint may point into"
                 )
-        # the expire WATERMARK marker goes down BEFORE any manifest is
-        # retired (r15, ADVICE r14) — a HARD precondition like the
-        # checkpoint above, because two correctness properties ride on
-        # it: vacuum/readers' expired-vs-mid-REPLACE classification, and
-        # _commit's version-number reuse guard.
         try:
             floor_before = (
                 self._read_expire_watermark() if self._expired_ever() else -1
             )
         except OSError:
             floor_before = -1  # unknown: coalesce nothing this run
+        # Retired names are TOMBSTONED, not deleted (r16, ADVICE r15
+        # low): the name keeps refusing create-if-absent, so a stale
+        # writer fails naturally. Ordering vs the watermark marker is
+        # store-class-dependent (r17, VERDICT r16 item 4 — genlog's
+        # vacuum_generations carries the full analysis):
+        #  - atomic-replace stores (local os.replace / hooked single
+        #    PUT): tombstone FIRST, mark second — zero-width false-unwind
+        #    window: by the time _commit's post-link check can see
+        #    version <= watermark, the content is already a tombstone,
+        #    so a fresh commit swept mid-window classifies as
+        #    retired-after-landing SUCCESS, never my-bytes. The
+        #    marker-first discipline protects nothing here (names are
+        #    never absent mid-replace), and readers classify tombstones
+        #    by CONTENT (ManifestRetired), not by watermark.
+        #  - rename-refusing stores: marker first (r15/r16 order) — the
+        #    pre-link watermark refusal is what keeps stragglers out of
+        #    replace_put's delete+move absence window; the documented
+        #    one-replace-wide false-unwind gap remains.
+        # NEWEST victim first in both orders. A concurrent expire
+        # retiring the same name is the same work — replace idempotent.
+        atomic = self._retire_is_atomic()
+        if atomic:
+            for v in reversed(victims):
+                self._retire_manifest(v)
         try:
             self._mark_expire_watermark(victims[-1])
         except OSError:
             pass  # the re-read below is the authoritative verdict
         if self._read_expire_watermark() < victims[-1]:
+            if atomic:
+                raise RuntimeError(
+                    f"expire_versions at {self.path!r}: victims tombstoned "
+                    f"but the expire watermark marker for v{victims[-1]} did "
+                    "not land — tombstoned names keep refusing commits "
+                    "naturally (safe state); coalescing and marker cleanup "
+                    "defer to a later expire whose watermark covers them"
+                )
             raise RuntimeError(
                 f"expire_versions at {self.path!r}: could not commit the "
                 f"expire watermark marker for v{victims[-1]} — refusing to "
                 "retire manifests without it (a concurrent commit could "
                 "otherwise silently reuse a retired version number)"
             )
-        # retired names are TOMBSTONED, not deleted (r16, ADVICE r15
-        # low): the name keeps refusing create-if-absent, so a stale
-        # writer fails naturally and a fresh commit swept mid-window is
-        # never misclassified as a reuse. NEWEST victim first — the only
-        # version a fresh commit can hold is the highest victim, so
-        # retiring it first shrinks the residual marked-but-not-retired
-        # gap to one replace op. A concurrent expire retiring the same
-        # name is the same work — replace is idempotent.
-        for v in reversed(victims):
-            self._retire_manifest(v)
+        if not atomic:
+            for v in reversed(victims):
+                self._retire_manifest(v)
         self._coalesce_manifest_tombstones(floor_before)
         self._cleanup_expire_markers(victims[-1])
         return len(victims)

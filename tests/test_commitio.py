@@ -200,3 +200,26 @@ def test_hdfs_rename_landed_but_client_errored_is_success(spark, tmp_path, monke
     monkeypatch.setattr(fake, "move", flaky_move)
     commitio.commit_if_absent(spark, "mock://bucket/log/v0.json", b"mine")
     assert (tmp_path / "log" / "v0.json").read_bytes() == b"mine"
+
+
+def test_replace_is_atomic_store_classes():
+    """r17: the retire-vs-marker ordering branches on whether replace_put
+    is one atomic swap. Local fs (POSIX rename replaces) and hooked
+    stores are atomic; an unhooked remote class (HDFS-style rename
+    refusal -> delete+move absence window) is not."""
+    from pyarrow import fs as pafs
+
+    from etl_hiscox_spark.sources import commitio
+
+    assert commitio.replace_is_atomic(pafs.LocalFileSystem()) is True
+
+    class _FakeRemote:
+        pass
+
+    assert commitio.replace_is_atomic(_FakeRemote()) is False
+    commitio.register_replace_put("_FakeRemote", lambda fs, p, d: None)
+    try:
+        assert commitio.replace_is_atomic(_FakeRemote()) is True
+    finally:
+        commitio.register_replace_put("_FakeRemote", None)
+    assert commitio.replace_is_atomic(_FakeRemote()) is False

@@ -1504,3 +1504,289 @@ def test_stale_reuse_that_slips_the_prelink_guard_is_unwound(tmp_path, monkeypat
     # the unwind removed the bogus record from the freed name
     assert "v1.json" not in os.listdir(log_dir)
     assert genlog._pointer_versions(genlog.resolve_root(None, root)) == [4, 5]
+
+
+def test_vacuum_tombstones_before_floor_marker_on_atomic_store(tmp_path, monkeypatch):
+    """r17 zero-width ordering (VERDICT r16 item 4): on an atomic-replace
+    store (local POSIX rename here) vacuum tombstones every victim BEFORE
+    the floor marker commits — asserted at the marker call itself — so
+    the old floor-marked-but-not-yet-tombstoned state, the one gap where
+    a fresh commit's post-link check could read its own bytes at a
+    floor-covered name and falsely unwind, cannot exist at all."""
+    import json as _json
+
+    from etl_hiscox_spark.sources import genlog
+
+    local = str(tmp_path / "order")
+    root = "file://" + local
+    os.makedirs(local, exist_ok=True)
+
+    def seg(name):
+        d = os.path.join(local, name)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-0.bin"), "wb") as f:
+            f.write(b"d")
+
+    seg("gen-0")
+    genlog.commit_generation(
+        None, root, "gen-0", "build", None, geometry_id=genlog.new_geometry_id()
+    )
+    for i in range(1, 5):
+        seg(f"gen-{i}")
+        genlog.commit_generation(
+            None, root, f"gen-{i}", "rebuild", i - 1,
+            segments=[f"gen-{i}"], geometry_id=genlog.new_geometry_id(),
+        )
+    assert genlog._retire_is_atomic(genlog.resolve_root(None, root))
+
+    log_dir = os.path.join(local, "_gen_log")
+    real_mark = genlog._mark_vacuum_floor
+    seen = {}
+
+    def asserting_mark(sp, r, floor):
+        # every victim (0..floor) must ALREADY be a tombstone pair
+        for v in range(floor + 1):
+            with open(os.path.join(log_dir, f"v{v}.json")) as f:
+                assert _json.load(f).get("tombstone") is True
+            assert os.path.exists(os.path.join(log_dir, f"v{v}.retired"))
+        seen["floor"] = floor
+        return real_mark(sp, r, floor)
+
+    monkeypatch.setattr(genlog, "_mark_vacuum_floor", asserting_mark)
+    genlog.vacuum_generations(None, root, keep_last=2, min_age_seconds=600.0)
+    monkeypatch.undo()
+    assert seen["floor"] == 2  # victims 0..2, marker last
+    assert genlog._read_vacuum_floor(genlog.resolve_root(None, root)) == 2
+
+
+def test_fresh_commit_inside_retire_to_marker_gap_is_success(tmp_path, monkeypatch):
+    """The injected race the r16 verdict asked to close: a fresh commit
+    whose post-link check lands INSIDE the vacuum — after its own name
+    was tombstoned, before the floor marker lands (vacuum crashes there:
+    marker blocked). Old order would have shown floor>=V + my-bytes and
+    falsely unwound; new order shows floor-not-advanced (no sentinel) or
+    tombstone content — success either way. Also proves the
+    tombstoned-but-unmarked crash state is safe and self-repairs."""
+    from etl_hiscox_spark.sources import commitio, genlog
+
+    local = str(tmp_path / "gapfresh")
+    root = "file://" + local
+    os.makedirs(local, exist_ok=True)
+
+    def seg(name):
+        d = os.path.join(local, name)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-0.bin"), "wb") as f:
+            f.write(b"d")
+
+    seg("gen-0")
+    genlog.commit_generation(
+        None, root, "gen-0", "build", None, geometry_id=genlog.new_geometry_id()
+    )
+    for i in (1, 2):
+        seg(f"gen-{i}")
+        genlog.commit_generation(
+            None, root, f"gen-{i}", "rebuild", i - 1,
+            segments=[f"gen-{i}"], geometry_id=genlog.new_geometry_id(),
+        )
+
+    real_commit = commitio.commit_if_absent
+    state = {"fired": False}
+
+    def commit_then_crashing_sweep(sp, uri, data):
+        real_commit(sp, uri, data)
+        if uri.endswith("v3.json") and not state["fired"]:
+            state["fired"] = True
+            for i in (4, 5):
+                seg(f"gen-{i}")
+                genlog.commit_generation(
+                    None, root, f"gen-{i}", "rebuild", i - 1,
+                    segments=[f"gen-{i}"], geometry_id=genlog.new_geometry_id(),
+                )
+            # vacuum tombstones victims (incl. the fresh v3) then CRASHES
+            # at the floor marker — the tombstoned-but-unmarked state
+            monkeypatch.setattr(
+                genlog, "_mark_vacuum_floor",
+                lambda s, r, f: (_ for _ in ()).throw(OSError("marker down")),
+            )
+            genlog.vacuum_generations(None, root, keep_last=2, min_age_seconds=600.0)
+            monkeypatch.setattr(genlog, "_mark_vacuum_floor", real_mark)
+
+    real_mark = genlog._mark_vacuum_floor
+    monkeypatch.setattr(commitio, "commit_if_absent", commit_then_crashing_sweep)
+    seg("gen-3")
+    # the fresh commit must report SUCCESS, not unwind (its pointer was
+    # tombstoned by the sweep after landing; v4 carried it forward)
+    assert genlog.commit_generation(
+        None, root, "gen-3", "rebuild", 2,
+        segments=["gen-3"], geometry_id=genlog.new_geometry_id(),
+    ) == 3
+    monkeypatch.undo()
+    rroot = genlog.resolve_root(None, root)
+
+    # crash state: victims tombstoned, NO floor marker committed
+    assert not genlog._vacuum_floor_trimmed_ever(rroot)
+    assert genlog._pointer_versions(rroot) == [4, 5]
+    log_dir = os.path.join(local, "_gen_log")
+    import json as _json
+    with open(os.path.join(log_dir, "v3.json")) as f:
+        assert _json.load(f).get("tombstone") is True
+    assert genlog.current_generation(None, rroot)[0] == 5
+
+    # self-repair: later cycles put a covering floor down and coalesce
+    for i in (6, 7):
+        seg(f"gen-{i}")
+        genlog.commit_generation(
+            None, root, f"gen-{i}", "rebuild", i - 1,
+            segments=[f"gen-{i}"], geometry_id=genlog.new_geometry_id(),
+        )
+    genlog.vacuum_generations(None, root, keep_last=2, min_age_seconds=600.0)
+    assert genlog._read_vacuum_floor(rroot) == 5  # covers the residue
+    seg("gen-8")
+    genlog.commit_generation(
+        None, root, "gen-8", "rebuild", 7,
+        segments=["gen-8"], geometry_id=genlog.new_geometry_id(),
+    )
+    genlog.vacuum_generations(None, root, keep_last=2, min_age_seconds=600.0)
+    names = set(os.listdir(log_dir))
+    assert "v3.json" not in names and "v3.retired" not in names  # coalesced
+
+
+def test_coalesce_skips_pair_on_transient_read_error(tmp_path, monkeypatch):
+    """ADVICE r16 (low): _coalesce_tombstones must NOT delete the
+    .retired sidecar when reading the content file fails with a
+    transient OSError — the old fall-through resurfaced a possibly-live
+    below-floor record as live until the next vacuum re-victimized it.
+    Matching txnlog behavior: skip the pair, let the next run decide."""
+    from etl_hiscox_spark.sources import genlog
+
+    local = str(tmp_path / "coal")
+    root = "file://" + local
+    os.makedirs(local, exist_ok=True)
+
+    def seg(name):
+        d = os.path.join(local, name)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-0.bin"), "wb") as f:
+            f.write(b"d")
+
+    seg("gen-0")
+    genlog.commit_generation(
+        None, root, "gen-0", "build", None, geometry_id=genlog.new_geometry_id()
+    )
+    for i in range(1, 5):
+        seg(f"gen-{i}")
+        genlog.commit_generation(
+            None, root, f"gen-{i}", "rebuild", i - 1,
+            segments=[f"gen-{i}"], geometry_id=genlog.new_geometry_id(),
+        )
+    # cycle 1: tombstones 0..2, floor 2; cycle 2 would coalesce them
+    genlog.vacuum_generations(None, root, keep_last=2, min_age_seconds=600.0)
+    seg("gen-5")
+    genlog.append_segment(None, root, "gen-5")
+
+    rroot = genlog.resolve_root(None, root)
+    log_dir = os.path.join(local, "_gen_log")
+
+    class FlakyFS:
+        """Proxy to the real fs; v1.json reads raise a transient error."""
+
+        def __init__(self, real):
+            self._real = real
+
+        def open_input_file(self, path):
+            if path.endswith("v1.json"):
+                raise OSError("store hiccup")
+            return self._real.open_input_file(path)
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    real_fs = genlog._fs
+
+    def flaky_fs(path):
+        fs, p = real_fs(path)
+        return FlakyFS(fs), p
+
+    monkeypatch.setattr(genlog, "_fs", flaky_fs)
+    genlog.vacuum_generations(None, root, keep_last=2, min_age_seconds=600.0)
+    monkeypatch.undo()
+
+    names = set(os.listdir(log_dir))
+    # v0/v2 pairs coalesced; the v1 PAIR survives intact (both files)
+    assert "v0.json" not in names and "v0.retired" not in names
+    assert "v2.json" not in names and "v2.retired" not in names
+    assert "v1.json" in names and "v1.retired" in names
+    # v1 stays excluded from the live listing (sidecar intact)
+    assert genlog._pointer_versions(rroot) == [4, 5]
+    # next (unflaky) vacuum coalesces it
+    seg("gen-6")
+    genlog.append_segment(None, root, "gen-6")
+    genlog.vacuum_generations(None, root, keep_last=2, min_age_seconds=600.0)
+    names = set(os.listdir(log_dir))
+    assert "v1.json" not in names and "v1.retired" not in names
+
+
+def test_vacuum_finishes_half_retired_pairs(tmp_path, monkeypatch):
+    """ADVICE r16 (low): a _retire_pointer that wrote the sidecar and
+    then lost the content replace leaves a name that is excluded from
+    the live listing yet still SERVES the retired record on a direct
+    read, and no later vacuum would retry — unbounded residue. The
+    repair pass re-runs the content replace (age-gated by the record's
+    committed_at against vacuum's min_age_seconds)."""
+    import json as _json
+
+    from etl_hiscox_spark.sources import commitio, genlog
+
+    local = str(tmp_path / "half")
+    root = "file://" + local
+    os.makedirs(local, exist_ok=True)
+
+    def seg(name):
+        d = os.path.join(local, name)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-0.bin"), "wb") as f:
+            f.write(b"d")
+
+    seg("gen-0")
+    genlog.commit_generation(
+        None, root, "gen-0", "build", None, geometry_id=genlog.new_geometry_id()
+    )
+    for i in range(1, 4):
+        seg(f"gen-{i}")
+        genlog.commit_generation(
+            None, root, f"gen-{i}", "rebuild", i - 1,
+            segments=[f"gen-{i}"], geometry_id=genlog.new_geometry_id(),
+        )
+
+    # inject: the v0 content replace fails once -> sidecar-only retire
+    real_replace = commitio.replace_put
+
+    def flaky_replace(fs, path, data):
+        if path.endswith("v0.json"):
+            raise OSError("content replace lost")
+        return real_replace(fs, path, data)
+
+    monkeypatch.setattr(commitio, "replace_put", flaky_replace)
+    genlog.vacuum_generations(None, root, keep_last=2, min_age_seconds=600.0)
+    monkeypatch.undo()
+
+    rroot = genlog.resolve_root(None, root)
+    log_dir = os.path.join(local, "_gen_log")
+    with open(os.path.join(log_dir, "v0.json")) as f:
+        assert not _json.load(f).get("tombstone")  # half-retired: live content
+    assert os.path.exists(os.path.join(log_dir, "v0.retired"))
+    assert genlog._pointer_versions(rroot) == [2, 3]  # excluded regardless
+
+    # age-gated: a young record is NOT touched (600s gate)
+    genlog.vacuum_generations(None, root, keep_last=2, min_age_seconds=600.0)
+    with open(os.path.join(log_dir, "v0.json")) as f:
+        assert not _json.load(f).get("tombstone")
+
+    # past the gate the repair pass finishes the retire
+    genlog.vacuum_generations(None, root, keep_last=2, min_age_seconds=0.0)
+    with open(os.path.join(log_dir, "v0.json")) as f:
+        assert _json.load(f).get("tombstone") is True
+    # and a read of the repaired name now raises the loud retired error
+    with pytest.raises(FileNotFoundError, match="retired by vacuum"):
+        genlog.read_pointer(rroot, 0)

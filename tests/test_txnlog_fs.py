@@ -478,14 +478,15 @@ def test_readers_skip_watermark_covered_versions(spark, tmp_path, monkeypatch):
     assert [m["version"] for m in t.history()] == [0, 2]
 
 
-def test_expire_marks_watermark_first_and_refuses_without_it(
-    spark, tmp_path, monkeypatch
-):
-    """expire_versions commits the watermark marker past every victim
-    BEFORE deleting — a HARD precondition (r15): without it, vacuum and
-    the readers cannot classify a vanished manifest, and _commit's
-    version-reuse guard goes blind. If the marker cannot land, expire
-    refuses and deletes NOTHING."""
+def test_expire_watermark_ordering_atomic_store(spark, tmp_path, monkeypatch):
+    """r17 zero-width ordering on atomic-replace stores (local os.replace
+    here): expire TOMBSTONES victims BEFORE committing the watermark
+    marker, so a fresh commit's post-link check can never read its own
+    bytes at a watermark-covered name. A marker failure after the
+    tombstones is LOUD but leaves a safe state: the tombstoned name
+    keeps refusing commits naturally, readers classify its content
+    (ManifestRetired) without the watermark, and a later expire whose
+    watermark covers the version coalesces the pair."""
     from etl_hiscox_spark.sources.txnlog import TxnTable
 
     root = str(tmp_path / "wm_mark")
@@ -505,16 +506,58 @@ def test_expire_marks_watermark_first_and_refuses_without_it(
         "_mark_expire_watermark",
         lambda self, v: (_ for _ in ()).throw(OSError("marker store down")),
     )
-    with pytest.raises(RuntimeError, match="watermark marker"):
+    with pytest.raises(RuntimeError, match="tombstoned names keep refusing"):
         t2.expire_versions(keep_last=1)
-    assert t2._versions() == [1, 2]  # nothing deleted under the refusal
     monkeypatch.undo()
-    assert t2.expire_versions(keep_last=1) == 1  # re-run completes
-    assert t2._read_expire_watermark() == 1
-    # old markers garbage-collected, the max retained
-    names = [n for n in os.listdir(os.path.join(root, "_txn_log"))
-             if n.startswith("_expired_v")]
-    assert names == ["_expired_v1"]
+    # the victim WAS tombstoned (tombstone-first): excluded from the live
+    # listing, content is a tombstone, name refuses a commit naturally
+    assert t2._versions() == [2]
+    with pytest.raises(FileNotFoundError, match="expired by retention"):
+        t2._read_manifest(1)
+    assert t2._read_expire_watermark() == 0  # marker never landed
+    # history and head are consistent in the tombstoned-but-unmarked state
+    assert [m["version"] for m in t2.history()] == [2]
+    assert t2.latest_version() == 2
+    # a later expire (new victim) repairs the watermark past the residue,
+    # and the NEXT one coalesces the orphaned pair
+    t2.write(_events(spark, 30, 40), mode="append")
+    assert t2.expire_versions(keep_last=1) == 1  # victims v2 -> watermark 2
+    assert t2._read_expire_watermark() == 2
+    t2.write(_events(spark, 40, 50), mode="append")
+    assert t2.expire_versions(keep_last=1) == 1  # floor_before=2 covers v1
+    log_names = set(os.listdir(os.path.join(root, "_txn_log")))
+    assert "v1.json" not in log_names and "v1.retired" not in log_names
+    names = [n for n in log_names if n.startswith("_expired_v")]
+    assert names == ["_expired_v3"]
+
+
+def test_expire_marks_watermark_first_on_rename_refusing_store(
+    spark, tmp_path, monkeypatch
+):
+    """On rename-refusing stores the r15/r16 marker-first order stands:
+    the pre-link watermark refusal is what keeps stragglers out of
+    replace_put's absence window there, so if the marker cannot land,
+    expire refuses and retires NOTHING."""
+    from etl_hiscox_spark.sources import txnlog
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = str(tmp_path / "wm_mark_hdfs")
+    t = TxnTable(spark, root)
+    for lo in (0, 10, 20):
+        t.write(_events(spark, lo, lo + 10), mode="append")
+    monkeypatch.setattr(TxnTable, "_retire_is_atomic", lambda self: False)
+    monkeypatch.setattr(
+        TxnTable,
+        "_mark_expire_watermark",
+        lambda self, v: (_ for _ in ()).throw(OSError("marker store down")),
+    )
+    with pytest.raises(RuntimeError, match="refusing to retire"):
+        t.expire_versions(keep_last=1)
+    assert t._versions() == [0, 1, 2]  # nothing retired under the refusal
+    assert t._read_manifest(0)["version"] == 0  # content untouched
+    monkeypatch.undo()
+    assert t.expire_versions(keep_last=1) == 2  # re-run completes
+    assert t._read_expire_watermark() == 1
 
 
 def test_commit_refuses_to_reuse_an_expired_version_number(spark, tmp_path):
@@ -651,3 +694,107 @@ def test_stale_reuse_that_slips_the_prelink_guard_is_unwound(
     monkeypatch.undo()
     assert "v1.json" not in os.listdir(os.path.join(root, "_txn_log"))
     assert t._versions() == [4, 5]
+
+
+def test_fresh_commit_inside_retire_to_marker_gap_is_success(
+    spark, tmp_path, monkeypatch
+):
+    """The injected race the r16 verdict asked to close (txn mirror of
+    the genlog gap test): a fresh commit whose post-link check lands
+    INSIDE the expire — after its own name was tombstoned, before the
+    watermark marker lands (expire crashes there). Old order would have
+    shown watermark>=V + my-bytes and falsely unwound; r17's
+    tombstone-first order shows watermark-not-advanced or tombstone
+    content — success either way, rows exactly once."""
+    from etl_hiscox_spark.sources import commitio
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = str(tmp_path / "gapsweep")
+    t = TxnTable(spark, root)
+    for lo in (0, 10, 20, 30):
+        t.write(_events(spark, lo, lo + 10), mode="append")
+
+    real_commit = commitio.commit_if_absent
+    state = {"fired": False}
+
+    def commit_then_crashing_sweep(sp, uri, data):
+        real_commit(sp, uri, data)
+        if uri.endswith("v4.json") and not state["fired"]:
+            state["fired"] = True
+            other = TxnTable(spark, root)
+            other.write(_events(spark, 50, 55), mode="append")   # v5
+            other.write(_events(spark, 60, 65), mode="append")   # v6
+            monkeypatch.setattr(
+                TxnTable, "_mark_expire_watermark",
+                lambda self, v: (_ for _ in ()).throw(OSError("marker down")),
+            )
+            with pytest.raises(RuntimeError, match="tombstoned names"):
+                other.expire_versions(keep_last=2)  # sweeps v4, marker dies
+            monkeypatch.setattr(TxnTable, "_mark_expire_watermark", real_mark)
+            assert not other._expired_ever()  # crash state: no marker
+
+    real_mark = TxnTable._mark_expire_watermark
+    monkeypatch.setattr(commitio, "commit_if_absent", commit_then_crashing_sweep)
+    assert t.write(_events(spark, 40, 45), mode="append") == 4
+    monkeypatch.undo()
+
+    # exactly-once outcome in the tombstoned-but-unmarked state
+    head = t.read()
+    assert head.count() == 40 + 5 + 5 + 5
+    assert head.filter("event_id >= 40 AND event_id < 45").count() == 5
+    assert t.latest_version() == 6
+    assert t._versions() == [5, 6]
+    # readers classify the unmarked tombstones by content: history and
+    # time travel stay clean without the watermark
+    assert [m["version"] for m in t.history()] == [5, 6]
+    with pytest.raises(FileNotFoundError, match="expired by retention"):
+        t._read_manifest(4)
+
+
+def test_expire_finishes_half_retired_manifests(spark, tmp_path, monkeypatch):
+    """ADVICE r16 (low), txn twin: a _retire_manifest that wrote the
+    sidecar and lost the content replace leaves a name excluded from
+    _versions yet still serving the retired manifest on a direct read,
+    skipped by coalescing forever. The repair pass in expire_versions
+    re-runs the replace, age-gated by the manifest's committed_at."""
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = str(tmp_path / "halfman")
+    t = TxnTable(spark, root)
+    for lo in (0, 10, 20, 30):
+        t.write(_events(spark, lo, lo + 10), mode="append")
+
+    # inject: v0's content replace (os.replace on a local root) fails
+    real_replace = os.replace
+
+    def flaky_replace(src, dst, *a, **kw):
+        if str(dst).endswith("v0.json"):
+            raise OSError("content replace lost")
+        return real_replace(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "replace", flaky_replace)
+    assert t.expire_versions(keep_last=2) == 2  # v0 half-retired, v1 full
+    monkeypatch.undo()
+
+    log_dir = os.path.join(root, "_txn_log")
+    with open(os.path.join(log_dir, "v0.json")) as f:
+        assert not json.load(f).get("tombstone")  # live content remains
+    assert os.path.exists(os.path.join(log_dir, "v0.retired"))
+    assert t._versions() == [2, 3]
+    assert t._read_manifest(0)["version"] == 0  # still serves the manifest
+
+    # age-gated: the default 600s gate leaves the young record alone
+    t.write(_events(spark, 40, 50), mode="append")
+    assert t.expire_versions(keep_last=2) == 1
+    with open(os.path.join(log_dir, "v0.json")) as f:
+        assert not json.load(f).get("tombstone")
+
+    # past the gate the repair pass finishes the retire — and since the
+    # watermark already covered v0, the SAME run's coalesce then deletes
+    # the completed pair (repair runs before coalescing by design)
+    t.write(_events(spark, 50, 60), mode="append")
+    t.expire_versions(keep_last=2, min_age_seconds=0.0)
+    with pytest.raises(FileNotFoundError):
+        t._read_manifest(0)
+    log_names = set(os.listdir(log_dir))
+    assert "v0.json" not in log_names and "v0.retired" not in log_names
