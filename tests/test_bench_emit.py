@@ -198,3 +198,87 @@ def test_band_ratio_contention_sensitive_class_never_flags():
     assert res["flagged"] == []
     notes = {r["query"]: r["note"] for r in res["rows"]}
     assert notes["x15_txn_multi_writer_occ"] == "contention-sensitive"
+
+
+def test_band_ratio_subfloor_large_mover_still_flags():
+    """ADVICE r16 (low): the 2s flag floor must not hide a genuine
+    order-of-magnitude regression that stays sub-floor — a 6x normalized
+    mover at 1.9s enters 'flagged'; the 1.7x g15-class noise case keeps
+    its 'sub-floor' annotation."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from band_ratio import band_and_ratios
+
+    old = {
+        "queries": {
+            "g1_star_join_revenue": 1.6, "l2_lsh_rebuild_probe": 5.0,
+            "s14_incremental_refresh": 3.4,
+            "g15_small_quantity_revenue": 0.84,
+            "tiny_but_tanked": 0.3,
+        }
+    }
+    new = {
+        "queries": {
+            "g1_star_join_revenue": 1.6, "l2_lsh_rebuild_probe": 5.0,
+            "s14_incremental_refresh": 3.4,
+            "g15_small_quantity_revenue": 1.45,  # 1.72x: still noise-class
+            "tiny_but_tanked": 1.9,              # 6.3x, sub-floor: FLAG anyway
+        }
+    }
+    res = band_and_ratios(old, new)
+    assert res["flagged"] == ["tiny_but_tanked"]
+    notes = {r["query"]: r["note"] for r in res["rows"]}
+    assert notes["g15_small_quantity_revenue"] == "sub-floor"
+    assert notes["tiny_but_tanked"] == "FLAG"
+
+
+def test_band_ratio_class_mode_uses_nearest_anchor():
+    """r17 (VERDICT r16 item 2, the a6 case): under a CPU-skewed
+    contention band (cpu_sql anchor 2.1x, write anchors ~1.1x, geomean
+    ~1.4x) the untouched CPU-bound a6 shape shows ~2x 'normalized' by
+    the geomean — a construction artifact, not a regression. --mode
+    class divides each query by ITS anchor class's ratio: a6 lands ~1.0
+    against cpu_sql and stops flagging, while a genuine write-path
+    regression still flags against its own quiet anchor."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from band_ratio import anchor_class, band_and_ratios
+
+    # the class map routes the r16 cast as expected
+    assert anchor_class("a6_grouped_pricing_summary") == "cpu_sql"
+    assert anchor_class("l2_lsh_erase_probe") == "write_io"
+    assert anchor_class("s14_incremental_refresh") == "pipeline_refresh"
+    assert anchor_class("l2_stream_index_ingest") == "write_io"
+    assert anchor_class("g1_star_join_revenue") == "cpu_sql"
+
+    old = {
+        "queries": {
+            "g1_star_join_revenue": 1.0,       # cpu anchor
+            "l2_lsh_rebuild_probe": 5.0,       # write anchor
+            "s14_incremental_refresh": 3.0,    # pipeline anchor
+            "a6_grouped_pricing_summary": 1.2, # untouched cpu shape
+            "l2_lsh_erase_probe": 6.0,         # genuinely regressed write op
+        }
+    }
+    new = {
+        "queries": {
+            "g1_star_join_revenue": 2.1,        # cpu contention: 2.1x
+            "l2_lsh_rebuild_probe": 5.5,        # 1.1x
+            "s14_incremental_refresh": 3.3,     # 1.1x
+            "a6_grouped_pricing_summary": 2.6,  # ~2.17x raw — pure cpu band
+            "l2_lsh_erase_probe": 11.0,         # 1.83x raw on a QUIET class
+        }
+    }
+    geo = band_and_ratios(old, new)
+    # geomean band (~1.37) under-corrects the cpu shape: a6 flags falsely
+    assert "a6_grouped_pricing_summary" in geo["flagged"]
+    cls = band_and_ratios(old, new, mode="class")
+    notes = {r["query"]: r["note"] for r in cls["rows"]}
+    rows = {r["query"]: r for r in cls["rows"]}
+    assert rows["a6_grouped_pricing_summary"]["anchor_class"] == "cpu_sql"
+    assert rows["a6_grouped_pricing_summary"]["normalized_ratio"] < 1.5
+    assert notes["a6_grouped_pricing_summary"] == ""
+    # the real write-path regression flags against its own quiet anchor —
+    # and the geomean band MISSES it (1.83x raw / 1.37 band = 1.34): the
+    # CPU-skewed band over-corrects quiet classes exactly as it
+    # under-corrects CPU ones, the two halves of the r16 a6 lesson
+    assert "l2_lsh_erase_probe" in cls["flagged"]
+    assert "l2_lsh_erase_probe" not in geo["flagged"]

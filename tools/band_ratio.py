@@ -11,18 +11,25 @@ movement from host movement.
 
 Usage:
     git show <old-commit>:BENCH_DETAIL.json > /tmp/old.json
-    python tools/band_ratio.py /tmp/old.json BENCH_DETAIL.json
+    python tools/band_ratio.py /tmp/old.json BENCH_DETAIL.json [--mode class]
 
 Prints: the per-anchor ratios, the band, and the band-normalized
 per-query table sorted by normalized ratio (descending); normalized
-movers >= FLAG_AT are flagged. Exit code 0 always — this is a lens,
-not a gate (the driver's 2x-of-baseline envelope stays the gate).
+movers >= FLAG_AT are flagged. ``--mode class`` (r17, VERDICT r16 item
+2) normalizes each query against its NEAREST ANCHOR CLASS instead of
+the geomean: a CPU-skewed contention band under-corrects CPU-bound
+shapes by construction (r16: the cpu_sql anchor alone moved 2.11x
+while the geomean band was 1.418, so the untouched TPC-H Q1 shape a6
+showed 2.02x "normalized" — 0.96x against its own class). Exit code 0
+always — this is a lens, not a gate (the driver's 2x-of-baseline
+envelope stays the gate).
 """
 
 from __future__ import annotations
 
 import json
 import math
+import re
 import sys
 
 FLAG_AT = 1.5
@@ -36,6 +43,16 @@ FLAG_AT = 1.5
 # A genuine regression that pushes a small query past the floor still
 # flags on its new_sec.
 FLAG_FLOOR_SEC = 2.0
+
+# ... unless the movement is too large to be scheduling noise (ADVICE
+# r16 low): an unconditional floor would hide a genuine 6x regression
+# that stays under 2 s (0.3 s -> 1.9 s) from the machine-readable
+# "flagged" list forever. Sub-floor movers at or above this normalized
+# ratio flag anyway — scheduling noise on this host measures well under
+# 2x on sub-second queries (the g15 re-measure spread was 0.84-1.18 s),
+# so 3x clears it with margin while still catching order-of-magnitude
+# regressions early.
+SUBFLOOR_FLAG_AT = 3.0
 
 # Queries whose runtime is dominated by multi-writer contention
 # mechanics — thread scheduling, OCC collision re-resolves, the
@@ -56,6 +73,31 @@ _ANCHOR_QUERIES = {
 }
 
 
+# Class assignment for --mode class (r17). Families whose runtime is
+# dominated by staged writes / pointer+manifest protocol IO / index
+# maintenance normalize against the write_io anchor; multi-step
+# pipeline orchestrations against pipeline_refresh; pure
+# scan/join/agg/window expression shapes (the default) against cpu_sql.
+# Pattern-based so new declarations inherit a sane class; the geomean
+# band is the fallback when a class's anchor is missing from a detail.
+_WRITE_IO_RE = re.compile(
+    r"_probe\b|_probe$|ingest|erase|compact|rebuild|lifecycle|vacuum|"
+    r"^s3_|^s8_|^s9_|^s11_|^s17_|^s19_|^s20_|^s21_|^x7_|^x1[3-8]_|"
+    r"gdpr|shard|scd2|ctas|seed"
+)
+_PIPELINE_RE = re.compile(r"refresh|pipeline|quarantine|^q[1-9]_")
+
+
+def anchor_class(name: str) -> str:
+    """Nearest anchor class for a query name: 'write_io',
+    'pipeline_refresh', or 'cpu_sql' (default)."""
+    if _WRITE_IO_RE.search(name):
+        return "write_io"
+    if _PIPELINE_RE.search(name):
+        return "pipeline_refresh"
+    return "cpu_sql"
+
+
 def _anchor_secs(detail: dict) -> dict[str, float]:
     out = {}
     anchors = detail.get("anchors") or {}
@@ -67,10 +109,16 @@ def _anchor_secs(detail: dict) -> dict[str, float]:
     return out
 
 
-def band_and_ratios(old: dict, new: dict) -> dict:
+def band_and_ratios(old: dict, new: dict, mode: str = "geomean") -> dict:
     """The computation, separated for tests: anchor ratios, their
     geometric-mean band, and per-query raw + band-normalized ratios over
-    the queries present in both details."""
+    the queries present in both details. ``mode='class'`` divides each
+    query's raw ratio by its nearest anchor CLASS's ratio instead of the
+    geomean (falling back to the geomean for classes whose anchor is
+    missing) — the r17 answer to a CPU-skewed contention band
+    under-correcting CPU-bound shapes."""
+    if mode not in ("geomean", "class"):
+        raise ValueError(f"mode must be 'geomean' or 'class', got {mode!r}")
     a_old, a_new = _anchor_secs(old), _anchor_secs(new)
     anchor_ratios = {
         role: a_new[role] / a_old[role]
@@ -89,15 +137,22 @@ def band_and_ratios(old: dict, new: dict) -> dict:
         if float(qo[name]) <= 0:
             continue
         raw = float(qn[name]) / float(qo[name])
-        norm = raw / band
-        if norm < FLAG_AT:
-            note = ""
-        elif name in CONTENTION_SENSITIVE:
-            note = "contention-sensitive"
+        cls = anchor_class(name)
+        divisor = anchor_ratios.get(cls, band) if mode == "class" else band
+        norm = raw / divisor
+        if name in CONTENTION_SENSITIVE:
+            note = "contention-sensitive" if norm >= FLAG_AT else ""
         elif float(qn[name]) < FLAG_FLOOR_SEC:
-            note = "sub-floor"
+            # sub-floor: scheduling-noise suppression, UNLESS the move is
+            # too large to be noise (ADVICE r16)
+            if norm >= SUBFLOOR_FLAG_AT:
+                note = "FLAG"
+            elif norm >= FLAG_AT:
+                note = "sub-floor"
+            else:
+                note = ""
         else:
-            note = "FLAG"
+            note = "FLAG" if norm >= FLAG_AT else ""
         rows.append(
             {
                 "query": name,
@@ -105,6 +160,7 @@ def band_and_ratios(old: dict, new: dict) -> dict:
                 "new_sec": float(qn[name]),
                 "raw_ratio": round(raw, 3),
                 "normalized_ratio": round(norm, 3),
+                **({"anchor_class": cls} if mode == "class" else {}),
                 "note": note,
             }
         )
@@ -112,6 +168,7 @@ def band_and_ratios(old: dict, new: dict) -> dict:
     ratios = [r["normalized_ratio"] for r in rows]
     mid = len(ratios) // 2
     return {
+        "mode": mode,
         "anchor_ratios": {k: round(v, 3) for k, v in anchor_ratios.items()},
         "band": round(band, 3),
         "rows": rows,
@@ -124,14 +181,20 @@ def band_and_ratios(old: dict, new: dict) -> dict:
 
 
 def main(argv: list[str]) -> int:
-    if len(argv) != 3:
+    mode = "geomean"
+    if "--mode" in argv:
+        i = argv.index("--mode")
+        mode = argv[i + 1] if i + 1 < len(argv) else ""
+        argv = argv[:i] + argv[i + 2:]
+    if len(argv) != 3 or mode not in ("geomean", "class"):
         print(__doc__)
         return 2
     with open(argv[1]) as f:
         old = json.load(f)
     with open(argv[2]) as f:
         new = json.load(f)
-    res = band_and_ratios(old, new)
+    res = band_and_ratios(old, new, mode=mode)
+    print(f"mode:                    {res['mode']}")
     print(f"anchor ratios (new/old): {res['anchor_ratios']}")
     print(f"host band (geomean):     {res['band']}")
     if not res["anchor_ratios"]:
@@ -148,7 +211,10 @@ def main(argv: list[str]) -> int:
             f"{r['raw_ratio']:7.3f} {r['normalized_ratio']:7.3f}{mark}"
         )
     if res["flagged"]:
-        print(f"\nflagged (normalized >= {FLAG_AT}, new >= {FLAG_FLOOR_SEC}s): {res['flagged']}")
+        print(
+            f"\nflagged (normalized >= {FLAG_AT} at new >= {FLAG_FLOOR_SEC}s, "
+            f"or >= {SUBFLOOR_FLAG_AT} sub-floor): {res['flagged']}"
+        )
     else:
         print(
             f"\nno flaggable queries moved >= {FLAG_AT}x after band "
