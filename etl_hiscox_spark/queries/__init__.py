@@ -1110,6 +1110,74 @@ WINDOW_R18: tuple[str, ...] = (
     "x9_stream_static_enrich",
 )
 
+# Round 19 window — PRE-DEFINED at the end of r17 (same self-advance
+# mechanism; ``active_window()`` serves this once CORRECTNESS_r18.json
+# exists). Composition recomputed programmatically (simulate r17/r18
+# banking their pre-defined windows green over the CORRECTNESS
+# artifacts; cohorts then {r14: 1, r15: 50, r16: 50, r17: 50, r18: 50}
+# over 201 + s7): head = f6_f9_date_math — the one r14-latest green
+# WINDOW_R18 could not hold, mandatory here under the four-round bound
+# (stale at current=19) — then 49 of the 50 r15-latest greens. The
+# remaining r15 green, a1_a5_global_stats, defers to WINDOW_R20's
+# mandatory head (lowest-risk deferral: the global count/sum/mean/
+# min-max shape is implicitly re-verified by dozens of other oracle
+# queries and its own pytest). The r18 builder SWAPS tail entries for
+# new declarations (new queries must lead; displaced r15 entries move
+# to WINDOW_R20 alongside a1_a5_global_stats) and ALWAYS recomputes
+# cohorts from the CORRECTNESS artifacts before editing.
+WINDOW_R19: tuple[str, ...] = (
+    "f6_f9_date_math",
+    "a10_grouping_sets",
+    "a16_hll_distinct_rollup",
+    "a19_key_skew_profile",
+    "a8_completeness_profile",
+    "f14_explicit_schema_cast",
+    "f3_money_parse",
+    "f8_batch_id_format",
+    "f_string_cleaning",
+    "g12_sales_opportunity",
+    "g15_small_quantity_revenue",
+    "g7_scalar_subquery_share",
+    "l1_exact_dedup",
+    "l2_incremental_probe",
+    "l2_lsh_gen_lifecycle_probe",
+    "l3_ivf_full_erase_recovery_probe",
+    "l3_ivf_probe_topk",
+    "l3_ivf_rebuild_probe",
+    "l3_quantized_topk",
+    "m4_png_features",
+    "m5_jpeg_features",
+    "m6_audio_spectral_peak",
+    "m7_image_dhash",
+    "m8_audio_fingerprint",
+    "p9_conditional_business_rule",
+    "q1_rule_violations",
+    "q4_quarantine_split",
+    "q6_observe_metrics",
+    "r3_topk_orders",
+    "s11_snapshot_diff",
+    "s12_orc_roundtrip",
+    "s16_avro_roundtrip",
+    "s17_training_shards",
+    "s19_gdpr_erase_subject",
+    "s3_append_schema_merge",
+    "s5_xlsx_roundtrip",
+    "t14_pii_scrub",
+    "t15_decontamination",
+    "t16_bigram_lm_nll",
+    "t17_semantic_decontamination",
+    "t22_upsample_mixture",
+    "t24_heavy_hitter_terms",
+    "t9_chunk_documents",
+    "w5_running_total",
+    "w8_gap_fill_daily",
+    "x13_exactly_once_txn_sink",
+    "x14_txn_optimize_compaction",
+    "x1_x2_stream_roundtrip",
+    "x6_stateful_dedup_batch_twin",
+    "x7_upsert_batch_twin",
+)
+
 WINDOWS: dict[int, tuple[str, ...]] = {
     8: WINDOW_R8,
     9: WINDOW_R9,
@@ -1122,6 +1190,7 @@ WINDOWS: dict[int, tuple[str, ...]] = {
     16: WINDOW_R16,
     17: WINDOW_R17,
     18: WINDOW_R18,
+    19: WINDOW_R19,
 }
 
 
