@@ -157,6 +157,11 @@ HEADLINE = [
     # coalesce one cycle later behind the floor guard; declared mid-r16,
     # banks in r17)
     "l2_lsh_tombstone_coalesce_probe",
+    # round-17 addition: half-retired repair lifecycle (injected
+    # lost-replace residue → no-victim vacuum's repair pass finishes the
+    # retire → the repaired pair coalesces through the normal path;
+    # declared mid-r17, banks in r18)
+    "l2_lsh_half_retired_repair_probe",
 ]
 
 
@@ -226,6 +231,9 @@ SCALE_SUBSET = [
     # refused stale commits over the same index shapes as the other
     # lifecycle probes)
     "l2_lsh_tombstone_coalesce_probe",
+    # round-17: the half-retired repair lifecycle (four vacuums, three
+    # erases, one injected crash residue over the same index shapes)
+    "l2_lsh_half_retired_repair_probe",
 ]
 SF1_DIR = os.environ.get(
     "SPARK_GRAFT_SF1_DIR",

@@ -1051,13 +1051,19 @@ WINDOW_R17: tuple[str, ...] = (
 # tombstone-probe declaration displaced from WINDOW_R17, mandatory here
 # under the four-round bound (last green r13, stale at current=18) —
 # then 49 of the 50 r14-latest greens. The remaining r14 green,
-# f6_f9_date_math, defers to WINDOW_R19's mandatory head (it is the
+# f6_f9_date_math, defers to WINDOW_R19's mandatory slots (it is the
 # lowest-risk deferral: its date chains are double-covered by the
-# randomized oracle-dialect property tests). The r17 builder SWAPS tail
-# entries for new declarations (new queries must lead; displaced r14
-# entries move to WINDOW_R19 alongside f6_f9_date_math) and ALWAYS
-# recomputes cohorts from the CORRECTNESS artifacts before editing.
+# randomized oracle-dialect property tests). r17 mid-round declaration:
+# l2_lsh_half_retired_repair_probe (the r17 half-retired repair + r17
+# tombstone-first ordering lifecycle, declared after WINDOW_R17 was
+# already serving) takes the head for its first driver check,
+# displacing x9_stream_static_enrich (r14 green) to WINDOW_R19's
+# mandatory slots. The r18 builder SWAPS tail entries for new
+# declarations (new queries must lead; displaced r14 entries move to
+# WINDOW_R19) and ALWAYS recomputes cohorts from the CORRECTNESS
+# artifacts before editing.
 WINDOW_R18: tuple[str, ...] = (
+    "l2_lsh_half_retired_repair_probe",
     "w4_rank_with_ties",
     "a11_table_stats",
     "a17_order_items_array",
@@ -1107,26 +1113,30 @@ WINDOW_R18: tuple[str, ...] = (
     "x4_sliding_window",
     "x5_session_window",
     "x8_threshold_crossing",
-    "x9_stream_static_enrich",
 )
 
 # Round 19 window — PRE-DEFINED at the end of r17 (same self-advance
 # mechanism; ``active_window()`` serves this once CORRECTNESS_r18.json
 # exists). Composition recomputed programmatically (simulate r17/r18
 # banking their pre-defined windows green over the CORRECTNESS
-# artifacts; cohorts then {r14: 1, r15: 50, r16: 50, r17: 50, r18: 50}
-# over 201 + s7): head = f6_f9_date_math — the one r14-latest green
-# WINDOW_R18 could not hold, mandatory here under the four-round bound
-# (stale at current=19) — then 49 of the 50 r15-latest greens. The
-# remaining r15 green, a1_a5_global_stats, defers to WINDOW_R20's
-# mandatory head (lowest-risk deferral: the global count/sum/mean/
-# min-max shape is implicitly re-verified by dozens of other oracle
-# queries and its own pytest). The r18 builder SWAPS tail entries for
-# new declarations (new queries must lead; displaced r15 entries move
-# to WINDOW_R20 alongside a1_a5_global_stats) and ALWAYS recomputes
-# cohorts from the CORRECTNESS artifacts before editing.
+# artifacts; cohorts then {r14: 2, r15: 50, r16: 50, r17: 49, r18: 50}
+# over 202 + s7): mandatory head = the two r14-latest greens the earlier
+# windows could not hold — f6_f9_date_math (deferred from WINDOW_R18)
+# and x9_stream_static_enrich (displaced from WINDOW_R18 by the r17
+# half-retired-repair declaration), both stale at current=19 under the
+# four-round bound — then 48 of the 50 r15-latest greens. The two
+# remaining r15 greens, a1_a5_global_stats and f_string_cleaning, defer
+# to WINDOW_R20's mandatory head (lowest-risk deferrals: the global
+# count/sum/mean/min-max shape is implicitly re-verified by dozens of
+# other oracle queries, and the trim/upper/empty-as-null functions are
+# double-covered by their dedicated cleaning pytests). The r18 builder
+# SWAPS tail entries for new declarations (new queries must lead;
+# displaced r15 entries move to WINDOW_R20 alongside the two deferrals)
+# and ALWAYS recomputes cohorts from the CORRECTNESS artifacts before
+# editing.
 WINDOW_R19: tuple[str, ...] = (
     "f6_f9_date_math",
+    "x9_stream_static_enrich",
     "a10_grouping_sets",
     "a16_hll_distinct_rollup",
     "a19_key_skew_profile",
@@ -1134,7 +1144,6 @@ WINDOW_R19: tuple[str, ...] = (
     "f14_explicit_schema_cast",
     "f3_money_parse",
     "f8_batch_id_format",
-    "f_string_cleaning",
     "g12_sales_opportunity",
     "g15_small_quantity_revenue",
     "g7_scalar_subquery_share",

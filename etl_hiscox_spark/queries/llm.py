@@ -4937,6 +4937,166 @@ def l2_lsh_tombstone_coalesce_probe(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "l2_lsh_half_retired_repair_probe",
+    # final index: ALL evens (built %4==0 + appended %8==2 and %8==6)
+    # minus the three erased cohorts %20 in (8, 12, 16) — the
+    # odds-vs-evens exact cross-batch Jaccard graph is the hard-equality
+    # recall tripwire shared by the lifecycle-probe family. If the
+    # half-retired v2 had kept serving (repair missed), if the repair
+    # had damaged the head, or if the stale commit at the repaired name
+    # had published, the head would regress and the pairs would
+    # hash-fail.
+    oracle="\n    WITH "
+    + _ORACLE_SHINGLE_N_CTE
+    + r""",
+    inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS dup_of, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        AND b.doc_id % 20 NOT IN (8, 12, 16)
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT new_id, dup_of,
+           ROUND(i / CAST(na.n + nb.n - i AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN n na ON new_id = na.doc_id JOIN n nb ON dup_of = nb.doc_id
+    WHERE 5 * i >= 4 * (na.n + nb.n - i)
+    """,
+)
+def l2_lsh_half_retired_repair_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HALF-RETIRED REPAIR LIFECYCLE, driver-executed for real (r17,
+    # ADVICE r16: a ``_retire_pointer`` that wrote the ``.retired``
+    # sidecar and then lost the tombstone content replace left a name
+    # that is EXCLUDED from the live listing — so no vacuum ever
+    # re-victims it — yet still SERVES the retired record on a direct
+    # read, and coalescing skips the pair forever: unbounded residue.
+    # r17's vacuum opens with a repair scan that re-runs the content
+    # replace, age-gated on the record's own committed_at). Lifecycle:
+    # build (%4==0) → OCC delta appends (%8==2, %8==6) → vacuum#1
+    # (v0/v1 tombstoned under the r17 tombstone-first order, floor=1) →
+    # erase#1 (%20==16) lands at v3 → INJECT the crash residue (write
+    # v2's sidecar by hand, content left live — exactly the lost-replace
+    # state) → assert the hazard (delisted everywhere, yet a direct
+    # read serves the retired record) → vacuum#2 with min_age=0 (a
+    # NO-VICTIM vacuum: the repair pass must run regardless) finishes
+    # the retire → erase#2 (%20==12) → vacuum#3 (floor 3; v0/v1 pairs
+    # coalesce, the repaired v2 pair — above the previous floor — stays)
+    # → erase#3 (%20==8) → vacuum#4 (floor 4; the REPAIRED pair
+    # coalesces through the normal path) → stale commit at the freed v2
+    # refused by the floor guard → probe (odds, exact-Jaccard verified).
+    import json as _json
+    import os as _os
+
+    from etl_hiscox_spark.operators.dedup import (
+        erase_from_minhash_index,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.queries.writes import _scratch
+    from etl_hiscox_spark.sources import genlog
+
+    docs = load_table(spark, "documents", sf_dir)
+    root = _os.path.join(_scratch("l2_lsh_halfret", sf_dir), "minhash_index")
+    write_minhash_index(
+        docs.filter(F.col("doc_id") % 4 == 0), "text", "doc_id", root,
+        num_hashes=24, num_bands=6,
+    )
+    for m in (2, 6):
+        write_minhash_index(
+            docs.filter(F.col("doc_id") % 8 == m), "text", "doc_id", root,
+            num_hashes=24, num_bands=6, mode="append",
+        )
+    genlog.vacuum_generations(spark, root, keep_last=1, min_age_seconds=0.0)
+    resolved = genlog.resolve_root(spark, root)
+    if genlog._pointer_versions(resolved) != [2]:
+        raise ValueError(
+            f"vacuum#1 must delist v0/v1, got {genlog._pointer_versions(resolved)}"
+        )
+
+    def _erase(mod: int) -> None:
+        genlog.rerun_on_generation_conflict(
+            erase_from_minhash_index, spark, root,
+            docs.filter(F.col("doc_id") % 20 == mod).select("doc_id"), "doc_id",
+        )
+
+    _erase(16)  # lands at v3: v2 is now superseded but still live
+    if genlog.current_generation(spark, root)[0] != 3:
+        raise ValueError("erase#1 did not land at v3")
+
+    # INJECT the crash residue a lost content replace leaves: the
+    # sidecar exists, the content is still the live v2 record
+    filesystem, log_path = genlog._fs(genlog._join(resolved, genlog._GEN_LOG))
+    with filesystem.open_output_stream(f"{log_path}/v2.retired") as fh:
+        fh.write(b"")
+    # the hazard, observed: v2 is delisted everywhere (no vacuum would
+    # ever re-victim it) ...
+    if genlog._pointer_versions(resolved) != [3]:
+        raise ValueError("the sidecar must delist v2 from the live listing")
+    if [r["version"] for r in genlog.list_generations(spark, resolved)] != [3]:
+        raise ValueError("history must exclude the half-retired v2")
+    # ... yet a direct read still serves the retired record as live
+    if genlog.read_pointer(resolved, 2).get("tombstone"):
+        raise ValueError("the injected residue must leave v2's content LIVE")
+
+    # vacuum#2 has NO victims (only v3 lives) — the repair pass must
+    # still run and finish the retire (min_age=0: no op is mid-flight)
+    genlog.vacuum_generations(spark, root, keep_last=1, min_age_seconds=0.0)
+    with filesystem.open_input_file(f"{log_path}/v2.json") as f:
+        if not _json.loads(f.read().decode("utf-8")).get("tombstone"):
+            raise ValueError("the repair pass must tombstone the half-retired v2")
+    try:
+        genlog.read_pointer(resolved, 2)
+        raise ValueError("reading the repaired v2 must raise the retired error")
+    except FileNotFoundError:
+        pass
+    if genlog.current_generation(spark, root)[0] != 3:
+        raise ValueError("the repair must not touch the live head")
+
+    _erase(12)  # v4
+    genlog.vacuum_generations(spark, root, keep_last=1, min_age_seconds=0.0)
+    names = {i.base_name for i in genlog._log_infos(resolved)}
+    # vacuum#3's floor_before (=1) coalesces v0/v1; the repaired v2 pair
+    # is above it and must survive this cycle intact
+    for gone in ("v0.json", "v0.retired", "v1.json", "v1.retired"):
+        if gone in names:
+            raise ValueError(f"vacuum#3 must coalesce {gone}, still listed: {names}")
+    if not {"v2.json", "v2.retired"} <= names:
+        raise ValueError(f"the repaired v2 pair must survive one more cycle: {names}")
+
+    _erase(8)  # v5
+    genlog.vacuum_generations(spark, root, keep_last=1, min_age_seconds=0.0)
+    names = {i.base_name for i in genlog._log_infos(resolved)}
+    for gone in ("v2.json", "v2.retired"):
+        if gone in names:
+            raise ValueError(
+                f"the REPAIRED pair must coalesce through the normal path: {names}"
+            )
+    if genlog._pointer_versions(resolved) != [5]:
+        raise ValueError("the erase#3 head must be the only live pointer")
+
+    # stale commit at the freed-and-repaired v2: only the floor guard
+    # stands between a stale writer and a silent lost write
+    head = genlog.read_pointer(resolved, 5)
+    try:
+        genlog.commit_generation(
+            spark, root, head["generation"], "compact", base_version=1,
+            segments=genlog.pointer_segments(head),
+            geometry_id=head.get("geometry_id"),
+        )
+        raise ValueError("stale commit at the repaired-and-freed name not refused")
+    except FileExistsError:
+        pass
+    if "v2.json" in {i.base_name for i in genlog._log_infos(resolved)}:
+        raise ValueError("the refused commit left debris at the freed name")
+
+    out = probe_minhash_index(
+        docs.filter(F.col("doc_id") % 2 == 1), "text", "doc_id", root,
+        verify_df=docs, threshold=0.8,
+    )
+    return out.select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
     "l2_stream_index_ingest",
     # the l2_incremental_probe oracle, unchanged: after the stream lands,
     # the index holds ALL evens (built %4==0 + streamed %4==2), so the

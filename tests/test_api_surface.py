@@ -238,7 +238,11 @@ def test_never_checked_queries_lead_the_window():
 # led WINDOW_R17 (removed at the start of r17 once that window was being
 # served — the one-round-grace tidy rule; it leads the served window, so
 # the never-checked-leads guard covers it without an exemption).
-PENDING_NEXT_WINDOW: set[str] = set()
+# r17 mid-round declaration: the half-retired repair lifecycle probe
+# leads WINDOW_R18 (banks in r18; remove at the start of r18).
+PENDING_NEXT_WINDOW: set[str] = {
+    "l2_lsh_half_retired_repair_probe",
+}
 
 
 def test_every_query_has_driver_coverage_plan():
