@@ -163,7 +163,9 @@ def semantic_contamination_report(
             and np.isfinite(np.asarray(e[1], dtype=np.float64)).all()
         ]
     if not ev:
-        return train.sparkSession.createDataFrame([], out_schema)
+        from etl_hiscox_spark.smalldf import local_rows_df
+
+        return local_rows_df(train.sparkSession, [], out_schema)
     eval_ids = np.array([e[0] for e in ev])
     E = np.vstack([np.asarray(e[1], dtype=np.float64) for e in ev])
     E = E / np.clip(np.linalg.norm(E, axis=1, keepdims=True), 1e-12, None)

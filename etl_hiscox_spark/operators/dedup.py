@@ -1732,7 +1732,10 @@ def _write_index_meta(spark, path: str, num_hashes: int, num_bands: int, shingle
             os.path.join(local, "meta.parquet"),
         )
         return
-    spark.createDataFrame(
+    from etl_hiscox_spark.smalldf import local_rows_df
+
+    local_rows_df(
+        spark,
         [(num_hashes, num_bands, shingle_k)],
         "num_hashes int, num_bands int, shingle_k int",
     ).write.mode("overwrite").parquet(meta_path)

@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_hiscox_spark.smalldf import local_rows_df
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<numeric> columns, expression-only.
@@ -242,7 +244,7 @@ def mmr_topk(
         .collect()
     )
     if not short:
-        return df.sparkSession.createDataFrame([], out_schema)
+        return local_rows_df(df.sparkSession, [], out_schema)
     ids = [r[id_col] for r in short]
     rel = {r[id_col]: float(r["__rel"]) for r in short}
     vecs = {
@@ -266,7 +268,8 @@ def mmr_topk(
                 best_id, best_obj = i, obj
         selected.append((best_id, best_obj))
         remaining.remove(best_id)
-    return df.sparkSession.createDataFrame(
+    return local_rows_df(
+        df.sparkSession,
         [
             (i, rank + 1, rel[i], obj)
             for rank, (i, obj) in enumerate(selected)
@@ -630,13 +633,14 @@ def _write_ivf_centroids(
             os.path.join(local, "centroids.parquet"),
         )
         return
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [
             (int(i), [float(x) for x in c], bool(quantized))
             for i, c in enumerate(centroids)
         ],
         "cluster int, centroid array<double>, quantized boolean",
-    ).coalesce(1).write.mode("overwrite").parquet(cdir)
+    ).write.mode("overwrite").parquet(cdir)
 
 
 def _read_ivf_centroid_rows(spark, path: str, resolved: bool = False) -> list[dict]:
@@ -1120,7 +1124,7 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
             # next compact drops it.
             gen = genlog.new_generation_name()
             target = genlog._join(root, gen)
-            spark.createDataFrame([], schema).write.mode("error").parquet(target)
+            local_rows_df(spark, [], schema).write.mode("error").parquet(target)
             _write_ivf_centroids(spark, target, C, quantized=quantized)
             new_segments, first_rewritten = [gen], gen
         genlog.commit_generation(
@@ -1525,7 +1529,8 @@ def ivf_probe_topk_quantized(
 
     id_field = idx.schema[id_col]
     if not shortlist:
-        return spark.createDataFrame(
+        return local_rows_df(
+            spark,
             [],
             T.StructType(
                 [
@@ -1537,7 +1542,8 @@ def ivf_probe_topk_quantized(
             ),
         )
     ids = [r[id_col] for r in shortlist]
-    approx = spark.createDataFrame(
+    approx = local_rows_df(
+        spark,
         [(r[id_col], float(r["approx_cos"])) for r in shortlist],
         T.StructType(
             [

@@ -34,6 +34,7 @@ from etl_hiscox_spark.operators.dedup import (
 from etl_hiscox_spark.operators.similarity import cosine_topk
 from etl_hiscox_spark.queries import QUERIES, register
 from etl_hiscox_spark.registry import load_table
+from etl_hiscox_spark.smalldf import local_rows_df
 
 def _raw_token_count() -> Column:
     """Single-space token count of the raw ``text`` column — the corpus
@@ -3598,8 +3599,8 @@ def t30_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("/p/"), F.col("doc_id").cast("string"), F.lit("?ref=x"),
         ).alias("url"),
     )
-    blocklist = spark.createDataFrame(
-        [("ads.com",), ("spam.com",), ("h3.news.com",)], "rule string"
+    blocklist = local_rows_df(
+        spark, [("ads.com",), ("spam.com",), ("h3.news.com",)], "rule string"
     )
     return domain_blocklist_tags(urls, "url", "doc_id", blocklist)
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from etl_hiscox_spark.quality.rules import AcceptedValues, CrossColumn, NotNull, Range, RuleSet
 from etl_hiscox_spark.queries import register
 from etl_hiscox_spark.registry import load_table
+from etl_hiscox_spark.smalldf import local_rows_df
 
 
 def lineitem_ruleset() -> RuleSet:
@@ -312,8 +313,8 @@ def q3_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine = QualityEngine(default_threshold=0.95)
     report = engine.check(engine.profile(li, rs))
     rows = [(a.rule, a.score, a.threshold, a.severity) for a in report.alerts]
-    return spark.createDataFrame(
-        rows, "rule_name string, score double, threshold double, severity string"
+    return local_rows_df(
+        spark, rows, "rule_name string, score double, threshold double, severity string"
     )
 
 
@@ -472,7 +473,8 @@ def q6_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     rs = lineitem_ruleset()
     li = load_table(spark, "lineitem", sf_dir)
     m = write_with_metrics(li, path, step="q6_write", valid_predicate=rs.all_pass())
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(m.step, m.records_processed, m.records_valid, m.records_invalid)],
         "step string, total_records bigint, valid_records bigint, invalid_records bigint",
     )

@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 
 from etl_hiscox_spark.queries import register
 from etl_hiscox_spark.registry import load_table
+from etl_hiscox_spark.smalldf import local_rows_df
 
 
 def _scratch(name: str, sf_dir: str) -> str:
@@ -402,7 +403,7 @@ def a11_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = re.search(r"(\d+)\s+rows", stats)
     if not m:
         raise RuntimeError(f"ANALYZE produced no rowCount: {stats!r}")
-    return spark.createDataFrame([(int(m.group(1)),)], "row_count bigint")
+    return local_rows_df(spark, [(int(m.group(1)),)], "row_count bigint")
 
 
 # ---------------------------------------------------------------------------
@@ -418,7 +419,7 @@ def s7_object_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = list_objects(spark, sf_dir, suffix=".parquet")
     rows = [(os.path.basename(b.path), b.size > 0) for b in sorted(blobs, key=lambda b: b.path)]
-    return spark.createDataFrame(rows, "object_name string, has_bytes boolean")
+    return local_rows_df(spark, rows, "object_name string, has_bytes boolean")
 
 
 # ---------------------------------------------------------------------------
@@ -677,7 +678,8 @@ def s15_corrupt_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("good_value"),
     ).first()
     split.unpersist()
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(row["n_good"], n_bad, row["good_value"])],
         "n_good long, n_quarantined long, good_value double",
     )
@@ -928,7 +930,7 @@ def s19_gdpr_erase_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("txn_latest", t.read().count()),
         ("txn_v0", t.read(0).count()),
     ]
-    return spark.createDataFrame(counts, "store string, n_rows long").orderBy("store")
+    return local_rows_df(spark, counts, "store string, n_rows long").orderBy("store")
 
 
 # ---------------------------------------------------------------------------
@@ -1111,7 +1113,7 @@ def s20_bulk_frame_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("txn_latest", t.read().count()),
         ("txn_v0", t.read(0).count()),
     ]
-    return spark.createDataFrame(counts, "store string, n_rows long").orderBy("store")
+    return local_rows_df(spark, counts, "store string, n_rows long").orderBy("store")
 
 
 @register(

@@ -51,6 +51,10 @@ _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
+    # AQE for cached plans (see session.py): the probe operators persist
+    # multi-branch stems; without this the driver's own vanilla session
+    # materializes them at the static shuffle-partition count.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 

@@ -49,6 +49,14 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Let AQE re-partition CACHED plans too (off by default). Without
+        # it every persist() materializes with the static shuffle-partition
+        # count and each downstream job over the cached frame pays that
+        # many tasks — profiled r17: the probe operators' persisted
+        # candidate/shingle stems ran 32-task stages over KB-scale frames.
+        # At cluster scale this is the same win: cached intermediates get
+        # AQE's advisory-size partitioning instead of a static constant.
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         # Arrow for pandas_udf / toPandas boundaries (L3 cosine path).
         "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -169,11 +169,13 @@ def distributed_dir_stats(
             remote.append((int(k), default_fs.rstrip("/") + d))
         else:
             remote.append((int(k), d))
+    from etl_hiscox_spark.smalldf import local_rows_df
+
     local_df = (
-        spark.createDataFrame(local_rows, schema) if local_rows else None
+        local_rows_df(spark, local_rows, schema) if local_rows else None
     )
     if not remote:
-        return local_df if local_df is not None else spark.createDataFrame([], schema)
+        return local_df if local_df is not None else local_rows_df(spark, [], schema)
 
     def _walk(batches):
         for pdf in batches:
@@ -183,7 +185,7 @@ def distributed_dir_stats(
             ]
             yield pd.DataFrame(rows, columns=["key", "n_files", "total_bytes"])
 
-    ddf = spark.createDataFrame(remote, "key int, dir string")
+    ddf = local_rows_df(spark, remote, "key int, dir string")
     n = max(1, min(len(remote), spark.sparkContext.defaultParallelism))
     remote_df = ddf.repartition(n).mapInPandas(_walk, schema)
     return remote_df if local_df is None else local_df.unionByName(remote_df)

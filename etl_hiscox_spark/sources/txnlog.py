@@ -1116,7 +1116,9 @@ class TxnTable:
         paths = ["/".join([self.path.rstrip("/"), f]) for f in m["files"]]
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         if not paths:
-            return self.spark.createDataFrame([], schema)
+            from etl_hiscox_spark.smalldf import local_rows_df
+
+            return local_rows_df(self.spark, [], schema)
         try:
             out = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         except Exception:
