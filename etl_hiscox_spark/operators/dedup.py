@@ -769,12 +769,22 @@ def bitstring_block_pairs(
         )
         .distinct()
     )
+    # Exact Hamming distance via 32-bit chunks: conv each chunk of the
+    # bitstring to a long, XOR, bit_count, sum. Replaces the r9 per-bit
+    # substring-compare chain — n_bits nested Adds over 2×n_bits
+    # substring calls evaluated ~30 µs/row; the chunked form is ~10
+    # expression nodes and measured 10× faster on 400k pairs (r17,
+    # guide §1.2 per-task work). Same value bit-for-bit: '0'/'1' chunks
+    # of ≤32 chars are exact in conv(…, 2, 10).
     ham = F.lit(0)
-    for i in range(1, n_bits + 1):
-        ham = ham + (
-            F.substring(F.col("__ba"), i, 1) != F.substring(F.col("__bb"), i, 1)
-        ).cast("int")
-    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+    pos = 1
+    while pos <= n_bits:
+        ln = min(32, n_bits - pos + 1)
+        ca = F.conv(F.substring(F.col("__ba"), pos, ln), 2, 10).cast("long")
+        cb = F.conv(F.substring(F.col("__bb"), pos, ln), 2, 10).cast("long")
+        ham = ham + F.bit_count(ca.bitwiseXOR(cb))
+        pos += ln
+    return cand.select("id_a", "id_b", ham.cast("int").alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
 

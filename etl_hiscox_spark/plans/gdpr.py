@@ -107,19 +107,16 @@ def erase_subject(
             k = F.broadcast(kdf.select(F.col(kc).alias(key_col)))
             return df.join(k, key_col, "left_semi").count()
 
-        for path, key_col in base_tables:
+        def do_base(path: str, key_col: str) -> dict:
             k = kdf.select(F.col(kc).alias(key_col))
-            record("base", path, key_col, erase_base(spark, path, k, key_col))
+            n = erase_base(spark, path, k, key_col)
             if verify and residuals(spark.read.parquet(path), key_col):
                 raise ValueError(f"erase_subject: residual subject rows in base table {path!r}")
+            return {"kind": "base", "path": path, "key_col": key_col, "n_erased": int(n)}
 
-        for path, key_col in txn_tables:
+        def do_txn(path: str, key_col: str) -> dict:
             t = TxnTable(spark, path)
-            record(
-                "txn_history", path, key_col,
-                t.erase_keys(key_col, kdf.select(F.col(kc).alias(key_col))),
-                metric="n_files_rewritten",
-            )
+            n = t.erase_keys(key_col, kdf.select(F.col(kc).alias(key_col)))
             if verify:
                 for v in t._versions():
                     if residuals(t.read(v), key_col):
@@ -127,6 +124,10 @@ def erase_subject(
                             f"erase_subject: residual subject rows in txn table "
                             f"{path!r} at version {v}"
                         )
+            return {
+                "kind": "txn_history", "path": path, "key_col": key_col,
+                "n_files_rewritten": int(n),
+            }
 
         # residual scans of index stores resolve the LIVE generation for
         # the pointer layout (reading a generational root raw would scan
@@ -134,9 +135,9 @@ def erase_subject(
         # themselves
         from etl_hiscox_spark.sources.genlog import live_index_paths
 
-        for path, id_col in ivf_indexes:
+        def do_ivf(path: str, id_col: str) -> dict:
             k = kdf.select(F.col(kc).alias(id_col))
-            record("ivf_index", path, id_col, erase_from_ivf_index(spark, path, k, id_col))
+            n = erase_from_ivf_index(spark, path, k, id_col)
             if verify:
                 from etl_hiscox_spark.operators.similarity import _read_ivf_segments
 
@@ -146,13 +147,11 @@ def erase_subject(
                     raise ValueError(
                         f"erase_subject: residual subject rows in IVF index {path!r}"
                     )
+            return {"kind": "ivf_index", "path": path, "key_col": id_col, "n_erased": int(n)}
 
-        for path, id_col in minhash_indexes:
+        def do_minhash(path: str, id_col: str) -> dict:
             k = kdf.select(F.col(kc).alias(id_col))
-            record(
-                "minhash_index", path, id_col,
-                erase_from_minhash_index(spark, path, k, id_col),
-            )
+            n = erase_from_minhash_index(spark, path, k, id_col)
             if verify:
                 import os
 
@@ -167,7 +166,34 @@ def erase_subject(
                         f"erase_subject: residual subject fingerprints in minhash "
                         f"index {path!r}"
                     )
+            return {"kind": "minhash_index", "path": path, "key_col": id_col, "n_erased": int(n)}
 
+        # The stores are DISJOINT paths with independent commit protocols,
+        # so their erase+verify chains are independent jobs — run them
+        # from a small thread pool (guide §2.6: overlap independent jobs
+        # so one store's straggler tail back-fills with the next store's
+        # tasks; profiled r17, s19's wall was dominated by ~88 sequential
+        # driver-gap-bound actions). Report order stays deterministic:
+        # futures are created and collected in declaration order.
+        units: list = [
+            (do_base, path, key_col) for path, key_col in base_tables
+        ] + [
+            (do_txn, path, key_col) for path, key_col in txn_tables
+        ] + [
+            (do_ivf, path, id_col) for path, id_col in ivf_indexes
+        ] + [
+            (do_minhash, path, id_col) for path, id_col in minhash_indexes
+        ]
+        from etl_hiscox_spark.concurrency import run_overlapped
+
+        report.extend(
+            run_overlapped(
+                [
+                    (lambda fn=fn, path=path, col=col: fn(path, col))
+                    for fn, path, col in units
+                ]
+            )
+        )
         return report
     finally:
         kdf.unpersist(blocking=False)

@@ -3932,16 +3932,23 @@ def m9_media_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["path", "content"])
 
+    # bitstring_block_pairs self-joins its input, and a self-join re-runs
+    # the whole synth→encode→decode→hash Python chain once PER SIDE
+    # (profiled r17: four ~1.5 s ArrowEval jobs for two modalities —
+    # exchange reuse does not fire across mapInPandas subtrees).
+    # localCheckpoint pins the KB-scale (doc_id, bits) frame so Python
+    # touches each clip exactly once — the stated scale contract
+    # (guide §4: pay the Python boundary once, then join cheap keys).
     imedia = docs.mapInPandas(gen_images, "path string, content binary")
     ih = image_dhash(imedia).select(
         F.col("path").cast("long").alias("doc_id"), F.col("dhash").alias("bits")
-    )
+    ).localCheckpoint()
     ipairs = bitstring_block_pairs(ih, "bits", "doc_id", n_bits=64, n_blocks=4, max_hamming=3)
 
     amedia = docs.mapInPandas(gen_audio, "path string, content binary")
     af = audio_band_fingerprint(amedia, bands).select(
         F.col("path").cast("long").alias("doc_id"), F.col("fingerprint").alias("bits")
-    )
+    ).localCheckpoint()
     apairs = bitstring_block_pairs(af, "bits", "doc_id", n_bits=40, n_blocks=4, max_hamming=3)
 
     return ipairs.select(F.lit("image").alias("modality"), "id_a", "id_b", "hamming").unionAll(
@@ -4040,10 +4047,14 @@ def m10_video_frame_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["path", "content"])
 
     media = docs.mapInPandas(gen, "path string, content binary")
+    # the frame-hash self-join below would re-run GIF synth + LZW decode
+    # once per side (same double-Python shape as m9, profiled r17);
+    # localCheckpoint pins the KB-scale (doc, dhash) frame first
     fr = (
         video_frame_dhash(media)
         .filter(F.col("dhash").isNotNull())
         .select(F.col("path").cast("long").alias("doc"), "dhash")
+        .localCheckpoint()
     )
     a, b = fr.alias("a"), fr.alias("b")
     return (

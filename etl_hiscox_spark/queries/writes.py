@@ -868,24 +868,43 @@ def s19_gdpr_erase_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     emb = load_table(spark, "embeddings", sf_dir)
 
+    from etl_hiscox_spark.concurrency import run_overlapped
+
     base = os.path.join(root, "base")
-    docs.write.mode("overwrite").parquet(base)
     txn = os.path.join(root, "txn")
     t = TxnTable(spark, txn)
-    t.write(docs.filter(F.col("doc_id") % 2 == 0), mode="append")
-    t.write(docs.filter(F.col("doc_id") % 2 == 1), mode="append")
     ivf = os.path.join(root, "ivf")
-    # explicit pinned geometry: counts are centroid-independent — see
-    # l3_ivf_append_probe
-    write_ivf_index(
-        emb, ivf, "embedding", "vec_id",
-        centroids=random_hyperplanes(dim=64, n_planes=16, seed=42), generational=False,
-    )
     mh = os.path.join(root, "mh")
-    write_minhash_index(docs, "text", "doc_id", mh, generational=False)
 
-    n_subj_docs = docs.filter(F.col("doc_id") % 10 == 7).count()
-    n_subj_vecs = emb.filter(F.col("vec_id") % 10 == 7).count()
+    def build_txn() -> None:
+        # the two commits of ONE txn log stay sequential — their order is
+        # the protocol; only the four stores overlap
+        t.write(docs.filter(F.col("doc_id") % 2 == 0), mode="append")
+        t.write(docs.filter(F.col("doc_id") % 2 == 1), mode="append")
+
+    # the four stores live at disjoint paths — build them overlapped
+    # (guide §2.6; profiled r17: s19 was ~88 sequential driver-gap-bound
+    # actions). explicit pinned IVF geometry: counts are
+    # centroid-independent — see l3_ivf_append_probe
+    run_overlapped(
+        [
+            lambda: docs.write.mode("overwrite").parquet(base),
+            build_txn,
+            lambda: write_ivf_index(
+                emb, ivf, "embedding", "vec_id",
+                centroids=random_hyperplanes(dim=64, n_planes=16, seed=42),
+                generational=False,
+            ),
+            lambda: write_minhash_index(docs, "text", "doc_id", mh, generational=False),
+        ]
+    )
+
+    n_subj_docs, n_subj_vecs = run_overlapped(
+        [
+            lambda: docs.filter(F.col("doc_id") % 10 == 7).count(),
+            lambda: emb.filter(F.col("vec_id") % 10 == 7).count(),
+        ]
+    )
     keys = (
         docs.filter(F.col("doc_id") % 10 == 7)
         .select("doc_id")
@@ -919,17 +938,21 @@ def s19_gdpr_erase_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
     if by_kind.get("txn_history", 0) < 1:
         raise ValueError("erase_subject rewrote no txn-history files")
 
-    counts = [
-        ("base", spark.read.parquet(base).count()),
-        ("ivf_index", spark.read.parquet(ivf).count()),
-        (
-            "minhash_index",
-            spark.read.parquet(os.path.join(mh, "buckets"))
-            .select("doc").distinct().count(),
-        ),
-        ("txn_latest", t.read().count()),
-        ("txn_v0", t.read(0).count()),
-    ]
+    counts = list(
+        zip(
+            ["base", "ivf_index", "minhash_index", "txn_latest", "txn_v0"],
+            run_overlapped(
+                [
+                    lambda: spark.read.parquet(base).count(),
+                    lambda: spark.read.parquet(ivf).count(),
+                    lambda: spark.read.parquet(os.path.join(mh, "buckets"))
+                    .select("doc").distinct().count(),
+                    lambda: t.read().count(),
+                    lambda: t.read(0).count(),
+                ]
+            ),
+        )
+    )
     return local_rows_df(spark, counts, "store string, n_rows long").orderBy("store")
 
 
@@ -1108,11 +1131,20 @@ def s20_bulk_frame_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     if by_kind["txn_history"]["n_files_rewritten"] < 1:
         raise ValueError("bulk erasure rewrote no txn-history files")
 
-    counts = [
-        ("base", spark.read.parquet(base).count()),
-        ("txn_latest", t.read().count()),
-        ("txn_v0", t.read(0).count()),
-    ]
+    from etl_hiscox_spark.concurrency import run_overlapped
+
+    counts = list(
+        zip(
+            ["base", "txn_latest", "txn_v0"],
+            run_overlapped(
+                [
+                    lambda: spark.read.parquet(base).count(),
+                    lambda: t.read().count(),
+                    lambda: t.read(0).count(),
+                ]
+            ),
+        )
+    )
     return local_rows_df(spark, counts, "store string, n_rows long").orderBy("store")
 
 
