@@ -191,12 +191,16 @@ def minhash_signature_table(
         if _shingle_hashes is not None
         else _raw_shingle_hash_stream(df, text_col, id_col, shingle_k)
     )
-    hashed = sh.select(
-        "doc", *[F.xxhash64(F.col("h"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
-    )
     # ``_shingle_hashes`` may be raw (duplicates included) or distinct'd —
     # min() is idempotent, signatures are identical either way.
-    return hashed.groupBy("doc").agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
+    # SQL-string aggregates, one parse per column: the Column-builder form
+    # (num_hashes × F.xxhash64(F.col…)/F.min chains) paid ~5 py4j round
+    # trips per column PER CALL — profiled r17 at ~0.4 s per invocation
+    # on the driver, and this function runs 3+ times per lifecycle probe.
+    # Identical plan: min(xxhash64(h, i)) with partial map-side agg.
+    return sh.groupBy("doc").agg(
+        *[F.expr(f"min(xxhash64(h, {i})) AS h{i}") for i in range(num_hashes)]
+    )
 
 
 def _banded_buckets(sig: DataFrame, num_hashes: int, num_bands: int) -> DataFrame:
@@ -207,22 +211,18 @@ def _banded_buckets(sig: DataFrame, num_hashes: int, num_bands: int) -> DataFram
     of magnitude more codegen and byte traffic for identical recall).
     """
     rows_per_band = num_hashes // num_bands
+    # one SQL string instead of num_bands × nested Column builders (same
+    # py4j-chatter fix as minhash_signature_table — this ran ~0.2 s of
+    # driver time per call); the expression tree is identical
+    bands_sql = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64({cols}, {b}))".format(
+            b=b,
+            cols=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(num_bands)
+    )
     return sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-                            F.lit(b),
-                        ).alias("bucket"),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("bb"),
+        "doc", F.expr(f"explode(array({bands_sql}))").alias("bb")
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
@@ -474,13 +474,24 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # carry the change flag THROUGH the label update instead of
+        # re-joining new vs old labels afterwards — the convergence
+        # check becomes a filter over the materialized frame, saving one
+        # join + exchange per round (r17, guide §2.4; labels only ever
+        # decrease, so "changed" ≡ new < old)
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
+                ).alias("__new"),
+                F.col("component").alias("__old"),
+            )
+            .select(
+                "node",
+                F.col("__new").alias("component"),
+                (F.col("__new") < F.col("__old")).alias("__chg"),
             )
         )
         # Truncate lineage every round: without this, iteration N
@@ -489,14 +500,8 @@ def connected_components(
         # ``checkpoint_dir`` upgrades the cut to a reliable checkpoint()
         # that also tolerates executor loss.
         new_labels = _materialize(new_labels, checkpoint_dir)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     else:

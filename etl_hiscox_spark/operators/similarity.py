@@ -53,7 +53,10 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _as_double_literal_array(vec: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vec])
+    # one py4j call for the whole literal (Spark 4 F.lit accepts lists);
+    # the element-wise F.array(*[F.lit(v) …]) form paid dim+1 round trips
+    # per query vector (r17)
+    return F.lit([float(v) for v in vec])
 
 
 def _stack_embeddings(embs: pd.Series, dim: int | None = None) -> np.ndarray:

@@ -574,6 +574,8 @@ def x14_txn_optimize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()
         return (row["n"], row["h"])
 
+    from etl_hiscox_spark.concurrency import run_overlapped
+
     run("ckpt1")
     t = TxnTable(spark, tbl)
     versions = t._versions()
@@ -581,7 +583,14 @@ def x14_txn_optimize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(
             f"maxFilesPerTrigger did not split the stream: {len(versions)} commit(s)"
         )
-    sums_before = {v: checksum(t.read(v)) for v in versions}
+    # per-version checksums are independent reads — overlap them
+    # (guide §2.6); dict shape and values unchanged
+    sums_before = dict(
+        zip(
+            versions,
+            run_overlapped([lambda v=v: checksum(t.read(v)) for v in versions]),
+        )
+    )
     head_files_before = len(t._read_manifest(versions[-1])["files"])
 
     new_v = t.compact(target_file_mb=256)
@@ -592,11 +601,14 @@ def x14_txn_optimize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(
             f"OPTIMIZE did not defragment: {head_files_before} -> {head_files_after} files"
         )
-    for v, sig in sums_before.items():
-        now = checksum(t.read(v))
+    after = run_overlapped(
+        [lambda v=v: checksum(t.read(v)) for v in sums_before] +
+        [lambda: checksum(t.read(new_v))]
+    )
+    for (v, sig), now in zip(sums_before.items(), after):
         if now != sig:
             raise ValueError(f"compaction changed version {v}: {sig} -> {now}")
-    if checksum(t.read(new_v)) != sums_before[versions[-1]]:
+    if after[-1] != sums_before[versions[-1]]:
         raise ValueError("OPTIMIZE head differs from the pre-compaction head")
 
     run("ckpt2")  # full replay, fresh checkpoint, same app_id -> no-op
@@ -723,10 +735,21 @@ def x17_txn_object_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     if t.erase_keys("event_id", erase) < 1:
         raise ValueError("erase rewrote no files")
     gone = erase.withColumnRenamed("event_id", "k")
-    for v in range(t.latest_version() + 1):
-        residual = (
-            t.read(v).join(F.broadcast(gone), F.col("event_id") == F.col("k"), "left_semi").count()
-        )
+    from etl_hiscox_spark.concurrency import run_overlapped
+
+    # per-version residual scans are independent reads — overlap them
+    # (guide §2.6); the per-version assertion is unchanged
+    residuals = run_overlapped(
+        [
+            (
+                lambda v=v: t.read(v)
+                .join(F.broadcast(gone), F.col("event_id") == F.col("k"), "left_semi")
+                .count()
+            )
+            for v in range(t.latest_version() + 1)
+        ]
+    )
+    for v, residual in enumerate(residuals):
         if residual:
             raise ValueError(f"version {v} still holds {residual} erased rows")
     return t.read().groupBy("event_type").agg(
