@@ -1519,30 +1519,45 @@ def erase_from_minhash_index(spark, path: str, keys: DataFrame, id_col: str) -> 
         # the index (an erase of recent subjects rewrites only the recent
         # deltas). All rewrites stage first; ONE pointer commit publishes.
         k = F.broadcast(keys.select(F.col(id_col).alias("doc")).distinct())
-        n_erased = 0
+        # ONE stats action across every segment instead of a sequential
+        # semi-join count per segment (r17, guide §2.6/§5: per-action
+        # latency dominated multi-segment heads; committed generations
+        # are immutable, so stats and rewrites read consistent bytes)
+        from etl_hiscox_spark.operators.similarity import _segment_hit_stats
+
+        seg_dfs = [
+            spark.read.parquet(os.path.join(genlog._join(root, name), "buckets"))
+            for name in seg_names
+        ]
+        stats = _segment_hit_stats(seg_dfs, k, "doc")
+        n_erased = sum(h for _t, h in stats)
+        if n_erased == 0:
+            return 0
         new_segments: list[str] = []
         first_rewritten: str | None = None
-        for name in seg_names:
-            buckets = spark.read.parquet(os.path.join(genlog._join(root, name), "buckets"))
-            hits = buckets.join(k, "doc", "left_semi").count()
+        rewrites: list[tuple[str, DataFrame]] = []
+        for name, buckets, (_total, hits) in zip(seg_names, seg_dfs, stats):
             if hits == 0:
                 new_segments.append(name)
                 continue
-            n_erased += hits
-            gen = genlog.new_generation_name()
-            target = genlog._join(root, gen)
             # a fully-erased rewrite stays READABLE (Spark writes the
             # schema file for an empty non-partitioned frame), so the
             # segment keeps its slot — dropping it could demote a delta
             # into the geometry position
-            buckets.join(k, "doc", "left_anti").write.mode("error").parquet(
-                genlog._join(target, "buckets")
-            )
-            _write_index_meta(spark, target, *params)
+            gen = genlog.new_generation_name()
+            rewrites.append((gen, buckets.join(k, "doc", "left_anti")))
             new_segments.append(gen)
             first_rewritten = first_rewritten or gen
-        if n_erased == 0:
-            return 0
+        # hit segments rewrite to DISJOINT staged trees — independent
+        # writes, overlapped (guide §2.6); ONE pointer commit publishes
+        from etl_hiscox_spark.concurrency import run_overlapped
+
+        def _rewrite(gen: str, kept: DataFrame) -> None:
+            target = genlog._join(root, gen)
+            kept.write.mode("error").parquet(genlog._join(target, "buckets"))
+            _write_index_meta(spark, target, *params)
+
+        run_overlapped([lambda g=g, kd=kd: _rewrite(g, kd) for g, kd in rewrites])
         genlog.commit_generation(
             spark, path, first_rewritten, "erase", base_version=base,
             segments=new_segments,

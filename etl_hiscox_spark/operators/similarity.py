@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_hiscox_spark.concurrency import run_overlapped
 from etl_hiscox_spark.smalldf import local_rows_df
 
 
@@ -456,6 +457,7 @@ def write_ivf_index(
     centroids: np.ndarray | None = None,
     quantize: bool = False,
     generational: bool = True,
+    _staged: bool = False,
 ) -> np.ndarray:
     """Materialize the IVF index as a cluster-partitioned parquet table;
     returns the centroid matrix and ALSO persists it inside the index
@@ -522,7 +524,8 @@ def write_ivf_index(
         C = write_ivf_index(
             df, genlog._join(root, gen), embedding_col, id_col,
             n_clusters=n_clusters, seed=seed, train_fraction=train_fraction,
-            max_iter=max_iter, centroids=centroids, quantize=quantize, generational=False,
+            max_iter=max_iter, centroids=centroids, quantize=quantize,
+            generational=False, _staged=True,
         )
         genlog.commit_generation(
             spark, root, gen, "build", base_version=base,
@@ -550,19 +553,31 @@ def write_ivf_index(
         assigned = _with_codes(
             df.withColumn("__cluster", _nearest_centroid_col(C, F.col(embedding_col)))
         )
-        assigned = assigned.persist()
-        try:
-            bad = assigned.filter(F.col("__cluster") < 0).count()
-            if bad:
-                raise ValueError(
-                    f"write_ivf_index: {bad} embedding(s) are NULL, empty, NaN, "
-                    f"or not {C.shape[1]}-dimensional — repair or drop them "
-                    "before indexing (a written -1 partition would be "
-                    "invisible to every probe)"
-                )
-            _write_ivf_partitions(assigned, path)
-        finally:
-            assigned.unpersist(blocking=False)
+        if _staged:
+            # staged tree (generational build): the malformed gate rides
+            # the write itself via observe() — one action instead of
+            # count-then-write (r17, guide §5). Raising AFTER the write
+            # but BEFORE _write_ivf_centroids leaves a centroid-less
+            # staged tree no reader trusts and vacuum reclaims — the
+            # exact crash-mid-stage state the protocol already covers.
+            _write_observed_gate(assigned, path, "write_ivf_index", C)
+        else:
+            # flat root: the overwrite clears the LIVE index, so the gate
+            # must fire before any byte lands — bad input leaves the old
+            # index intact (the pre-r17 contract, kept)
+            assigned = assigned.persist()
+            try:
+                bad = assigned.filter(F.col("__cluster") < 0).count()
+                if bad:
+                    raise ValueError(
+                        f"write_ivf_index: {bad} embedding(s) are NULL, empty, NaN, "
+                        f"or not {C.shape[1]}-dimensional — repair or drop them "
+                        "before indexing (a written -1 partition would be "
+                        "invisible to every probe)"
+                    )
+                _write_ivf_partitions(assigned, path)
+            finally:
+                assigned.unpersist(blocking=False)
         _write_ivf_centroids(df.sparkSession, path, C, quantized=quantize)
         return C
     assigned, centroids = ivf_index(
@@ -716,6 +731,36 @@ def _read_ivf_segments(spark, paths: list[str]) -> DataFrame:
     return out
 
 
+def _segment_hit_stats(
+    seg_dfs: list[DataFrame], keys_bc: DataFrame, id_col: str
+) -> list[tuple[int, int]]:
+    """``(total_rows, erase_hits)`` for every live segment, in ONE action.
+
+    Replaces the sequential per-segment semi-join count (+ kept-empty
+    probe) the index erase paths paid — per-action latency dominates
+    multi-segment heads (r17, guide §2.6/§5). ``keys_bc`` is the
+    broadcast-hinted DISTINCT erase set, so the left join marks without
+    duplicating; committed generations are immutable, so these stats and
+    the rewrites that follow read consistent bytes by construction.
+    """
+    hit = keys_bc.withColumn("__hit", F.lit(1))
+    marked = None
+    for i, seg in enumerate(seg_dfs):
+        m = seg.select(F.col(id_col), F.lit(i).alias("__seg"))
+        marked = m if marked is None else marked.unionByName(m)
+    rows = (
+        marked.join(hit, id_col, "left")
+        .groupBy("__seg")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("hits"),
+        )
+        .collect()
+    )
+    by_seg = {r["__seg"]: (r["total"], r["hits"]) for r in rows}
+    return [by_seg.get(i, (0, 0)) for i in range(len(seg_dfs))]
+
+
 def _assign_to_centroids(
     df: DataFrame, C: np.ndarray, quantized: bool, embedding_col: str
 ) -> DataFrame:
@@ -732,6 +777,35 @@ def _assign_to_centroids(
         codes, scale = quantize_int8(F.col(embedding_col))
         assigned = assigned.withColumn("__codes", codes).withColumn("__qscale", scale)
     return assigned
+
+
+def _write_observed_gate(
+    assigned: DataFrame, target: str, op: str, C: np.ndarray
+) -> None:
+    """Write a STAGED cluster tree with the malformed-row gate riding the
+    write action itself (``observe`` — one pass, one action) instead of a
+    count-then-write over a persisted frame (r17, guide §5: per-action
+    latency dominated the lifecycle ops). Only for staged targets: a bad
+    batch raises AFTER partitions land but BEFORE the ``_centroids``
+    commit record, leaving exactly the crash-mid-stage state the
+    generational protocol already rejects loudly and vacuums."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    _write_ivf_partitions(
+        assigned.observe(
+            obs, F.sum((F.col("__cluster") < 0).cast("long")).alias("bad")
+        ),
+        target,
+    )
+    bad = obs.get["bad"] or 0
+    if bad:
+        raise ValueError(
+            f"{op}: {bad} embedding(s) are NULL, empty, NaN, or not "
+            f"{C.shape[1]}-dimensional — repair or drop them before "
+            "indexing (a written -1 partition would be invisible to "
+            "every probe)"
+        )
 
 
 def _reject_malformed_assignments(assigned: DataFrame, C: np.ndarray) -> None:
@@ -766,13 +840,12 @@ def _stage_ivf_delta(
     spark = df.sparkSession
     C = load_ivf_centroids(spark, geom_seg, resolved=True)
     quantized = ivf_index_is_quantized(spark, geom_seg, resolved=True)
-    assigned = _assign_to_centroids(df, C, quantized, embedding_col).persist()
-    try:
-        _reject_malformed_assignments(assigned, C)
-        _write_ivf_partitions(assigned, target)
-        _write_ivf_centroids(spark, target, C, quantized=quantized)
-    finally:
-        assigned.unpersist(blocking=False)
+    assigned = _assign_to_centroids(df, C, quantized, embedding_col)
+    # delta targets are always staged trees: the malformed gate rides the
+    # write (observe, one action) — a bad batch leaves a centroid-less
+    # stage no reader trusts, same as a crash mid-stage (r17)
+    _write_observed_gate(assigned, target, "append_to_ivf_index", C)
+    _write_ivf_centroids(spark, target, C, quantized=quantized)
 
 
 def append_to_ivf_index(
@@ -1090,32 +1163,48 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
         # is written so the geometry record survives (pre-r13 behavior
         # for a fully-erased index).
         k = F.broadcast(keys.select(F.col(id_col)).distinct())
-        n_erased = 0
-        new_segments: list[str] = []
+        # ONE stats action for every segment instead of a sequential
+        # hits-count (+ kept-empty check) per segment (r17, guide §2.6 /
+        # §5: the per-action latency dominated multi-segment erases —
+        # committed generations are immutable, so the stats and the
+        # rewrites below read consistent bytes by construction)
+        seg_dfs = [
+            spark.read.parquet(genlog._join(root, name)) for name in seg_names
+        ]
+        schema = seg_dfs[0].schema
+        stats = _segment_hit_stats(seg_dfs, k, id_col)
+        n_erased = sum(h for _t, h in stats)
+        if n_erased == 0:
+            return 0
+        new_segments = []
         first_rewritten: str | None = None
-        schema = None
-        for name in seg_names:
-            idx_seg = spark.read.parquet(genlog._join(root, name))
-            schema = schema or idx_seg.schema
-            hits = idx_seg.join(k, id_col, "left_semi").count()
+        rewrites: list[tuple[str, "DataFrame"]] = []
+        for name, seg, (total, hits) in zip(seg_names, seg_dfs, stats):
             if hits == 0:
                 new_segments.append(name)
                 continue
-            n_erased += hits
-            kept = idx_seg.join(k, id_col, "left_anti").persist()
-            try:
-                if kept.limit(1).count() == 0:
-                    continue  # fully-erased segment: drops out of the list
-                gen = genlog.new_generation_name()
-                target = genlog._join(root, gen)
-                _write_ivf_partitions(kept, target)
-                _write_ivf_centroids(spark, target, C, quantized=quantized)
-                new_segments.append(gen)
-                first_rewritten = first_rewritten or gen
-            finally:
-                kept.unpersist(blocking=False)
-        if n_erased == 0:
-            return 0
+            if total == hits:
+                continue  # fully-erased segment: drops out of the list
+            gen = genlog.new_generation_name()
+            rewrites.append((gen, seg.join(k, id_col, "left_anti")))
+            new_segments.append(gen)
+            first_rewritten = first_rewritten or gen
+        # hit segments rewrite to DISJOINT staged trees — independent
+        # writes, overlapped from a small pool (guide §2.6); the single
+        # pointer commit below is what publishes them, in order
+        run_overlapped(
+            [
+                (
+                    lambda g=gen, kd=kept_df: (
+                        _write_ivf_partitions(kd, genlog._join(root, g)),
+                        _write_ivf_centroids(
+                            spark, genlog._join(root, g), C, quantized=quantized
+                        ),
+                    )
+                )
+                for gen, kept_df in rewrites
+            ]
+        )
         if not new_segments:
             # fully-erased index: a centroids-only tree is UNREADABLE
             # (review — probes/erases crash on schema inference and the

@@ -2181,3 +2181,51 @@ def test_recover_staged_rebuild_ivf_layout(spark, tmp_path):
     assert [r["vec_id"] for r in got.collect()] == [
         r["vec_id"] for r in want.collect()
     ]
+
+
+def test_segment_hit_stats_one_action(spark):
+    """(total, hits) per segment from the single-action stats pass must
+    match per-segment brute force, including zero-hit, fully-hit and
+    EMPTY segments (r17: the erase paths' sequential per-segment counts
+    were folded into one action)."""
+    from pyspark.sql import functions as F
+
+    from etl_hiscox_spark.operators.similarity import _segment_hit_stats
+
+    seg_a = spark.createDataFrame([(1,), (2,), (3,)], "doc long")
+    seg_b = spark.createDataFrame([(4,), (5,)], "doc long")   # zero hits
+    seg_c = spark.createDataFrame([(6,), (7,)], "doc long")   # fully hit
+    seg_d = spark.createDataFrame([], "doc long")             # empty
+    keys = F.broadcast(
+        spark.createDataFrame([(1,), (6,), (7,), (99,)], "doc long").distinct()
+    )
+    stats = _segment_hit_stats([seg_a, seg_b, seg_c, seg_d], keys, "doc")
+    assert stats == [(3, 1), (2, 0), (2, 2), (0, 0)]
+
+
+def test_staged_build_observed_gate_leaves_centroidless_stage(spark, tmp_path):
+    """A GENERATIONAL build over malformed embeddings must still raise the
+    loud malformed error (the r17 observe-merged gate), commit NOTHING,
+    and leave any staged debris centroid-less so every reader rejects it."""
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_hiscox_spark.operators.similarity import write_ivf_index
+    from etl_hiscox_spark.sources import genlog
+
+    C = np.eye(4)
+    bad = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, None), (2, [1.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf_gen_bad")
+    with _pytest.raises(ValueError, match="NULL, empty, NaN"):
+        write_ivf_index(bad, path, "embedding", "vec_id", centroids=C, generational=True)
+    # no pointer committed: the root has no live generation
+    assert genlog.latest_pointer_version(spark, genlog.resolve_root(spark, path)) is None
+    # staged debris (if any) is centroid-less => loudly rejected by readers
+    import os as _os
+
+    for entry in _os.listdir(path) if _os.path.isdir(path) else []:
+        if entry.startswith("gen-"):
+            assert not _os.path.exists(_os.path.join(path, entry, "_centroids"))
