@@ -60,6 +60,16 @@ from pyspark.sql import types as T
 _LOG = logging.getLogger("etl_hiscox_spark.txnlog")
 
 
+def _is_missing_path_error(exc: BaseException) -> bool:
+    """True when a Spark read failed because a planned input file is gone
+    — the signature of racing an in-place manifest repoint (erase_keys)
+    or a retention sweep, as opposed to a schema/IO fault. Matched on the
+    stable error class/SQLSTATE Spark raises from both the multi-path
+    analysis and the per-file fallback."""
+    s = str(exc)
+    return "PATH_NOT_FOUND" in s or "Path does not exist" in s
+
+
 class ManifestRetired(FileNotFoundError):
     """A manifest name whose content is a retention TOMBSTONE (r16: expiry
     tombstones retired names instead of deleting them). Subclasses
@@ -825,8 +835,10 @@ class TxnTable:
                 if last is not None and txn_version <= last:
                     return None
             committed_schema = schema_json
+            inherited: list[str] = []
             if mode == "append" and prev is not None:
                 old = self._read_manifest(prev)
+                inherited = list(old["files"])
                 files = old["files"] + new_files
                 # the committed schema is the MERGE of the table's current
                 # schema and this write's (prev fields first, new fields
@@ -851,15 +863,69 @@ class TxnTable:
                 manifest["txn"] = {str(k): int(v) for k, v in txn.items()}
             try:
                 self._commit(version, manifest)
-                return version
             except FileExistsError as exc:
                 last_err = exc
                 continue
+            if mode == "append" and prev is not None:
+                self._sync_inherited_files(version, prev, inherited)
+            return version
         raise RuntimeError(
             f"txn commit lost the version race {max_commit_attempts} times "
             f"at {self.path!r} — a pathologically hot table; raise "
             "max_commit_attempts or serialize the writers"
         ) from last_err
+
+    def _sync_inherited_files(
+        self, version: int, prev: int, inherited: list[str]
+    ) -> None:
+        """Post-commit repair of the append-vs-erase repoint race (r17).
+
+        An append's file list is (parent manifest's files) + (this batch),
+        read BEFORE the create-if-absent link. ``erase_keys`` REPLACES
+        manifests in place, so an erase that repoints the parent between
+        that read and our link leaves the fresh version referencing
+        pre-erase files the erase deletes last — a permanently unreadable
+        version (and, pre-delete, un-erased subject rows at this
+        version). Re-read the parent AFTER the link: while our manifest
+        still carries an inherited entry the parent no longer lists
+        (only erase repoints in place, so divergence proves an erase),
+        republish our manifest as (parent's current files) + (our entries
+        that were never inherited — the batch, or erase-replaced names an
+        erase's own recheck already mapped). Terminates when a fresh read
+        of both manifests agrees; erase's pre-delete repoint-until-clean
+        pass covers the interleavings where our last write lands before
+        its scan. Parent expired mid-sync: prefix-only retention — newer
+        manifests carry the cumulative list forward, nothing to sync.
+        """
+        inherited_set = set(inherited)
+        for _ in range(10):
+            cur = self._read_manifest_tolerant(prev, "append file sync")
+            if cur is None:
+                return
+            cur_files = list(cur["files"])
+            mine = self._read_manifest_tolerant(version, "append file sync")
+            if mine is None:
+                return
+            stale = [
+                f
+                for f in mine["files"]
+                if f in inherited_set and f not in set(cur_files)
+            ]
+            if not stale:
+                return
+            seen = set(cur_files)
+            extras = [
+                f
+                for f in mine["files"]
+                if f not in inherited_set and f not in seen
+            ]
+            mine["files"] = cur_files + extras
+            self._replace_manifest(version, mine)
+        raise RuntimeError(
+            f"append file sync at {self.path!r}: v{version}'s inherited "
+            f"file list kept diverging from v{prev} after 10 repair passes "
+            "— quiesce the erase stream and re-run"
+        )
 
     def compact(self, target_file_mb: int = 256) -> int | None:
         """Manifest-aware small-file compaction — Delta's ``OPTIMIZE``
@@ -1112,6 +1178,31 @@ class TxnTable:
         # read is the hot path the checkpoint exists for (r13)
         if v is None or not self._manifest_exists(v):
             raise FileNotFoundError(f"no committed version {version!r} at {self.path}")
+        # the documented reader contract of _replace_manifest ("a
+        # concurrent read of THIS version fails loudly and retries"),
+        # made real (r17): a manifest read moments before an erase_keys
+        # repoint lists pre-erase files the erase deletes last, so the
+        # scan analysis throws PATH_NOT_FOUND. Re-resolving the manifest
+        # picks up the repointed list; after bounded retries the state is
+        # genuinely corrupt (or retention swept the version mid-read) and
+        # the loud RuntimeError is the documented re-run signal.
+        last: Exception | None = None
+        for delay in (0.0, 0.05, 0.15, 0.45):
+            if delay:
+                time.sleep(delay)
+            try:
+                return self._read_version(v)
+            except Exception as exc:  # noqa: BLE001 — classified below
+                if not _is_missing_path_error(exc):
+                    raise
+                last = exc
+        raise RuntimeError(
+            f"read at {self.path!r}: version {v} references data file(s) "
+            "deleted mid-read — a concurrent erase_keys repoint or "
+            "retention sweep raced this read; re-run"
+        ) from last
+
+    def _read_version(self, v: int) -> DataFrame:
         m = self._read_manifest(v)
         paths = ["/".join([self.path.rstrip("/"), f]) for f in m["files"]]
         schema = T.StructType.fromJson(json.loads(m["schema"]))
@@ -1431,16 +1522,39 @@ class TxnTable:
                     F.col(key_col).isNull() | ~F.col(key_col).isin(keys)
                 )
             replacement[rel] = self._write_batch(kept, "erase")
-        for v in versions:
-            # fresh tolerant read: a version expired since the scan no
-            # longer exists to repoint — skipping it is exactly the state
-            # a later erase would see (its files go to vacuum unreferenced)
-            m = self._read_manifest_tolerant(v, "erase_keys")
-            if m is None or not any(f in replacement for f in m["files"]):
-                continue
-            m["files"] = [nf for f in m["files"] for nf in replacement.get(f, [f])]
-            m["erased_at"] = time.time()
-            self._replace_manifest(v, m)
+        # Repoint-until-clean, then delete (r17): the single repoint pass
+        # over the scan-time version list left a window where an append
+        # that read its parent manifest BEFORE this erase repointed it
+        # committed AFTER the scan — publishing a manifest that references
+        # replaced files this erase is about to delete, i.e. a permanently
+        # unreadable version. Each pass re-LISTS versions and repoints any
+        # manifest (tolerant read: expired-mid-pass versions no longer
+        # need erasure) still referencing a replaced file; the loop exits
+        # only after a FULL pass finds none. The append side's post-commit
+        # _sync_inherited_files covers the mirror interleaving (its last
+        # manifest write either lands before a pass here — which then
+        # sees and repoints it — or after it re-read the repointed
+        # parent, in which case it published the clean list).
+        for _attempt in range(10):
+            dirty = False
+            for v in self._versions():
+                m = self._read_manifest_tolerant(v, "erase_keys")
+                if m is None or not any(f in replacement for f in m["files"]):
+                    continue
+                m["files"] = [
+                    nf for f in m["files"] for nf in replacement.get(f, [f])
+                ]
+                m["erased_at"] = time.time()
+                self._replace_manifest(v, m)
+                dirty = True
+            if not dirty:
+                break
+        else:
+            raise RuntimeError(
+                f"erase_keys at {self.path!r}: manifests kept re-referencing "
+                "replaced files after 10 repoint passes — a pathologically "
+                "hot append stream; quiesce writers and re-run"
+            )
         for rel in replacement:
             self._delete_data_file(rel)
         return len(replacement)

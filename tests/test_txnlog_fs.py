@@ -798,3 +798,91 @@ def test_expire_finishes_half_retired_manifests(spark, tmp_path, monkeypatch):
         t._read_manifest(0)
     log_names = set(os.listdir(log_dir))
     assert "v0.json" not in log_names and "v0.retired" not in log_names
+
+
+def test_erase_recheck_repoints_append_committed_after_scan(
+    spark, tmp_path, monkeypatch
+):
+    """Append-vs-erase repoint race, erase half (r17): an append that
+    commits AFTER erase_keys' version scan but BEFORE its deletes used to
+    publish a manifest referencing replaced files — permanently
+    unreadable once the originals were deleted. The repoint-until-clean
+    recheck must pick it up."""
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = str(tmp_path / "tbl")
+    t = TxnTable(spark, root)
+    t.write(_events(spark, 0, 20))  # v0: contains subjects 3 and 7
+
+    racer = TxnTable(spark, root)
+    staged = racer._write_batch(_events(spark, 100, 110), "batch")
+    injected = {}
+    real_replace = TxnTable._replace_manifest
+
+    def inject_then_replace(self, version, manifest):
+        if not injected:
+            injected["v"] = 1
+            old = json.loads(
+                open(os.path.join(racer.log_dir, "v0.json")).read()
+            )
+            # the racing append read v0 BEFORE the repoint: stale list
+            racer._commit(
+                1,
+                {
+                    "version": 1,
+                    "mode": "append",
+                    "files": old["files"] + staged,
+                    "schema": old["schema"],
+                    "committed_at": 0.0,
+                    "n_added": len(staged),
+                },
+            )
+        return real_replace(self, version, manifest)
+
+    monkeypatch.setattr(TxnTable, "_replace_manifest", inject_then_replace)
+    n = t.erase_keys("event_id", [3, 7])
+    monkeypatch.setattr(TxnTable, "_replace_manifest", real_replace)
+    assert n >= 1 and injected
+    # the racing v1 must be readable (no deleted-file references) and
+    # hold the erased v0 rows plus its own batch
+    got = t.read(1)
+    assert got.count() == 18 + 10
+    ids = {r["event_id"] for r in got.select("event_id").collect()}
+    assert 3 not in ids and 7 not in ids
+    assert t.read(0).count() == 18
+
+
+def test_append_syncs_inherited_files_after_racing_erase(
+    spark, tmp_path, monkeypatch
+):
+    """Append-vs-erase repoint race, append half (r17): an append whose
+    parent-manifest read predates an erase repoint, and whose commit
+    lands after the erase's last recheck, must repair its own inherited
+    file list post-link (the stress-test PATH_NOT_FOUND shape)."""
+    from etl_hiscox_spark.sources import commitio
+    from etl_hiscox_spark.sources.txnlog import TxnTable
+
+    root = str(tmp_path / "tbl")
+    t = TxnTable(spark, root)
+    t.write(_events(spark, 0, 20))  # v0: contains subjects 3 and 7
+
+    eraser = TxnTable(spark, root)
+    fired = {}
+    real_commit_if_absent = commitio.commit_if_absent
+
+    def erase_then_link(spark_, uri, raw):
+        if not fired:
+            fired["v"] = 1
+            # the erase runs fully (scan, rewrite, repoint, recheck,
+            # delete) between the append's parent read and its link
+            eraser.erase_keys("event_id", [3, 7])
+        return real_commit_if_absent(spark_, uri, raw)
+
+    monkeypatch.setattr(commitio, "commit_if_absent", erase_then_link)
+    v1 = t.write(_events(spark, 100, 110), mode="append")
+    monkeypatch.setattr(commitio, "commit_if_absent", real_commit_if_absent)
+    assert v1 == 1 and fired
+    got = t.read(v1)
+    assert got.count() == 18 + 10
+    ids = {r["event_id"] for r in got.select("event_id").collect()}
+    assert 3 not in ids and 7 not in ids
