@@ -274,54 +274,52 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
-    Relational formulation: |A∩B| = count of matching (pair, shingle-hash)
-    join rows; |A∪B| = |A| + |B| - |A∩B|. All equi-joins + groupBys —
-    codegen'd end-to-end, and intersection work is proportional to actual
-    shingle matches, not |pairs| × |shingles|. Joining on the 64-bit
-    shingle hash instead of the string keeps the shuffled payload at
-    8 bytes/row (collision error ~2^-64 — see
-    :func:`exploded_shingle_hashes`).
+    Set formulation (r17, guide §2.4/§3): aggregate each doc's distinct
+    shingle hashes into ONE array row (``collect_set`` — dedup for free,
+    so a raw stream works as input), join the a-side and b-side arrays
+    onto the pairs, and compute |A∩B| with ``array_intersect`` /
+    |A∪B| = |A| + |B| − |A∩B| inline. This replaces the count-join
+    formulation (distinct stem + per-doc count agg + a big-big
+    (id, shingle) intersection join + three count re-joins) with one
+    aggregation and two equi-joins — ~7 Exchanges → ~3 on the confirmed-
+    pairs plan, and the per-pair work is O(|A| + |B|) hash-set arithmetic
+    instead of a shuffled join row per matching shingle. Joining on the
+    64-bit shingle hash instead of the string keeps the per-doc payload
+    at 8 bytes/element (collision error ~2^-64 — see
+    :func:`exploded_shingle_hashes`). Scores are bit-identical to the
+    count-join form (same integer operands, same division).
     """
-    # The shingle table feeds three plan branches (a-side, b-side, counts);
+    # The per-doc set table feeds two plan branches (a-side, b-side);
     # cache it lazily so the first action computes it once and the other
-    # branches reuse it. (Not an eager localCheckpoint: that would run a
+    # branch reuses it. (Not an eager localCheckpoint: that would run a
     # Spark job at DataFrame-CONSTRUCTION time — surprising for callers
     # that only .explain() — and truncate lineage, losing fault tolerance.)
     # Lifecycle (ADVICE r8): the persisted stem is attached to the returned
     # frame — materialize, then ``caching.release_caches(result)`` (or use
     # the ``owned_caches`` context manager) to free the blocks.
-    owns_stem = _shingle_hashes is None
-    sh = (
+    src = (
         _shingle_hashes
         if _shingle_hashes is not None
-        else exploded_shingle_hashes(df, text_col, id_col, shingle_k).persist()
+        else _raw_shingle_hash_stream(df, text_col, id_col, shingle_k)
     )
-    counts = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("__n"))
-    a_sh = sh.select(F.col("doc").alias("id_a"), F.col("h").alias("__s"))
-    b_sh = sh.select(F.col("doc").alias("id_b"), F.col("h").alias("__s"))
-    inter = (
-        pairs.join(a_sh, "id_a")
-        .join(b_sh, ["id_b", "__s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__int"))
-    )
-    na = counts.select(F.col("doc").alias("id_a"), F.col("__n").alias("__na"))
-    nb = counts.select(F.col("doc").alias("id_b"), F.col("__n").alias("__nb"))
+    sets = src.groupBy("doc").agg(F.collect_set("h").alias("__s")).persist()
+    sa = sets.select(F.col("doc").alias("id_a"), F.col("__s").alias("__sa"))
+    sb = sets.select(F.col("doc").alias("id_b"), F.col("__s").alias("__sb"))
+    n_int = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
     out = (
-        pairs.join(na, "id_a")
-        .join(nb, "id_b")
-        .join(inter, ["id_a", "id_b"], "left")
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.coalesce(F.col("__int"), F.lit(0)).cast("double")
-                / (F.col("__na") + F.col("__nb") - F.coalesce(F.col("__int"), F.lit(0)))
+                n_int.cast("double")
+                / (F.size("__sa") + F.size("__sb") - n_int)
             ).alias("jaccard"),
         )
     )
     out = out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
-    return attach_owned_caches(out, [sh] if owns_stem else [])
+    return attach_owned_caches(out, [sets])
 
 
 def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
@@ -356,12 +354,12 @@ def _confirmed_minhash_pairs(
     is duplicate-proof), so the first shuffle in the whole pipeline is the
     |docs| × num_hashes map-side-combined signature agg. The Jaccard
     branch is the only consumer that needs distinct shingle SETS, and only
-    for docs that survived banding — so the distinct runs after a
+    for docs that survived banding — so the set aggregation runs after a
     broadcast semi-join against the candidate ids: its shuffle is sized by
-    near-duplicate volume, not corpus volume. Candidates and the
-    candidate-doc shingle table are materialized eagerly (they each feed
-    2-3 plan branches); ``checkpoint_dir`` switches that from
-    executor-local to reliable storage for real clusters.
+    near-duplicate volume, not corpus volume. Candidates are materialized
+    eagerly (they feed 2-3 plan branches; ``checkpoint_dir`` switches that
+    from executor-local to reliable storage for real clusters); the
+    per-doc set table persists inside :func:`jaccard_pairs`.
     """
     raw = _raw_shingle_hash_stream(df, text_col, id_col, shingle_k)
     cands = _materialize(
@@ -386,12 +384,18 @@ def _confirmed_minhash_pairs(
     cand_docs = df.join(
         pair_docs.withColumnRenamed("doc", id_col), on=id_col, how="left_semi"
     )
-    sh_cand = _materialize(
-        _raw_shingle_hash_stream(cand_docs, text_col, id_col, shingle_k).distinct(),
-        checkpoint_dir,
-    )
+    # No separate distinct + materialize of the candidate-doc stream:
+    # jaccard_pairs' collect_set aggregation dedups for free and persists
+    # the per-doc set table itself (one exchange instead of distinct +
+    # checkpoint + count-agg — r17).
     return jaccard_pairs(
-        df, cands, text_col, id_col, shingle_k, threshold, _shingle_hashes=sh_cand
+        df,
+        cands,
+        text_col,
+        id_col,
+        shingle_k,
+        threshold,
+        _shingle_hashes=_raw_shingle_hash_stream(cand_docs, text_col, id_col, shingle_k),
     )
 
 
