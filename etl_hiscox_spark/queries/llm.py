@@ -31,6 +31,7 @@ from etl_hiscox_spark.operators.dedup import (
     near_dedup_minhash,
     simhash_candidates,
 )
+from etl_hiscox_spark.concurrency import run_overlapped
 from etl_hiscox_spark.operators.similarity import cosine_topk
 from etl_hiscox_spark.queries import QUERIES, register
 from etl_hiscox_spark.registry import load_table
@@ -248,6 +249,24 @@ def _parquet_content_checksum(
         F.sum(F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")).alias("h"),
     ).first()
     return (row["n"], row["h"])
+
+
+def _qvec_and(emb: DataFrame, first_op):
+    """(query vector, op result): the pinned query-vector fetch is a
+    BASE-TABLE read, independent of the first index-store op every IVF
+    lifecycle query runs right after it — overlap the two actions (r17,
+    guide §2.6) instead of paying their latencies back-to-back."""
+    return run_overlapped(
+        [
+            lambda: [
+                float(x)
+                for x in emb.filter(F.col("vec_id") == 0)
+                .select("embedding")
+                .first()[0]
+            ],
+            first_op,
+        ]
+    )
 
 
 def _parquet_file_count(path: str, exclude: str | None = None) -> int:
@@ -536,9 +555,13 @@ def l2_lsh_gen_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_minhash_index(
         old, "text", "doc_id", root, num_hashes=24, num_bands=6, generational=True
     )
-    compact_minhash_index(spark, root)
     erase = old.filter(F.col("doc_id") % 10 == 6).select("doc_id")
-    expected = erase.count() * 6  # num_bands rows per indexed doc
+    # the erase-predicate count reads the base table only — overlap it
+    # with the compact (r17, guide §2.6)
+    n_erase_docs, _ = run_overlapped(
+        [erase.count, lambda: compact_minhash_index(spark, root)]
+    )
+    expected = n_erase_docs * 6  # num_bands rows per indexed doc
     n_erased = erase_from_minhash_index(spark, root, erase, "doc_id")
     if n_erased != expected:
         raise ValueError(
@@ -882,12 +905,14 @@ def l3_ivf_quantized_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_hiscox_spark.queries.writes import _scratch
 
     emb = load_table(spark, "embeddings", sf_dir)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     path = _os.path.join(_scratch("l3_ivf_quant", sf_dir), "ivf_index")
-    write_ivf_index(
-        emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
-        centroids=random_hyperplanes(dim=64, n_planes=16, seed=42),
-        quantize=True, generational=False,
+    qvec, _ = _qvec_and(
+        emb,
+        lambda: write_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
+            centroids=random_hyperplanes(dim=64, n_planes=16, seed=42),
+            quantize=True, generational=False,
+        ),
     )
     append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path, "embedding", "vec_id")
     out = ivf_probe_topk_quantized(
@@ -1969,9 +1994,13 @@ def l3_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_hiscox_spark.queries.writes import _scratch
 
     emb = load_table(spark, "embeddings", sf_dir)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     path = os.path.join(_scratch("l3_ivf", sf_dir), "ivf_index")
-    centroids = write_ivf_index(emb, path, "embedding", "vec_id", n_clusters=16, seed=42, generational=False)
+    qvec, centroids = _qvec_and(
+        emb,
+        lambda: write_ivf_index(
+            emb, path, "embedding", "vec_id", n_clusters=16, seed=42, generational=False
+        ),
+    )
     out = ivf_probe_topk(
         spark, path, centroids, "embedding", "vec_id", qvec, k=10, n_probe=8
     )
@@ -2002,14 +2031,16 @@ def l3_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_hiscox_spark.queries.writes import _scratch
 
     emb = load_table(spark, "embeddings", sf_dir)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     path = os.path.join(_scratch("l3_ivf_append", sf_dir), "ivf_index")
     # max_iter=4: THIS query's output is centroid-independent (full
     # probe), so the k-means fit is capped — l3_ivf_probe_topk, whose
     # pruned output does depend on centroid placement, keeps the default
-    write_ivf_index(
-        emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
-        n_clusters=16, seed=42, max_iter=4, generational=False,
+    qvec, _ = _qvec_and(
+        emb,
+        lambda: write_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
+            n_clusters=16, seed=42, max_iter=4, generational=False,
+        ),
     )
     append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path, "embedding", "vec_id")
     out = ivf_probe_topk(
@@ -2044,13 +2075,15 @@ def l3_ivf_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_hiscox_spark.queries.writes import _scratch
 
     emb = load_table(spark, "embeddings", sf_dir)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     path = _os.path.join(_scratch("l3_ivf_compact", sf_dir), "ivf_index")
     # explicit pinned geometry: output is centroid-independent (full
     # probe) — see l3_ivf_append_probe
-    write_ivf_index(
-        emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
-        centroids=random_hyperplanes(dim=64, n_planes=16, seed=42), generational=False,
+    qvec, _ = _qvec_and(
+        emb,
+        lambda: write_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
+            centroids=random_hyperplanes(dim=64, n_planes=16, seed=42), generational=False,
+        ),
     )
     append_to_ivf_index(emb.filter(F.col("vec_id") % 4 == 1), path, "embedding", "vec_id")
     append_to_ivf_index(emb.filter(F.col("vec_id") % 4 == 3), path, "embedding", "vec_id")
@@ -2104,13 +2137,15 @@ def l3_ivf_erase_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_hiscox_spark.queries.writes import _scratch
 
     emb = load_table(spark, "embeddings", sf_dir)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     path = _os.path.join(_scratch("l3_ivf_erase", sf_dir), "ivf_index")
     # explicit pinned geometry: output is centroid-independent (full
     # probe) — see l3_ivf_append_probe
-    write_ivf_index(
-        emb, path, "embedding", "vec_id",
-        centroids=random_hyperplanes(dim=64, n_planes=16, seed=42), generational=False,
+    qvec, _ = _qvec_and(
+        emb,
+        lambda: write_ivf_index(
+            emb, path, "embedding", "vec_id",
+            centroids=random_hyperplanes(dim=64, n_planes=16, seed=42), generational=False,
+        ),
     )
     erase = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id")
     expected = erase.count()
@@ -2162,14 +2197,16 @@ def l3_ivf_full_erase_recovery_probe(spark: SparkSession, sf_dir: str) -> DataFr
     from etl_hiscox_spark.sources import genlog
 
     emb = load_table(spark, "embeddings", sf_dir)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     path = _os.path.join(_scratch("l3_ivf_full_erase", sf_dir), "ivf_index")
     # explicit pinned geometry: output is centroid-independent (full
     # probe) — see l3_ivf_append_probe
     evens = emb.filter(F.col("vec_id") % 2 == 0)
-    write_ivf_index(
-        evens, path, "embedding", "vec_id",
-        centroids=random_hyperplanes(dim=64, n_planes=16, seed=42),
+    qvec, _ = _qvec_and(
+        emb,
+        lambda: write_ivf_index(
+            evens, path, "embedding", "vec_id",
+            centroids=random_hyperplanes(dim=64, n_planes=16, seed=42),
+        ),
     )
     if not genlog.is_generational(spark, path):
         raise ValueError("a bare build must produce the generational layout (r13)")
@@ -2315,12 +2352,14 @@ def l3_ivf_rebuild_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_hiscox_spark.queries.writes import _scratch
 
     emb = load_table(spark, "embeddings", sf_dir)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     path = _os.path.join(_scratch("l3_ivf_rebuild", sf_dir), "ivf_index")
     planes = random_hyperplanes(dim=64, n_planes=16, seed=42)
-    write_ivf_index(
-        emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
-        centroids=planes, generational=False,
+    qvec, _ = _qvec_and(
+        emb,
+        lambda: write_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
+            centroids=planes, generational=False,
+        ),
     )
     append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path, "embedding", "vec_id")
 
@@ -2379,19 +2418,31 @@ def l3_ivf_gen_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_hiscox_spark.sources.genlog import list_generations, vacuum_generations
 
     emb = load_table(spark, "embeddings", sf_dir)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     root = "file://" + _os.path.join(_scratch("l3_ivf_gen", sf_dir), "ivf_index")
     # explicit pinned geometry: output is centroid-independent (full
-    # probe) — see l3_ivf_append_probe
-    write_ivf_index(
-        emb.filter(F.col("vec_id") % 2 == 0), root, "embedding", "vec_id",
-        centroids=random_hyperplanes(dim=64, n_planes=16, seed=42),
-        quantize=True, generational=True,
+    # probe) — see l3_ivf_append_probe. The query-vector fetch only reads
+    # the base table, so it overlaps the build (r17, guide §2.6); the
+    # erase-predicate count likewise overlaps the compact.
+    qvec, _ = run_overlapped(
+        [
+            lambda: [
+                float(x)
+                for x in emb.filter(F.col("vec_id") == 0)
+                .select("embedding")
+                .first()[0]
+            ],
+            lambda: write_ivf_index(
+                emb.filter(F.col("vec_id") % 2 == 0), root, "embedding", "vec_id",
+                centroids=random_hyperplanes(dim=64, n_planes=16, seed=42),
+                quantize=True, generational=True,
+            ),
+        ]
     )
     append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), root, "embedding", "vec_id")
-    compact_ivf_index(spark, root)
     erase = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id")
-    expected = erase.count()
+    expected, _ = run_overlapped(
+        [erase.count, lambda: compact_ivf_index(spark, root)]
+    )
     n_erased = erase_from_ivf_index(spark, root, erase, "vec_id")
     if n_erased != expected:
         raise ValueError(
@@ -2409,10 +2460,15 @@ def l3_ivf_gen_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_probe_topk(
         spark, root, None, "embedding", "vec_id", qvec, k=10, n_probe=16
     )
-    top_q = ivf_probe_topk_quantized(
-        spark, root, "embedding", "vec_id", qvec, k=1, n_probe=16
-    ).first()
-    top_f = out.first()
+    # both probes read the final vacuumed head — independent, overlapped
+    top_q, top_f = run_overlapped(
+        [
+            lambda: ivf_probe_topk_quantized(
+                spark, root, "embedding", "vec_id", qvec, k=1, n_probe=16
+            ).first(),
+            out.first,
+        ]
+    )
     if top_q is None or top_q["vec_id"] != top_f["vec_id"]:
         raise ValueError(
             f"codes-only probe disagrees with the float probe after the "
@@ -2454,12 +2510,14 @@ def l3_ivf_delta_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_hiscox_spark.sources import genlog
 
     emb = load_table(spark, "embeddings", sf_dir)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     root = "file://" + _os.path.join(_scratch("l3_ivf_delta", sf_dir), "ivf_index")
-    write_ivf_index(
-        emb.filter(F.col("vec_id") % 2 == 0), root, "embedding", "vec_id",
-        centroids=random_hyperplanes(dim=64, n_planes=16, seed=42),
-        quantize=True, generational=True,
+    qvec, _ = _qvec_and(
+        emb,
+        lambda: write_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), root, "embedding", "vec_id",
+            centroids=random_hyperplanes(dim=64, n_planes=16, seed=42),
+            quantize=True, generational=True,
+        ),
     )
     append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), root, "embedding", "vec_id")
 
@@ -2471,28 +2529,47 @@ def l3_ivf_delta_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(f"expected a two-segment head, got {len(segs)}")
 
     def _segments_checksum() -> tuple:
-        n = h = 0
-        for seg in genlog.live_index_paths(spark, root):
-            sn, sh = _parquet_content_checksum(spark, seg)
-            n, h = n + sn, h + (sh or 0)
-        return (n, h)
+        # ONE action over the segment union instead of one per segment
+        # (r17): count and the decimal hash-sum are distributive, so the
+        # union checksum equals the summed per-segment checksums — a
+        # two-segment head pays one job, not two. (Union via
+        # _read_ivf_segments: each gen-* is its own partition tree, so a
+        # single multi-root read is refused by Spark.)
+        from etl_hiscox_spark.operators.similarity import _read_ivf_segments
 
-    top_q = ivf_probe_topk_quantized(
-        spark, root, "embedding", "vec_id", qvec, k=1, n_probe=16
-    ).first()
-    sig_before = _segments_checksum()
+        segs = genlog.live_index_paths(spark, root)
+        d = _read_ivf_segments(spark, segs)
+        cols = sorted(d.columns)
+        row = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"] or 0)
+
+    # the codes-only probe and the content checksum both READ the same
+    # two-segment head — independent actions, overlapped (r17, guide §2.6)
+    top_q, sig_before = run_overlapped(
+        [
+            lambda: ivf_probe_topk_quantized(
+                spark, root, "embedding", "vec_id", qvec, k=1, n_probe=16
+            ).first(),
+            _segments_checksum,
+        ]
+    )
     compact_ivf_index(spark, root)
     if len(genlog.live_index_paths(spark, root)) != 1:
         raise ValueError("compact must merge the segments into ONE generation")
-    sig_after = _segments_checksum()
+    out = ivf_probe_topk(
+        spark, root, None, "embedding", "vec_id", qvec, k=10, n_probe=16
+    )
+    # post-compact checksum and the float probe both read the merged head
+    sig_after, top_f = run_overlapped([_segments_checksum, out.first])
     if sig_after != sig_before:
         raise ValueError(
             f"segment merge changed index content: {sig_before} -> {sig_after}"
         )
-    out = ivf_probe_topk(
-        spark, root, None, "embedding", "vec_id", qvec, k=10, n_probe=16
-    )
-    top_f = out.first()
     if top_q is None or top_q["vec_id"] != top_f["vec_id"]:
         raise ValueError(
             f"codes-only probe over the segment union disagrees with the "
@@ -2538,12 +2615,14 @@ def l3_ivf_recover_rebuild_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_hiscox_spark.queries.writes import _scratch
 
     emb = load_table(spark, "embeddings", sf_dir)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     path = _os.path.join(_scratch("l3_ivf_recover", sf_dir), "ivf_index")
     planes = random_hyperplanes(dim=64, n_planes=16, seed=42)
-    write_ivf_index(
-        emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
-        centroids=planes, generational=False,
+    qvec, _ = _qvec_and(
+        emb,
+        lambda: write_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id",
+            centroids=planes, generational=False,
+        ),
     )
     append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path, "embedding", "vec_id")
     sig_before = _parquet_content_checksum(spark, path, exclude_col="__cluster")
