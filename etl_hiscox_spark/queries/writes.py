@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_hiscox_spark.concurrency import run_overlapped
 from etl_hiscox_spark.queries import register
 from etl_hiscox_spark.registry import load_table
 from etl_hiscox_spark.smalldf import local_rows_df
@@ -801,7 +802,7 @@ def s18_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
     line = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_extendedprice")
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    for name, df, key in ((t_orders, orders, "o_orderkey"), (t_line, line, "l_orderkey")):
+    def _write_bucketed(name: str, df: DataFrame, key: str) -> None:
         # idempotent across SESSIONS, not just reruns: a managed-table
         # location left by a previous process is unknown to this catalog,
         # and saveAsTable refuses to adopt it (LOCATION_ALREADY_EXISTS) —
@@ -814,6 +815,15 @@ def s18_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.write.mode("overwrite").format("parquet").bucketBy(8, key).sortBy(
             key
         ).saveAsTable(name)
+
+    # the two bucketed sides land in DISTINCT tables — independent
+    # write chains, overlapped (r17, guide §2.6)
+    run_overlapped(
+        [
+            lambda: _write_bucketed(t_orders, orders, "o_orderkey"),
+            lambda: _write_bucketed(t_line, line, "l_orderkey"),
+        ]
+    )
     o, l = spark.table(t_orders), spark.table(t_line)  # noqa: E741
     return (
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
