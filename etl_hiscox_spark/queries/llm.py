@@ -4019,15 +4019,26 @@ def m9_media_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # touches each clip exactly once — the stated scale contract
     # (guide §4: pay the Python boundary once, then join cheap keys).
     imedia = docs.mapInPandas(gen_images, "path string, content binary")
-    ih = image_dhash(imedia).select(
-        F.col("path").cast("long").alias("doc_id"), F.col("dhash").alias("bits")
-    ).localCheckpoint()
-    ipairs = bitstring_block_pairs(ih, "bits", "doc_id", n_bits=64, n_blocks=4, max_hamming=3)
-
     amedia = docs.mapInPandas(gen_audio, "path string, content binary")
-    af = audio_band_fingerprint(amedia, bands).select(
-        F.col("path").cast("long").alias("doc_id"), F.col("fingerprint").alias("bits")
-    ).localCheckpoint()
+    # the two modality chains are independent pipelines ending in eager
+    # localCheckpoints — materialize them overlapped (r17, guide §2.6)
+    ih, af = run_overlapped(
+        [
+            lambda: image_dhash(imedia)
+            .select(
+                F.col("path").cast("long").alias("doc_id"),
+                F.col("dhash").alias("bits"),
+            )
+            .localCheckpoint(),
+            lambda: audio_band_fingerprint(amedia, bands)
+            .select(
+                F.col("path").cast("long").alias("doc_id"),
+                F.col("fingerprint").alias("bits"),
+            )
+            .localCheckpoint(),
+        ]
+    )
+    ipairs = bitstring_block_pairs(ih, "bits", "doc_id", n_bits=64, n_blocks=4, max_hamming=3)
     apairs = bitstring_block_pairs(af, "bits", "doc_id", n_bits=40, n_blocks=4, max_hamming=3)
 
     return ipairs.select(F.lit("image").alias("modality"), "id_a", "id_b", "hamming").unionAll(
