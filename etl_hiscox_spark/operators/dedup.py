@@ -472,19 +472,19 @@ def connected_components(
         .withColumn("component", F.col("node")),
         checkpoint_dir,
     )
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-        )
+    def _one_step(cur: DataFrame) -> DataFrame:
         # carry the change flag THROUGH the label update instead of
         # re-joining new vs old labels afterwards — the convergence
         # check becomes a filter over the materialized frame, saving one
         # join + exchange per round (r17, guide §2.4; labels only ever
         # decrease, so "changed" ≡ new < old)
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+        neighbor_min = (
+            edges.join(cur, edges.dst == cur.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        return (
+            cur.join(neighbor_min, cur.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(
@@ -498,12 +498,29 @@ def connected_components(
                 (F.col("__new") < F.col("__old")).alias("__chg"),
             )
         )
+
+    # TWO propagation steps per materialization round (r17, guide §5/§7.3:
+    # the per-round driver cost — checkpoint job + convergence count +
+    # py4j round trips — dominated the per-step join work at every scale
+    # we measured). Convergence is judged on the LAST step's flag only,
+    # which keeps the semantics EXACTLY those of the one-step loop:
+    # min-label propagation is monotone (extra steps past the fixed point
+    # are no-ops), and the loop raises iff graph diameter + 1 >
+    # max_iterations, same boundary as before (the final partial round
+    # runs a single step when max_iterations is odd). Labels and
+    # components are unchanged by construction.
+    it = 0
+    while it < max_iterations:
+        cur = labels
+        for _ in range(min(2, max_iterations - it)):
+            cur = _one_step(cur.drop("__chg") if "__chg" in cur.columns else cur)
+            it += 1
         # Truncate lineage every round: without this, iteration N
         # re-executes all N-1 previous rounds for every action
         # (exponential replay — the classic iterative-algorithm trap).
         # ``checkpoint_dir`` upgrades the cut to a reliable checkpoint()
         # that also tolerates executor loss.
-        new_labels = _materialize(new_labels, checkpoint_dir)
+        new_labels = _materialize(cur, checkpoint_dir)
         changed = new_labels.filter(F.col("__chg")).limit(1).count()
         labels = new_labels.drop("__chg")
         if changed == 0:
