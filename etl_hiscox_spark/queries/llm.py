@@ -5255,12 +5255,19 @@ def l2_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch("l2_stream_ingest", sf_dir)
     root = _os.path.join(base, "minhash_index")
     src = _os.path.join(base, "src")
-    write_minhash_index(
-        docs.filter(F.col("doc_id") % 4 == 0), "text", "doc_id", root,
-        num_hashes=24, num_bands=6,
-    )
     arriving = docs.filter(F.col("doc_id") % 4 == 2).select("doc_id", "text")
-    arriving.repartition(3).write.mode("overwrite").parquet(src)
+    # the index build (%4==0 half, index root) and the stream-source
+    # staging write (%4==2 half, src dir) touch disjoint paths —
+    # independent, overlapped (r17, guide §2.6)
+    run_overlapped(
+        [
+            lambda: write_minhash_index(
+                docs.filter(F.col("doc_id") % 4 == 0), "text", "doc_id", root,
+                num_hashes=24, num_bands=6,
+            ),
+            lambda: arriving.repartition(3).write.mode("overwrite").parquet(src),
+        ]
+    )
 
     def ingest(batch_df, batch_id):
         if batch_df.isEmpty():
