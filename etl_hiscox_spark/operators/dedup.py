@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException as _SparkAnalysisError
 
 from etl_hiscox_spark.functions.text import content_hash, normalize_text, shingles
-from etl_hiscox_spark.operators.caching import attach_owned_caches
+from etl_hiscox_spark.operators.caching import adopt_caches, attach_owned_caches
 
 # ---------------------------------------------------------------------------
 # L1: exact dedup
@@ -271,6 +271,7 @@ def jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.0,
     _shingle_hashes: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
@@ -302,7 +303,17 @@ def jaccard_pairs(
         if _shingle_hashes is not None
         else _raw_shingle_hash_stream(df, text_col, id_col, shingle_k)
     )
-    sets = src.groupBy("doc").agg(F.collect_set("h").alias("__s")).persist()
+    sets = src.groupBy("doc").agg(F.collect_set("h").alias("__s"))
+    if checkpoint_dir is not None:
+        # the documented cluster contract (ADVICE r17): with a reliable
+        # checkpoint dir, the multi-branch set table goes to durable
+        # storage — a lazy persist alone keeps full lineage back to the
+        # corpus scan, so executor loss would recompute the whole stem
+        sets = _materialize(sets, checkpoint_dir)
+        owned: list[DataFrame] = []
+    else:
+        sets = sets.persist()
+        owned = [sets]
     sa = sets.select(F.col("doc").alias("id_a"), F.col("__s").alias("__sa"))
     sb = sets.select(F.col("doc").alias("id_b"), F.col("__s").alias("__sb"))
     n_int = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
@@ -319,7 +330,7 @@ def jaccard_pairs(
         )
     )
     out = out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
-    return attach_owned_caches(out, [sets])
+    return attach_owned_caches(out, owned)
 
 
 def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
@@ -396,6 +407,7 @@ def _confirmed_minhash_pairs(
         shingle_k,
         threshold,
         _shingle_hashes=_raw_shingle_hash_stream(cand_docs, text_col, id_col, shingle_k),
+        checkpoint_dir=checkpoint_dir,
     )
 
 
@@ -440,7 +452,10 @@ def near_dedup_minhash(
         df, text_col, id_col, threshold, num_hashes, num_bands, shingle_k, checkpoint_dir
     )
     drops = confirmed.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(drops, on=id_col, how="left_anti")
+    # propagate cache ownership (ADVICE r17): the confirmed-pairs frame
+    # carries jaccard_pairs' persisted per-doc set stem — without adoption
+    # the blocks outlive the caller with no handle to release them
+    return adopt_caches(df.join(drops, on=id_col, how="left_anti"), confirmed)
 
 
 def connected_components(
@@ -512,15 +527,28 @@ def connected_components(
     it = 0
     while it < max_iterations:
         cur = labels
-        for _ in range(min(2, max_iterations - it)):
+        step1: DataFrame | None = None
+        steps = min(2, max_iterations - it)
+        for i in range(steps):
             cur = _one_step(cur.drop("__chg") if "__chg" in cur.columns else cur)
             it += 1
+            if i == 0 and steps > 1:
+                # step 2's plan references step 1's output TWICE (inside
+                # neighbor_min and as the update join's left side) — a
+                # lazy persist makes the round's materialization compute
+                # step 1 once instead of relying on ReusedExchange to
+                # dedup the copies (ADVICE r17); released right after the
+                # round materializes
+                cur = cur.persist()
+                step1 = cur
         # Truncate lineage every round: without this, iteration N
         # re-executes all N-1 previous rounds for every action
         # (exponential replay — the classic iterative-algorithm trap).
         # ``checkpoint_dir`` upgrades the cut to a reliable checkpoint()
         # that also tolerates executor loss.
         new_labels = _materialize(cur, checkpoint_dir)
+        if step1 is not None:
+            step1.unpersist(blocking=False)
         changed = new_labels.filter(F.col("__chg")).limit(1).count()
         labels = new_labels.drop("__chg")
         if changed == 0:
@@ -556,12 +584,16 @@ def near_dedup_clusters(
     """
     confirmed = _confirmed_minhash_pairs(
         df, text_col, id_col, threshold, num_hashes, num_bands, shingle_k, checkpoint_dir
-    ).select("id_a", "id_b")
-    comp = connected_components(confirmed, checkpoint_dir=checkpoint_dir)
+    )
+    comp = connected_components(
+        confirmed.select("id_a", "id_b"), checkpoint_dir=checkpoint_dir
+    )
     drops = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(drops, on=id_col, how="left_anti")
+    # cache ownership travels with the result (ADVICE r17) — see
+    # near_dedup_minhash
+    return adopt_caches(df.join(drops, on=id_col, how="left_anti"), confirmed)
 
 
 # ---------------------------------------------------------------------------
@@ -845,15 +877,17 @@ def near_dedup_keep_best(
     """
     confirmed = _confirmed_minhash_pairs(
         df, text_col, id_col, threshold, num_hashes, num_bands, shingle_k, checkpoint_dir
-    ).select("id_a", "id_b")
-    comp = connected_components(confirmed, checkpoint_dir=checkpoint_dir)
+    )
+    comp = connected_components(
+        confirmed.select("id_a", "id_b"), checkpoint_dir=checkpoint_dir
+    )
     members = comp.join(
         df.select(F.col(id_col).alias("node"), quality.alias("__q")), "node"
     )
     w = Window.partitionBy("component").orderBy(
         F.col("__q").desc(), F.col("node").asc()
     )
-    return (
+    out = (
         members.select(
             "component",
             "node",
@@ -869,6 +903,8 @@ def near_dedup_keep_best(
             F.col("__q").alias("best_quality"),
         )
     )
+    # cache ownership travels with the result (ADVICE r17)
+    return adopt_caches(out, confirmed)
 
 
 def ngram_novelty_scores(
@@ -945,8 +981,10 @@ def keep_best_survivors(
     """
     confirmed = _confirmed_minhash_pairs(
         df, text_col, id_col, threshold, num_hashes, num_bands, shingle_k, checkpoint_dir
-    ).select("id_a", "id_b")
-    comp = connected_components(confirmed, checkpoint_dir=checkpoint_dir)
+    )
+    comp = connected_components(
+        confirmed.select("id_a", "id_b"), checkpoint_dir=checkpoint_dir
+    )
     members = comp.join(
         df.select(F.col(id_col).alias("node"), quality.alias("__q")), "node"
     )
@@ -958,7 +996,10 @@ def keep_best_survivors(
         .filter(F.col("__rn") > 1)
         .select("node")
     )
-    return df.join(losers, df[id_col] == losers["node"], "left_anti")
+    # cache ownership travels with the result (ADVICE r17)
+    return adopt_caches(
+        df.join(losers, df[id_col] == losers["node"], "left_anti"), confirmed
+    )
 
 
 # ---------------------------------------------------------------------------

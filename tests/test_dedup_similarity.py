@@ -566,6 +566,55 @@ def test_skew_profile_and_jaccard_release_owned_caches(spark):
     assert not (cached_rdd_ids(spark) - before_ids)
 
 
+def test_jaccard_pairs_checkpoint_dir_goes_to_reliable_storage(spark, tmp_path):
+    """ADVICE r17: with ``checkpoint_dir`` set the multi-branch set table
+    must hit RELIABLE storage (cluster contract: survives executor loss),
+    not a lazy persist that keeps full lineage back to the corpus scan."""
+    import os
+
+    from etl_hiscox_spark.operators.caching import release_caches
+
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = jaccard_pairs(docs, pairs, "text", "doc_id", shingle_k=2, checkpoint_dir=ckpt)
+    assert out.count() == 1
+    assert release_caches(out) == 0  # checkpointed — no persisted stem to free
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "reliable checkpoint wrote nothing under checkpoint_dir"
+
+
+def test_near_dedup_consumers_propagate_cache_ownership(spark):
+    """ADVICE r17: the four consumers of the confirmed-pairs stem build
+    new frames from it, so without ``adopt_caches`` the jaccard set
+    stem's persist had no release handle on the returned frame — a
+    per-call executor memory leak in long-running sessions. Pin that
+    every consumer's result now owns at least one releasable cache
+    (pre-fix: release_caches returned 0 for all four)."""
+    from etl_hiscox_spark.operators.caching import release_caches
+    from etl_hiscox_spark.operators.dedup import (
+        keep_best_survivors,
+        near_dedup_clusters,
+        near_dedup_keep_best,
+        near_dedup_minhash,
+    )
+
+    docs = _docs(spark)
+    quality = F.length("text").cast("long")
+    results = [
+        near_dedup_minhash(docs, "text", "doc_id", threshold=0.5),
+        near_dedup_clusters(docs, "text", "doc_id", threshold=0.5),
+        near_dedup_keep_best(docs, "text", "doc_id", quality, threshold=0.5),
+        keep_best_survivors(docs, "text", "doc_id", quality, threshold=0.5),
+    ]
+    for out in results:
+        out.count()  # materialize with the stem caches alive
+        assert release_caches(out) >= 1  # ownership propagated to the result
+        assert release_caches(out) == 0  # idempotent
+
+
 def test_incremental_probe_banding_recall_margin_pinned(spark):
     """Pin the coupling ADVICE r8 flagged: l2_incremental_probe's oracle
     brute-forces exact Jaccard >= 0.8 while the Spark side only returns

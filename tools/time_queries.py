@@ -25,7 +25,12 @@ def main() -> None:
     runs = 3
     if "--runs" in args:
         i = args.index("--runs")
-        runs = int(args[i + 1])
+        if i + 1 >= len(args):
+            sys.exit("usage: time_queries.py q1 [q2 ...] [--runs N] — --runs needs a value")
+        try:
+            runs = int(args[i + 1])
+        except ValueError:
+            sys.exit(f"--runs expects an integer, got {args[i + 1]!r}")
         del args[i : i + 2]
     names = [a for a in args if not a.startswith("--")]
 
@@ -33,8 +38,15 @@ def main() -> None:
     from etl_hiscox_spark.registry import TESTDATA_TABLES, load_table
     from etl_hiscox_spark.session import get_spark
 
-    spark = get_spark("time_queries")
     queries = all_queries()
+    # validate BEFORE the table warm-up pass so a typo fails in ms, not
+    # after a full warm cycle (ADVICE r17)
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        sys.exit(f"unknown queries: {', '.join(unknown)} (see all_queries())")
+    if not names:
+        sys.exit("usage: time_queries.py q1 [q2 ...] [--runs N]")
+    spark = get_spark("time_queries")
     for t in TESTDATA_TABLES:
         load_table(spark, t, SF_DIR).count()
 
