@@ -1587,10 +1587,21 @@ def erase_from_minhash_index(spark, path: str, keys: DataFrame, id_col: str) -> 
         # are immutable, so stats and rewrites read consistent bytes)
         from etl_hiscox_spark.operators.similarity import _segment_hit_stats
 
-        seg_dfs = [
-            spark.read.parquet(os.path.join(genlog._join(root, name), "buckets"))
-            for name in seg_names
-        ]
+        # infer the bucket schema from the FIRST segment only and reuse it
+        # for the rest (r18, guide §6): every segment is written by
+        # _banded_buckets with identical layout (appends validate banding
+        # against the geometry segment), and per-call footer inference
+        # profiled ~80-230 ms per spark.read.parquet — a mismatched
+        # segment still fails loudly at scan time, never silently casts
+        seg_dfs: list[DataFrame] = []
+        seg_schema = None
+        for name in seg_names:
+            reader = (
+                spark.read.schema(seg_schema) if seg_schema is not None else spark.read
+            )
+            seg = reader.parquet(os.path.join(genlog._join(root, name), "buckets"))
+            seg_schema = seg_schema or seg.schema
+            seg_dfs.append(seg)
         stats = _segment_hit_stats(seg_dfs, k, "doc")
         n_erased = sum(h for _t, h in stats)
         if n_erased == 0:

@@ -726,8 +726,12 @@ def _read_ivf_segments(spark, paths: list[str]) -> DataFrame:
     separately and union — partition pruning on ``__cluster`` pushes into
     EACH branch's scan, exactly as it does for the single-segment plan."""
     out = spark.read.parquet(paths[0])
+    # later segments reuse the first segment's inferred schema — identical
+    # layout by protocol (appends validate against the geometry record),
+    # and per-call footer inference costs ~0.1-0.2 s (r18, guide §6); a
+    # mismatched segment fails loudly at scan time, never silently casts
     for p in paths[1:]:
-        out = out.unionByName(spark.read.parquet(p))
+        out = out.unionByName(spark.read.schema(out.schema).parquet(p))
     return out
 
 
@@ -1168,10 +1172,17 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
         # §5: the per-action latency dominated multi-segment erases —
         # committed generations are immutable, so the stats and the
         # rewrites below read consistent bytes by construction)
-        seg_dfs = [
-            spark.read.parquet(genlog._join(root, name)) for name in seg_names
-        ]
+        # first segment infers the schema, the rest reuse it (r18, guide
+        # §6: per-call footer inference profiled ~80-230 ms; all live
+        # segments share the layout by protocol — deltas carry a validated
+        # copy of the geometry record — and a mismatch fails loudly at
+        # scan time, never silently casts)
+        seg_dfs = [spark.read.parquet(genlog._join(root, seg_names[0]))]
         schema = seg_dfs[0].schema
+        seg_dfs += [
+            spark.read.schema(schema).parquet(genlog._join(root, name))
+            for name in seg_names[1:]
+        ]
         stats = _segment_hit_stats(seg_dfs, k, id_col)
         n_erased = sum(h for _t, h in stats)
         if n_erased == 0:

@@ -45,6 +45,80 @@ TESTDATA_TABLES = (
 )
 
 
+# Pinned schemas for the driver-provided testdata tables (FIXTURES.md §5,
+# verified equal to Spark's own inference at sf0.001/sf0.1 —
+# tests/test_registry_schemas.py). Why: ``spark.read.parquet`` without a
+# schema pays per-call footer inference (profiled r18: ~80-190 ms per call
+# even with a warm FileStatusCache), and every query pays it 1-4× inside
+# its timed region — the single largest fixed cost in the bench after r17.
+# An explicit schema skips the inference entirely (guide §6: verify the
+# scan, don't re-derive it); the scan itself, pruning and pushdown are
+# unchanged, so results are identical by construction. Timestamps are
+# TIMESTAMP_NTZ exactly as Spark 4 infers them from these files
+# (isAdjustedToUTC=false + inferTimestampNTZ default).
+_TESTDATA_DDL = {
+    "region": "r_regionkey int, r_name string",
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "customer": (
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string"
+    ),
+    "supplier": "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+    "part": (
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double"
+    ),
+    "orders": (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+    ),
+    "lineitem": (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp_ntz"
+    ),
+    "events": (
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
+    ),
+    "documents": "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    "embeddings": "vec_id bigint, embedding array<float>, label int",
+}
+
+
+def _pinned_schema(name: str, path: str) -> str | None:
+    """DDL for ``spark.read.schema(...)`` on a testdata table, or None to
+    fall back to inference. ``events`` guards its physical timestamp unit
+    with a pyarrow footer read (ms-scale, local paths only): a
+    NANOS-stamped file must take the inference path so the documented
+    ``nanosAsLong`` → bigint → ``timestamp_micros`` conversion in
+    :func:`load_table` applies (FIXTURES.md §5 documents ns; the shipped
+    driver files are µs — both stay correct)."""
+    ddl = _TESTDATA_DDL.get(name)
+    if ddl is None:
+        return None
+    if name == "events":
+        if "://" in path:
+            return None  # cannot verify the footer remotely — infer
+        try:
+            import glob
+
+            import pyarrow.parquet as pq
+
+            f = (
+                path
+                if os.path.isfile(path)
+                else sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+            )
+            ts_type = pq.read_schema(f).field("ts").type
+            if getattr(ts_type, "unit", None) == "ns":
+                return None
+        except Exception:
+            return None  # unreadable footer — let Spark's inference decide
+    return ddl
+
+
 _RUNTIME_CONFS = {
     # The driver may hand us ITS OWN SparkSession — pin the confs our
     # queries depend on at read time (all are runtime-settable SQLConfs).
@@ -76,7 +150,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     """
     ensure_session_confs(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ddl = _pinned_schema(name, path)
+    reader = spark.read.schema(ddl) if ddl is not None else spark.read
+    df = reader.parquet(path)
     # events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long ns
     # (spark.sql.legacy.parquet.nanosAsLong). Truncate to µs — identical to
     # DuckDB's ns→µs cast — so downstream code sees a normal timestamp.

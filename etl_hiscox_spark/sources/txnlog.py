@@ -1508,12 +1508,14 @@ class TxnTable:
                 hit_paths |= file_hits(part)
         if not hit_paths:
             return 0
-        replacement: dict[str, list[str]] = {}
-        for rel in sorted(hit_paths):
+
+        def _rewrite_one(rel: str) -> list[str]:
             # NULL-safe keep: ~isin(...) is NULL (dropped) for NULL keys —
             # the subject filter must never erase anonymous rows (same rule
             # as writers.erase_keys' left_anti join; left_anti keeps NULL
-            # keys natively on the frame path).
+            # keys natively on the frame path). Each file is read with its
+            # OWN schema (never the merged one) so a rewrite of an old
+            # narrow file cannot silently widen it.
             file_df = self.spark.read.parquet("/".join([self.path.rstrip("/"), rel]))
             if keys_is_frame:
                 kept = file_df.join(F.broadcast(kdf), key_col, "left_anti")
@@ -1521,7 +1523,20 @@ class TxnTable:
                 kept = file_df.filter(
                     F.col(key_col).isNull() | ~F.col(key_col).isin(keys)
                 )
-            replacement[rel] = self._write_batch(kept, "erase")
+            return self._write_batch(kept, "erase")
+
+        # hit-file rewrites target DISJOINT fresh uuid batch dirs —
+        # independent read→filter→write chains, overlapped (r18, guide
+        # §2.6: x17 profiled 9 sequential ~0.27 s rewrite jobs back to
+        # back); manifests repoint only after EVERY rewrite landed, so
+        # crash behaviour is unchanged (old + new files both present,
+        # every manifest readable)
+        from etl_hiscox_spark.concurrency import run_overlapped
+
+        rels = sorted(hit_paths)
+        replacement: dict[str, list[str]] = dict(
+            zip(rels, run_overlapped([lambda r=r: _rewrite_one(r) for r in rels]))
+        )
         # Repoint-until-clean, then delete (r17): the single repoint pass
         # over the scan-time version list left a window where an append
         # that read its parent manifest BEFORE this erase repointed it
