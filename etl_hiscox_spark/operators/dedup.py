@@ -481,12 +481,19 @@ def connected_components(
         .distinct()
     )
     edges = _materialize(edges, checkpoint_dir)
-    labels = _materialize(
+    # The INITIAL labels are a tiny derivation over the just-materialized
+    # edges (one distinct) — a lazy persist lets round 1's materialization
+    # compute them once for its two plan references instead of paying a
+    # dedicated eager job up front (r18, guide §5); released after the
+    # first round lands. Lineage is one distinct over checkpointed edges,
+    # so the plan-truncation argument for an eager cut does not apply.
+    labels0 = (
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("component", F.col("node")),
-        checkpoint_dir,
+        .withColumn("component", F.col("node"))
+        .persist()
     )
+    labels = labels0
     def _one_step(cur: DataFrame) -> DataFrame:
         # carry the change flag THROUGH the label update instead of
         # re-joining new vs old labels afterwards — the convergence
@@ -525,43 +532,54 @@ def connected_components(
     # runs a single step when max_iterations is odd). Labels and
     # components are unchanged by construction.
     it = 0
-    while it < max_iterations:
-        cur = labels
-        step1: DataFrame | None = None
-        steps = min(2, max_iterations - it)
-        for i in range(steps):
-            cur = _one_step(cur.drop("__chg") if "__chg" in cur.columns else cur)
-            it += 1
-            if i == 0 and steps > 1:
-                # step 2's plan references step 1's output TWICE (inside
-                # neighbor_min and as the update join's left side) — a
-                # lazy persist makes the round's materialization compute
-                # step 1 once instead of relying on ReusedExchange to
-                # dedup the copies (ADVICE r17); released right after the
-                # round materializes
-                cur = cur.persist()
-                step1 = cur
-        # Truncate lineage every round: without this, iteration N
-        # re-executes all N-1 previous rounds for every action
-        # (exponential replay — the classic iterative-algorithm trap).
-        # ``checkpoint_dir`` upgrades the cut to a reliable checkpoint()
-        # that also tolerates executor loss.
-        new_labels = _materialize(cur, checkpoint_dir)
-        if step1 is not None:
-            step1.unpersist(blocking=False)
-        changed = new_labels.filter(F.col("__chg")).limit(1).count()
-        labels = new_labels.drop("__chg")
-        if changed == 0:
-            break
-    else:
-        # Loop exhausted without a zero-change round: labels on long chains
-        # (diameter > max_iterations) are still mid-propagation — silently
-        # returning them would split one duplicate cluster into several.
-        if strict:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iterations} "
-                "iterations; raise max_iterations (graph diameter exceeds it)"
-            )
+    try:
+        while it < max_iterations:
+            cur = labels
+            step1: DataFrame | None = None
+            steps = min(2, max_iterations - it)
+            for i in range(steps):
+                cur = _one_step(cur.drop("__chg") if "__chg" in cur.columns else cur)
+                it += 1
+                if i == 0 and steps > 1:
+                    # step 2's plan references step 1's output TWICE
+                    # (inside neighbor_min and as the update join's left
+                    # side) — a lazy persist makes the round's
+                    # materialization compute step 1 once instead of
+                    # relying on ReusedExchange to dedup the copies
+                    # (ADVICE r17); released right after the round
+                    # materializes
+                    cur = cur.persist()
+                    step1 = cur
+            # Truncate lineage every round: without this, iteration N
+            # re-executes all N-1 previous rounds for every action
+            # (exponential replay — the classic iterative-algorithm trap).
+            # ``checkpoint_dir`` upgrades the cut to a reliable
+            # checkpoint() that also tolerates executor loss.
+            new_labels = _materialize(cur, checkpoint_dir)
+            if step1 is not None:
+                step1.unpersist(blocking=False)
+            if labels0 is not None:
+                labels0.unpersist(blocking=False)
+                labels0 = None
+            changed = new_labels.filter(F.col("__chg")).limit(1).count()
+            labels = new_labels.drop("__chg")
+            if changed == 0:
+                break
+        else:
+            # Loop exhausted without a zero-change round: labels on long
+            # chains (diameter > max_iterations) are still mid-propagation
+            # — silently returning them would split one duplicate cluster
+            # into several.
+            if strict:
+                raise RuntimeError(
+                    f"connected_components did not converge in {max_iterations} "
+                    "iterations; raise max_iterations (graph diameter exceeds it)"
+                )
+    finally:
+        # exception / zero-iteration exits must not strand the lazy
+        # init-labels persist (idempotent on the normal path)
+        if labels0 is not None:
+            labels0.unpersist(blocking=False)
     return labels
 
 
@@ -1587,14 +1605,20 @@ def erase_from_minhash_index(spark, path: str, keys: DataFrame, id_col: str) -> 
         # are immutable, so stats and rewrites read consistent bytes)
         from etl_hiscox_spark.operators.similarity import _segment_hit_stats
 
-        # infer the bucket schema from the FIRST segment only and reuse it
-        # for the rest (r18, guide §6): every segment is written by
-        # _banded_buckets with identical layout (appends validate banding
-        # against the geometry segment), and per-call footer inference
-        # profiled ~80-230 ms per spark.read.parquet — a mismatched
-        # segment still fails loudly at scan time, never silently casts
+        # resolve the bucket schema ONCE — a pyarrow footer read when the
+        # store is local, else one Spark inference on the first segment —
+        # and reuse it for every segment (r18, guide §6): every segment is
+        # written by _banded_buckets with identical layout (appends
+        # validate banding against the geometry segment), and per-call
+        # footer inference profiled ~80-230 ms per spark.read.parquet; a
+        # mismatched segment still fails loudly at scan time, never
+        # silently casts
+        from etl_hiscox_spark.fastschema import fast_parquet_schema
+
         seg_dfs: list[DataFrame] = []
-        seg_schema = None
+        seg_schema = fast_parquet_schema(
+            os.path.join(genlog._join(root, seg_names[0]), "buckets")
+        )
         for name in seg_names:
             reader = (
                 spark.read.schema(seg_schema) if seg_schema is not None else spark.read
@@ -1933,7 +1957,16 @@ def probe_minhash_index(
     num_hashes, num_bands, shingle_k = _read_index_meta(spark, paths[0], resolved=True)
     sig = minhash_signature_table(new_df, text_col, id_col, num_hashes, shingle_k)
     new_banded = _banded_buckets(sig, num_hashes, num_bands).alias("n")
-    idx = spark.read.parquet(*[os.path.join(p, "buckets") for p in paths]).alias("i")
+    # one pyarrow footer read replaces Spark's per-call schema inference
+    # for the engine-written bucket table (r18, guide §6 — ~0.2 s per
+    # probe); None falls back to inference, a mismatch fails loudly at
+    # scan time
+    from etl_hiscox_spark.fastschema import fast_parquet_schema
+
+    bucket_dirs = [os.path.join(p, "buckets") for p in paths]
+    fast = fast_parquet_schema(bucket_dirs[0])
+    reader = spark.read.schema(fast) if fast is not None else spark.read
+    idx = reader.parquet(*bucket_dirs).alias("i")
     cand = (
         new_banded.join(
             idx,

@@ -2972,8 +2972,14 @@ def t33_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_hiscox_spark.operators.sampling import hash_split
 
     docs = load_table(spark, "documents", sf_dir)
-    confirmed = confirmed_minhash_pairs(docs, "text", "doc_id", threshold=0.8).select(
-        "id_a", "id_b"
+    # the confirmed pair graph feeds TWO consumers — the CC edge set and
+    # the cross-split proof count — so a lazy persist computes the
+    # LSH+Jaccard pipeline once: CC's eager edge materialization populates
+    # it, the final action's cross branch reads the cache (r18, guide §5)
+    confirmed = (
+        confirmed_minhash_pairs(docs, "text", "doc_id", threshold=0.8)
+        .select("id_a", "id_b")
+        .persist()
     )
     comp = connected_components(confirmed)
     with_grp = docs.join(comp, docs["doc_id"] == comp["node"], "left").select(

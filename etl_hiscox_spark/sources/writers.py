@@ -319,7 +319,15 @@ def compact_parquet_to_dir(
     srcs = [src] if isinstance(src, str) else list(src)
     total_bytes = sum(_dir_file_stats(s)[1] for s in srcs)
     n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
-    df = spark.read.parquet(*srcs)
+    # engine-written simple layouts (bucket tables) resolve their schema
+    # from one local footer instead of a per-call Spark inference (r18,
+    # guide §6); None — remote, empty, or non-whitelisted types — falls
+    # back to inference unchanged
+    from etl_hiscox_spark.fastschema import fast_parquet_schema
+
+    fast = fast_parquet_schema(srcs[0])
+    reader = spark.read.schema(fast) if fast is not None else spark.read
+    df = reader.parquet(*srcs)
     if sort_by:
         cols = [F.col(c) for c in sort_by]
         out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
@@ -351,14 +359,26 @@ def erase_keys(
     """
     import shutil
 
+    from pyspark.sql import Observation
+
     tmp, backup = target_path + "_tmp", target_path + "_bak"
     current = spark.read.parquet(target_path)
     key_set = keys.select(key_col).distinct()
-    kept = current.join(F.broadcast(key_set), on=key_col, how="left_anti")
+    # both counts ride the ONE rewrite action as observations (r18, guide
+    # §5: this path paid three actions — count, write, tmp re-read+count —
+    # for numbers the write job itself can report): n_before counts rows
+    # flowing out of the scan below the anti-join, n_after the rows that
+    # survive it. Values identical to the separate scans by construction.
+    o_before, o_after = Observation(), Observation()
+    kept = (
+        current.observe(o_before, F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(key_set), on=key_col, how="left_anti")
+        .observe(o_after, F.count(F.lit(1)).alias("n"))
+    )
     try:
-        n_before = current.count()
         kept.write.mode("overwrite").parquet(tmp)
-        n_after = spark.read.parquet(tmp).count()
+        n_before = o_before.get["n"] or 0
+        n_after = o_after.get["n"] or 0
         # Swap via backup-rename so no crash point loses the table: the
         # worst interruption leaves either target or _bak intact, and the
         # un-erased PII rows never outlive a successful swap.
