@@ -1626,6 +1626,45 @@ def erase_from_minhash_index(spark, path: str, keys: DataFrame, id_col: str) -> 
             seg = reader.parquet(os.path.join(genlog._join(root, name), "buckets"))
             seg_schema = seg_schema or seg.schema
             seg_dfs.append(seg)
+        if len(seg_dfs) == 1:
+            # FUSED stats+rewrite for the single-segment head (the common
+            # shape after a compact — r18, guide §5): the anti-join
+            # rewrite job itself reports total/kept via observe(), so the
+            # erase pays ONE action instead of stats-then-rewrite (the
+            # repair lifecycle profiled 3 erases × ~0.4 s stats + ~0.3 s
+            # rewrite back to back). A no-hit erase abandons the staged
+            # bucket dir (meta never written — exactly the
+            # crash-before-meta state every probe already rejects and
+            # vacuum reclaims) and returns 0 with no commit, matching the
+            # stats-first path's contract.
+            from pyspark.sql import Observation
+
+            o_tot, o_kept = Observation(), Observation()
+            gen = genlog.new_generation_name()
+            target = genlog._join(root, gen)
+            kept = (
+                seg_dfs[0]
+                .observe(o_tot, F.count(F.lit(1)).alias("n"))
+                .join(k, "doc", "left_anti")
+                .observe(o_kept, F.count(F.lit(1)).alias("n"))
+            )
+            kept.write.mode("error").parquet(genlog._join(target, "buckets"))
+            n_erased = (o_tot.get["n"] or 0) - (o_kept.get["n"] or 0)
+            if n_erased == 0:
+                try:  # tidy the no-hit stage now; vacuum reclaims on failure
+                    fs_, p_ = genlog._fs(target)
+                    fs_.delete_dir(p_)
+                except (FileNotFoundError, OSError):
+                    pass
+                return 0
+            _write_index_meta(spark, target, *params)
+            genlog.commit_generation(
+                spark, path, gen, "erase", base_version=base,
+                segments=[gen],
+                geometry_id=rec.get("geometry_id"),
+                txn_watermarks=rec.get("txn_watermarks"),
+            )
+            return n_erased
         stats = _segment_hit_stats(seg_dfs, k, "doc")
         n_erased = sum(h for _t, h in stats)
         if n_erased == 0:

@@ -1183,6 +1183,75 @@ def erase_from_ivf_index(spark, path: str, keys: DataFrame, id_col: str) -> int:
             spark.read.schema(schema).parquet(genlog._join(root, name))
             for name in seg_names[1:]
         ]
+        if len(seg_dfs) == 1:
+            # FUSED stats+rewrite for the single-segment head (r18, guide
+            # §5 — mirrors the minhash erase): the anti-join rewrite job
+            # reports total/kept via observe(), so the common erase pays
+            # one action instead of stats-then-rewrite. A no-hit erase
+            # abandons the staged tree (no centroid record written — the
+            # crash-mid-stage state the protocol already rejects and
+            # vacuum reclaims) and returns 0 with no commit; a fully-
+            # erased segment falls through to the readable-empty branch
+            # below exactly as the stats-first path does.
+            from pyspark.sql import Observation
+
+            o_tot, o_kept = Observation(), Observation()
+            gen = genlog.new_generation_name()
+            target = genlog._join(root, gen)
+            kept_df = (
+                seg_dfs[0]
+                .observe(o_tot, F.count(F.lit(1)).alias("n"))
+                .join(k, id_col, "left_anti")
+                .observe(o_kept, F.count(F.lit(1)).alias("n"))
+            )
+            _write_ivf_partitions(kept_df, target)
+            try:
+                total = o_tot.get["n"] or 0
+                n_kept = o_kept.get["n"] or 0
+            except Exception:
+                # a partitionBy write of ZERO rows plans zero tasks, so
+                # the CollectMetrics row never materializes and the
+                # metric fetch throws (pinned by the fully-erased tests)
+                # — every segment row was erased (or the segment was
+                # empty); one bounded count resolves which
+                total = seg_dfs[0].count()
+                n_kept = 0
+            n_erased = total - n_kept
+            if n_erased == 0 or n_kept == 0:
+                # no hits (stage useless) OR fully erased (a partitionBy
+                # write of an empty frame leaves no readable files) —
+                # drop the stage either way
+                try:
+                    fs_, p_ = genlog._fs(target)
+                    fs_.delete_dir(p_)
+                except (FileNotFoundError, OSError):
+                    pass
+                if n_erased == 0:
+                    return 0
+                # fully-erased index: write the READABLE zero-row
+                # dataset + geometry record (same as the stats-first
+                # path's empty-list branch)
+                gen = genlog.new_generation_name()
+                target = genlog._join(root, gen)
+                local_rows_df(spark, [], seg_dfs[0].schema).write.mode(
+                    "error"
+                ).parquet(target)
+                _write_ivf_centroids(spark, target, C, quantized=quantized)
+                genlog.commit_generation(
+                    spark, path, gen, "erase", base_version=base,
+                    segments=[gen],
+                    geometry_id=rec.get("geometry_id"),
+                    txn_watermarks=rec.get("txn_watermarks"),
+                )
+                return n_erased
+            _write_ivf_centroids(spark, target, C, quantized=quantized)
+            genlog.commit_generation(
+                spark, path, gen, "erase", base_version=base,
+                segments=[gen],
+                geometry_id=rec.get("geometry_id"),
+                txn_watermarks=rec.get("txn_watermarks"),
+            )
+            return n_erased
         stats = _segment_hit_stats(seg_dfs, k, id_col)
         n_erased = sum(h for _t, h in stats)
         if n_erased == 0:

@@ -1790,3 +1790,49 @@ def test_vacuum_finishes_half_retired_pairs(tmp_path, monkeypatch):
     # and a read of the repaired name now raises the loud retired error
     with pytest.raises(FileNotFoundError, match="retired by vacuum"):
         genlog.read_pointer(rroot, 0)
+
+
+def test_generational_single_segment_no_hit_erase_commits_nothing(spark, tmp_path):
+    """r18 fused stats+rewrite path: an erase whose keys match NOTHING on
+    a single-segment head must return 0 WITHOUT committing a generation
+    and without stranding its staged tree (the fused form stages the
+    rewrite before it knows the hit count — the no-hit stage is removed,
+    or at worst left as the crash-before-meta debris vacuum reclaims)."""
+    from etl_hiscox_spark.operators.dedup import (
+        erase_from_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.sources import genlog
+
+    root = "file://" + str(tmp_path / "mh_nohit")
+    docs = _docs(spark)
+    write_minhash_index(docs, "text", "doc_id", root, generational=True)
+    assert [g["operation"] for g in genlog.list_generations(spark, root)] == ["build"]
+    ghost = spark.createDataFrame([(424242,)], "doc_id long")
+    assert erase_from_minhash_index(spark, root, ghost, "doc_id") == 0
+    # no new commit, and no stranded gen-* stage on disk
+    assert [g["operation"] for g in genlog.list_generations(spark, root)] == ["build"]
+    local = str(tmp_path / "mh_nohit")
+    assert len([d for d in os.listdir(local) if d.startswith("gen-")]) == 1
+    # the index still answers probes
+    assert _probe_pairs(spark, root, docs)
+
+
+def test_generational_single_segment_hit_erase_counts_exact_rows(spark, tmp_path):
+    """The fused path's observe-derived count must equal the bucket rows
+    actually dropped (num_bands per erased doc), same as the stats-first
+    multi-segment path."""
+    from etl_hiscox_spark.operators.dedup import (
+        erase_from_minhash_index,
+        write_minhash_index,
+    )
+    from etl_hiscox_spark.sources import genlog
+
+    root = "file://" + str(tmp_path / "mh_hit")
+    docs = _docs(spark)
+    write_minhash_index(docs, "text", "doc_id", root, num_hashes=24, num_bands=6, generational=True)
+    keys = spark.createDataFrame([(3,), (7,)], "doc_id long")
+    assert erase_from_minhash_index(spark, root, keys, "doc_id") == 12  # 2 docs x 6 bands
+    ops = [g["operation"] for g in genlog.list_generations(spark, root)]
+    assert ops == ["build", "erase"]
+    assert 3 not in _probe_pairs(spark, root, docs)
