@@ -1202,6 +1202,35 @@ class TxnTable:
             "retention sweep raced this read; re-run"
         ) from last
 
+    def _uniform_footer_schemas(self, rel_files: list[str]) -> bool:
+        """True iff every data file's parquet footer schema is
+        byte-identical — the state every single-write, overwrite, and
+        post-compact version is in, where the manifest schema IS the file
+        schema and Spark's per-read mergeSchema inference (~0.1-0.2 s per
+        read, r18 guide §6) buys nothing. Footers read driver-side with
+        pyarrow (~1-3 ms each; file counts here are bounded by the
+        version's append count). Any failure answers False — the caller
+        keeps the inference path."""
+        try:
+            import pyarrow.parquet as pq
+
+            first = None
+            for rel in rel_files:
+                if self._use_os:
+                    sch = pq.read_schema("/".join([self.path.rstrip("/"), rel]))
+                else:
+                    filesystem, base = self._fs()
+                    sch = pq.read_schema(
+                        f"{base.rstrip('/')}/{rel}", filesystem=filesystem
+                    )
+                if first is None:
+                    first = sch
+                elif not sch.equals(first):
+                    return False
+            return first is not None
+        except Exception:
+            return False
+
     def _read_version(self, v: int) -> DataFrame:
         m = self._read_manifest(v)
         paths = ["/".join([self.path.rstrip("/"), f]) for f in m["files"]]
@@ -1210,6 +1239,15 @@ class TxnTable:
             from etl_hiscox_spark.smalldf import local_rows_df
 
             return local_rows_df(self.spark, [], schema)
+        # Fast path (r18): when every footer is identical the manifest
+        # schema equals the file schema by the commit-time merge (merging
+        # identical schemas is the identity; widened/mixed versions have
+        # heterogeneous footers and take the inference path below), so
+        # the read can pin it and skip per-call mergeSchema inference. A
+        # state this guard mis-judges still fails loudly at scan time.
+        if self._uniform_footer_schemas(m["files"]):
+            out = self.spark.read.schema(schema).parquet(*paths)
+            return out.select(*schema.fieldNames())
         try:
             out = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         except Exception:

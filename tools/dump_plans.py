@@ -1,4 +1,5 @@
-"""Dump .explain("formatted") for named queries to plans/r17/<q>_<tag>.txt.
+"""Dump .explain("formatted") for named queries to plans/<round>/<q>_<tag>.txt
+(round from $SPARK_GRAFT_PLANS_ROUND, default r18).
 
 Usage: python tools/dump_plans.py <tag> q1 [q2 ...]
 
@@ -17,7 +18,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r17")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r18"),
+)
 
 
 def main() -> None:
